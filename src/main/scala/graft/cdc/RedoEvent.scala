@@ -1,0 +1,57 @@
+package graft.cdc
+
+import java.sql.Timestamp
+
+/**
+ * One record off the redo stream — the projection the reference reads from `v$logmnr_contents`
+ * (OracleConnectorSQL2.java:5-6; fields consumed OracleSourceTask2.java:254-283 and
+ * LogMinerThread2.java:144-155,249-262).
+ *
+ * In production this is the decoded value of a Kafka message; in tests it is built directly
+ * or rendered by [[RedoGen]].
+ */
+final case class RedoEvent(
+    scn: Long,
+    commitScn: Long,
+    xid: String,
+    rowId: String,
+    operation: String, // INSERT|UPDATE|DELETE|DDL|START|COMMIT|ROLLBACK
+    timestamp: Timestamp,
+    commitTimestamp: Option[Timestamp],
+    segOwner: String,
+    tableName: String,
+    sqlRedo: String,
+    csf: Boolean,          // continuation flag: statement continues in the next event
+    rollback: Boolean,     // partial-rollback marker (ROLLBACK column, LogMinerThread2.java:250)
+    info: String,          // "INTERNAL DDL ..." filter input
+    rbasqn: Long)          // redo log sequence#, gap detection (LogMinerThread2.java:144-148)
+
+object RedoEvent {
+  val Insert   = "INSERT"
+  val Update   = "UPDATE"
+  val Delete   = "DELETE"
+  val Ddl      = "DDL"
+  val Start    = "START"
+  val Commit   = "COMMIT"
+  val Rollback = "ROLLBACK"
+  val DmlOps: Set[String] = Set(Insert, Update, Delete)
+
+  def simple(scn: Long, xid: String, op: String, owner: String = "GRAFT", table: String = "T",
+             sqlRedo: String = "", rollback: Boolean = false, rowId: String = ""): RedoEvent =
+    RedoEvent(scn, 0L, xid, if (rowId.isEmpty) s"AAA$scn" else rowId, op,
+      new Timestamp(scn * 1000L), None, owner, table, sqlRedo, csf = false,
+      rollback = rollback, info = "", rbasqn = 1L)
+}
+
+/** A DML row stamped with its transaction's commit metadata (models/DMLRow.java:5-34). */
+final case class CommittedDml(
+    xid: String,
+    scn: Long,
+    commitScn: Long,
+    timestamp: Timestamp,
+    commitTimestamp: Timestamp,
+    operation: String,
+    segOwner: String,
+    tableName: String,
+    rowId: String,
+    sqlRedo: String)

@@ -1,0 +1,134 @@
+package graft.cdc
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Transaction assembly: buffer DML per transaction id, emit the buffer stamped with commit
+ * metadata on COMMIT, discard it on ROLLBACK, eliminate partial-rollback pairs.
+ *
+ * Mirrors the reference's per-XID state machine (LogMinerThread2.java:158-298,
+ * models/Transaction.java:6-87):
+ *   - START           -> open a buffer (Thread:241-245)
+ *   - INSERT/UPDATE/DELETE -> append; orphan DML (no START seen) opens a buffer implicitly
+ *                        (Thread:292-297); track `containsRollback` (Thread:250,286)
+ *   - COMMIT          -> rollback-pair elimination (Thread:163-185), stamp commitScn +
+ *                        commitTimestamp on every row (Thread:186-192), emit, drop state
+ *   - ROLLBACK        -> drop state, emit nothing (Thread:234-239)
+ *
+ * Deliberate deviation from the reference: open transactions never expire there
+ * (`trnCollection` grows unboundedly). At 100 TB scale that is a state leak, so the streaming
+ * wrapper installs a [[GroupStateTimeout]]; timed-out buffers are dropped (documented in
+ * SURVEY.md §7 hard-part 2).
+ */
+object TxnAssembler {
+
+  /** Keyed state: ordered buffer of uncommitted DML for one xid. */
+  final case class TxnBuffer(rows: List[RedoEvent], containsRollback: Boolean, started: Boolean)
+  object TxnBuffer { val empty: TxnBuffer = TxnBuffer(Nil, containsRollback = false, started = false) }
+
+  /**
+   * Partial-rollback pair elimination (LogMinerThread2.java:163-185): on commit of a
+   * transaction that contains rollback=1 rows, each rollback=1 row is removed *together with
+   * its immediately preceding row* (the change it undid).
+   */
+  def eliminateRollbackPairs(rows: List[RedoEvent]): List[RedoEvent] = {
+    val arr  = rows.toVector
+    val dead = Array.ofDim[Boolean](arr.length)
+    var i = 0
+    while (i < arr.length) {
+      if (arr(i).rollback) {
+        dead(i) = true
+        // the immediately preceding still-alive row is the undone change
+        var j = i - 1
+        while (j >= 0 && dead(j)) j -= 1
+        if (j >= 0) dead(j) = true
+      }
+      i += 1
+    }
+    arr.indices.collect { case k if !dead(k) => arr(k) }.toList
+  }
+
+  /**
+   * Process events of ONE transaction (single xid), in SCN order, against a starting buffer.
+   * Returns (emitted committed rows, remaining open buffer or None if closed).
+   */
+  def step(buffer: TxnBuffer, events: Iterator[RedoEvent]): (List[CommittedDml], Option[TxnBuffer]) = {
+    var buf: TxnBuffer = buffer
+    var open = true
+    val out  = List.newBuilder[CommittedDml]
+    events.foreach { e =>
+      e.operation match {
+        case RedoEvent.Start =>
+          buf = TxnBuffer(Nil, containsRollback = false, started = true); open = true
+        case RedoEvent.Rollback =>
+          buf = TxnBuffer.empty; open = false
+        case RedoEvent.Commit =>
+          val survivors =
+            if (buf.containsRollback) eliminateRollbackPairs(buf.rows.reverse)
+            else buf.rows.reverse
+          val cts = e.commitTimestamp.getOrElse(e.timestamp)
+          survivors.foreach { r =>
+            out += CommittedDml(r.xid, r.scn, e.scn, r.timestamp, cts,
+              r.operation, r.segOwner, r.tableName, r.rowId, r.sqlRedo)
+          }
+          buf = TxnBuffer.empty; open = false
+        case op if RedoEvent.DmlOps.contains(op) =>
+          // orphan DML implicitly opens a buffer (Thread:292-297); rows prepended, reversed at commit
+          buf = TxnBuffer(e :: buf.rows, buf.containsRollback || e.rollback, started = true)
+          open = true
+        case _ => () // DDL etc. do not participate in transaction assembly
+      }
+    }
+    (out.result(), if (open && (buf.started || buf.rows.nonEmpty)) Some(buf) else None)
+  }
+
+  /** Batch-mode assembly: group by xid, sort by SCN within the group, run the state machine. */
+  def assembleBatch(events: Dataset[RedoEvent]): Dataset[CommittedDml] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.xid)
+      .flatMapGroups { (_, it) =>
+        val sorted = it.toVector.sortBy(e => (e.scn, e.rowId))
+        step(TxnBuffer.empty, sorted.iterator)._1.iterator
+      }
+  }
+
+  /**
+   * Streaming assembly via flatMapGroupsWithState keyed by xid. Events of a batch are sorted
+   * by SCN before the state update (SURVEY.md §7 hard-part 1: Spark guarantees no intra-group
+   * order; the reference relied on a single total-order cursor).
+   *
+   * @param abandonedTxnTimeout processing-time timeout after which an open transaction's
+   *                            buffer is dropped (bounded state at scale).
+   */
+  def assembleStreaming(events: Dataset[RedoEvent],
+                        abandonedTxnTimeout: String = "1 hour"): Dataset[CommittedDml] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    implicit val bufEnc: Encoder[TxnBuffer] = Encoders.product[TxnBuffer]
+    events
+      .groupByKey(_.xid)
+      .flatMapGroupsWithState[TxnBuffer, CommittedDml](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (xid: String, it: Iterator[RedoEvent], state: GroupState[TxnBuffer]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = it.toVector.sortBy(e => (e.scn, e.rowId))
+            val (emitted, remaining) = step(state.getOption.getOrElse(TxnBuffer.empty), sorted.iterator)
+            remaining match {
+              case Some(buf) =>
+                state.update(buf)
+                state.setTimeoutDuration(abandonedTxnTimeout)
+              case None => if (state.exists) state.remove()
+            }
+            emitted.iterator
+          }
+      }
+  }
+}
