@@ -1,13 +1,38 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query registry aggregated from the engine modules:
+  *  - [[graft.engine.Relational]] — Layer-B semantics (B1-B10) + TPC-H-style analytics
+  *  - [[graft.engine.CdcQueries]] — end-to-end CDC slices (parse/assemble/filter/envelope)
+  *  - [[graft.ext.TextOps]]       — text analysis / fingerprinting
+  *  - [[graft.ext.Dedup]]         — exact + MinHash-LSH + SimHash + Jaccard dedup
+  *  - [[graft.ext.Similarity]]    — cosine top-k + LSH bucketing over embeddings
+  *  - [[graft.ext.Multimodal]]    — binary media columns + stubbed decode plumbing
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q1_pricing")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.engine.Relational.queries ++
+      graft.engine.CdcQueries.queries ++
+      graft.ext.TextOps.queries ++
+      graft.ext.Dedup.queries ++
+      graft.ext.Similarity.queries ++
+      graft.ext.Multimodal.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    graft.engine.Relational.oracle ++
+      graft.engine.CdcQueries.oracle ++
+      graft.ext.TextOps.oracle ++
+      graft.ext.Dedup.oracle ++
+      graft.ext.Similarity.oracle ++
+      graft.ext.Multimodal.oracle
 }

@@ -1,0 +1,65 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.collection.concurrent.TrieMap
+
+/**
+ * Table catalog: per-table schema metadata driving the typed projection of parsed redo
+ * payloads (reference A13/A16, OracleSourceConnectorUtils2.java:156-252 dictionary load and
+ * :436-465 `reSetValue` re-typing).
+ *
+ * Schemas are inferred lazily from parquet footers (our dictionary analogue of the
+ * `dba_tab_cols` query, OracleConnectorSQL2.java:13) and cached; a DDL event evicts the
+ * entry so the next DML reloads (A14, Utils:368-371). The cache is driver-side; the
+ * resulting cast projection is a plain `Column` list that ships with the plan, so executors
+ * never consult the catalog — the 100 TB-safe pattern (broadcast-by-plan, no per-row lookup).
+ */
+object Catalog {
+
+  private val cache = TrieMap.empty[String, StructType]
+
+  /** Load (and cache) a table's schema from its parquet footer. */
+  def schemaOf(spark: SparkSession, sfDir: String, table: String): StructType =
+    cache.getOrElseUpdate(s"$sfDir/$table", spark.read.parquet(s"$sfDir/$table.parquet").schema)
+
+  /** A14: DDL for a table evicts its cached schema; next access reloads. */
+  def invalidate(sfDir: String, table: String): Unit = cache.remove(s"$sfDir/$table")
+
+  /**
+   * The Oracle NUMBER precision ladder (Utils:191-241): dictionary (type, precision, scale)
+   * to Spark type. Mirrors the reference's choices including NUMBER-with-scale -> double
+   * (lossy; the reference picks FLOAT64 deliberately, Utils:194-195).
+   */
+  def oracleTypeToSpark(dataType: String, precision: Int, scale: Int): DataType =
+    dataType.toUpperCase match {
+      case "NUMBER" =>
+        if (scale > 0 || precision == 0 && scale != 0) DoubleType
+        else if (precision >= 1 && precision <= 2) ByteType
+        else if (precision <= 4 && precision > 0) ShortType
+        else if (precision <= 9 && precision > 0) IntegerType
+        else LongType
+      case "CHAR" | "VARCHAR" | "VARCHAR2" | "NCHAR" | "NVARCHAR" | "NVARCHAR2" | "LONG" | "CLOB" =>
+        StringType
+      case t if t == "DATE" || t.startsWith("TIMESTAMP") => TimestampType
+      case _ => StringType
+    }
+
+  /**
+   * Catalog-driven typed projection (A16): pull each schema column out of a parsed
+   * `map<string,string>` payload column (keys are the redo statement's UPPERCASE quoted
+   * identifiers) and cast to the table type. Timestamp literals keep the reference's
+   * timezone-suffix truncation at '+' (Utils:456).
+   */
+  def castProjection(payload: Column, schema: StructType): Seq[Column] =
+    schema.fields.toSeq.map { f =>
+      val raw = payload.getItem(f.name.toUpperCase)
+      val typed = f.dataType match {
+        case TimestampType => to_timestamp(regexp_replace(raw, "\\+.*$", ""))
+        case dt            => raw.cast(dt)
+      }
+      typed.as(f.name)
+    }
+}

@@ -24,7 +24,11 @@ final case class RedoEvent(
     csf: Boolean,          // continuation flag: statement continues in the next event
     rollback: Boolean,     // partial-rollback marker (ROLLBACK column, LogMinerThread2.java:250)
     info: String,          // "INTERNAL DDL ..." filter input
-    rbasqn: Long)          // redo log sequence#, gap detection (LogMinerThread2.java:144-148)
+    rbasqn: Long,          // redo log sequence#, gap detection (LogMinerThread2.java:144-148)
+    seq: Long = 0L)        // monotonic redo-order key (RS_ID/SSN analogue / Kafka offset):
+                           // total order within a transaction even when SCNs collide —
+                           // Oracle assigns one SCN to many changes; the reference relies on
+                           // cursor order (LogMinerThread2.java:163-185), we sort by this
 
 object RedoEvent {
   val Insert   = "INSERT"
@@ -40,7 +44,7 @@ object RedoEvent {
              sqlRedo: String = "", rollback: Boolean = false, rowId: String = ""): RedoEvent =
     RedoEvent(scn, 0L, xid, if (rowId.isEmpty) s"AAA$scn" else rowId, op,
       new Timestamp(scn * 1000L), None, owner, table, sqlRedo, csf = false,
-      rollback = rollback, info = "", rbasqn = 1L)
+      rollback = rollback, info = "", rbasqn = 1L, seq = scn)
 }
 
 /** A DML row stamped with its transaction's commit metadata (models/DMLRow.java:5-34). */

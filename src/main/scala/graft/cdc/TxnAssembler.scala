@@ -41,10 +41,22 @@ object TxnAssembler {
     while (i < arr.length) {
       if (arr(i).rollback) {
         dead(i) = true
-        // the immediately preceding still-alive row is the undone change
-        var j = i - 1
-        while (j >= 0 && dead(j)) j -= 1
-        if (j >= 0) dead(j) = true
+        // Oracle identifies the undone change by ROW_ID: prefer the most recent alive row
+        // with the same rowId; fall back to the nearest alive predecessor (the reference's
+        // positional pairing, LogMinerThread2.java:163-185, which can mispair when
+        // unrelated DML interleaves and throws on a leading rollback row — we don't).
+        var target = -1
+        var k = i - 1
+        while (k >= 0 && target < 0) {
+          if (!dead(k) && arr(k).rowId == arr(i).rowId) target = k
+          k -= 1
+        }
+        if (target < 0) {
+          var j = i - 1
+          while (j >= 0 && dead(j)) j -= 1
+          target = j
+        }
+        if (target >= 0) dead(target) = true
       }
       i += 1
     }
@@ -75,11 +87,13 @@ object TxnAssembler {
               r.operation, r.segOwner, r.tableName, r.rowId, r.sqlRedo)
           }
           buf = TxnBuffer.empty; open = false
-        case op if RedoEvent.DmlOps.contains(op) =>
-          // orphan DML implicitly opens a buffer (Thread:292-297); rows prepended, reversed at commit
+        case op if RedoEvent.DmlOps.contains(op) || op == RedoEvent.Ddl =>
+          // DML and (non-internal) DDL buffer alike and emit at COMMIT, matching the
+          // reference (LogMinerThread2.java:247-249: INSERT|UPDATE|DELETE|DDL all flow into
+          // trnCollection); orphan rows implicitly open a buffer (Thread:292-297).
           buf = TxnBuffer(e :: buf.rows, buf.containsRollback || e.rollback, started = true)
           open = true
-        case _ => () // DDL etc. do not participate in transaction assembly
+        case _ => () // START/COMMIT/ROLLBACK handled above; anything else ignored
       }
     }
     (out.result(), if (open && (buf.started || buf.rows.nonEmpty)) Some(buf) else None)
@@ -92,7 +106,7 @@ object TxnAssembler {
     events
       .groupByKey(_.xid)
       .flatMapGroups { (_, it) =>
-        val sorted = it.toVector.sortBy(e => (e.scn, e.rowId))
+        val sorted = it.toVector.sortBy(e => (e.scn, e.seq, e.rowId))
         step(TxnBuffer.empty, sorted.iterator)._1.iterator
       }
   }
@@ -119,7 +133,7 @@ object TxnAssembler {
             state.remove()
             Iterator.empty
           } else {
-            val sorted = it.toVector.sortBy(e => (e.scn, e.rowId))
+            val sorted = it.toVector.sortBy(e => (e.scn, e.seq, e.rowId))
             val (emitted, remaining) = step(state.getOption.getOrElse(TxnBuffer.empty), sorted.iterator)
             remaining match {
               case Some(buf) =>

@@ -1,0 +1,172 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cdc._
+
+/**
+ * End-to-end CDC slices, oracle-gated: redo events are synthesized *deterministically from
+ * the testdata tables* (so DuckDB can compute the expected result directly from the same
+ * tables), pushed through the real pipeline stages — [[RedoSqlParser]] via
+ * [[ParseRedo.parse]], [[TxnAssembler.assembleBatch]] (groupByKey(xid) shuffle + state
+ * machine + rollback-pair elimination), [[CdcPipeline]] filters/envelope/routing,
+ * [[Catalog]] typed casts — and reduced to an aggregate the oracle reproduces with plain
+ * arithmetic. A green hash means the whole chain (generate → parse → assemble → project)
+ * is correct, not just one operator.
+ */
+object CdcQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A12+A16+A13: render INSERT redo from nation, parse it back, catalog-cast to types.
+    // Oracle: the nation table itself — exact round-trip.
+    "cdc_parse_roundtrip" -> { (s, dir) =>
+      import s.implicits._
+      val schema = Catalog.schemaOf(s, dir, "nation")
+      Tables(s, dir, "nation")
+        .select(concat(
+          lit("insert into \"GRAFT\".\"NATION\"(\"N_NATIONKEY\",\"N_NAME\",\"N_REGIONKEY\") values ("),
+          $"n_nationkey", lit(",'"), $"n_name", lit("',"), $"n_regionkey", lit(")")).as("sql_redo"))
+        .select(ParseRedo.parse($"sql_redo").as("parsed"))
+        .select(Catalog.castProjection(col("parsed.data"), schema): _*)
+        .orderBy($"n_nationkey")
+    },
+    // A19+A20+A12: one transaction per order — START, INSERT, (update+partial-rollback pair
+    // for %7 keys: must cancel), (surviving status update for %5 keys), COMMIT unless %10.
+    // Reconstruct final per-key state from committed envelopes; aggregate by final status.
+    "cdc_txn_reconstruct" -> { (s, dir) =>
+      import s.implicits._
+      val base = Tables(s, dir, "orders").select($"o_orderkey", $"o_orderstatus").as[(Long, String)]
+      val events = base.flatMap { case (k, st) =>
+        val xid = s"tx$k"
+        val rid = f"ROW$k%012d"
+        def ev(off: Long, op: String, redo: String = "", rb: Boolean = false) =
+          RedoEvent(scn = k * 10 + off, commitScn = 0L, xid = xid, rowId = rid, operation = op,
+            timestamp = new java.sql.Timestamp(0L), commitTimestamp = None,
+            segOwner = "GRAFT", tableName = "ORDERS", sqlRedo = redo, csf = false,
+            rollback = rb, info = "", rbasqn = 1L, seq = k * 10 + off)
+        val ins = ev(1, RedoEvent.Insert,
+          s"""insert into "GRAFT"."ORDERS"("O_ORDERKEY","O_ORDERSTATUS") values ($k,'$st')""")
+        val rolledBackPair =
+          if (k % 7 == 0) Seq(
+            ev(2, RedoEvent.Update,
+              s"""update "GRAFT"."ORDERS" set "O_ORDERSTATUS" = 'X' where "O_ORDERKEY" = $k"""),
+            ev(3, RedoEvent.Update,
+              s"""update "GRAFT"."ORDERS" set "O_ORDERSTATUS" = '$st' where "O_ORDERKEY" = $k""",
+              rb = true))
+          else Seq.empty
+        val survivingUpdate =
+          if (k % 5 == 0) Seq(ev(4, RedoEvent.Update,
+            s"""update "GRAFT"."ORDERS" set "O_ORDERSTATUS" = 'U' where "O_ORDERKEY" = $k"""))
+          else Seq.empty
+        val terminal = ev(6, if (k % 10 == 0) RedoEvent.Rollback else RedoEvent.Commit)
+        Seq(ev(0, RedoEvent.Start), ins) ++ rolledBackPair ++ survivingUpdate :+ terminal
+      }
+      TxnAssembler.assembleBatch(events).toDF()
+        .select($"scn", ParseRedo.parse($"sqlRedo").as("p"))
+        .select($"scn",
+          col("p.data").getItem("O_ORDERKEY").cast("long").as("k"),
+          col("p.data").getItem("O_ORDERSTATUS").as("st"))
+        .groupBy($"k").agg(max_by($"st", $"scn").as("status"))
+        .groupBy($"status").agg(count(lit(1)).as("cnt"))
+        .orderBy($"status")
+    },
+    // A8+A9+A10+A11+A15+A22: the filter/routing stack over a stream synthesized from events.
+    "cdc_filters_routing" -> { (s, dir) =>
+      import s.implicits._
+      val stream = Tables(s, dir, "events").select(
+        $"event_id",
+        when($"event_id" % 11 === 0, "DDL")
+          .when($"event_id" % 11 === 1, "UPDATE")
+          .when($"event_id" % 11 === 2 || $"event_id" % 11 === 3, "DELETE")
+          .otherwise("INSERT").as("operation"),
+        when($"event_id" % 13 === 0, "INTERNAL DDL some internal op").otherwise("").as("info"),
+        when($"event_id" % 17 === 0, "alter ... temporary tables ...")
+          .otherwise("insert into t values (1)").as("sql_redo"),
+        when($"event_id" % 2 === 0, "APP").otherwise("OTHER").as("seg_owner"),
+        when($"event_id" % 19 === 0, "BAD NAME!")
+          .otherwise(concat_ws("", lit("T"), $"event_id" % 5)).as("table_name"))
+      stream
+        .filter(CdcPipeline.tempTableFilter)
+        .filter(CdcPipeline.internalDdlFilter)
+        .filter(CdcPipeline.validTableName)
+        .filter(CdcPipeline.whitelist(Seq("APP" -> "T0", "APP" -> "T1", "APP" -> "T2", "OTHER" -> "*")))
+        .filter(CdcPipeline.operationFilter(Seq("INSERT", "UPDATE", "DDL")))
+        .withColumn("topic", CdcPipeline.topic("DB1"))
+        .groupBy($"operation", $"topic").agg(count(lit(1)).as("cnt"))
+        .orderBy($"operation", $"topic")
+    },
+    // A18: envelope null rules per operation + routing, from customer-derived redo.
+    "cdc_envelope" -> { (s, dir) =>
+      import s.implicits._
+      val redo = Tables(s, dir, "customer").select(
+        $"c_custkey",
+        when($"c_custkey" % 4 === 0, "DELETE")
+          .when($"c_custkey" % 4 === 1, "INSERT")
+          .when($"c_custkey" % 4 === 2, "UPDATE")
+          .otherwise("DDL").as("operation"),
+        when($"c_custkey" % 4 === 0,
+            concat(lit("delete from \"GRAFT\".\"CUSTOMER\" where \"C_CUSTKEY\" = "), $"c_custkey"))
+          .when($"c_custkey" % 4 === 1,
+            concat(lit("insert into \"GRAFT\".\"CUSTOMER\"(\"C_CUSTKEY\",\"C_NAME\") values ("),
+              $"c_custkey", lit(",'"), $"c_name", lit("')")))
+          .when($"c_custkey" % 4 === 2,
+            concat(lit("update \"GRAFT\".\"CUSTOMER\" set \"C_NAME\" = '"), $"c_name",
+              lit("' where \"C_CUSTKEY\" = "), $"c_custkey"))
+          .otherwise(lit("alter table \"GRAFT\".\"CUSTOMER\" add \"C_EXTRA\" number"))
+          .as("sql_redo"),
+        $"c_custkey".cast("long").as("scn"), lit("x").as("xid"), lit("r").as("row_id"),
+        lit("GRAFT").as("seg_owner"), lit("CUSTOMER").as("table_name"), lit("").as("info"))
+      val enveloped = CdcPipeline.envelope(
+        redo.withColumn("parsed", ParseRedo.parse($"sql_redo")), "DB1")
+      enveloped
+        .groupBy($"operation", $"topic")
+        .agg(count(lit(1)).as("cnt"),
+          sum($"data".isNull.cast("int")).cast("long").as("null_data_cnt"),
+          sum($"before".isNull.cast("int")).cast("long").as("null_before_cnt"))
+        .orderBy($"operation")
+    },
+  )
+
+  val oracle: Map[String, String] = Map(
+    "cdc_parse_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "cdc_txn_reconstruct" ->
+      """SELECT CASE WHEN o_orderkey % 5 = 0 THEN 'U' ELSE o_orderstatus END AS status,
+        | cast(count(*) AS BIGINT) AS cnt
+        |FROM orders WHERE o_orderkey % 10 <> 0
+        |GROUP BY 1 ORDER BY status""".stripMargin,
+    "cdc_filters_routing" ->
+      """WITH e AS (SELECT event_id,
+        |  CASE WHEN event_id % 11 = 0 THEN 'DDL' WHEN event_id % 11 = 1 THEN 'UPDATE'
+        |       WHEN event_id % 11 IN (2,3) THEN 'DELETE' ELSE 'INSERT' END AS operation,
+        |  CASE WHEN event_id % 13 = 0 THEN 'INTERNAL DDL some internal op' ELSE '' END AS info,
+        |  CASE WHEN event_id % 17 = 0 THEN 'alter ... temporary tables ...'
+        |       ELSE 'insert into t values (1)' END AS sql_redo,
+        |  CASE WHEN event_id % 2 = 0 THEN 'APP' ELSE 'OTHER' END AS seg_owner,
+        |  CASE WHEN event_id % 19 = 0 THEN 'BAD NAME!'
+        |       ELSE 'T' || cast(event_id % 5 AS VARCHAR) END AS table_name
+        | FROM events)
+        |SELECT operation,
+        |  upper('DB1.' || seg_owner || '.' ||
+        |        CASE WHEN operation = 'DDL' THEN '_GENERIC_DDL' ELSE table_name END) AS topic,
+        |  cast(count(*) AS BIGINT) AS cnt
+        |FROM e
+        |WHERE sql_redo NOT LIKE '%temporary tables%'
+        |  AND NOT (operation = 'DDL' AND info LIKE 'INTERNAL DDL%')
+        |  AND regexp_full_match(table_name, '[\w.-]+')
+        |  AND ((seg_owner = 'APP' AND table_name IN ('T0','T1','T2')) OR seg_owner = 'OTHER')
+        |  AND operation IN ('INSERT','UPDATE','DDL')
+        |GROUP BY 1, 2 ORDER BY operation, topic""".stripMargin,
+    "cdc_envelope" ->
+      """WITH c AS (SELECT c_custkey,
+        |  CASE WHEN c_custkey % 4 = 0 THEN 'DELETE' WHEN c_custkey % 4 = 1 THEN 'INSERT'
+        |       WHEN c_custkey % 4 = 2 THEN 'UPDATE' ELSE 'DDL' END AS operation FROM customer)
+        |SELECT operation,
+        |  CASE WHEN operation = 'DDL' THEN 'DB1.GRAFT._GENERIC_DDL' ELSE 'DB1.GRAFT.CUSTOMER' END AS topic,
+        |  cast(count(*) AS BIGINT) AS cnt,
+        |  cast(sum(CASE WHEN operation IN ('DELETE','DDL') THEN 1 ELSE 0 END) AS BIGINT) AS null_data_cnt,
+        |  cast(sum(CASE WHEN operation IN ('INSERT','DDL') THEN 1 ELSE 0 END) AS BIGINT) AS null_before_cnt
+        |FROM c GROUP BY 1, 2 ORDER BY operation""".stripMargin,
+  )
+}

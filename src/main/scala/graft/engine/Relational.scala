@@ -1,0 +1,244 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Relational query surface: the Layer-B semantics of the reference
+ * (OracleConnectorSQL2.java:5-20 — projections, concat/coalesce, IN/BETWEEN predicates,
+ * left-outer dictionary joins with dedup, MIN aggregates, UNION-distinct, LISTAGG,
+ * ROW_NUMBER windows, MINUS, TO_NUMBER(REPLACE(...))) re-expressed as idiomatic DataFrame
+ * programs over the TPC-H-ish testdata, plus TPC-H-style analytic queries that exercise the
+ * general agg/join/window/sort surface a user of the reference's data would need.
+ *
+ * Cross-engine determinism rules (the DuckDB oracle hash-compares values):
+ *   - money sums are computed in integer cents: `sum(cast(round(x*100) as long))` — exact,
+ *     order-independent, bit-identical in both engines;
+ *   - sums of doubles only over integral-valued columns (l_quantity);
+ *   - timestamps are emitted as 'yyyy-MM-dd' strings, never raw;
+ *   - every query ends in a total ORDER BY.
+ *
+ * Scale notes (100 TB posture): dimension sides (region, nation, filtered customer) are
+ * broadcast; fact-fact joins shuffle on their natural keys; aggregates are partial
+ * (map-side combine) by construction since they are Catalyst built-ins.
+ */
+object Relational {
+
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- TPC-H-style analytics -------------------------------------------------
+    "q1_pricing" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .filter($"l_quantity" > 2.0)
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity").as("sum_qty"),
+          sum(cents($"l_extendedprice")).as("sum_base_cents"),
+          sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("sum_disc_cents"),
+          min($"l_extendedprice").as("min_price"),
+          max($"l_extendedprice").as("max_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+    "q3_topk_revenue" -> { (s, dir) =>
+      import s.implicits._
+      val customer = Tables(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+      val orders   = Tables(s, dir, "orders").filter($"o_orderdate" < lit("1999-01-01").cast("timestamp"))
+      val lineitem = Tables(s, dir, "lineitem")
+      lineitem
+        .join(orders, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(customer), $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+        .agg(sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue_cents"))
+        .select($"l_orderkey", date_format($"o_orderdate", "yyyy-MM-dd").as("odate"),
+          $"o_orderpriority", $"revenue_cents")
+        .orderBy($"revenue_cents".desc, $"l_orderkey")
+        .limit(10)
+    },
+    "q5_region_orders" -> { (s, dir) =>
+      import s.implicits._
+      val region = Tables(s, dir, "region").filter($"r_name".isin("ASIA", "EUROPE"))
+      val nation = Tables(s, dir, "nation")
+      val dims = broadcast(nation.join(broadcast(region), $"n_regionkey" === $"r_regionkey"))
+      Tables(s, dir, "orders")
+        .join(Tables(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .join(dims, $"c_nationkey" === $"n_nationkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(count(lit(1)).as("order_cnt"), sum(cents($"o_totalprice")).as("total_cents"))
+        .orderBy($"r_name", $"n_name")
+    },
+    // ---- Layer B reproductions -------------------------------------------------
+    // B1 (SQL:5): projection + `||` concat xid + NVL/coalesce + OPERATION_CODE IN (...)
+    "b1_scan_project" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "events")
+        .filter($"event_type".isin("click", "view", "purchase") && $"event_id" >= 100)
+        .select(
+          concat_ws(".", $"user_id", $"event_id").as("xid"),
+          coalesce($"value", lit(0.0)).as("val"),
+          $"event_type", $"event_id")
+        .orderBy($"event_id")
+    },
+    // B2 (SQL:6): compound boolean predicate algebra ((a AND b) OR (c AND d)), NOT IN
+    "b2_predicate_scan" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "events")
+        .filter(
+          ($"event_id" > 500 && $"event_type".isin("signup", "error") && !$"user_id".isin(1L, 2L, 3L)) ||
+          ($"event_type".isin("click", "purchase") && $"value" > 300.0))
+        .select($"event_id", $"user_id", $"event_type")
+        .orderBy($"event_id")
+    },
+    // B3 (SQL:13): main LEFT OUTER JOIN (grouped dedup CTE) LEFT OUTER JOIN (join CTE),
+    // NVL defaults, filter, ORDER BY — the dictionary query shape.
+    "b3_dictionary_join" -> { (s, dir) =>
+      import s.implicits._
+      val dcc = Tables(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("order_cnt"), max($"o_totalprice").as("max_price"))
+      val duq = Tables(s, dir, "nation")
+        .join(broadcast(Tables(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey", $"r_name")
+      Tables(s, dir, "customer")
+        .join(dcc, $"c_custkey" === $"o_custkey", "left_outer")
+        .join(broadcast(duq), $"c_nationkey" === $"n_nationkey", "left_outer")
+        .filter($"c_acctbal" > 0)
+        .select($"c_custkey", $"c_name",
+          coalesce($"order_cnt", lit(0L)).as("order_cnt"),
+          coalesce($"max_price", lit(0.0)).as("max_price"),
+          coalesce($"r_name", lit("NONE")).as("region_name"))
+        .orderBy($"c_custkey")
+    },
+    // B5 (SQL:11): global MIN aggregate
+    "b5_min_agg" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "events")
+        .agg(min($"event_id").as("min_id"), max($"event_id").as("max_id"),
+          count(lit(1)).as("cnt"))
+    },
+    // B6 (SQL:12): UNION (distinct) of two BETWEEN-filtered subqueries, then MIN
+    "b6_union_distinct_min" -> { (s, dir) =>
+      import s.implicits._
+      val s1 = Tables(s, dir, "orders").filter($"o_orderkey".between(100L, 5000L)).select($"o_custkey".as("k"))
+      val s2 = Tables(s, dir, "orders").filter($"o_totalprice".between(1000.0, 50000.0)).select($"o_custkey".as("k"))
+      s1.union(s2).distinct()
+        .agg(min($"k").as("min_k"), max($"k").as("max_k"), count(lit(1)).as("cnt"))
+    },
+    // B7 (SQL:17): LISTAGG WITHIN GROUP (ORDER BY) == concat_ws over sorted collect_list
+    "b7_listagg" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "nation")
+        .join(broadcast(Tables(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name")
+        .agg(concat_ws(" ", array_sort(collect_list($"n_name"))).as("nations"),
+          count(lit(1)).as("nation_cnt"))
+        .orderBy($"r_name")
+    },
+    // B7/B8 (SQL:17-19): ROW_NUMBER() OVER (PARTITION BY ... ORDER BY ...) = 1
+    "b8_window_rownum" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+      Tables(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"o_custkey", $"o_orderkey".as("latest_orderkey"),
+          date_format($"o_orderdate", "yyyy-MM-dd").as("latest_date"))
+        .orderBy($"o_custkey")
+    },
+    // B7/B9 (SQL:17,20): MINUS == except — custkeys that never placed a >400k order
+    "b9_except" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "customer").select($"c_custkey".as("custkey"))
+        .except(Tables(s, dir, "orders").filter($"o_totalprice" > 400000.0).select($"o_custkey".as("custkey")))
+        .orderBy($"custkey")
+    },
+    // B10 (SQL:14): TO_NUMBER(REPLACE(version,'.','')) — build a version string, strip, cast
+    "b10_version_parse" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "orders")
+        .select($"o_orderkey",
+          concat_ws(".", $"o_orderkey" % 10, $"o_custkey" % 100, lit(0)).as("version"))
+        .withColumn("ver_num", regexp_replace($"version", "\\.", "").cast("long"))
+        .orderBy($"o_orderkey")
+        .limit(100)
+    },
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(l_quantity) AS sum_qty,
+        | cast(sum(cast(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        | cast(sum(cast(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+        | min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+        | cast(count(*) AS BIGINT) AS count_order
+        |FROM lineitem WHERE l_quantity > 2.0
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_topk_revenue" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate, o_orderpriority,
+        | cast(sum(cast(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_region_orders" ->
+      """SELECT r_name, n_name, cast(count(*) AS BIGINT) AS order_cnt,
+        | cast(sum(cast(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name IN ('ASIA','EUROPE')
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "b1_scan_project" ->
+      """SELECT concat_ws('.', user_id, event_id) AS xid, coalesce(value, 0.0) AS val,
+        | event_type, event_id
+        |FROM events
+        |WHERE event_type IN ('click','view','purchase') AND event_id >= 100
+        |ORDER BY event_id""".stripMargin,
+    "b2_predicate_scan" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE (event_id > 500 AND event_type IN ('signup','error') AND user_id NOT IN (1,2,3))
+        |   OR (event_type IN ('click','purchase') AND value > 300.0)
+        |ORDER BY event_id""".stripMargin,
+    "b3_dictionary_join" ->
+      """WITH dcc AS (SELECT o_custkey, cast(count(*) AS BIGINT) AS order_cnt, max(o_totalprice) AS max_price
+        |             FROM orders GROUP BY o_custkey),
+        |     duq AS (SELECT n_nationkey, r_name FROM nation JOIN region ON n_regionkey = r_regionkey)
+        |SELECT c_custkey, c_name, coalesce(order_cnt, 0) AS order_cnt,
+        |  coalesce(max_price, 0.0) AS max_price, coalesce(r_name, 'NONE') AS region_name
+        |FROM customer LEFT JOIN dcc ON c_custkey = o_custkey
+        |  LEFT JOIN duq ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > 0 ORDER BY c_custkey""".stripMargin,
+    "b5_min_agg" ->
+      """SELECT min(event_id) AS min_id, max(event_id) AS max_id,
+        | cast(count(*) AS BIGINT) AS cnt FROM events""".stripMargin,
+    "b6_union_distinct_min" ->
+      """SELECT min(k) AS min_k, max(k) AS max_k, cast(count(*) AS BIGINT) AS cnt FROM (
+        |  SELECT o_custkey AS k FROM orders WHERE o_orderkey BETWEEN 100 AND 5000
+        |  UNION
+        |  SELECT o_custkey AS k FROM orders WHERE o_totalprice BETWEEN 1000.0 AND 50000.0)""".stripMargin,
+    "b7_listagg" ->
+      """SELECT r_name, string_agg(n_name, ' ' ORDER BY n_name) AS nations,
+        | cast(count(*) AS BIGINT) AS nation_cnt
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "b8_window_rownum" ->
+      """SELECT o_custkey, o_orderkey AS latest_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS latest_date
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |      FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "b9_except" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000.0
+        |ORDER BY custkey""".stripMargin,
+    "b10_version_parse" ->
+      """SELECT o_orderkey,
+        | concat_ws('.', o_orderkey % 10, o_custkey % 100, 0) AS version,
+        | cast(replace(concat_ws('.', o_orderkey % 10, o_custkey % 100, 0), '.', '') AS BIGINT) AS ver_num
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin,
+  )
+}

@@ -1,0 +1,193 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for training-data pipelines over `documents`:
+ *
+ *  - exact dedup: content-hash groupBy keeping the lowest doc_id (the canonical
+ *    hash-partitioned exact dedup — one shuffle on the 128-bit content hash);
+ *  - MinHash + LSH near-dup: 3-token shingles → 16 minhash signatures → 4 banded buckets →
+ *    candidate pairs by bucket join. NO all-pairs crossJoin anywhere: candidate generation is
+ *    an equi-join on (band_idx, band_hash), which shuffles O(n·bands) rows and scales to
+ *    100 TB (this is the standard banded-LSH plan, cf. PAPERS.md set-similarity joins);
+ *  - SimHash: 16-bit sign-of-weighted-bits fingerprint per document;
+ *  - n-gram (token-set) Jaccard verification within small (lang, source) blocks, integer
+ *    basis-points so the oracle compare is exact.
+ *
+ * Everything is Column algebra (codegen'd, no UDFs). The hash family is derived from md5
+ * prefixes, bit-identical in Spark and DuckDB, so even the LSH bucketing stages are graded
+ * by the driver's DuckDB oracle rather than a weaker rows-only check.
+ *
+ * Near-dups are synthesized deterministically (the testdata has no exact duplicates): the
+ * corpus is doubled with ` graftdup` appended to the copy's text, so each (i, i+1000000)
+ * pair is a true near-duplicate the LSH stage must find.
+ */
+object Dedup {
+
+  // MinHash hash family: h_i(x) = (A(i)*x + B(i)) mod P over the 32-bit md5-prefix hash.
+  private val P = 2147483647L
+  private val NumHashes = 16
+  private val BandSize = 4
+  private val NumBands = NumHashes / BandSize
+  private def A(i: Int): Long = 1000003L + 137L * i
+  private def B(i: Int): Long = 12345L + 1009L * i
+
+  private val DupIdOffset = 1000000L
+
+  /** 3-token shingles of a token array column (empty when fewer than 3 tokens). */
+  private def shingles(toks: Column): Column = {
+    val all = transform(toks, (t, i) =>
+      concat_ws(" ", t, try_element_at(toks, i + 2), try_element_at(toks, i + 3)))
+    array_distinct(slice(all, lit(1), greatest(size(toks) - 2, lit(0))))
+  }
+
+  /** documents ∪ near-dup copies (doc_id shifted, ' graftdup' appended). */
+  private def doubledDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = graft.engine.Tables(s, dir, "documents").select($"doc_id", $"text")
+    d.union(d.select(($"doc_id" + DupIdOffset).as("doc_id"), concat($"text", lit(" graftdup")).as("text")))
+  }
+
+  /** (doc_id, s0..s15) minhash signatures from exploded distinct shingles. */
+  private def signatures(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val hashed = docs
+      .select($"doc_id", explode(shingles(TextOps.tokens($"text"))).as("shingle"))
+      .select($"doc_id", TextOps.hash32($"shingle").as("hv"))
+    val mins = (0 until NumHashes).map(i => min((lit(A(i)) * $"hv" + lit(B(i))) % lit(P)).as(s"s$i"))
+    hashed.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** Add band_0..band_{NumBands-1} md5-bucket columns to a signature frame. */
+  private def withBands(sig: DataFrame): DataFrame =
+    (0 until NumBands).foldLeft(sig) { (df, b) =>
+      val cols = (b * BandSize until (b + 1) * BandSize).map(i => col(s"s$i"))
+      df.withColumn(s"band_$b", md5(concat_ws(",", cols: _*)))
+    }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup: double the corpus with byte-identical copies (shifted ids), group by
+    // content hash, keep the lowest id — every group must collapse to the original doc
+    "dedup_exact" -> { (s, dir) =>
+      import s.implicits._
+      val d = graft.engine.Tables(s, dir, "documents").select($"doc_id", $"text")
+      d.union(d.select(($"doc_id" + DupIdOffset).as("doc_id"), $"text"))
+        .groupBy(md5($"text").as("fp"))
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("dup_cnt"))
+        .orderBy($"fp")
+    },
+    // deterministic LSH bucketing stage: per-doc minhash band hashes (oracle-checked)
+    "dedup_minhash_sig" -> { (s, dir) =>
+      import s.implicits._
+      val sig = withBands(signatures(
+        graft.engine.Tables(s, dir, "documents").select($"doc_id", $"text")))
+      sig.select($"doc_id" +: (0 until NumBands).map(b => col(s"band_$b")): _*)
+        .orderBy($"doc_id")
+    },
+    // banded-LSH candidate pairs on the doubled corpus (the near-dup join itself)
+    "dedup_minhash_pairs" -> { (s, dir) =>
+      import s.implicits._
+      val sig = withBands(signatures(doubledDocs(s, dir)))
+      val bands = (0 until NumBands).map(b =>
+        sig.select($"doc_id", lit(b).as("bi"), col(s"band_$b").as("bv")))
+        .reduce(_ union _)
+      bands.as("a").join(bands.as("b"),
+          col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .orderBy($"doc_a", $"doc_b")
+    },
+    // 16-bit simhash fingerprint per document
+    "dedup_simhash" -> { (s, dir) =>
+      import s.implicits._
+      graft.engine.Tables(s, dir, "documents")
+        .select($"doc_id", explode(array_distinct(TextOps.tokens($"text"))).as("tok"))
+        .select($"doc_id", TextOps.hash32($"tok").as("hv"))
+        .select($"doc_id", $"hv", explode(sequence(lit(0), lit(15))).as("j"))
+        .withColumn("w", when(expr("shiftright(hv, j)").bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+        .groupBy($"doc_id", $"j").agg(sum($"w").as("bitsum"))
+        .withColumn("bitval", when($"bitsum" >= 0, expr("cast(shiftleft(1, j) as bigint)")).otherwise(0L))
+        .groupBy($"doc_id").agg(sum($"bitval").as("simhash"))
+        .orderBy($"doc_id")
+    },
+    // token-set Jaccard verification within (lang, source) blocks, integer basis points
+    "dedup_ngram_jaccard" -> { (s, dir) =>
+      import s.implicits._
+      val d = graft.engine.Tables(s, dir, "documents")
+        .select($"doc_id", $"lang", $"source", array_distinct(TextOps.tokens($"text")).as("toks"))
+      d.as("a").join(d.as("b"),
+          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          size(array_intersect(col("a.toks"), col("b.toks"))).as("inter"),
+          (size(col("a.toks")) + size(col("b.toks"))).as("sz"))
+        .withColumn("jac_bp", expr("cast(inter as bigint) * 10000 div (sz - inter)"))
+        .filter($"jac_bp" >= 5000)
+        .select($"doc_a", $"doc_b", $"jac_bp")
+        .orderBy($"doc_a", $"doc_b")
+    },
+  )
+
+  // ---- oracle SQL, generated from the same constants ------------------------
+
+  private val tokSql = """list_filter(string_split_regex(trim(text),'\s+'), x -> x <> '')"""
+  private val shingleSql =
+    s"""list_distinct(list_transform(generate_series(1, greatest(len($tokSql) - 2, 0)),
+       | i -> $tokSql[i] || ' ' || $tokSql[i+1] || ' ' || $tokSql[i+2]))""".stripMargin
+  private val hv32 = "('0x' || substr(md5(shingle), 1, 8))::BIGINT"
+  private def minExprs = (0 until NumHashes)
+    .map(i => s"min((${A(i)}*hv + ${B(i)}) % $P) AS s$i").mkString(", ")
+  private def bandExprs = (0 until NumBands).map { b =>
+    val cols = (b * BandSize until (b + 1) * BandSize).map(i => s"s$i").mkString(", ")
+    s"md5(concat_ws(',', $cols)) AS band_$b"
+  }.mkString(", ")
+  private val doubledSql =
+    s"""SELECT doc_id, text FROM documents
+       | UNION ALL SELECT doc_id + $DupIdOffset AS doc_id, text || ' graftdup' AS text FROM documents""".stripMargin
+  private def sigSql(src: String) =
+    s"""shingled AS (SELECT doc_id, unnest($shingleSql) AS shingle FROM src),
+       |hashed AS (SELECT doc_id, $hv32 AS hv FROM shingled),
+       |sig AS (SELECT doc_id, $minExprs FROM hashed GROUP BY doc_id),
+       |banded AS (SELECT doc_id, $bandExprs FROM sig)""".stripMargin.replace("src", src)
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""SELECT md5(text) AS fp, min(doc_id) AS keep_id, cast(count(*) AS BIGINT) AS dup_cnt
+         |FROM (SELECT doc_id, text FROM documents
+         |      UNION ALL SELECT doc_id + $DupIdOffset, text FROM documents)
+         |GROUP BY md5(text) ORDER BY fp""".stripMargin,
+    "dedup_minhash_sig" ->
+      s"""WITH src AS (SELECT doc_id, text FROM documents),
+         |${sigSql("src")}
+         |SELECT doc_id, ${(0 until NumBands).map(b => s"band_$b").mkString(", ")}
+         |FROM banded ORDER BY doc_id""".stripMargin,
+    "dedup_minhash_pairs" ->
+      s"""WITH src AS ($doubledSql),
+         |${sigSql("src")},
+         |bands AS (${(0 until NumBands).map(b => s"SELECT doc_id, $b AS bi, band_$b AS bv FROM banded").mkString(" UNION ALL ")})
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(list_distinct($tokSql)) AS tok FROM documents),
+         |hashed AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM toks),
+         |bits AS (SELECT doc_id, hv, unnest(generate_series(0, 15)) AS j FROM hashed),
+         |sums AS (SELECT doc_id, j, sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS bitsum
+         |         FROM bits GROUP BY doc_id, j)
+         |SELECT doc_id, cast(sum(CASE WHEN bitsum >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM sums GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH d AS (SELECT doc_id, lang, source, list_distinct($tokSql) AS toks FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  cast(len(list_filter(a.toks, x -> list_contains(b.toks, x))) * 10000
+         |       // (len(a.toks) + len(b.toks) - len(list_filter(a.toks, x -> list_contains(b.toks, x)))) AS BIGINT) AS jac_bp
+         |FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE cast(len(list_filter(a.toks, x -> list_contains(b.toks, x))) * 10000
+         |       // (len(a.toks) + len(b.toks) - len(list_filter(a.toks, x -> list_contains(b.toks, x)))) AS BIGINT) >= 5000
+         |ORDER BY doc_a, doc_b""".stripMargin,
+  )
+}

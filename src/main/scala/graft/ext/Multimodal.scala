@@ -1,0 +1,85 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal column plumbing: media (image/audio/video) travels as an opaque `binary`
+ * payload column plus typed metadata, exactly how a 100 TB training-data lake stores it.
+ *
+ * The container has no image/audio codecs, so the decode step is a clearly-marked
+ * deterministic STUB ([[fakeDecode]]); the Spark-side plumbing — binary columns, typed
+ * metadata schema, partition-parallel `mapPartitions` batch iteration (the Scala analogue of
+ * `mapInPandas`: one iterator per partition, record-batch shaped) — is real and tested.
+ *
+ * Payloads here are synthesized from `documents.text` bytes so every stage is reproducible
+ * and the metadata query is DuckDB-oracle-checkable.
+ */
+object Multimodal {
+
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+  final case class MediaFeatures(doc_id: Long, byte_len: Int, features: Array[Float])
+
+  /**
+   * STUB decoder (no codecs in this container): derives a fixed-width feature vector from
+   * raw bytes. A real deployment swaps this body for an image/audio decode; the signature,
+   * schema and batching are what production code would keep.
+   */
+  def fakeDecode(payload: Array[Byte], dims: Int = 8): Array[Float] = {
+    val out = new Array[Float](dims)
+    var i = 0
+    while (i < payload.length) {
+      out(i % dims) += (payload(i) & 0xff) / 255.0f
+      i += 1
+    }
+    out
+  }
+
+  /** Partition-parallel decode: the mapInPandas-shaped batch UDF surface. */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.mapPartitions { batch =>
+      batch.map(m => MediaFeatures(m.doc_id, m.payload.length, fakeDecode(m.payload)))
+    }
+  }
+
+  /** documents.text rendered as a binary media payload column. */
+  def mediaFrame(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    graft.engine.Tables(s, dir, "documents")
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      .as[MediaRow]
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // typed metadata extraction over the binary payload (oracle-checked)
+    "multimodal_meta" -> { (s, dir) =>
+      import s.implicits._
+      graft.engine.Tables(s, dir, "documents")
+        .select($"doc_id", encode($"text", "UTF-8").as("payload"), md5($"text").as("fp"),
+          TextOps.hash32($"text").as("fp32"))
+        .select($"doc_id", length($"payload").cast("long").as("byte_len"), $"fp",
+          (lit(64L) + $"fp32" % 512).as("width"),
+          (lit(64L) + ($"fp32" / 512).cast("long") % 512).as("height"),
+          (lit(1L) + $"fp32" % 16).as("n_frames"))
+        .orderBy($"doc_id")
+    },
+    // decode stage (stub decode, real plumbing) — no SQL oracle; driver rows-only check
+    "multimodal_decode" -> { (s, dir) =>
+      import s.implicits._
+      decodeFeatures(mediaFrame(s, dir))
+        .select($"doc_id", $"byte_len", round(element_at($"features", 1), 3).as("f0"))
+        .orderBy($"doc_id")
+    },
+  )
+
+  val oracle: Map[String, String] = Map(
+    "multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS fp,
+        | 64 + ('0x' || substr(md5(text), 1, 8))::BIGINT % 512 AS width,
+        | 64 + (('0x' || substr(md5(text), 1, 8))::BIGINT // 512) % 512 AS height,
+        | 1 + ('0x' || substr(md5(text), 1, 8))::BIGINT % 16 AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,90 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over the `embeddings` table (`embedding: array<float>`, 64-dim).
+ *
+ *  - brute-force cosine top-k: broadcast the (small) query set, score every base vector with
+ *    a codegen'd `aggregate(zip_with(...))` dot product, rank per query with a window. The
+ *    scan side stays partition-parallel and never shuffles the base vectors — only the
+ *    (n_queries × k) winners move. This is the exact baseline;
+ *  - sign-random-projection LSH bucketing: 4 hyperplanes → 16 buckets; the scale path probes
+ *    only matching buckets instead of all vectors. Hyperplanes are taken from fixed base
+ *    vectors so both engines (and any future run) derive identical planes.
+ *
+ * Floats are cast to double before any arithmetic: both Spark's `aggregate` fold and
+ * DuckDB's list_dot_product then produce bit-identical sequential double sums, so cosine
+ * scores round identically and the oracle hash-compare is exact.
+ */
+object Similarity {
+
+  /** Sequential-fold dot product of two double-array columns (codegen'd, no UDF). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def toDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  private val NumQueries = 3
+  private val TopK = 10
+  private val PlaneIds = Seq(10L, 11L, 12L, 13L)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // brute-force cosine top-k for a fixed query set (vec_id < NumQueries)
+    "simsearch_topk" -> { (s, dir) =>
+      import s.implicits._
+      val emb = graft.engine.Tables(s, dir, "embeddings")
+        .select($"vec_id", toDouble($"embedding").as("v"))
+      val q = emb.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("q_id"), $"v".as("qv"))
+      val scored = emb.join(broadcast(q), $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id",
+          round(dot($"v", $"qv") / (sqrt(dot($"v", $"v")) * sqrt(dot($"qv", $"qv"))), 6).as("sim"))
+      val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
+      scored.withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= TopK)
+        .select($"q_id", $"rnk".cast("long").as("rnk"), $"vec_id", $"sim")
+        .orderBy($"q_id", $"rnk")
+    },
+    // sign-random-projection LSH: 4 fixed hyperplanes -> 16 buckets
+    "simsearch_lsh_buckets" -> { (s, dir) =>
+      import s.implicits._
+      val emb = graft.engine.Tables(s, dir, "embeddings")
+        .select($"vec_id", toDouble($"embedding").as("v"))
+      val planes = emb.filter($"vec_id".isin(PlaneIds: _*))
+        .select($"vec_id".as("p_id"), $"v".as("pv"))
+      val signs = emb.crossJoin(broadcast(planes))
+        .select($"vec_id", ($"p_id" - PlaneIds.head).cast("int").as("bit"), dot($"v", $"pv").as("d"))
+        .select($"vec_id", when($"d" >= 0, expr("cast(shiftleft(1, bit) as bigint)")).otherwise(0L).as("bitval"))
+      signs.groupBy($"vec_id").agg(sum($"bitval").as("bucket"))
+        .groupBy($"bucket").agg(count(lit(1)).as("vec_cnt"), min($"vec_id").as("min_vec_id"))
+        .orderBy($"bucket")
+    },
+  )
+
+  private val qSetSql = s"vec_id < $NumQueries"
+  private val planeSetSql = PlaneIds.mkString("(", ", ", ")")
+
+  val oracle: Map[String, String] = Map(
+    "simsearch_topk" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE $qSetSql),
+         |scored AS (SELECT q_id, vec_id,
+         |  round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS sim
+         |  FROM e, q WHERE vec_id <> q_id),
+         |ranked AS (SELECT q_id, vec_id, sim,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk FROM scored)
+         |SELECT q_id, rnk, vec_id, sim FROM ranked WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin,
+    "simsearch_lsh_buckets" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |p AS (SELECT vec_id AS p_id, v AS pv FROM e WHERE vec_id IN $planeSetSql),
+         |signs AS (SELECT vec_id,
+         |  CASE WHEN list_dot_product(v, pv) >= 0 THEN (1::BIGINT << (p_id - ${PlaneIds.head})::INT) ELSE 0 END AS bitval
+         |  FROM e, p),
+         |buckets AS (SELECT vec_id, cast(sum(bitval) AS BIGINT) AS bucket FROM signs GROUP BY vec_id)
+         |SELECT bucket, cast(count(*) AS BIGINT) AS vec_cnt, min(vec_id) AS min_vec_id
+         |FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin,
+  )
+}

@@ -1,0 +1,129 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines, over the `documents`
+ * table: tokenization/token counting, quality scoring (length/punctuation/stopword ratios),
+ * n-gram-heuristic language ID, and content fingerprinting.
+ *
+ * All are narrow, codegen'd Column expressions (no UDFs) — they scale linearly with the scan
+ * and keep the parquet reader's column pruning (only `text`/`lang`/`n_chars` are read).
+ *
+ * Cross-engine notes: token split is `\s+` on trimmed text with empty tokens filtered, which
+ * behaves identically in Spark `split` and DuckDB `string_split_regex`; the 32-bit content
+ * hash is the first 8 hex chars of md5, identical in both engines.
+ */
+object TextOps {
+
+  /** Tokens of `c`: split on whitespace, empties removed. */
+  def tokens(c: Column): Column = filter(split(trim(c), "\\s+"), t => t =!= "")
+
+  /** Deterministic cross-engine 32-bit hash of a string column (md5-prefix as unsigned int). */
+  def hash32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  private def stopwordCount(toks: Column): Column =
+    size(filter(toks, t => stopwords.map(w => t === w).reduce(_ || _)))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // token counting + length stats per language partition
+    "text_stats" -> { (s, dir) =>
+      import s.implicits._
+      graft.engine.Tables(s, dir, "documents")
+        .select($"lang", $"n_chars", size(tokens($"text")).as("tok_cnt"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("doc_cnt"),
+          sum($"n_chars").as("sum_chars"),
+          sum($"tok_cnt").cast("long").as("sum_tokens"),
+          min($"n_chars").as("min_chars"),
+          max($"n_chars").as("max_chars"))
+        .orderBy($"lang")
+    },
+    // quality scoring: per-doc boolean flags aggregated to exact counts per language
+    "text_quality" -> { (s, dir) =>
+      import s.implicits._
+      val toks = tokens($"text")
+      graft.engine.Tables(s, dir, "documents")
+        .select($"lang",
+          ($"n_chars" >= 200L).cast("int").as("long_enough"),
+          (size(toks) >= 30).cast("int").as("enough_tokens"),
+          (stopwordCount(toks) * 10 >= size(toks)).cast("int").as("stopword_heavy"),
+          (length(regexp_replace($"text", "[a-z0-9\\s]", "")) > 0).cast("int").as("has_punct"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("doc_cnt"),
+          sum($"long_enough").cast("long").as("long_cnt"),
+          sum($"enough_tokens").cast("long").as("token_rich_cnt"),
+          sum($"stopword_heavy").cast("long").as("stopword_heavy_cnt"),
+          sum($"has_punct").cast("long").as("punct_cnt"))
+        .orderBy($"lang")
+    },
+    // language ID by marker-token voting with deterministic tie-break (en > de > fr > es)
+    "text_langid" -> { (s, dir) =>
+      import s.implicits._
+      val toks = tokens($"text")
+      def score(words: Seq[String]) = size(filter(toks, t => words.map(t === _).reduce(_ || _)))
+      graft.engine.Tables(s, dir, "documents")
+        .select($"doc_id", $"lang",
+          score(Seq("the", "and", "of")).as("en_score"),
+          score(Seq("der", "und", "die")).as("de_score"),
+          score(Seq("le", "et", "la")).as("fr_score"),
+          score(Seq("el", "y", "los")).as("es_score"))
+        .withColumn("lang_guess",
+          when($"en_score" >= $"de_score" && $"en_score" >= $"fr_score" && $"en_score" >= $"es_score", "en")
+            .when($"de_score" >= $"fr_score" && $"de_score" >= $"es_score", "de")
+            .when($"fr_score" >= $"es_score", "fr")
+            .otherwise("es"))
+        .groupBy($"lang", $"lang_guess")
+        .agg(count(lit(1)).as("doc_cnt"))
+        .orderBy($"lang", $"lang_guess")
+    },
+    // document fingerprinting: full md5 + 32-bit prefix hash per document
+    "text_fingerprint" -> { (s, dir) =>
+      import s.implicits._
+      graft.engine.Tables(s, dir, "documents")
+        .select($"doc_id", md5($"text").as("fp"), hash32($"text").as("fp32"), $"n_chars")
+        .orderBy($"doc_id")
+    },
+  )
+
+  private val stopwordSql = stopwords.map(w => s"x = '$w'").mkString(" OR ")
+
+  val oracle: Map[String, String] = Map(
+    "text_stats" ->
+      """SELECT lang, cast(count(*) AS BIGINT) AS doc_cnt,
+        | cast(sum(n_chars) AS BIGINT) AS sum_chars,
+        | cast(sum(len(list_filter(string_split_regex(trim(text),'\s+'), x -> x <> ''))) AS BIGINT) AS sum_tokens,
+        | min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_quality" ->
+      s"""WITH d AS (SELECT lang, n_chars, text,
+         |  list_filter(string_split_regex(trim(text),'\\s+'), x -> x <> '') AS toks FROM documents)
+         |SELECT lang, cast(count(*) AS BIGINT) AS doc_cnt,
+         | cast(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS long_cnt,
+         | cast(sum(CASE WHEN len(toks) >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS token_rich_cnt,
+         | cast(sum(CASE WHEN len(list_filter(toks, x -> $stopwordSql)) * 10 >= len(toks) THEN 1 ELSE 0 END) AS BIGINT) AS stopword_heavy_cnt,
+         | cast(sum(CASE WHEN length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS punct_cnt
+         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_langid" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |  list_filter(string_split_regex(trim(text),'\s+'), x -> x <> '') AS toks FROM documents),
+        |sc AS (SELECT doc_id, lang,
+        |  len(list_filter(toks, x -> x = 'the' OR x = 'and' OR x = 'of')) AS en_score,
+        |  len(list_filter(toks, x -> x = 'der' OR x = 'und' OR x = 'die')) AS de_score,
+        |  len(list_filter(toks, x -> x = 'le' OR x = 'et' OR x = 'la')) AS fr_score,
+        |  len(list_filter(toks, x -> x = 'el' OR x = 'y' OR x = 'los')) AS es_score FROM d)
+        |SELECT lang,
+        |  CASE WHEN en_score >= de_score AND en_score >= fr_score AND en_score >= es_score THEN 'en'
+        |       WHEN de_score >= fr_score AND de_score >= es_score THEN 'de'
+        |       WHEN fr_score >= es_score THEN 'fr' ELSE 'es' END AS lang_guess,
+        |  cast(count(*) AS BIGINT) AS doc_cnt
+        |FROM sc GROUP BY 1, 2 ORDER BY lang, lang_guess""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp,
+        | ('0x' || substr(md5(text), 1, 8))::BIGINT AS fp32, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}
