@@ -117,17 +117,23 @@ object TxnAssembler {
    * order; the reference relied on a single total-order cursor).
    *
    * @param abandonedTxnTimeout processing-time timeout after which an open transaction's
-   *                            buffer is dropped (bounded state at scale).
+   *                            buffer is dropped (bounded state at scale); None disables
+   *                            eviction (reference behavior — unbounded state; also required
+   *                            for `processAllAvailable`-style test harnesses, because a
+   *                            processing-time timeout makes every micro-batch "require
+   *                            another batch" so the no-new-data signal never fires).
    */
   def assembleStreaming(events: Dataset[RedoEvent],
-                        abandonedTxnTimeout: String = "1 hour"): Dataset[CommittedDml] = {
+                        abandonedTxnTimeout: Option[String] = Some("1 hour")): Dataset[CommittedDml] = {
     val spark = events.sparkSession
     import spark.implicits._
     implicit val bufEnc: Encoder[TxnBuffer] = Encoders.product[TxnBuffer]
+    val timeoutConf =
+      if (abandonedTxnTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.xid)
-      .flatMapGroupsWithState[TxnBuffer, CommittedDml](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+      .flatMapGroupsWithState[TxnBuffer, CommittedDml](OutputMode.Append, timeoutConf) {
         (xid: String, it: Iterator[RedoEvent], state: GroupState[TxnBuffer]) =>
           if (state.hasTimedOut) {
             state.remove()
@@ -138,7 +144,7 @@ object TxnAssembler {
             remaining match {
               case Some(buf) =>
                 state.update(buf)
-                state.setTimeoutDuration(abandonedTxnTimeout)
+                abandonedTxnTimeout.foreach(state.setTimeoutDuration)
               case None => if (state.exists) state.remove()
             }
             emitted.iterator

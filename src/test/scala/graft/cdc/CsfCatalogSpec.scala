@@ -1,0 +1,66 @@
+package graft.cdc
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A7 CSF fuse + A13/A16 catalog ladder and cast projection. */
+class CsfCatalogSpec extends AnyFunSuite {
+
+  test("CSF fragments fuse into one statement in seq order (Task:277-281)") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val base = RedoEvent.simple(5, "x1", RedoEvent.Insert, rowId = "RA")
+    val frags = Seq(
+      base.copy(sqlRedo = "insert into T(ID) va", csf = true, seq = 1),
+      base.copy(sqlRedo = "lues (", csf = true, seq = 2),
+      base.copy(sqlRedo = "42)", csf = false, seq = 3),
+      RedoEvent.simple(6, "x1", RedoEvent.Insert, sqlRedo = "whole", rowId = "RB").copy(seq = 4))
+    val out = Csf.fuse(frags.toDS()).collect().sortBy(_.scn)
+    assert(out.length == 2)
+    assert(out.head.sqlRedo == "insert into T(ID) values (42)" && !out.head.csf)
+    assert(out.last.sqlRedo == "whole")
+  }
+
+  test("NUMBER precision ladder matches Utils:191-241") {
+    import Catalog.oracleTypeToSpark
+    assert(oracleTypeToSpark("NUMBER", 0, 2) == DoubleType)   // scale>0 -> double
+    assert(oracleTypeToSpark("NUMBER", 5, 3) == DoubleType)
+    assert(oracleTypeToSpark("NUMBER", 2, 0) == ByteType)
+    assert(oracleTypeToSpark("NUMBER", 4, 0) == ShortType)
+    assert(oracleTypeToSpark("NUMBER", 9, 0) == IntegerType)
+    assert(oracleTypeToSpark("NUMBER", 10, 0) == LongType)
+    assert(oracleTypeToSpark("NUMBER", 0, 0) == LongType)
+    assert(oracleTypeToSpark("VARCHAR2", 0, 0) == StringType)
+    assert(oracleTypeToSpark("NCLOB???unknown", 0, 0) == StringType)
+    assert(oracleTypeToSpark("DATE", 0, 0) == TimestampType)
+    assert(oracleTypeToSpark("TIMESTAMP(6) WITH TIME ZONE", 0, 0) == TimestampType)
+  }
+
+  test("castProjection types payload entries and truncates timestamp tz suffix (Utils:436-465)") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("ts", TimestampType), StructField("missing", IntegerType)))
+    val df = Seq(Map("ID" -> "42", "NAME" -> "x", "TS" -> "2020-01-02 03:04:05+05:00"))
+      .toDF("payload")
+      .select(Catalog.castProjection(col("payload"), schema): _*)
+    val row = df.collect().head
+    assert(row.getLong(0) == 42L && row.getString(1) == "x")
+    assert(row.getTimestamp(2).toString.startsWith("2020-01-02 03:04:05"))
+    assert(row.isNullAt(3)) // column absent from payload -> typed null
+  }
+
+  test("multimodal decode plumbing: partition-parallel stub decode") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val media = Seq(
+      graft.ext.Multimodal.MediaRow(1L, "abcd".getBytes("UTF-8")),
+      graft.ext.Multimodal.MediaRow(2L, Array.emptyByteArray)).toDS()
+    val out = graft.ext.Multimodal.decodeFeatures(media).collect().sortBy(_.doc_id)
+    assert(out.map(_.byte_len).toList == List(4, 0))
+    assert(out.head.features.length == 8 && out.head.features.sum > 0f)
+    assert(out.last.features.forall(_ == 0f))
+  }
+}
