@@ -1,6 +1,6 @@
 package graft.cdc
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /**
@@ -16,30 +16,37 @@ import org.apache.spark.sql.functions._
 object CdcPipeline {
 
   /** A8 (Task:275): drop records whose redo mentions temporary tables. */
-  val tempTableFilter: Column = !col("sql_redo").contains("temporary tables")
+  def tempTableFilter(sqlRedo: Column = col("sql_redo")): Column =
+    !sqlRedo.contains("temporary tables")
 
   /** A9 (Task:276): drop internal DDL (INFO starts with 'INTERNAL DDL'). */
-  val internalDdlFilter: Column =
-    !(col("operation") === RedoEvent.Ddl && col("info").startsWith("INTERNAL DDL"))
+  def internalDdlFilter(operation: Column = col("operation"), info: Column = col("info")): Column =
+    !(operation === RedoEvent.Ddl && info.startsWith("INTERNAL DDL"))
 
   /** A10 (Task:296-300): keep only configured operation types. */
-  def operationFilter(types: Seq[String]): Column = col("operation").isin(types: _*)
+  def operationFilter(types: Seq[String], operation: Column = col("operation")): Column =
+    operation.isin(types: _*)
 
   /** A15 (Utils:374-376): topic-safe table names only. */
-  val validTableName: Column = col("table_name").rlike("^[\\w.-]+$")
+  def validTableName(tableName: Column = col("table_name")): Column =
+    tableName.rlike("^[\\w.-]+$")
 
   /**
    * A11 (Utils:132-154): whitelist of (owner, table) pairs; table "*" is a per-owner
    * wildcard. Folds to a single boolean Column that Catalyst pushes to the source scan.
    */
-  def whitelist(patterns: Seq[(String, String)]): Column =
+  def whitelist(patterns: Seq[(String, String)],
+                owner: Column = col("seg_owner"),
+                table: Column = col("table_name")): Column =
     patterns.map {
-      case (owner, "*")   => col("seg_owner") === owner
-      case (owner, table) => col("seg_owner") === owner && col("table_name") === table
+      case (o, "*") => owner === o
+      case (o, t)   => owner === o && table === t
     }.reduceOption(_ || _).getOrElse(lit(true))
 
   /** A11 blacklist variant: whitelist negated (Utils:147-151). */
-  def blacklist(patterns: Seq[(String, String)]): Column = !whitelist(patterns)
+  def blacklist(patterns: Seq[(String, String)],
+                owner: Column = col("seg_owner"),
+                table: Column = col("table_name")): Column = !whitelist(patterns, owner, table)
 
   /**
    * A22 (Task:286, Thread:273-276, Schema:66): per-event target topic
@@ -65,5 +72,92 @@ object CdcPipeline {
       when(op.isin(RedoEvent.Update, RedoEvent.Delete) && col("parsed.ok"), col("parsed.before"))
         .as("before"),
       topic(dbAlias).as("topic"))
+  }
+
+  /**
+   * A25 — dead-letter extraction: DML whose redo failed to parse. The reference logs and
+   * skips (Thread:305-308); routing to a DLQ frame makes the loss observable.
+   */
+  def deadLetters(withParsed: DataFrame): DataFrame =
+    withParsed
+      .filter(col("operation").isin(RedoEvent.DmlOps.toSeq: _*) && !col("parsed.ok"))
+      .select(col("scn"), col("xid"), col("seg_owner"), col("table_name"), col("sql_redo"))
+
+  /**
+   * A21 — heartbeat branch (Thread:198-211,334-338): events on the configured
+   * "OWNER.TABLE" become a latency metric stream with HEARTBEAT_TIME pulled from the
+   * after-image, instead of flowing to the table topic.
+   */
+  def heartbeats(enveloped: DataFrame, heartbeatTable: String): DataFrame = {
+    val Array(owner, table) = heartbeatTable.split("\\.", 2)
+    enveloped
+      .filter(col("seg_owner") === owner && col("table_name") === table)
+      .select(col("scn"), col("row_id"),
+        col("data").getItem("HEARTBEAT_TIME").as("heartbeat_time"))
+  }
+
+  /**
+   * A4 — sequence-gap detection over the redo-log sequence number: a jump of more than one
+   * between consecutive distinct RBASQN values means log records were missed and the
+   * upstream miner must re-discover files (Thread:144-147). The sequence-number domain is
+   * tiny (one value per redo log file), so the single-partition window is deliberate: run
+   * it on the distinct sequence set, not the event stream.
+   */
+  def sequenceGaps(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("rbasqn"))
+    events.select(col("rbasqn")).distinct()
+      .withColumn("prev", lag(col("rbasqn"), 1).over(w))
+      .filter(col("prev").isNotNull && col("rbasqn") - col("prev") > 1)
+      .select(col("prev").as("last_seen"), col("rbasqn").as("next_seen"),
+        (col("rbasqn") - col("prev") - 1).as("missing_cnt"))
+  }
+
+  /**
+   * The full dataflow, batch or streaming (SURVEY §7 `CdcPipeline.scala` wiring):
+   * control ops pass straight to assembly; DML/DDL go through the A8/A9/A15/A11/A10
+   * filter stack; CSF fragments fuse; transactions assemble (shuffle on xid); committed
+   * rows parse and project into the routed envelope.
+   */
+  def stream(events: Dataset[RedoEvent], config: CdcConfig, streaming: Boolean = true): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val isControl = col("operation").isin(RedoEvent.Start, RedoEvent.Commit, RedoEvent.Rollback)
+    val keep = isControl || (
+      tempTableFilter(col("sqlRedo")) &&
+        internalDdlFilter(col("operation"), col("info")) &&
+        validTableName(col("tableName")) &&
+        whitelist(config.whitelist, col("segOwner"), col("tableName")) &&
+        (if (config.blacklist.nonEmpty) blacklist(config.blacklist, col("segOwner"), col("tableName")) else lit(true)) &&
+        operationFilter(config.dmlTypes, col("operation")))
+    val filtered = events.filter(keep)
+    val fused = Csf.fuse(filtered)
+    val committed =
+      if (streaming) TxnAssembler.assembleStreaming(fused, config.abandonedTxnTimeout, config.maxBufferedRows)
+      else TxnAssembler.assembleBatch(fused, config.maxBufferedRows)
+    val renamed = committed.toDF()
+      .withColumnRenamed("segOwner", "seg_owner")
+      .withColumnRenamed("tableName", "table_name")
+      .withColumnRenamed("rowId", "row_id")
+      .withColumnRenamed("sqlRedo", "sql_redo")
+      .withColumnRenamed("commitScn", "commit_scn")
+    val withParsed =
+      if (config.parseDmlData)
+        renamed.withColumn("parsed", ParseRedo.parse(col("sql_redo")))
+      else
+        renamed.withColumn("parsed",
+          struct(lit("").as("operation"), lit("").as("owner"), lit("").as("table"),
+            map().cast("map<string,string>").as("data"),
+            map().cast("map<string,string>").as("before"), lit(false).as("ok")))
+    val op = col("operation")
+    withParsed.select(
+      col("scn"), col("commit_scn"), col("xid"), col("row_id"), col("seg_owner"),
+      col("table_name"), col("operation"), col("sql_redo"),
+      col("timestamp"), col("commitTimestamp").as("commit_timestamp"),
+      when(op.isin(RedoEvent.Insert, RedoEvent.Update) && col("parsed.ok"), col("parsed.data"))
+        .as("data"),
+      when(op.isin(RedoEvent.Update, RedoEvent.Delete) && col("parsed.ok"), col("parsed.before"))
+        .as("before"),
+      topic(config.dbAlias).as("topic"))
   }
 }

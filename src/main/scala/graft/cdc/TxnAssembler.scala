@@ -25,8 +25,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  */
 object TxnAssembler {
 
-  /** Keyed state: ordered buffer of uncommitted DML for one xid. */
-  final case class TxnBuffer(rows: List[RedoEvent], containsRollback: Boolean, started: Boolean)
+  /** Keyed state: ordered buffer of uncommitted DML for one xid.
+    * `n` tracks the buffered count (List.size is O(n)); `overflowed` is set once the
+    * [[CdcConfig.maxBufferedRows]] cap is hit — further rows are NOT retained (bounded
+    * executor memory at 100 TB; the reference buffers unboundedly, Thread:81) and the
+    * whole transaction is dropped at COMMIT instead of emitting a silently-truncated one. */
+  final case class TxnBuffer(rows: List[RedoEvent], containsRollback: Boolean, started: Boolean,
+                             overflowed: Boolean = false, n: Int = 0)
   object TxnBuffer { val empty: TxnBuffer = TxnBuffer(Nil, containsRollback = false, started = false) }
 
   /**
@@ -67,7 +72,8 @@ object TxnAssembler {
    * Process events of ONE transaction (single xid), in SCN order, against a starting buffer.
    * Returns (emitted committed rows, remaining open buffer or None if closed).
    */
-  def step(buffer: TxnBuffer, events: Iterator[RedoEvent]): (List[CommittedDml], Option[TxnBuffer]) = {
+  def step(buffer: TxnBuffer, events: Iterator[RedoEvent],
+           maxBufferedRows: Int = Int.MaxValue): (List[CommittedDml], Option[TxnBuffer]) = {
     var buf: TxnBuffer = buffer
     var open = true
     val out  = List.newBuilder[CommittedDml]
@@ -78,20 +84,28 @@ object TxnAssembler {
         case RedoEvent.Rollback =>
           buf = TxnBuffer.empty; open = false
         case RedoEvent.Commit =>
-          val survivors =
-            if (buf.containsRollback) eliminateRollbackPairs(buf.rows.reverse)
-            else buf.rows.reverse
-          val cts = e.commitTimestamp.getOrElse(e.timestamp)
-          survivors.foreach { r =>
-            out += CommittedDml(r.xid, r.scn, e.scn, r.timestamp, cts,
-              r.operation, r.segOwner, r.tableName, r.rowId, r.sqlRedo)
+          // an overflowed transaction is dropped whole rather than emitted truncated
+          if (!buf.overflowed) {
+            val survivors =
+              if (buf.containsRollback) eliminateRollbackPairs(buf.rows.reverse)
+              else buf.rows.reverse
+            val cts = e.commitTimestamp.getOrElse(e.timestamp)
+            survivors.foreach { r =>
+              out += CommittedDml(r.xid, r.scn, e.scn, r.timestamp, cts,
+                r.operation, r.segOwner, r.tableName, r.rowId, r.sqlRedo)
+            }
           }
           buf = TxnBuffer.empty; open = false
         case op if RedoEvent.DmlOps.contains(op) || op == RedoEvent.Ddl =>
           // DML and (non-internal) DDL buffer alike and emit at COMMIT, matching the
           // reference (LogMinerThread2.java:247-249: INSERT|UPDATE|DELETE|DDL all flow into
           // trnCollection); orphan rows implicitly open a buffer (Thread:292-297).
-          buf = TxnBuffer(e :: buf.rows, buf.containsRollback || e.rollback, started = true)
+          buf =
+            if (buf.overflowed || buf.n >= maxBufferedRows)
+              buf.copy(started = true, overflowed = true)
+            else
+              TxnBuffer(e :: buf.rows, buf.containsRollback || e.rollback, started = true,
+                overflowed = false, n = buf.n + 1)
           open = true
         case _ => () // START/COMMIT/ROLLBACK handled above; anything else ignored
       }
@@ -100,14 +114,15 @@ object TxnAssembler {
   }
 
   /** Batch-mode assembly: group by xid, sort by SCN within the group, run the state machine. */
-  def assembleBatch(events: Dataset[RedoEvent]): Dataset[CommittedDml] = {
+  def assembleBatch(events: Dataset[RedoEvent],
+                    maxBufferedRows: Int = Int.MaxValue): Dataset[CommittedDml] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
       .groupByKey(_.xid)
       .flatMapGroups { (_, it) =>
         val sorted = it.toVector.sortBy(e => (e.scn, e.seq, e.rowId))
-        step(TxnBuffer.empty, sorted.iterator)._1.iterator
+        step(TxnBuffer.empty, sorted.iterator, maxBufferedRows)._1.iterator
       }
   }
 
@@ -124,7 +139,8 @@ object TxnAssembler {
    *                            another batch" so the no-new-data signal never fires).
    */
   def assembleStreaming(events: Dataset[RedoEvent],
-                        abandonedTxnTimeout: Option[String] = Some("1 hour")): Dataset[CommittedDml] = {
+                        abandonedTxnTimeout: Option[String] = Some("1 hour"),
+                        maxBufferedRows: Int = Int.MaxValue): Dataset[CommittedDml] = {
     val spark = events.sparkSession
     import spark.implicits._
     implicit val bufEnc: Encoder[TxnBuffer] = Encoders.product[TxnBuffer]
@@ -140,7 +156,8 @@ object TxnAssembler {
             Iterator.empty
           } else {
             val sorted = it.toVector.sortBy(e => (e.scn, e.seq, e.rowId))
-            val (emitted, remaining) = step(state.getOption.getOrElse(TxnBuffer.empty), sorted.iterator)
+            val (emitted, remaining) =
+              step(state.getOption.getOrElse(TxnBuffer.empty), sorted.iterator, maxBufferedRows)
             remaining match {
               case Some(buf) =>
                 state.update(buf)

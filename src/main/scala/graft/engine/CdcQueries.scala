@@ -87,9 +87,9 @@ object CdcQueries {
         when($"event_id" % 19 === 0, "BAD NAME!")
           .otherwise(concat_ws("", lit("T"), $"event_id" % 5)).as("table_name"))
       stream
-        .filter(CdcPipeline.tempTableFilter)
-        .filter(CdcPipeline.internalDdlFilter)
-        .filter(CdcPipeline.validTableName)
+        .filter(CdcPipeline.tempTableFilter())
+        .filter(CdcPipeline.internalDdlFilter())
+        .filter(CdcPipeline.validTableName())
         .filter(CdcPipeline.whitelist(Seq("APP" -> "T0", "APP" -> "T1", "APP" -> "T2", "OTHER" -> "*")))
         .filter(CdcPipeline.operationFilter(Seq("INSERT", "UPDATE", "DDL")))
         .withColumn("topic", CdcPipeline.topic("DB1"))

@@ -50,12 +50,15 @@ object Dedup {
     d.union(d.select(($"doc_id" + DupIdOffset).as("doc_id"), concat($"text", lit(" graftdup")).as("text")))
   }
 
-  /** (doc_id, s0..s15) minhash signatures from exploded distinct shingles. */
+  /** (doc_id, s0..s15) minhash signatures from exploded distinct shingles.
+    * Tokens and shingles are materialized as columns first so the split/filter expression
+    * tree is evaluated once per row, not once per reference inside the shingle lambda. */
   private def signatures(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val hashed = docs
-      .select($"doc_id", explode(shingles(TextOps.tokens($"text"))).as("shingle"))
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id", explode(shingles($"toks")).as("shingle"))
       .select($"doc_id", TextOps.hash32($"shingle").as("hv"))
     val mins = (0 until NumHashes).map(i => min((lit(A(i)) * $"hv" + lit(B(i))) % lit(P)).as(s"s$i"))
     hashed.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
@@ -87,13 +90,15 @@ object Dedup {
       sig.select($"doc_id" +: (0 until NumBands).map(b => col(s"band_$b")): _*)
         .orderBy($"doc_id")
     },
-    // banded-LSH candidate pairs on the doubled corpus (the near-dup join itself)
+    // banded-LSH candidate pairs on the doubled corpus (the near-dup join itself).
+    // The signature table is cached: without it the union+self-join recomputes the
+    // shingle/minhash subplan once per band per side (8x). At lake scale this cache is a
+    // materialized signature table; here .cache() is the same plan-reuse decision.
     "dedup_minhash_pairs" -> { (s, dir) =>
       import s.implicits._
-      val sig = withBands(signatures(doubledDocs(s, dir)))
-      val bands = (0 until NumBands).map(b =>
-        sig.select($"doc_id", lit(b).as("bi"), col(s"band_$b").as("bv")))
-        .reduce(_ union _)
+      val sig = withBands(signatures(doubledDocs(s, dir))).cache()
+      val bandCols = array((0 until NumBands).map(b => col(s"band_$b")): _*)
+      val bands = sig.select($"doc_id", posexplode(bandCols).as(Seq("bi", "bv")))
       bands.as("a").join(bands.as("b"),
           col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
             col("a.doc_id") < col("b.doc_id"))

@@ -1,0 +1,102 @@
+package graft.cdc
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end CdcPipeline.stream wiring + A4/A21/A25 branches + buffer cap. */
+class PipelineSpec extends AnyFunSuite {
+
+  private val config = CdcConfig(
+    dbAlias = "DB1",
+    whitelist = Seq("APP" -> "*"),
+    heartbeatTable = Some("APP.HB"))
+
+  private def ev(scn: Long, xid: String, op: String, owner: String = "APP", table: String = "T1",
+                 redo: String = "", info: String = ""): RedoEvent =
+    RedoEvent.simple(scn, xid, op, owner = owner, table = table, sqlRedo = redo)
+      .copy(info = info)
+
+  test("stream(batch): filters, CSF, assembly, parse, envelope, routing compose") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val events = Seq(
+      ev(1, "x1", RedoEvent.Start),
+      // CSF-split INSERT: two fragments, same (xid, scn, rowId)
+      ev(2, "x1", RedoEvent.Insert, redo = """insert into "APP"."T1"("ID","N") val""")
+        .copy(csf = true, rowId = "RA", seq = 2),
+      ev(2, "x1", RedoEvent.Insert, redo = """ues (1,'a')""")
+        .copy(rowId = "RA", seq = 3),
+      // filtered out: non-whitelisted owner
+      ev(3, "x1", RedoEvent.Insert, owner = "SYS", redo = "insert into t values (1)"),
+      // filtered out: temp-table redo
+      ev(4, "x1", RedoEvent.Insert, redo = "insert ... temporary tables ..."),
+      // DELETE survives
+      ev(5, "x1", RedoEvent.Delete, redo = """delete from "APP"."T1" where "ID" = 0"""),
+      ev(6, "x1", RedoEvent.Commit),
+      // rolled-back txn vanishes
+      ev(7, "x2", RedoEvent.Start),
+      ev(8, "x2", RedoEvent.Insert, redo = """insert into "APP"."T1"("ID") values (9)"""),
+      ev(9, "x2", RedoEvent.Rollback))
+    val out = CdcPipeline.stream(events.toDS(), config, streaming = false)
+      .collect().sortBy(_.getAs[Long]("scn"))
+    assert(out.length == 2)
+    val ins = out.head
+    assert(ins.getAs[String]("operation") == "INSERT")
+    assert(ins.getAs[Map[String, String]]("data") == Map("ID" -> "1", "N" -> "a"))
+    assert(ins.getAs[Map[String, String]]("before") == null)
+    assert(ins.getAs[String]("topic") == "DB1.APP.T1")
+    assert(ins.getAs[Long]("commit_scn") == 6L)
+    val del = out.last
+    assert(del.getAs[String]("operation") == "DELETE")
+    assert(del.getAs[Map[String, String]]("data") == null)
+    assert(del.getAs[Map[String, String]]("before") == Map("ID" -> "0"))
+  }
+
+  test("deadLetters captures unparsable DML (A25)") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val frame = Seq(
+      (1L, "x", "APP", "T1", "not parseable at all", "INSERT"),
+      (2L, "x", "APP", "T1", """insert into "APP"."T1"("ID") values (1)""", "INSERT"))
+      .toDF("scn", "xid", "seg_owner", "table_name", "sql_redo", "operation")
+      .withColumn("parsed", ParseRedo.parse(org.apache.spark.sql.functions.col("sql_redo")))
+    val dlq = CdcPipeline.deadLetters(frame).collect()
+    assert(dlq.map(_.getAs[Long]("scn")).toList == List(1L))
+  }
+
+  test("heartbeats extracts HEARTBEAT_TIME from the after-image (A21)") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val enveloped = Seq(
+      (1L, "APP", "HB", "r1", Map("ID" -> "1", "HEARTBEAT_TIME" -> "2020-01-01 00:00:00")),
+      (2L, "APP", "T1", "r2", Map("ID" -> "2")))
+      .toDF("scn", "seg_owner", "table_name", "row_id", "data")
+    val hb = CdcPipeline.heartbeats(enveloped, "APP.HB").collect()
+    assert(hb.length == 1 && hb.head.getAs[String]("heartbeat_time") == "2020-01-01 00:00:00")
+  }
+
+  test("sequenceGaps flags RBASQN jumps > 1 (A4)") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val events = Seq(1L, 1L, 2L, 2L, 5L, 6L, 9L).toDF("rbasqn")
+    val gaps = CdcPipeline.sequenceGaps(events).collect().sortBy(_.getAs[Long]("last_seen"))
+    assert(gaps.map(g => (g.getAs[Long]("last_seen"), g.getAs[Long]("next_seen"),
+      g.getAs[Long]("missing_cnt"))).toList == List((2L, 5L, 2L), (6L, 9L, 2L)))
+  }
+
+  test("transaction buffer cap drops the overflowed txn whole, others unaffected") {
+    val events = Iterator(
+      RedoEvent.simple(1, "big", RedoEvent.Start),
+      RedoEvent.simple(2, "big", RedoEvent.Insert, sqlRedo = "a"),
+      RedoEvent.simple(3, "big", RedoEvent.Insert, sqlRedo = "b"),
+      RedoEvent.simple(4, "big", RedoEvent.Insert, sqlRedo = "c"),
+      RedoEvent.simple(5, "big", RedoEvent.Commit))
+    val (out, state) = TxnAssembler.step(TxnAssembler.TxnBuffer.empty, events, maxBufferedRows = 2)
+    assert(out.isEmpty && state.isEmpty) // overflowed at 3rd insert -> dropped whole
+    val okEvents = Iterator(
+      RedoEvent.simple(1, "ok", RedoEvent.Start),
+      RedoEvent.simple(2, "ok", RedoEvent.Insert, sqlRedo = "a"),
+      RedoEvent.simple(3, "ok", RedoEvent.Commit))
+    val (out2, _) = TxnAssembler.step(TxnAssembler.TxnBuffer.empty, okEvents, maxBufferedRows = 2)
+    assert(out2.length == 1)
+  }
+}
