@@ -112,6 +112,26 @@ object Relational {
           coalesce($"r_name", lit("NONE")).as("region_name"))
         .orderBy($"c_custkey")
     },
+    // B4 (SQL:15): B3 with CON_ID added to every join key — composite-key left joins
+    "b4_dictionary_join_cdb" -> { (s, dir) =>
+      import s.implicits._
+      val dcc = Tables(s, dir, "orders")
+        .groupBy($"o_custkey", $"o_orderstatus")
+        .agg(count(lit(1)).as("order_cnt"), max($"o_totalprice").as("max_price"))
+      val duq = Tables(s, dir, "nation")
+        .join(broadcast(Tables(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey", $"n_regionkey", $"r_name")
+      Tables(s, dir, "customer")
+        .join(dcc, $"c_custkey" === $"o_custkey" && $"o_orderstatus" === "O", "left_outer")
+        .join(broadcast(duq),
+          $"c_nationkey" === $"n_nationkey" && $"n_regionkey" === $"c_nationkey" % 5, "left_outer")
+        .filter($"c_acctbal" > 0)
+        .select($"c_custkey",
+          coalesce($"order_cnt", lit(0L)).as("open_order_cnt"),
+          coalesce($"max_price", lit(0.0)).as("max_open_price"),
+          coalesce($"r_name", lit("NONE")).as("region_name"))
+        .orderBy($"c_custkey")
+    },
     // B5 (SQL:11): global MIN aggregate
     "b5_min_agg" -> { (s, dir) =>
       import s.implicits._
@@ -212,6 +232,18 @@ object Relational {
         |  coalesce(max_price, 0.0) AS max_price, coalesce(r_name, 'NONE') AS region_name
         |FROM customer LEFT JOIN dcc ON c_custkey = o_custkey
         |  LEFT JOIN duq ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > 0 ORDER BY c_custkey""".stripMargin,
+    "b4_dictionary_join_cdb" ->
+      """WITH dcc AS (SELECT o_custkey, o_orderstatus, cast(count(*) AS BIGINT) AS order_cnt,
+        |                    max(o_totalprice) AS max_price
+        |             FROM orders GROUP BY o_custkey, o_orderstatus),
+        |     duq AS (SELECT n_nationkey, n_regionkey, r_name
+        |             FROM nation JOIN region ON n_regionkey = r_regionkey)
+        |SELECT c_custkey, coalesce(order_cnt, 0) AS open_order_cnt,
+        |  coalesce(max_price, 0.0) AS max_open_price, coalesce(r_name, 'NONE') AS region_name
+        |FROM customer
+        |  LEFT JOIN dcc ON c_custkey = o_custkey AND o_orderstatus = 'O'
+        |  LEFT JOIN duq ON c_nationkey = n_nationkey AND n_regionkey = c_nationkey % 5
         |WHERE c_acctbal > 0 ORDER BY c_custkey""".stripMargin,
     "b5_min_agg" ->
       """SELECT min(event_id) AS min_id, max(event_id) AS max_id,

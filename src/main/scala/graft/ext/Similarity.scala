@@ -30,6 +30,9 @@ object Similarity {
   private val NumQueries = 3
   private val TopK = 10
   private val PlaneIds = Seq(10L, 11L, 12L, 13L)
+  // near-dup path: more planes -> smaller buckets -> pairs ~ n^2 / (2 * 2^planes)
+  private val DupPlaneIds = (10L to 19L).toSeq
+  private val DupIdOffset = 1000000L
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // brute-force cosine top-k for a fixed query set (vec_id < NumQueries)
@@ -62,10 +65,35 @@ object Similarity {
         .groupBy($"bucket").agg(count(lit(1)).as("vec_cnt"), min($"vec_id").as("min_vec_id"))
         .orderBy($"bucket")
     },
+    // embedding-cosine near-dup: double the corpus with identical copies, bucket by
+    // 10 sign-projections (identical vectors land together by construction), verify by
+    // exact cosine within buckets only — never an all-pairs crossJoin. Norms precomputed
+    // per vector so each candidate pair costs one dot product.
+    "dedup_embedding_cosine" -> { (s, dir) =>
+      import s.implicits._
+      val base = graft.engine.Tables(s, dir, "embeddings")
+        .select($"vec_id", toDouble($"embedding").as("v"))
+      val emb = base.union(base.select(($"vec_id" + DupIdOffset).as("vec_id"), $"v"))
+      val planes = base.filter($"vec_id".isin(DupPlaneIds: _*))
+        .select($"vec_id".as("p_id"), $"v".as("pv"))
+      val bucketed = emb.crossJoin(broadcast(planes))
+        .select($"vec_id", $"v", ($"p_id" - DupPlaneIds.head).cast("int").as("bit"), dot($"v", $"pv").as("d"))
+        .select($"vec_id", $"v", when($"d" >= 0, expr("cast(shiftleft(1, bit) as bigint)")).otherwise(0L).as("bitval"))
+        .groupBy($"vec_id").agg(sum($"bitval").as("bucket"), first($"v").as("v"))
+        .withColumn("norm", sqrt(dot($"v", $"v")))
+        .cache()
+      bucketed.as("a").join(bucketed.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6).as("sim"))
+        .filter($"sim" >= 0.999)
+        .orderBy($"vec_a", $"vec_b")
+    },
   )
 
   private val qSetSql = s"vec_id < $NumQueries"
   private val planeSetSql = PlaneIds.mkString("(", ", ", ")")
+  private val dupPlaneSetSql = DupPlaneIds.mkString("(", ", ", ")")
 
   val oracle: Map[String, String] = Map(
     "simsearch_topk" ->
@@ -86,5 +114,20 @@ object Similarity {
          |buckets AS (SELECT vec_id, cast(sum(bitval) AS BIGINT) AS bucket FROM signs GROUP BY vec_id)
          |SELECT bucket, cast(count(*) AS BIGINT) AS vec_cnt, min(vec_id) AS min_vec_id
          |FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "dedup_embedding_cosine" ->
+      s"""WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |e AS (SELECT vec_id, v FROM e0 UNION ALL SELECT vec_id + $DupIdOffset AS vec_id, v FROM e0),
+         |p AS (SELECT vec_id AS p_id, v AS pv FROM e0 WHERE vec_id IN $dupPlaneSetSql),
+         |signs AS (SELECT e.vec_id,
+         |  CASE WHEN list_dot_product(v, pv) >= 0 THEN (1::BIGINT << (p_id - ${DupPlaneIds.head})::INT) ELSE 0 END AS bitval
+         |  FROM e, p),
+         |bk AS (SELECT vec_id, cast(sum(bitval) AS BIGINT) AS bucket FROM signs GROUP BY vec_id),
+         |bv AS (SELECT bk.vec_id, bucket, v, sqrt(list_dot_product(v, v)) AS norm
+         |       FROM bk JOIN e ON bk.vec_id = e.vec_id)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) AS sim
+         |FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) >= 0.999
+         |ORDER BY vec_a, vec_b""".stripMargin,
   )
 }

@@ -80,6 +80,20 @@ object TextOps {
         .agg(count(lit(1)).as("doc_cnt"))
         .orderBy($"lang", $"lang_guess")
     },
+    // BPE-ish regex tokenization: letter runs / digit runs / single non-space symbols —
+    // the pre-tokenizer split a byte-pair encoder sees, counted per language
+    "text_token_regex" -> { (s, dir) =>
+      import s.implicits._
+      graft.engine.Tables(s, dir, "documents")
+        .select($"lang",
+          size(regexp_extract_all($"text", lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("tok_cnt"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("doc_cnt"),
+          sum($"tok_cnt").cast("long").as("sum_regex_tokens"),
+          min($"tok_cnt").cast("long").as("min_regex_tokens"),
+          max($"tok_cnt").cast("long").as("max_regex_tokens"))
+        .orderBy($"lang")
+    },
     // document fingerprinting: full md5 + 32-bit prefix hash per document
     "text_fingerprint" -> { (s, dir) =>
       import s.implicits._
@@ -121,6 +135,13 @@ object TextOps {
         |       WHEN fr_score >= es_score THEN 'fr' ELSE 'es' END AS lang_guess,
         |  cast(count(*) AS BIGINT) AS doc_cnt
         |FROM sc GROUP BY 1, 2 ORDER BY lang, lang_guess""".stripMargin,
+    "text_token_regex" ->
+      """WITH t AS (SELECT lang, len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS tok_cnt
+        |           FROM documents)
+        |SELECT lang, cast(count(*) AS BIGINT) AS doc_cnt,
+        | cast(sum(tok_cnt) AS BIGINT) AS sum_regex_tokens,
+        | min(tok_cnt) AS min_regex_tokens, max(tok_cnt) AS max_regex_tokens
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp,
         | ('0x' || substr(md5(text), 1, 8))::BIGINT AS fp32, n_chars

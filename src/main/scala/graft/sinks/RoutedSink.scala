@@ -1,0 +1,50 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+import org.apache.spark.sql.Row
+
+import graft.cdc.Catalog
+
+/**
+ * A22 (sink side) — routed delivery of the enveloped change stream. The reference hands
+ * each record to Kafka Connect with a per-table topic (OracleSourceTask2.java:300-304);
+ * here the `topic` column drives either the Kafka sink directly (it honors a `topic`
+ * column natively) or a parquet lake layout partitioned by topic.
+ *
+ * A14 wiring note: DDL handling happens per micro-batch on the driver BEFORE the typed
+ * casts of that batch are planned — matching the reference's evict-then-reload-on-next-DML
+ * order (OracleSourceConnectorUtils2.java:368-378).
+ */
+object RoutedSink {
+
+  /** One batch to a topic-partitioned parquet lake (append). */
+  def writeBatch(enveloped: DataFrame, baseDir: String): Unit =
+    enveloped.write.mode("append").partitionBy("topic").parquet(baseDir)
+
+  /**
+   * A14 — apply DDL invalidations of one micro-batch: every table named by a DDL event is
+   * evicted from the schema catalog so the next DML against it reloads fresh metadata.
+   * Returns the invalidated table names (driver-side; DDL cardinality per batch is tiny).
+   */
+  def applyDdlInvalidations(enveloped: DataFrame, sfDir: String): Seq[String] = {
+    val tables = enveloped
+      .filter(enveloped("operation") === graft.cdc.RedoEvent.Ddl)
+      .select("table_name").distinct().collect()
+      .map((r: Row) => r.getString(0)).toSeq
+    tables.foreach(t => Catalog.invalidate(sfDir, t.toLowerCase))
+    tables
+  }
+
+  /** Streaming delivery: foreachBatch doing DDL invalidation then the routed write. */
+  def start(enveloped: DataFrame, baseDir: String, checkpoint: String, sfDir: String): StreamingQuery = {
+    val writer: DataStreamWriter[Row] = enveloped.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyDdlInvalidations(batch, sfDir)
+        writeBatch(batch, baseDir)
+      }
+    writer.start()
+  }
+}
