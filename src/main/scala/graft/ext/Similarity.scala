@@ -33,6 +33,9 @@ object Similarity {
   // near-dup path: more planes -> smaller buckets -> pairs ~ n^2 / (2 * 2^planes)
   private val DupPlaneIds = (10L to 19L).toSeq
   private val DupIdOffset = 1000000L
+  // IVF: fixed "centroid" set (base vectors 20..27), nprobe = 1
+  private val CentroidIds = (20L to 27L).toSeq
+  private val IvfTopK = 5
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // brute-force cosine top-k for a fixed query set (vec_id < NumQueries)
@@ -64,6 +67,35 @@ object Similarity {
       signs.groupBy($"vec_id").agg(sum($"bitval").as("bucket"))
         .groupBy($"bucket").agg(count(lit(1)).as("vec_cnt"), min($"vec_id").as("min_vec_id"))
         .orderBy($"bucket")
+    },
+    // IVF-style ANN: assign every vector to its nearest "centroid" (a fixed base-vector
+    // set stands in for trained centroids — deterministic, oracle-checkable), then answer
+    // queries by probing ONLY the query's cell (nprobe=1). The scan-side work drops from
+    // n to n/cells per query; assignment is one broadcast pass. This is the scale path
+    // next to the brute-force baseline.
+    "simsearch_ivf" -> { (s, dir) =>
+      import s.implicits._
+      val base = graft.engine.Tables(s, dir, "embeddings")
+        .select($"vec_id", toDouble($"embedding").as("v"))
+      val cents = base.filter($"vec_id".isin(CentroidIds: _*))
+        .select($"vec_id".as("c_id"), $"v".as("cv"))
+      val wAssign = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"c_id")
+      val assigned = base.crossJoin(broadcast(cents))
+        .select($"vec_id", $"v",  $"c_id",
+          round(dot($"v", $"cv") / (sqrt(dot($"v", $"v")) * sqrt(dot($"cv", $"cv"))), 6).as("csim"))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"v", $"c_id".as("cell"))
+      val queries = assigned.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"cell".as("q_cell"))
+      val wTopK = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
+      assigned.join(broadcast(queries), $"cell" === $"q_cell" && $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id",
+          round(dot($"v", $"qv") / (sqrt(dot($"v", $"v")) * sqrt(dot($"qv", $"qv"))), 6).as("sim"))
+        .withColumn("rnk", row_number().over(wTopK))
+        .filter($"rnk" <= IvfTopK)
+        .select($"q_id", $"rnk".cast("long").as("rnk"), $"vec_id", $"sim")
+        .orderBy($"q_id", $"rnk")
     },
     // embedding-cosine near-dup: double the corpus with identical copies, bucket by
     // 10 sign-projections (identical vectors land together by construction), verify by
@@ -114,6 +146,22 @@ object Similarity {
          |buckets AS (SELECT vec_id, cast(sum(bitval) AS BIGINT) AS bucket FROM signs GROUP BY vec_id)
          |SELECT bucket, cast(count(*) AS BIGINT) AS vec_cnt, min(vec_id) AS min_vec_id
          |FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "simsearch_ivf" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id IN ${CentroidIds.mkString("(", ", ", ")")}),
+         |asim AS (SELECT vec_id, v, c_id,
+         |  round(list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS csim
+         |  FROM e, c),
+         |assigned AS (SELECT vec_id, v, c_id AS cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS rn FROM asim)
+         |  WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv, cell AS q_cell FROM assigned WHERE vec_id < $NumQueries),
+         |scored AS (SELECT q_id, vec_id,
+         |  round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS sim
+         |  FROM assigned JOIN q ON cell = q_cell AND vec_id <> q_id),
+         |ranked AS (SELECT q_id, vec_id, sim,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk FROM scored)
+         |SELECT q_id, rnk, vec_id, sim FROM ranked WHERE rnk <= $IvfTopK ORDER BY q_id, rnk""".stripMargin,
     "dedup_embedding_cosine" ->
       s"""WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
          |e AS (SELECT vec_id, v FROM e0 UNION ALL SELECT vec_id + $DupIdOffset AS vec_id, v FROM e0),
