@@ -75,6 +75,19 @@ object CdcPipeline {
   }
 
   /**
+   * The per-table typed output view (SURVEY §1.2 "Spark mapping decision"): the generic
+   * envelope stream stays schema-dynamic (`data`/`before` as map<string,string>); at the
+   * table boundary the catalog drives a late cast projection into the table's real types —
+   * the reference's `setValueV2` per-table Struct (Task:395-407) as a Column plan.
+   */
+  def typedTableView(enveloped: DataFrame, sfDir: String, owner: String, table: String): DataFrame = {
+    val schema = Catalog.schemaOf(enveloped.sparkSession, sfDir, table.toLowerCase)
+    enveloped
+      .filter(col("seg_owner") === owner && col("table_name") === table)
+      .select(Seq(col("scn"), col("operation")) ++ Catalog.castProjection(col("data"), schema): _*)
+  }
+
+  /**
    * A25 — dead-letter extraction: DML whose redo failed to parse. The reference logs and
    * skips (Thread:305-308); routing to a DLQ frame makes the loss observable.
    */

@@ -119,18 +119,27 @@ object Dedup {
         .groupBy($"doc_id").agg(sum($"bitval").as("simhash"))
         .orderBy($"doc_id")
     },
-    // token-set Jaccard verification within (lang, source) blocks, integer basis points
+    // token-set Jaccard verification within (lang, source) blocks, integer basis points.
+    // Set-similarity-join plan (cf. PAPERS.md): explode distinct tokens, equi-join on
+    // (block, token) to COUNT intersections, then join per-doc sizes — intersection work
+    // scales with shared tokens, not with pairs x array length, and pairs sharing nothing
+    // never materialize (they'd have jac 0 and be filtered anyway).
     "dedup_ngram_jaccard" -> { (s, dir) =>
       import s.implicits._
       val d = graft.engine.Tables(s, dir, "documents")
         .select($"doc_id", $"lang", $"source", array_distinct(TextOps.tokens($"text")).as("toks"))
-      d.as("a").join(d.as("b"),
+        .withColumn("sz", size($"toks"))
+        .cache()
+      val toks = d.select($"doc_id", $"lang", $"source", explode($"toks").as("tok"))
+      val inter = toks.as("a").join(toks.as("b"),
           col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          size(array_intersect(col("a.toks"), col("b.toks"))).as("inter"),
-          (size(col("a.toks")) + size(col("b.toks"))).as("sz"))
-        .withColumn("jac_bp", expr("cast(inter as bigint) * 10000 div (sz - inter)"))
+            col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).cast("int").as("inter"))
+      inter
+        .join(d.select($"doc_id".as("doc_a"), $"sz".as("sz_a")), "doc_a")
+        .join(d.select($"doc_id".as("doc_b"), $"sz".as("sz_b")), "doc_b")
+        .withColumn("jac_bp", expr("cast(inter as bigint) * 10000 div (sz_a + sz_b - inter)"))
         .filter($"jac_bp" >= 5000)
         .select($"doc_a", $"doc_b", $"jac_bp")
         .orderBy($"doc_a", $"doc_b")

@@ -51,6 +51,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(del.getAs[Map[String, String]]("before") == Map("ID" -> "0"))
   }
 
+  test("typedTableView casts the dynamic payload into the table's parquet types") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val events = Seq(
+      ev(1, "x1", RedoEvent.Start),
+      ev(2, "x1", RedoEvent.Insert, table = "NATION",
+        redo = """insert into "APP"."NATION"("N_NATIONKEY","N_NAME","N_REGIONKEY") values (7,'NATION_7',2)"""),
+      ev(3, "x1", RedoEvent.Commit))
+    val enveloped = CdcPipeline.stream(events.toDS(),
+      CdcConfig("DB1", Seq("APP" -> "*")), streaming = false)
+    val typed = CdcPipeline.typedTableView(enveloped, "/root/testdata/sf0.001", "APP", "NATION")
+    val row = typed.collect().head
+    assert(typed.schema("n_nationkey").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(row.getAs[Int]("n_nationkey") == 7)
+    assert(row.getAs[String]("n_name") == "NATION_7")
+    assert(row.getAs[Int]("n_regionkey") == 2)
+  }
+
   test("deadLetters captures unparsable DML (A25)") {
     val spark = graft.SparkTestSession.spark
     import spark.implicits._
