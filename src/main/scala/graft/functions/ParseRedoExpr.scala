@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.cdc.RedoSqlParser
+
+/**
+ * A12 as a native Catalyst expression: `parse_redo(sql_redo)` returning
+ * `struct<operation, owner, table, data map<string,string>, before map<string,string>, ok>`.
+ *
+ * Compared to the Scala UDF ([[graft.cdc.ParseRedo]]), this skips the UDF's
+ * Catalyst<->Scala converters on both sides (the maps are built directly as
+ * [[ArrayBasedMapData]]) and needs no nondeterminism workaround — it is honest about
+ * determinism, foldable-safe, and null-propagating like any builtin. Evaluation is
+ * CodegenFallback: the parse is a branchy tokenizer that would not benefit from inline
+ * Java generation, and the fallback keeps the surrounding projection inside whole-stage
+ * codegen.
+ */
+case class ParseRedoExpr(child: Expression, unescape: Boolean = true)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ParseRedoExpr.schema
+  override def nullable: Boolean = false
+  override def prettyName: String = "parse_redo"
+
+  private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
+  private def mapData(kvs: Seq[(String, String)]): ArrayBasedMapData =
+    ArrayBasedMapData(kvs.toMap, (k: Any) => utf8(k.toString), (v: Any) => utf8(v.toString))
+
+  override def eval(input: InternalRow): Any = {
+    val raw = child.eval(input)
+    val parsed = if (raw == null) None else RedoSqlParser.parseOpt(raw.toString, unescape)
+    parsed match {
+      case Some(p) =>
+        InternalRow(utf8(p.operation), utf8(p.owner), utf8(p.table),
+          mapData(p.data.collect { case (k, Some(v)) => k -> v }),
+          mapData(p.before.collect { case (k, Some(v)) => k -> v }),
+          true)
+      case None =>
+        InternalRow(utf8(""), utf8(""), utf8(""), mapData(Nil), mapData(Nil), false)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ParseRedoExpr =
+    copy(child = newChild)
+}
+
+object ParseRedoExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("operation", StringType, nullable = false),
+    StructField("owner", StringType, nullable = false),
+    StructField("table", StringType, nullable = false),
+    StructField("data", MapType(StringType, StringType, valueContainsNull = false), nullable = false),
+    StructField("before", MapType(StringType, StringType, valueContainsNull = false), nullable = false),
+    StructField("ok", BooleanType, nullable = false)))
+}
+
+/**
+ * SparkSessionExtensions entry point: registers `parse_redo` in the session function
+ * registry, so both SQL (`SELECT parse_redo(sql_redo).data FROM ...`) and the DataFrame
+ * API (`call_function("parse_redo", col)`) reach the native expression. Activate with
+ * `.withExtensions(new GraftExtensions)` or
+ * `spark.sql.extensions=graft.functions.GraftExtensions`.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("parse_redo"),
+      new ExpressionInfo(classOf[ParseRedoExpr].getName, "parse_redo"),
+      (children: Seq[Expression]) => ParseRedoExpr(children.head)))
+  }
+}
