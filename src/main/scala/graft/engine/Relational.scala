@@ -175,6 +175,18 @@ object Relational {
         .except(Tables(s, dir, "orders").filter($"o_totalprice" > 400000.0).select($"o_custkey".as("custkey")))
         .orderBy($"custkey")
     },
+    // event-time tumbling-window aggregation over the events stream table (the batch
+    // analogue of the Structured Streaming watermark+window path; ts is nanos-since-epoch)
+    "events_window_agg" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "events")
+        .select(expr("ts div 60000000000").as("minute_bucket"), $"event_type", $"value")
+        .groupBy($"minute_bucket", $"event_type")
+        .agg(count(lit(1)).as("event_cnt"),
+          sum(cents($"value")).as("value_cents"))
+        .orderBy($"minute_bucket", $"event_type")
+        .limit(500)
+    },
     // B10 (SQL:14): TO_NUMBER(REPLACE(version,'.','')) — build a version string, strip, cast
     "b10_version_parse" -> { (s, dir) =>
       import s.implicits._
@@ -267,6 +279,11 @@ object Relational {
         |EXCEPT
         |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000.0
         |ORDER BY custkey""".stripMargin,
+    "events_window_agg" ->
+      """SELECT epoch_ns(ts) // 60000000000 AS minute_bucket, event_type,
+        | cast(count(*) AS BIGINT) AS event_cnt,
+        | cast(sum(cast(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2 ORDER BY minute_bucket, event_type LIMIT 500""".stripMargin,
     "b10_version_parse" ->
       """SELECT o_orderkey,
         | concat_ws('.', o_orderkey % 10, o_custkey % 100, 0) AS version,

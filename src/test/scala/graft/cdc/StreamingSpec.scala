@@ -41,6 +41,34 @@ class StreamingSpec extends AnyFunSuite {
     query.stop()
   }
 
+  test("watermark + tumbling window aggregation emits closed windows only") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(java.sql.Timestamp, Double)](
+      Encoders.tuple(Encoders.TIMESTAMP, Encoders.scalaDouble), spark)
+    val agg = input.toDS().toDF("ts", "value")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window($"ts", "1 minute"))
+      .agg(count(lit(1)).as("cnt"), sum($"value").as("total"))
+    val query = agg.writeStream.format("memory").queryName("win_out").outputMode("append").start()
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    input.addData((t(10), 1.0), (t(20), 2.0), (t(70), 4.0))
+    query.processAllAvailable()
+    // advance watermark far past the first two windows
+    input.addData((t(600), 8.0))
+    query.processAllAvailable()
+    input.addData((t(1200), 16.0))
+    query.processAllAvailable()
+    val rows = spark.table("win_out")
+      .select(col("window.start").cast("long").as("start"), col("cnt"), col("total"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    // closed: [0,60) and [60,120) (by t(600)), then [600,660) (by t(1200));
+    // the t(1200) window itself is still open
+    assert(rows.toList == List((0L, 2L, 3.0), (60L, 1L, 4.0), (600L, 1L, 8.0)))
+    query.stop()
+  }
+
   test("checkpoint restart mid-transaction resumes without loss or duplicates") {
     val spark = graft.SparkTestSession.spark
     import spark.implicits._
