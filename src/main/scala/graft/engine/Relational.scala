@@ -157,6 +157,32 @@ object Relational {
           count(lit(1)).as("nation_cnt"))
         .orderBy($"r_name")
     },
+    // B7 (SQL:17) full shape in ONE query: LISTAGG-within-group + UNION ALL of two
+    // branches + ROW_NUMBER window + NVL/DECODE + MINUS — the log-file discovery query.
+    "b7_full_logfiles" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"grp").orderBy($"o_orderkey".desc)
+      val archived = Tables(s, dir, "orders")
+        .filter($"o_orderstatus" === "F")
+        .select($"o_orderkey", ($"o_custkey" % 10).as("grp"), lit("ARCHIVED").as("kind"))
+      val online = Tables(s, dir, "orders")
+        .filter($"o_orderstatus" === "O")
+        .select($"o_orderkey", ($"o_custkey" % 10).as("grp"),
+          when($"o_totalprice" > 250000.0, "BIG").otherwise("SMALL").as("kind"))
+      val registered = Tables(s, dir, "orders")
+        .filter($"o_orderkey" % 3 === 0)
+        .select($"o_orderkey", ($"o_custkey" % 10).as("grp"))
+      val latest = archived.unionAll(online)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 5)
+      latest.select($"o_orderkey", $"grp").except(registered)
+        .join(latest, Seq("o_orderkey", "grp"))
+        .groupBy($"grp")
+        .agg(concat_ws(" ", transform(array_sort(collect_list($"o_orderkey")), _.cast("string"))).as("names"),
+          coalesce(max(when($"kind" === "BIG", $"o_orderkey")), lit(-1L)).as("max_big"),
+          count(lit(1)).as("cnt"))
+        .orderBy($"grp")
+    },
     // B7/B8 (SQL:17-19): ROW_NUMBER() OVER (PARTITION BY ... ORDER BY ...) = 1
     "b8_window_rownum" -> { (s, dir) =>
       import s.implicits._
@@ -270,6 +296,23 @@ object Relational {
         | cast(count(*) AS BIGINT) AS nation_cnt
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "b7_full_logfiles" ->
+      """WITH archived AS (SELECT o_orderkey, o_custkey % 10 AS grp, 'ARCHIVED' AS kind
+        |                  FROM orders WHERE o_orderstatus = 'F'),
+        |online AS (SELECT o_orderkey, o_custkey % 10 AS grp,
+        |                  CASE WHEN o_totalprice > 250000.0 THEN 'BIG' ELSE 'SMALL' END AS kind
+        |           FROM orders WHERE o_orderstatus = 'O'),
+        |registered AS (SELECT o_orderkey, o_custkey % 10 AS grp FROM orders WHERE o_orderkey % 3 = 0),
+        |latest AS (SELECT o_orderkey, grp, kind FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY grp ORDER BY o_orderkey DESC) AS rn
+        |  FROM (SELECT * FROM archived UNION ALL SELECT * FROM online)) WHERE rn <= 5),
+        |kept AS (SELECT o_orderkey, grp FROM latest EXCEPT SELECT o_orderkey, grp FROM registered)
+        |SELECT l.grp AS grp,
+        |  string_agg(cast(l.o_orderkey AS VARCHAR), ' ' ORDER BY l.o_orderkey) AS names,
+        |  coalesce(max(CASE WHEN l.kind = 'BIG' THEN l.o_orderkey END), -1) AS max_big,
+        |  cast(count(*) AS BIGINT) AS cnt
+        |FROM kept k JOIN latest l ON k.o_orderkey = l.o_orderkey AND k.grp = l.grp
+        |GROUP BY l.grp ORDER BY grp""".stripMargin,
     "b8_window_rownum" ->
       """SELECT o_custkey, o_orderkey AS latest_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS latest_date
         |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
