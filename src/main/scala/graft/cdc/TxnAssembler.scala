@@ -73,7 +73,8 @@ object TxnAssembler {
    * Returns (emitted committed rows, remaining open buffer or None if closed).
    */
   def step(buffer: TxnBuffer, events: Iterator[RedoEvent],
-           maxBufferedRows: Int = Int.MaxValue): (List[CommittedDml], Option[TxnBuffer]) = {
+           maxBufferedRows: Int = Int.MaxValue,
+           onDroppedTxn: () => Unit = () => ()): (List[CommittedDml], Option[TxnBuffer]) = {
     var buf: TxnBuffer = buffer
     var open = true
     val out  = List.newBuilder[CommittedDml]
@@ -85,6 +86,7 @@ object TxnAssembler {
           buf = TxnBuffer.empty; open = false
         case RedoEvent.Commit =>
           // an overflowed transaction is dropped whole rather than emitted truncated
+          if (buf.overflowed) onDroppedTxn()
           if (!buf.overflowed) {
             val survivors =
               if (buf.containsRollback) eliminateRollbackPairs(buf.rows.reverse)
@@ -131,16 +133,26 @@ object TxnAssembler {
    * by SCN before the state update (SURVEY.md §7 hard-part 1: Spark guarantees no intra-group
    * order; the reference relied on a single total-order cursor).
    *
+   * ORDERING REQUIREMENT (ADVICE r1): per-XID event order must be preserved by the
+   * transport — in the Kafka deployment that means the producer keys messages by XID so
+   * one transaction lives in one partition. If a COMMIT arrives in an earlier micro-batch
+   * than some of its DML, the late DML reopens a buffer that only the timeout can clear;
+   * `droppedTxns` makes that loss observable instead of silent.
+   *
    * @param abandonedTxnTimeout processing-time timeout after which an open transaction's
    *                            buffer is dropped (bounded state at scale); None disables
    *                            eviction (reference behavior — unbounded state; also required
    *                            for `processAllAvailable`-style test harnesses, because a
    *                            processing-time timeout makes every micro-batch "require
    *                            another batch" so the no-new-data signal never fires).
+   * @param droppedTxns         optional accumulator counting transactions lost to timeout
+   *                            eviction or buffer-cap overflow (surface in monitoring).
    */
   def assembleStreaming(events: Dataset[RedoEvent],
                         abandonedTxnTimeout: Option[String] = Some("1 hour"),
-                        maxBufferedRows: Int = Int.MaxValue): Dataset[CommittedDml] = {
+                        maxBufferedRows: Int = Int.MaxValue,
+                        droppedTxns: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[CommittedDml] = {
     val spark = events.sparkSession
     import spark.implicits._
     implicit val bufEnc: Encoder[TxnBuffer] = Encoders.product[TxnBuffer]
@@ -152,12 +164,13 @@ object TxnAssembler {
       .flatMapGroupsWithState[TxnBuffer, CommittedDml](OutputMode.Append, timeoutConf) {
         (xid: String, it: Iterator[RedoEvent], state: GroupState[TxnBuffer]) =>
           if (state.hasTimedOut) {
+            droppedTxns.foreach(_.add(1))
             state.remove()
             Iterator.empty
           } else {
             val sorted = it.toVector.sortBy(e => (e.scn, e.seq, e.rowId))
-            val (emitted, remaining) =
-              step(state.getOption.getOrElse(TxnBuffer.empty), sorted.iterator, maxBufferedRows)
+            val (emitted, remaining) = step(state.getOption.getOrElse(TxnBuffer.empty),
+              sorted.iterator, maxBufferedRows, () => droppedTxns.foreach(_.add(1)))
             remaining match {
               case Some(buf) =>
                 state.update(buf)

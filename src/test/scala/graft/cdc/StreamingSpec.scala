@@ -41,6 +41,23 @@ class StreamingSpec extends AnyFunSuite {
     query.stop()
   }
 
+  test("droppedTxns accumulator counts buffer-cap overflow drops") {
+    val spark = graft.SparkTestSession.spark
+    val acc = spark.sparkContext.longAccumulator("graft-dropped-txns")
+    val input = MemoryStream[RedoEvent](Encoders.product[RedoEvent], spark)
+    val q = TxnAssembler.assembleStreaming(input.toDS(), abandonedTxnTimeout = None,
+        maxBufferedRows = 1, droppedTxns = Some(acc))
+      .writeStream.format("memory").queryName("drop_out").outputMode("append").start()
+    input.addData(
+      ev(1, "t", RedoEvent.Start),
+      ev(2, "t", RedoEvent.Insert, "a"), ev(3, "t", RedoEvent.Insert, "b"),
+      ev(4, "t", RedoEvent.Commit))
+    q.processAllAvailable()
+    assert(spark.table("drop_out").isEmpty) // overflowed txn dropped whole
+    assert(acc.value == 1L)
+    q.stop()
+  }
+
   test("watermark + tumbling window aggregation emits closed windows only") {
     val spark = graft.SparkTestSession.spark
     import spark.implicits._
