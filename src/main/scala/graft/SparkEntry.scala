@@ -20,6 +20,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.engine.Relational.queries ++
+      graft.engine.Skew.queries ++
       graft.engine.CdcQueries.queries ++
       graft.ext.TextOps.queries ++
       graft.ext.Dedup.queries ++
@@ -30,6 +31,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.engine.Relational.oracle ++
+      graft.engine.Skew.oracle ++
       graft.engine.CdcQueries.oracle ++
       graft.ext.TextOps.oracle ++
       graft.ext.Dedup.oracle ++

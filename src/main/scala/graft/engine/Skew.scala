@@ -1,0 +1,48 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Skew tooling: two-phase salted aggregation. Plain `sum/count` aggregates already combine
+ * map-side, but a genuinely hot key still funnels all its partials into one reducer; adding
+ * a deterministic salt spreads phase 1 over `salts` reducers and phase 2 touches only
+ * (#distinct keys × salts) pre-aggregated rows. Use for hot-key aggregates whose per-group
+ * state is heavy (collect_list/distinct-sets) or whose key histogram is pathological;
+ * AQE's skew-join splitting covers the join side of the same problem.
+ *
+ * The salt is `pmod(hash(salt-source columns), salts)` — deterministic, so the rewrite is
+ * semantics-preserving (proved by the `skew_salted_agg` oracle query: salted result ==
+ * DuckDB's plain GROUP BY).
+ */
+object Skew {
+
+  /** Salted sum/count per key: phase 1 groupBy(key, salt), phase 2 groupBy(key). */
+  def saltedSumCount(df: DataFrame, key: Column, value: Column, salts: Int = 16): DataFrame =
+    df.select(key.as("k"), value.as("v"))
+      .withColumn("salt", pmod(hash(col("v")), lit(salts)))
+      .groupBy(col("k"), col("salt"))
+      .agg(sum(col("v")).as("partial_sum"), count(lit(1)).as("partial_cnt"))
+      .groupBy(col("k"))
+      .agg(sum(col("partial_sum")).as("total"), sum(col("partial_cnt")).cast("long").as("cnt"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // oracle-gated proof that the salted two-phase plan equals a plain GROUP BY
+    "skew_salted_agg" -> { (s, dir) =>
+      import s.implicits._
+      val events = Tables(s, dir, "events")
+        .select($"user_id", round($"value" * 100).cast("long").as("cents"))
+      saltedSumCount(events, $"user_id", $"cents")
+        .select($"k".as("user_id"), $"total".as("total_cents"), $"cnt".as("event_cnt"))
+        .orderBy($"user_id")
+    },
+  )
+
+  val oracle: Map[String, String] = Map(
+    "skew_salted_agg" ->
+      """SELECT user_id,
+        | cast(sum(cast(round(value*100) AS BIGINT)) AS BIGINT) AS total_cents,
+        | cast(count(*) AS BIGINT) AS event_cnt
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+  )
+}
