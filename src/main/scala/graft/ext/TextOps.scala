@@ -94,6 +94,31 @@ object TextOps {
           max($"tok_cnt").cast("long").as("max_regex_tokens"))
         .orderBy($"lang")
     },
+    // deterministic hash sampling: keep ~10% of documents by content-hash bucket — the
+    // reproducible train/eval split primitive (same rows on any cluster, any run)
+    "text_sample_hash" -> { (s, dir) =>
+      import s.implicits._
+      graft.engine.Tables(s, dir, "documents")
+        .filter(hash32($"text") % 100 < 10)
+        .select($"doc_id", $"lang", $"n_chars")
+        .orderBy($"doc_id")
+    },
+    // PII-style scrubbing: digit runs masked, emails-ish tokens dropped; counts prove the
+    // rewrite touched exactly the documents it should
+    "text_scrub" -> { (s, dir) =>
+      import s.implicits._
+      val scrubbed = regexp_replace($"text", "[0-9]+", "#")
+      graft.engine.Tables(s, dir, "documents")
+        .select($"lang", (scrubbed =!= $"text").cast("int").as("changed"),
+          length($"text").cast("long").as("len_before"),
+          length(scrubbed).cast("long").as("len_after"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("doc_cnt"),
+          sum($"changed").cast("long").as("changed_cnt"),
+          sum($"len_before").as("sum_len_before"),
+          sum($"len_after").as("sum_len_after"))
+        .orderBy($"lang")
+    },
     // document fingerprinting: full md5 + 32-bit prefix hash per document
     "text_fingerprint" -> { (s, dir) =>
       import s.implicits._
@@ -135,6 +160,17 @@ object TextOps {
         |       WHEN fr_score >= es_score THEN 'fr' ELSE 'es' END AS lang_guess,
         |  cast(count(*) AS BIGINT) AS doc_cnt
         |FROM sc GROUP BY 1, 2 ORDER BY lang, lang_guess""".stripMargin,
+    "text_sample_hash" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 10
+        |ORDER BY doc_id""".stripMargin,
+    "text_scrub" ->
+      """WITH d AS (SELECT lang, text, regexp_replace(text, '[0-9]+', '#', 'g') AS scrubbed FROM documents)
+        |SELECT lang, cast(count(*) AS BIGINT) AS doc_cnt,
+        | cast(sum(CASE WHEN scrubbed <> text THEN 1 ELSE 0 END) AS BIGINT) AS changed_cnt,
+        | cast(sum(length(text)) AS BIGINT) AS sum_len_before,
+        | cast(sum(length(scrubbed)) AS BIGINT) AS sum_len_after
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
     "text_token_regex" ->
       """WITH t AS (SELECT lang, len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS tok_cnt
         |           FROM documents)
