@@ -36,10 +36,12 @@ object Catalog {
   def oracleTypeToSpark(dataType: String, precision: Int, scale: Int): DataType =
     dataType.toUpperCase match {
       case "NUMBER" =>
-        if (scale > 0 || precision == 0 && scale != 0) DoubleType
-        else if (precision >= 1 && precision <= 2) ByteType
-        else if (precision <= 4 && precision > 0) ShortType
-        else if (precision <= 9 && precision > 0) IntegerType
+        // reference condition verbatim (Utils:194): scale>0 OR precision==0 -> FLOAT64 —
+        // an unconstrained NUMBER (precision 0, scale 0) can hold fractions, so double
+        if (scale > 0 || precision == 0) DoubleType
+        else if (precision <= 2) ByteType
+        else if (precision <= 4) ShortType
+        else if (precision <= 9) IntegerType
         else LongType
       case "CHAR" | "VARCHAR" | "VARCHAR2" | "NCHAR" | "NVARCHAR" | "NVARCHAR2" | "LONG" | "CLOB" =>
         StringType

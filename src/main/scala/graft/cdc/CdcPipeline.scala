@@ -62,16 +62,31 @@ object CdcPipeline {
    * INSERT -> data only; UPDATE -> both (data = before overlaid with SET, done by the
    * parser); DELETE -> before only; DDL and unparsable -> both null.
    */
-  def envelope(df: DataFrame, dbAlias: String): DataFrame = {
+  /**
+   * @param extra          passthrough columns appended to the envelope (commit metadata etc.)
+   * @param heartbeatTable "OWNER.TABLE" whose rows route to `{topic}.HEARTBEAT` instead of
+   *                       the table topic (A21, Thread:334-338's `topic + connectorName`) —
+   *                       consume them with [[heartbeats]].
+   */
+  def envelope(df: DataFrame, dbAlias: String, extra: Seq[Column] = Nil,
+               heartbeatTable: Option[String] = None): DataFrame = {
     val op = col("operation")
-    df.select(
+    val baseTopic = topic(dbAlias)
+    val routedTopic = heartbeatTable match {
+      case Some(hb) =>
+        val Array(o, t) = hb.split("\\.", 2)
+        when(col("seg_owner") === o && col("table_name") === t,
+          concat(baseTopic, lit(".HEARTBEAT"))).otherwise(baseTopic)
+      case None => baseTopic
+    }
+    df.select(Seq(
       col("scn"), col("xid"), col("row_id"), col("seg_owner"), col("table_name"),
       col("operation"), col("sql_redo"),
       when(op.isin(RedoEvent.Insert, RedoEvent.Update) && col("parsed.ok"), col("parsed.data"))
         .as("data"),
       when(op.isin(RedoEvent.Update, RedoEvent.Delete) && col("parsed.ok"), col("parsed.before"))
         .as("before"),
-      topic(dbAlias).as("topic"))
+      routedTopic.as("topic")) ++ extra: _*)
   }
 
   /**
@@ -132,7 +147,8 @@ object CdcPipeline {
    * filter stack; CSF fragments fuse; transactions assemble (shuffle on xid); committed
    * rows parse and project into the routed envelope.
    */
-  def stream(events: Dataset[RedoEvent], config: CdcConfig, streaming: Boolean = true): DataFrame = {
+  def stream(events: Dataset[RedoEvent], config: CdcConfig, streaming: Boolean = true,
+             droppedTxns: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     val isControl = col("operation").isin(RedoEvent.Start, RedoEvent.Commit, RedoEvent.Rollback)
@@ -146,7 +162,9 @@ object CdcPipeline {
     val filtered = events.filter(keep)
     val fused = Csf.fuse(filtered)
     val committed =
-      if (streaming) TxnAssembler.assembleStreaming(fused, config.abandonedTxnTimeout, config.maxBufferedRows)
+      if (streaming)
+        TxnAssembler.assembleStreaming(fused, config.abandonedTxnTimeout,
+          config.maxBufferedRows, droppedTxns)
       else TxnAssembler.assembleBatch(fused, config.maxBufferedRows)
     val renamed = committed.toDF()
       .withColumnRenamed("segOwner", "seg_owner")
@@ -156,21 +174,14 @@ object CdcPipeline {
       .withColumnRenamed("commitScn", "commit_scn")
     val withParsed =
       if (config.parseDmlData)
-        renamed.withColumn("parsed", ParseRedo.parse(col("sql_redo")))
+        renamed.withColumn("parsed", ParseRedo.parse(col("sql_redo"), config.unescapeStrings))
       else
         renamed.withColumn("parsed",
           struct(lit("").as("operation"), lit("").as("owner"), lit("").as("table"),
             map().cast("map<string,string>").as("data"),
             map().cast("map<string,string>").as("before"), lit(false).as("ok")))
-    val op = col("operation")
-    withParsed.select(
-      col("scn"), col("commit_scn"), col("xid"), col("row_id"), col("seg_owner"),
-      col("table_name"), col("operation"), col("sql_redo"),
-      col("timestamp"), col("commitTimestamp").as("commit_timestamp"),
-      when(op.isin(RedoEvent.Insert, RedoEvent.Update) && col("parsed.ok"), col("parsed.data"))
-        .as("data"),
-      when(op.isin(RedoEvent.Update, RedoEvent.Delete) && col("parsed.ok"), col("parsed.before"))
-        .as("before"),
-      topic(config.dbAlias).as("topic"))
+    envelope(withParsed, config.dbAlias,
+      extra = Seq(col("commit_scn"), col("timestamp"), col("commitTimestamp").as("commit_timestamp")),
+      heartbeatTable = config.heartbeatTable)
   }
 }

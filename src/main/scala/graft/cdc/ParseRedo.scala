@@ -37,14 +37,19 @@ object ParseRedo {
    * would each re-run the whole parse per row. The nondeterministic flag pins the UDF to a
    * single evaluation per row (3-4x less parse work in the envelope path).
    */
-  val parseUdf: UserDefinedFunction = udf { (sqlRedo: String) =>
+  def mkParseUdf(unescape: Boolean): UserDefinedFunction = udf { (sqlRedo: String) =>
     if (sqlRedo == null) empty
-    else RedoSqlParser.parseOpt(sqlRedo) match {
+    else RedoSqlParser.parseOpt(sqlRedo, unescape) match {
       case Some(p) => Parsed(p.operation, p.owner, p.table, p.dataMap, p.beforeMap, ok = true)
       case None    => empty
     }
   }.asNondeterministic()
 
-  /** `parse(sql_redo)` as a column: struct(operation, owner, table, data, before, ok). */
-  def parse(sqlRedo: Column): Column = parseUdf(sqlRedo)
+  val parseUdf: UserDefinedFunction = mkParseUdf(unescape = true)
+  private val parseUdfNoUnescape: UserDefinedFunction = mkParseUdf(unescape = false)
+
+  /** `parse(sql_redo)` as a column: struct(operation, owner, table, data, before, ok).
+    * `unescape` maps the reference's map.unescaped.strings knob (Config:29). */
+  def parse(sqlRedo: Column, unescape: Boolean = true): Column =
+    if (unescape) parseUdf(sqlRedo) else parseUdfNoUnescape(sqlRedo)
 }

@@ -17,10 +17,13 @@ import org.apache.spark.sql.functions._
  */
 object Skew {
 
-  /** Salted sum/count per key: phase 1 groupBy(key, salt), phase 2 groupBy(key). */
+  /** Salted sum/count per key: phase 1 groupBy(key, salt), phase 2 groupBy(key).
+    * The salt mixes a per-row id so a hot key spreads even when its VALUE column is
+    * constant (hash(value) alone would re-funnel fixed-value hot keys into one reducer);
+    * any salt assignment yields the same final sums, so results stay deterministic. */
   def saltedSumCount(df: DataFrame, key: Column, value: Column, salts: Int = 16): DataFrame =
     df.select(key.as("k"), value.as("v"))
-      .withColumn("salt", pmod(hash(col("v")), lit(salts)))
+      .withColumn("salt", pmod(hash(col("v"), spark_partition_id(), monotonically_increasing_id()), lit(salts)))
       .groupBy(col("k"), col("salt"))
       .agg(sum(col("v")).as("partial_sum"), count(lit(1)).as("partial_cnt"))
       .groupBy(col("k"))

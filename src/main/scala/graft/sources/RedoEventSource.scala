@@ -33,23 +33,38 @@ object RedoEventSource {
     StructField("rollback", BooleanType), StructField("info", StringType),
     StructField("rbasqn", LongType)))
 
-  /** Decode a Kafka-shaped frame (value = JSON) into the event Dataset. */
+  /**
+   * Decode a Kafka-shaped frame (value = JSON) into the event Dataset.
+   *
+   * Corrupt-record posture (A25): `from_json` yields null structs/fields for malformed
+   * payloads, and `RedoEvent`'s primitive fields would make the encoder throw — wedging
+   * the stream on one bad record forever (checkpoint replays the same offset). So records
+   * missing the identity fields (scn/xid/operation) are DROPPED here (route `fromKafka`'s
+   * input through a raw-DLQ first if every byte must be accounted for), and every other
+   * field falls back to a safe default.
+   */
   def fromKafka(kafka: DataFrame): Dataset[RedoEvent] = {
     val spark = kafka.sparkSession
     import spark.implicits._
     kafka
       .select(from_json(col("value").cast("string"), jsonSchema).as("e"), col("offset"))
+      .filter(col("e").isNotNull && col("e.scn").isNotNull &&
+        col("e.xid").isNotNull && col("e.operation").isNotNull)
       .select(
-        col("e.scn").as("scn"), col("e.commitScn").as("commitScn"),
-        col("e.xid").as("xid"), col("e.rowId").as("rowId"),
+        col("e.scn").as("scn"),
+        coalesce(col("e.commitScn"), lit(0L)).as("commitScn"),
+        col("e.xid").as("xid"),
+        coalesce(col("e.rowId"), lit("")).as("rowId"),
         col("e.operation").as("operation"),
-        timestamp_millis(col("e.timestampMs")).as("timestamp"),
+        coalesce(timestamp_millis(col("e.timestampMs")), timestamp_millis(lit(0L))).as("timestamp"),
         timestamp_millis(col("e.commitTimestampMs")).as("commitTimestamp"),
-        col("e.segOwner").as("segOwner"), col("e.tableName").as("tableName"),
-        col("e.sqlRedo").as("sqlRedo"), col("e.csf").as("csf"),
-        col("e.rollback").as("rollback"),
+        coalesce(col("e.segOwner"), lit("")).as("segOwner"),
+        coalesce(col("e.tableName"), lit("")).as("tableName"),
+        coalesce(col("e.sqlRedo"), lit("")).as("sqlRedo"),
+        coalesce(col("e.csf"), lit(false)).as("csf"),
+        coalesce(col("e.rollback"), lit(false)).as("rollback"),
         coalesce(col("e.info"), lit("")).as("info"),
-        col("e.rbasqn").as("rbasqn"),
+        coalesce(col("e.rbasqn"), lit(0L)).as("rbasqn"),
         col("offset").as("seq"))
       .as[RedoEvent]
   }

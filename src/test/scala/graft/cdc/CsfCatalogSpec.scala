@@ -29,7 +29,8 @@ class CsfCatalogSpec extends AnyFunSuite {
     assert(oracleTypeToSpark("NUMBER", 4, 0) == ShortType)
     assert(oracleTypeToSpark("NUMBER", 9, 0) == IntegerType)
     assert(oracleTypeToSpark("NUMBER", 10, 0) == LongType)
-    assert(oracleTypeToSpark("NUMBER", 0, 0) == LongType)
+    // unconstrained NUMBER (precision 0, scale 0) can hold fractions: FLOAT64 (Utils:194)
+    assert(oracleTypeToSpark("NUMBER", 0, 0) == DoubleType)
     assert(oracleTypeToSpark("VARCHAR2", 0, 0) == StringType)
     assert(oracleTypeToSpark("NCLOB???unknown", 0, 0) == StringType)
     assert(oracleTypeToSpark("DATE", 0, 0) == TimestampType)
