@@ -44,6 +44,50 @@ object Multimodal {
     }
   }
 
+  final case class ResizedRow(doc_id: Long, width: Int, height: Int, payload: Array[Byte])
+
+  /**
+   * STUB resize (no image codec in this container): deterministic downsample of the raw
+   * byte stream to width*height bytes by strided selection. Real deployments decode,
+   * resample, and re-encode here; the schema, batching, and partition-parallelism are
+   * the production shape.
+   */
+  def resize(media: Dataset[MediaRow], width: Int, height: Int): Dataset[ResizedRow] = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.mapPartitions { batch =>
+      batch.map { m =>
+        val n = width * height
+        val out = new Array[Byte](n)
+        if (m.payload.nonEmpty) {
+          var i = 0
+          while (i < n) { out(i) = m.payload((i.toLong * m.payload.length / n).toInt); i += 1 }
+        }
+        ResizedRow(m.doc_id, width, height, out)
+      }
+    }
+  }
+
+  final case class FrameRow(doc_id: Long, frame_idx: Int, payload: Array[Byte])
+
+  /**
+   * STUB frame sampling (video analogue): treat the payload as `nFrames` equal chunks and
+   * emit every `stride`-th chunk as a frame row — the 1:N explode shape of real frame
+   * extraction, with deterministic fake frame content.
+   */
+  def sampleFrames(media: Dataset[MediaRow], nFrames: Int, stride: Int): Dataset[FrameRow] = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.flatMap { m =>
+      val chunk = math.max(1, m.payload.length / math.max(1, nFrames))
+      (0 until nFrames by stride).iterator.map { f =>
+        val from = math.min(f * chunk, m.payload.length)
+        val to = math.min(from + chunk, m.payload.length)
+        FrameRow(m.doc_id, f, java.util.Arrays.copyOfRange(m.payload, from, to))
+      }
+    }
+  }
+
   /** documents.text rendered as a binary media payload column. */
   def mediaFrame(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._

@@ -53,6 +53,19 @@ class CsfCatalogSpec extends AnyFunSuite {
     assert(row.isNullAt(3)) // column absent from payload -> typed null
   }
 
+  test("multimodal resize/frame-sample plumbing: deterministic shapes") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val media = Seq(graft.ext.Multimodal.MediaRow(1L, (0 until 100).map(_.toByte).toArray)).toDS()
+    val resized = graft.ext.Multimodal.resize(media, 4, 3).collect().head
+    assert(resized.payload.length == 12 && resized.width == 4 && resized.height == 3)
+    assert(resized.payload(0) == 0.toByte) // strided selection is deterministic
+    val frames = graft.ext.Multimodal.sampleFrames(media, nFrames = 10, stride = 3)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toList == List(0, 3, 6, 9))
+    assert(frames.forall(_.payload.length == 10))
+  }
+
   test("multimodal decode plumbing: partition-parallel stub decode") {
     val spark = graft.SparkTestSession.spark
     import spark.implicits._
