@@ -144,8 +144,12 @@ object CdcPipeline {
   /**
    * The full dataflow, batch or streaming (SURVEY §7 `CdcPipeline.scala` wiring):
    * control ops pass straight to assembly; DML/DDL go through the A8/A9/A15/A11/A10
-   * filter stack; CSF fragments fuse; transactions assemble (shuffle on xid); committed
-   * rows parse and project into the routed envelope.
+   * filter stack (per-fragment, matching the reference's filter-before-CSF order,
+   * Task:275-281); transactions assemble (ONE shuffle on xid) with CSF fragment fusion
+   * running inside the same keyed state — in streaming mode an open fragment run is
+   * carried across micro-batches in the transaction buffer, so a statement split at a
+   * batch boundary still fuses ([[TxnAssembler.assembleStreaming]]); committed rows parse
+   * via the native `parse_redo` expression and project into the routed envelope.
    */
   def stream(events: Dataset[RedoEvent], config: CdcConfig, streaming: Boolean = true,
              droppedTxns: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
@@ -160,12 +164,11 @@ object CdcPipeline {
         (if (config.blacklist.nonEmpty) blacklist(config.blacklist, col("segOwner"), col("tableName")) else lit(true)) &&
         operationFilter(config.dmlTypes, col("operation")))
     val filtered = events.filter(keep)
-    val fused = Csf.fuse(filtered)
     val committed =
       if (streaming)
-        TxnAssembler.assembleStreaming(fused, config.abandonedTxnTimeout,
+        TxnAssembler.assembleStreaming(filtered, config.abandonedTxnTimeout,
           config.maxBufferedRows, droppedTxns)
-      else TxnAssembler.assembleBatch(fused, config.maxBufferedRows)
+      else TxnAssembler.assembleBatch(filtered, config.maxBufferedRows)
     val renamed = committed.toDF()
       .withColumnRenamed("segOwner", "seg_owner")
       .withColumnRenamed("tableName", "table_name")

@@ -29,9 +29,13 @@ object TxnAssembler {
     * `n` tracks the buffered count (List.size is O(n)); `overflowed` is set once the
     * [[CdcConfig.maxBufferedRows]] cap is hit — further rows are NOT retained (bounded
     * executor memory at 100 TB; the reference buffers unboundedly, Thread:81) and the
-    * whole transaction is dropped at COMMIT instead of emitting a silently-truncated one. */
+    * whole transaction is dropped at COMMIT instead of emitting a silently-truncated one.
+    * `frags` carries an open CSF fragment run (A7) across micro-batches: a statement split
+    * at a batch boundary fuses when its terminator arrives, instead of flowing downstream
+    * as two truncated statements. */
   final case class TxnBuffer(rows: List[RedoEvent], containsRollback: Boolean, started: Boolean,
-                             overflowed: Boolean = false, n: Int = 0)
+                             overflowed: Boolean = false, n: Int = 0,
+                             frags: List[RedoEvent] = Nil)
   object TxnBuffer { val empty: TxnBuffer = TxnBuffer(Nil, containsRollback = false, started = false) }
 
   /**
@@ -115,7 +119,10 @@ object TxnAssembler {
     (out.result(), if (open && (buf.started || buf.rows.nonEmpty)) Some(buf) else None)
   }
 
-  /** Batch-mode assembly: group by xid, sort by SCN within the group, run the state machine. */
+  /** Batch-mode assembly: group by xid, sort by SCN within the group, fuse CSF fragment
+    * runs (A7 — fragments share the xid, so fusion rides the same shuffle as assembly:
+    * no extra exchange), then run the state machine. A truncated trailing run is flushed
+    * csf=true so the loss is observable (failed parse → DLQ), not silent. */
   def assembleBatch(events: Dataset[RedoEvent],
                     maxBufferedRows: Int = Int.MaxValue): Dataset[CommittedDml] = {
     val spark = events.sparkSession
@@ -124,7 +131,9 @@ object TxnAssembler {
       .groupByKey(_.xid)
       .flatMapGroups { (_, it) =>
         val sorted = it.toVector.sortBy(e => (e.scn, e.seq, e.rowId))
-        step(TxnBuffer.empty, sorted.iterator, maxBufferedRows)._1.iterator
+        val (fusedEvs, open) = Csf.fuseAdjacent(sorted.iterator)
+        val all = if (open.nonEmpty) fusedEvs :+ Csf.fused(open, complete = false) else fusedEvs
+        step(TxnBuffer.empty, all.iterator, maxBufferedRows)._1.iterator
       }
   }
 
@@ -169,9 +178,18 @@ object TxnAssembler {
             Iterator.empty
           } else {
             val sorted = it.toVector.sortBy(e => (e.scn, e.seq, e.rowId))
-            val (emitted, remaining) = step(state.getOption.getOrElse(TxnBuffer.empty),
-              sorted.iterator, maxBufferedRows, () => droppedTxns.foreach(_.add(1)))
-            remaining match {
+            val prev = state.getOption.getOrElse(TxnBuffer.empty)
+            // A7 across micro-batches: resume the open fragment run carried in state, hold
+            // the new trailing open run (if any) for the next batch
+            val (fusedEvs, carry) = Csf.fuseAdjacent(sorted.iterator, prev.frags)
+            val (emitted, remaining) = step(prev.copy(frags = Nil),
+              fusedEvs.iterator, maxBufferedRows, () => droppedTxns.foreach(_.add(1)))
+            val next = remaining match {
+              case Some(buf)               => Some(buf.copy(frags = carry.toList))
+              case None if carry.nonEmpty  => Some(TxnBuffer.empty.copy(frags = carry.toList))
+              case None                    => None
+            }
+            next match {
               case Some(buf) =>
                 state.update(buf)
                 abandonedTxnTimeout.foreach(state.setTimeoutDuration)

@@ -61,20 +61,40 @@ object ParseRedoExpr {
     StructField("data", MapType(StringType, StringType, valueContainsNull = false), nullable = false),
     StructField("before", MapType(StringType, StringType, valueContainsNull = false), nullable = false),
     StructField("ok", BooleanType, nullable = false)))
+
+  /** The function surface: both unescape postures (map.unescaped.strings, Config:29). */
+  private[graft] val registrations
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("parse_redo"),
+      new ExpressionInfo(classOf[ParseRedoExpr].getName, "parse_redo"),
+      (children: Seq[Expression]) => ParseRedoExpr(children.head, unescape = true)),
+    (new FunctionIdentifier("parse_redo_noescape"),
+      new ExpressionInfo(classOf[ParseRedoExpr].getName, "parse_redo_noescape"),
+      (children: Seq[Expression]) => ParseRedoExpr(children.head, unescape = false)))
+
+  /**
+   * Idempotently register `parse_redo`/`parse_redo_noescape` in the session's function
+   * registry — the runtime path for sessions not built with [[GraftExtensions]] (e.g. the
+   * driver's own session). Session-local (not the global UDF registry), same target
+   * `injectFunction` writes to.
+   */
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    registrations.foreach { case (ident, info, builder) =>
+      if (!registry.functionExists(ident)) registry.registerFunction(ident, info, builder)
+    }
+  }
 }
 
 /**
- * SparkSessionExtensions entry point: registers `parse_redo` in the session function
- * registry, so both SQL (`SELECT parse_redo(sql_redo).data FROM ...`) and the DataFrame
- * API (`call_function("parse_redo", col)`) reach the native expression. Activate with
- * `.withExtensions(new GraftExtensions)` or
+ * SparkSessionExtensions entry point: registers `parse_redo` (+ `_noescape`) in the session
+ * function registry, so both SQL (`SELECT parse_redo(sql_redo).data FROM ...`) and the
+ * DataFrame API (`call_function("parse_redo", col)`) reach the native expression. Activate
+ * with `.withExtensions(new GraftExtensions)` or
  * `spark.sql.extensions=graft.functions.GraftExtensions`.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("parse_redo"),
-      new ExpressionInfo(classOf[ParseRedoExpr].getName, "parse_redo"),
-      (children: Seq[Expression]) => ParseRedoExpr(children.head)))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ParseRedoExpr.registrations.foreach(ext.injectFunction)
 }

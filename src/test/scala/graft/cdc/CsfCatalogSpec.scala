@@ -21,6 +21,49 @@ class CsfCatalogSpec extends AnyFunSuite {
     assert(out.last.sqlRedo == "whole")
   }
 
+  test("independent DMLs sharing (xid, scn, rowId) are NOT concatenated (csf run-splitting)") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    // Oracle assigns one SCN to many changes: insert-then-update on the same row at the
+    // same SCN in one txn must survive as TWO statements (each run ends at its csf=false)
+    val base = RedoEvent.simple(5, "x1", RedoEvent.Insert, rowId = "RA")
+    val evs = Seq(
+      base.copy(sqlRedo = "insert into T(ID) values (1)", csf = false, seq = 1),
+      base.copy(operation = RedoEvent.Update,
+        sqlRedo = "update T set ID = 2 where ID = 1", csf = false, seq = 2))
+    val out = Csf.fuse(evs.toDS()).collect().sortBy(_.seq)
+    assert(out.length == 2)
+    assert(out.head.sqlRedo == "insert into T(ID) values (1)")
+    assert(out.last.sqlRedo == "update T set ID = 2 where ID = 1")
+  }
+
+  test("fragmented run followed by an independent DML in one group fuses only the run") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val base = RedoEvent.simple(5, "x1", RedoEvent.Insert, rowId = "RA")
+    val evs = Seq(
+      base.copy(sqlRedo = "insert into T(ID) va", csf = true, seq = 1),
+      base.copy(sqlRedo = "lues (42)", csf = false, seq = 2),
+      base.copy(operation = RedoEvent.Delete,
+        sqlRedo = "delete from T where ID = 42", csf = false, seq = 3))
+    val out = Csf.fuse(evs.toDS()).collect().sortBy(_.seq)
+    assert(out.map(_.sqlRedo).toList ==
+      List("insert into T(ID) values (42)", "delete from T where ID = 42"))
+  }
+
+  test("truncated trailing run is flushed with csf=true (observable, not dropped)") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val base = RedoEvent.simple(5, "x1", RedoEvent.Insert, rowId = "RA")
+    val evs = Seq(
+      base.copy(sqlRedo = "insert into T(ID) va", csf = true, seq = 1),
+      base.copy(sqlRedo = "lues (4", csf = true, seq = 2)) // terminator never arrives
+    val out = Csf.fuse(evs.toDS()).collect()
+    assert(out.length == 1)
+    assert(out.head.sqlRedo == "insert into T(ID) values (4")
+    assert(out.head.csf) // still marked incomplete
+  }
+
   test("NUMBER precision ladder matches Utils:191-241") {
     import Catalog.oracleTypeToSpark
     assert(oracleTypeToSpark("NUMBER", 0, 2) == DoubleType)   // scale>0 -> double

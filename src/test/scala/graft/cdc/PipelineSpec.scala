@@ -51,6 +51,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(del.getAs[Map[String, String]]("before") == Map("ID" -> "0"))
   }
 
+  test("stream(streaming=true): full pipeline over MemoryStream, CSF fused ACROSS micro-batches") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val cfg = CdcConfig("DB1", Seq("APP" -> "*"), abandonedTxnTimeout = None)
+    val input = MemoryStream[RedoEvent](Encoders.product[RedoEvent], spark)
+    val query = CdcPipeline.stream(input.toDS(), cfg, streaming = true)
+      .writeStream.format("memory").queryName("pipe_out").outputMode("append").start()
+    // batch 1: txn opens, first CSF fragment arrives — nothing can be emitted yet
+    input.addData(
+      ev(1, "x1", RedoEvent.Start),
+      ev(2, "x1", RedoEvent.Insert, redo = """insert into "APP"."T1"("ID","N") val""")
+        .copy(csf = true, rowId = "RA", seq = 2))
+    query.processAllAvailable()
+    assert(spark.table("pipe_out").isEmpty)
+    // batch 2: the fragment's terminator + an independent DELETE + COMMIT
+    input.addData(
+      ev(2, "x1", RedoEvent.Insert, redo = """ues (1,'a')""").copy(rowId = "RA", seq = 3),
+      ev(5, "x1", RedoEvent.Delete, redo = """delete from "APP"."T1" where "ID" = 0"""),
+      ev(6, "x1", RedoEvent.Commit))
+    query.processAllAvailable()
+    val out = spark.table("pipe_out").collect().sortBy(_.getAs[Long]("scn"))
+    query.stop()
+    assert(out.length == 2)
+    assert(out.head.getAs[String]("operation") == "INSERT")
+    assert(out.head.getAs[Map[String, String]]("data") == Map("ID" -> "1", "N" -> "a"))
+    assert(out.head.getAs[Long]("commit_scn") == 6L)
+    assert(out.last.getAs[Map[String, String]]("before") == Map("ID" -> "0"))
+  }
+
   test("typedTableView casts the dynamic payload into the table's parquet types") {
     val spark = graft.SparkTestSession.spark
     import spark.implicits._

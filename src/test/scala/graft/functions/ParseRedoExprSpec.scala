@@ -32,9 +32,9 @@ class ParseRedoExprSpec extends AnyFunSuite {
       .collect()
     assert(viaSql.map(_.getString(0)).toList == List("O'Brien"))
 
-    // equivalence with the UDF path on the same inputs
-    val udf = df.select(graft.cdc.ParseRedo.parse(col("sql_redo")).as("p"))
+    // ParseRedo.parse routes to the same native expression (lazy registry registration)
+    val viaParseRedo = df.select(graft.cdc.ParseRedo.parse(col("sql_redo")).as("p"))
       .select($"p.operation", $"p.data", $"p.before", $"p.ok").collect()
-    assert(native.map(_.toString).toList == udf.map(_.toString).toList)
+    assert(native.map(_.toString).toList == viaParseRedo.map(_.toString).toList)
   }
 }
