@@ -17,6 +17,53 @@ import graft.cdc._
  */
 object CdcQueries {
 
+  /**
+   * Event script for one order-keyed transaction (shared by the batch and streaming
+   * reconstruct queries): START, INSERT, an update+partial-rollback pair for %7 keys (must
+   * cancel, A20), a surviving status update for %5 keys, then COMMIT — or ROLLBACK for %10
+   * keys (txn must vanish).
+   */
+  private def txnEvents(k: Long, st: String): Seq[RedoEvent] = {
+    val xid = s"tx$k"
+    val rid = f"ROW$k%012d"
+    def ev(off: Long, op: String, redo: String = "", rb: Boolean = false) =
+      RedoEvent(scn = k * 10 + off, commitScn = 0L, xid = xid, rowId = rid, operation = op,
+        timestamp = new java.sql.Timestamp(0L), commitTimestamp = None,
+        segOwner = "GRAFT", tableName = "ORDERS", sqlRedo = redo, csf = false,
+        rollback = rb, info = "", rbasqn = 1L, seq = k * 10 + off)
+    val ins = ev(1, RedoEvent.Insert,
+      s"""insert into "GRAFT"."ORDERS"("O_ORDERKEY","O_ORDERSTATUS") values ($k,'$st')""")
+    val rolledBackPair =
+      if (k % 7 == 0) Seq(
+        ev(2, RedoEvent.Update,
+          s"""update "GRAFT"."ORDERS" set "O_ORDERSTATUS" = 'X' where "O_ORDERKEY" = $k"""),
+        ev(3, RedoEvent.Update,
+          s"""update "GRAFT"."ORDERS" set "O_ORDERSTATUS" = '$st' where "O_ORDERKEY" = $k""",
+          rb = true))
+      else Seq.empty
+    val survivingUpdate =
+      if (k % 5 == 0) Seq(ev(4, RedoEvent.Update,
+        s"""update "GRAFT"."ORDERS" set "O_ORDERSTATUS" = 'U' where "O_ORDERKEY" = $k"""))
+      else Seq.empty
+    val terminal = ev(6, if (k % 10 == 0) RedoEvent.Rollback else RedoEvent.Commit)
+    Seq(ev(0, RedoEvent.Start), ins) ++ rolledBackPair ++ survivingUpdate :+ terminal
+  }
+
+  /** Committed envelopes -> final per-key state -> count by final status (shared reducer
+    * of the batch and streaming reconstruct queries). */
+  private def reconstructStatus(committed: DataFrame): DataFrame = {
+    val s = committed.sparkSession
+    import s.implicits._
+    committed
+      .select($"scn", ParseRedo.parse($"sqlRedo").as("p"))
+      .select($"scn",
+        col("p.data").getItem("O_ORDERKEY").cast("long").as("k"),
+        col("p.data").getItem("O_ORDERSTATUS").as("st"))
+      .groupBy($"k").agg(max_by($"st", $"scn").as("status"))
+      .groupBy($"status").agg(count(lit(1)).as("cnt"))
+      .orderBy($"status")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A12+A16+A13: render INSERT redo from nation, parse it back, catalog-cast to types.
     // Oracle: the nation table itself — exact round-trip.
@@ -31,45 +78,74 @@ object CdcQueries {
         .select(Catalog.castProjection(col("parsed.data"), schema): _*)
         .orderBy($"n_nationkey")
     },
+    // A7+A12+A16: CSF continuation reassembly, oracle-gated — the same INSERT redo as
+    // cdc_parse_roundtrip but split into 3 fragments sharing (xid, scn, rowId), csf=true on
+    // all but the last (the reference's cursor contract, OracleSourceTask2.java:277-281,
+    // LogMinerThread2.java:265-269), pushed through Csf.fuse -> parse -> catalog cast.
+    // Oracle: the nation table itself — a green hash proves fuse byte-exactly restores
+    // every statement.
+    "cdc_csf_fuse" -> { (s, dir) =>
+      import s.implicits._
+      val schema = Catalog.schemaOf(s, dir, "nation")
+      val frags = Tables(s, dir, "nation")
+        .select($"n_nationkey".cast("long").as("k"),
+          concat(
+            lit("insert into \"GRAFT\".\"NATION\"(\"N_NATIONKEY\",\"N_NAME\",\"N_REGIONKEY\") values ("),
+            $"n_nationkey", lit(",'"), $"n_name", lit("',"), $"n_regionkey", lit(")")).as("redo"))
+        .as[(Long, String)]
+        .flatMap { case (k, redo) =>
+          val (cut1, cut2) = (redo.length / 3, 2 * redo.length / 3)
+          val parts = Seq(redo.substring(0, cut1), redo.substring(cut1, cut2), redo.substring(cut2))
+          parts.zipWithIndex.map { case (p, i) =>
+            RedoEvent(scn = k, commitScn = 0L, xid = s"tx$k", rowId = f"R$k%010d",
+              operation = RedoEvent.Insert, timestamp = new java.sql.Timestamp(0L),
+              commitTimestamp = None, segOwner = "GRAFT", tableName = "NATION", sqlRedo = p,
+              csf = i < parts.length - 1, rollback = false, info = "", rbasqn = 1L,
+              seq = k * 10 + i)
+          }
+        }
+      Csf.fuse(frags)
+        .select(ParseRedo.parse($"sqlRedo").as("parsed"))
+        .select(Catalog.castProjection(col("parsed.data"), schema): _*)
+        .orderBy($"n_nationkey")
+    },
     // A19+A20+A12: one transaction per order — START, INSERT, (update+partial-rollback pair
     // for %7 keys: must cancel), (surviving status update for %5 keys), COMMIT unless %10.
     // Reconstruct final per-key state from committed envelopes; aggregate by final status.
     "cdc_txn_reconstruct" -> { (s, dir) =>
       import s.implicits._
-      val base = Tables(s, dir, "orders").select($"o_orderkey", $"o_orderstatus").as[(Long, String)]
-      val events = base.flatMap { case (k, st) =>
-        val xid = s"tx$k"
-        val rid = f"ROW$k%012d"
-        def ev(off: Long, op: String, redo: String = "", rb: Boolean = false) =
-          RedoEvent(scn = k * 10 + off, commitScn = 0L, xid = xid, rowId = rid, operation = op,
-            timestamp = new java.sql.Timestamp(0L), commitTimestamp = None,
-            segOwner = "GRAFT", tableName = "ORDERS", sqlRedo = redo, csf = false,
-            rollback = rb, info = "", rbasqn = 1L, seq = k * 10 + off)
-        val ins = ev(1, RedoEvent.Insert,
-          s"""insert into "GRAFT"."ORDERS"("O_ORDERKEY","O_ORDERSTATUS") values ($k,'$st')""")
-        val rolledBackPair =
-          if (k % 7 == 0) Seq(
-            ev(2, RedoEvent.Update,
-              s"""update "GRAFT"."ORDERS" set "O_ORDERSTATUS" = 'X' where "O_ORDERKEY" = $k"""),
-            ev(3, RedoEvent.Update,
-              s"""update "GRAFT"."ORDERS" set "O_ORDERSTATUS" = '$st' where "O_ORDERKEY" = $k""",
-              rb = true))
-          else Seq.empty
-        val survivingUpdate =
-          if (k % 5 == 0) Seq(ev(4, RedoEvent.Update,
-            s"""update "GRAFT"."ORDERS" set "O_ORDERSTATUS" = 'U' where "O_ORDERKEY" = $k"""))
-          else Seq.empty
-        val terminal = ev(6, if (k % 10 == 0) RedoEvent.Rollback else RedoEvent.Commit)
-        Seq(ev(0, RedoEvent.Start), ins) ++ rolledBackPair ++ survivingUpdate :+ terminal
-      }
-      TxnAssembler.assembleBatch(events).toDF()
-        .select($"scn", ParseRedo.parse($"sqlRedo").as("p"))
-        .select($"scn",
-          col("p.data").getItem("O_ORDERKEY").cast("long").as("k"),
-          col("p.data").getItem("O_ORDERSTATUS").as("st"))
-        .groupBy($"k").agg(max_by($"st", $"scn").as("status"))
-        .groupBy($"status").agg(count(lit(1)).as("cnt"))
-        .orderBy($"status")
+      val events = Tables(s, dir, "orders").select($"o_orderkey", $"o_orderstatus")
+        .as[(Long, String)]
+        .flatMap { case (k, st) => txnEvents(k, st) }
+      reconstructStatus(TxnAssembler.assembleBatch(events).toDF())
+    },
+    // A19 via the STREAMING path (flatMapGroupsWithState + state store), same oracle as
+    // cdc_txn_reconstruct: events drive a MemoryStream in two micro-batches SPLIT
+    // MID-TRANSACTION (every txn's START+INSERT in batch 1, its terminal in batch 2), so a
+    // green hash proves open buffers carry across batch boundaries in state — batch/stream
+    // parity under the oracle, not just in ScalaTest (reference semantics
+    // LogMinerThread2.java:158-298).
+    "cdc_txn_reconstruct_stream" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.Encoders
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val rows = Tables(s, dir, "orders").select($"o_orderkey", $"o_orderstatus")
+        .as[(Long, String)].collect() // driver-side feed is inherent to MemoryStream
+      val all = rows.flatMap { case (k, st) => txnEvents(k, st) }
+      val (opening, closing) = all.partition(e => e.seq % 10 <= 1) // START+INSERT vs rest
+      val input = MemoryStream[RedoEvent](Encoders.product[RedoEvent], s)
+      val sink = "cdc_txn_stream_sink"
+      // NoTimeout: a processing-time timeout makes every micro-batch "require another
+      // batch", so processAllAvailable would never return (see TxnAssembler scaladoc)
+      val query = TxnAssembler.assembleStreaming(input.toDS(), abandonedTxnTimeout = None)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        input.addData(opening.toSeq)
+        query.processAllAvailable()
+        input.addData(closing.toSeq)
+        query.processAllAvailable()
+      } finally query.stop()
+      reconstructStatus(s.table(sink))
     },
     // A8+A9+A10+A11+A15+A22: the filter/routing stack over a stream synthesized from events.
     "cdc_filters_routing" -> { (s, dir) =>
@@ -131,7 +207,14 @@ object CdcQueries {
   val oracle: Map[String, String] = Map(
     "cdc_parse_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "cdc_csf_fuse" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "cdc_txn_reconstruct" ->
+      """SELECT CASE WHEN o_orderkey % 5 = 0 THEN 'U' ELSE o_orderstatus END AS status,
+        | cast(count(*) AS BIGINT) AS cnt
+        |FROM orders WHERE o_orderkey % 10 <> 0
+        |GROUP BY 1 ORDER BY status""".stripMargin,
+    "cdc_txn_reconstruct_stream" ->
       """SELECT CASE WHEN o_orderkey % 5 = 0 THEN 'U' ELSE o_orderstatus END AS status,
         | cast(count(*) AS BIGINT) AS cnt
         |FROM orders WHERE o_orderkey % 10 <> 0

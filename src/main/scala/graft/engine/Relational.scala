@@ -172,9 +172,12 @@ object Relational {
       val registered = Tables(s, dir, "orders")
         .filter($"o_orderkey" % 3 === 0)
         .select($"o_orderkey", ($"o_custkey" % 10).as("grp"))
+      // cached: `latest` feeds both the except() side and the re-join — without it the
+      // union+window subplan executes twice (round-2 plan audit)
       val latest = archived.unionAll(online)
         .withColumn("rn", row_number().over(w))
         .filter($"rn" <= 5)
+        .cache()
       latest.select($"o_orderkey", $"grp").except(registered)
         .join(latest, Seq("o_orderkey", "grp"))
         .groupBy($"grp")

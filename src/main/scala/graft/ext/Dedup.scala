@@ -120,25 +120,37 @@ object Dedup {
         .orderBy($"doc_id")
     },
     // token-set Jaccard verification within (lang, source) blocks, integer basis points.
-    // Set-similarity-join plan (cf. PAPERS.md): explode distinct tokens, equi-join on
-    // (block, token) to COUNT intersections, then join per-doc sizes — intersection work
-    // scales with shared tokens, not with pairs x array length, and pairs sharing nothing
-    // never materialize (they'd have jac 0 and be filtered anyway).
+    // PREFIX-FILTERED set-similarity join (PPJoin-style, cf. PAPERS.md): tokens get a
+    // global canonical rare-first order (document frequency asc, token asc); for J >= t a
+    // matching pair must share a token among each doc's first |d| - ceil(t*|d|) + 1 tokens
+    // (since inter <= min(|a|,|b|) forces inter >= ceil(t*|d|) per side), so candidate
+    // generation joins ONLY on prefix tokens and exact Jaccard verifies the candidates.
+    // LOSSLESS — identical result to the naive all-token join — but the join never touches
+    // a document's most frequent tokens: the hot-token (stopword) quadratic blowup that
+    // kills the naive plan at 100 TB is bounded by construction.
     "dedup_ngram_jaccard" -> { (s, dir) =>
       import s.implicits._
+      import org.apache.spark.sql.expressions.Window
       val d = graft.engine.Tables(s, dir, "documents")
         .select($"doc_id", $"lang", $"source", array_distinct(TextOps.tokens($"text")).as("toks"))
         .withColumn("sz", size($"toks"))
         .cache()
-      val toks = d.select($"doc_id", $"lang", $"source", explode($"toks").as("tok"))
-      val inter = toks.as("a").join(toks.as("b"),
+      val toks = d.select($"doc_id", $"lang", $"source", $"sz", explode($"toks").as("tok"))
+      val dfreq = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
+      val wDoc = Window.partitionBy($"doc_id").orderBy($"df", $"tok")
+      val prefix = toks.join(dfreq, "tok")
+        .withColumn("rn", row_number().over(wDoc))
+        .filter($"rn" <= $"sz" - ceil($"sz" * 0.5) + 1) // prefix length for t = 0.5
+        .select($"doc_id", $"lang", $"source", $"tok")
+      val cand = prefix.as("a").join(prefix.as("b"),
           col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
             col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).cast("int").as("inter"))
-      inter
-        .join(d.select($"doc_id".as("doc_a"), $"sz".as("sz_a")), "doc_a")
-        .join(d.select($"doc_id".as("doc_b"), $"sz".as("sz_b")), "doc_b")
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(d.select($"doc_id".as("doc_a"), $"toks".as("toks_a"), $"sz".as("sz_a")), "doc_a")
+        .join(d.select($"doc_id".as("doc_b"), $"toks".as("toks_b"), $"sz".as("sz_b")), "doc_b")
+        .withColumn("inter", size(array_intersect($"toks_a", $"toks_b")))
         .withColumn("jac_bp", expr("cast(inter as bigint) * 10000 div (sz_a + sz_b - inter)"))
         .filter($"jac_bp" >= 5000)
         .select($"doc_a", $"doc_b", $"jac_bp")

@@ -22,14 +22,18 @@ object Multimodal {
 
   /**
    * STUB decoder (no codecs in this container): derives a fixed-width feature vector from
-   * raw bytes. A real deployment swaps this body for an image/audio decode; the signature,
+   * raw bytes — lane j accumulates the raw values of bytes at positions ≡ j (mod dims).
+   * Raw integer accumulation (not normalized) is deliberate: the sums stay exactly
+   * representable in Float32 (< 2^24 for any realistic payload), so the decode stage is
+   * bit-checkable against a SQL oracle computing the same byte sums. A real deployment
+   * swaps this body for an image/audio decode (which would normalize); the signature,
    * schema and batching are what production code would keep.
    */
   def fakeDecode(payload: Array[Byte], dims: Int = 8): Array[Float] = {
     val out = new Array[Float](dims)
     var i = 0
     while (i < payload.length) {
-      out(i % dims) += (payload(i) & 0xff) / 255.0f
+      out(i % dims) += (payload(i) & 0xff).toFloat
       i += 1
     }
     out
@@ -109,16 +113,27 @@ object Multimodal {
           (lit(1L) + $"fp32" % 16).as("n_frames"))
         .orderBy($"doc_id")
     },
-    // decode stage (stub decode, real plumbing) — no SQL oracle; driver rows-only check
+    // decode stage: stub decode through the real mapPartitions plumbing, now oracle-gated —
+    // f0 is lane 0 of the decode (sum of bytes at positions ≡ 0 mod 8), which DuckDB
+    // recomputes from the hex dump of the same payload
     "multimodal_decode" -> { (s, dir) =>
       import s.implicits._
       decodeFeatures(mediaFrame(s, dir))
-        .select($"doc_id", $"byte_len", round(element_at($"features", 1), 3).as("f0"))
+        .select($"doc_id", $"byte_len".cast("long").as("byte_len"),
+          element_at($"features", 1).cast("double").as("f0"))
         .orderBy($"doc_id")
     },
   )
 
   val oracle: Map[String, String] = Map(
+    // the decode oracle re-derives lane 0 byte-by-byte from the payload's hex dump:
+    // byte i (0-indexed) of a blob is substr(hex(blob), 2i+1, 2) parsed base-16
+    "multimodal_decode" ->
+      """SELECT doc_id, octet_length(encode(text)) AS byte_len,
+        | cast(coalesce(list_sum(
+        |   [('0x' || substr(hex(encode(text)), 2*i + 1, 2))::BIGINT
+        |    for i in range(0, octet_length(encode(text)), 8)]), 0) AS DOUBLE) AS f0
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS fp,
         | 64 + ('0x' || substr(md5(text), 1, 8))::BIGINT % 512 AS width,

@@ -79,13 +79,18 @@ object Similarity {
         .select($"vec_id", toDouble($"embedding").as("v"))
       val cents = base.filter($"vec_id".isin(CentroidIds: _*))
         .select($"vec_id".as("c_id"), $"v".as("cv"))
-      val wAssign = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"c_id")
+      // nearest-centroid assignment as a max_by hash aggregate (map-side partial agg, no
+      // per-key window sort); tie-break struct(csim, -c_id) == the oracle's
+      // row_number() ORDER BY csim DESC, c_id. Cached because it feeds BOTH the base and
+      // query sides of the cell-probe join — without it the dominant assignment pass
+      // (full scan x centroids) executes twice (the round-2 plan audit's finding).
       val assigned = base.crossJoin(broadcast(cents))
-        .select($"vec_id", $"v",  $"c_id",
+        .select($"vec_id", $"v", $"c_id",
           round(dot($"v", $"cv") / (sqrt(dot($"v", $"v")) * sqrt(dot($"cv", $"cv"))), 6).as("csim"))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter($"rn" === 1)
-        .select($"vec_id", $"v", $"c_id".as("cell"))
+        .groupBy($"vec_id")
+        .agg(max_by(struct($"v", $"c_id"), struct($"csim", -$"c_id")).as("best"))
+        .select($"vec_id", $"best.v".as("v"), $"best.c_id".as("cell"))
+        .cache()
       val queries = assigned.filter($"vec_id" < NumQueries)
         .select($"vec_id".as("q_id"), $"v".as("qv"), $"cell".as("q_cell"))
       val wTopK = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
