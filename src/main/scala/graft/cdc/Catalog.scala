@@ -21,9 +21,50 @@ object Catalog {
 
   private val cache = TrieMap.empty[String, StructType]
 
-  /** Load (and cache) a table's schema from its parquet footer. */
+  /**
+   * Primary-key columns of the testdata lake's tables — the dictionary content a real
+   * deployment loads via the B3 query (`SQL:13` CTE `dcc`); here the key knowledge is
+   * declared since parquet footers carry no constraint metadata.
+   */
+  val testdataPks: Map[String, Seq[String]] = Map(
+    "region"     -> Seq("r_regionkey"),
+    "nation"     -> Seq("n_nationkey"),
+    "customer"   -> Seq("c_custkey"),
+    "supplier"   -> Seq("s_suppkey"),
+    "part"       -> Seq("p_partkey"),
+    "orders"     -> Seq("o_orderkey"),
+    "lineitem"   -> Seq("l_orderkey", "l_linenumber"),
+    "events"     -> Seq("event_id"),
+    "documents"  -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  /**
+   * SURVEY §1.2: PK / unique-index membership carried as `StructField.metadata`
+   * `{"pk":true,"uq":true}` — the Spark shape of the reference's per-column flags
+   * (OracleConnectorSQL2.java:13 CTEs `dcc`/`duq`; models/Column.java:19-20). A MERGE /
+   * upsert sink built off the envelope reads the key from here.
+   */
+  def withKeyMetadata(schema: StructType, pkCols: Set[String],
+                      uqCols: Set[String] = Set.empty): StructType =
+    StructType(schema.fields.map { f =>
+      val b = new MetadataBuilder().withMetadata(f.metadata)
+      if (pkCols.contains(f.name)) b.putBoolean("pk", true)
+      if (uqCols.contains(f.name)) b.putBoolean("uq", true)
+      f.copy(metadata = b.build())
+    })
+
+  /** Columns of a schema flagged pk (resp. uq) in their metadata. */
+  def keyColumns(schema: StructType, flag: String = "pk"): Seq[String] =
+    schema.fields.toSeq.collect {
+      case f if f.metadata.contains(flag) && f.metadata.getBoolean(flag) => f.name
+    }
+
+  /** Load (and cache) a table's schema from its parquet footer, with pk metadata from the
+    * key dictionary ([[testdataPks]]). */
   def schemaOf(spark: SparkSession, sfDir: String, table: String): StructType =
-    cache.getOrElseUpdate(s"$sfDir/$table", spark.read.parquet(s"$sfDir/$table.parquet").schema)
+    cache.getOrElseUpdate(s"$sfDir/$table",
+      withKeyMetadata(spark.read.parquet(s"$sfDir/$table.parquet").schema,
+        testdataPks.getOrElse(table, Nil).toSet))
 
   /** A14: DDL for a table evicts its cached schema; next access reloads. */
   def invalidate(sfDir: String, table: String): Unit = cache.remove(s"$sfDir/$table")

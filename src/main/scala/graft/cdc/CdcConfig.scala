@@ -16,6 +16,11 @@ package graft.cdc
  *                            deviation from the reference's unbounded state)
  * @param maxBufferedRows     per-transaction buffer cap (100 TB posture: one runaway bulk
  *                            transaction must not OOM an executor)
+ * @param startScn            resume override: mine from this SCN instead of the stored
+ *                            offset (start.scn, Config:24; applied Task:168-173)
+ * @param resetOffset         resume override: discard the stored offset and start from the
+ *                            current tip (reset.offset, Config:30; applied Task:175-192) —
+ *                            beats startScn, matching the reference's override order
  */
 final case class CdcConfig(
     dbAlias: String,
@@ -26,7 +31,17 @@ final case class CdcConfig(
     heartbeatTable: Option[String] = None,
     unescapeStrings: Boolean = true,
     abandonedTxnTimeout: Option[String] = Some("1 hour"),
-    maxBufferedRows: Int = 1 << 20) {
+    maxBufferedRows: Int = 1 << 20,
+    startScn: Option[Long] = None,
+    resetOffset: Boolean = false) {
   require(dbAlias.nonEmpty, "dbAlias must be set (reference Connector:27-30)")
   require(whitelist.nonEmpty, "whitelist must be set (reference Connector:31-34)")
+  require(heartbeatTable.forall(_.matches("[^.]+\\.[^.]+")),
+    s"heartbeatTable must be OWNER.TABLE, got: ${heartbeatTable.getOrElse("")}")
+  require(startScn.forall(_ > 0L), "startScn must be positive when set (Task:168-173)")
+
+  /** The resolved resume posture given a stored offset and the current tip (A5). */
+  def resume(stored: Option[(Long, Long, String)], currentScn: => Long)
+      : graft.sources.RedoEventSource.ResumePosition =
+    graft.sources.RedoEventSource.resolveResume(stored, startScn, resetOffset, currentScn)
 }

@@ -132,6 +132,68 @@ object Relational {
           coalesce($"r_name", lit("NONE")).as("region_name"))
         .orderBy($"c_custkey")
     },
+    // B3 (SQL:13) FAITHFUL dcc/duq shape: dba_tab_cols LEFT OUTER JOIN
+    // (constraints ⋈ cons_columns, type='P') LEFT OUTER JOIN
+    // (ind_columns ⋈ indexes, uniqueness='UNIQUE', GROUP BY dedup), NVL'd pk/uq flags,
+    // HIDDEN/VIRTUAL filters, ORDER BY (table_name, column_id) — the per-column PK/UQ
+    // dictionary the reference loads into models/Column.java:19-20 and we carry as
+    // StructField.metadata (graft.cdc.Catalog.withKeyMetadata). Dictionary tables are
+    // synthesized deterministically from supplier; both dcc and duq are tiny dimension
+    // sides (auto-broadcast; at scale the dictionary is always broadcast-able).
+    "b3_dictionary_pkuq" -> { (s, dir) =>
+      import s.implicits._
+      val sup = Tables(s, dir, "supplier").select($"s_suppkey".cast("long").as("k"))
+      val tabCols = sup.select(
+        lit("GRAFT").as("owner"),
+        concat_ws("", lit("T"), $"k" % 10).as("table_name"),
+        concat_ws("", lit("C"), $"k").as("column_name"),
+        $"k".as("column_id"),
+        when($"k" % 13 === 0, "YES").otherwise("NO").as("hidden_column"),
+        when($"k" % 17 === 0, "YES").otherwise("NO").as("virtual_column"))
+      val hasCons = $"k" % 7 === 0 || $"k" % 11 === 0
+      val consName =
+        when($"k" % 7 === 0, concat_ws("", lit("PK_"), $"k"))
+          .otherwise(concat_ws("", lit("CK_"), $"k"))
+      val constraints = sup.filter(hasCons).select(
+        lit("GRAFT").as("owner"), consName.as("constraint_name"),
+        concat_ws("", lit("T"), $"k" % 10).as("table_name"),
+        when($"k" % 7 === 0, "P").otherwise("C").as("constraint_type"))
+      val consCols = sup.filter(hasCons).select(
+        lit("GRAFT").as("owner"), consName.as("constraint_name"),
+        concat_ws("", lit("T"), $"k" % 10).as("table_name"),
+        concat_ws("", lit("C"), $"k").as("column_name"))
+      // every %15 column sits in TWO unique indexes -> duq's GROUP BY dedup is exercised
+      val indCols = sup.filter($"k" % 5 === 0).select(
+          lit("GRAFT").as("table_owner"), concat_ws("", lit("IX_"), $"k").as("index_name"),
+          concat_ws("", lit("T"), $"k" % 10).as("table_name"),
+          concat_ws("", lit("C"), $"k").as("column_name"))
+        .unionAll(sup.filter($"k" % 15 === 0).select(
+          lit("GRAFT").as("table_owner"), concat_ws("", lit("IX2_"), $"k").as("index_name"),
+          concat_ws("", lit("T"), $"k" % 10).as("table_name"),
+          concat_ws("", lit("C"), $"k").as("column_name")))
+      val indexes = sup.filter($"k" % 5 === 0).select(
+          lit("GRAFT").as("owner"), concat_ws("", lit("IX_"), $"k").as("index_name"),
+          when($"k" % 20 === 0, "NONUNIQUE").otherwise("UNIQUE").as("uniqueness"))
+        .unionAll(sup.filter($"k" % 15 === 0).select(
+          lit("GRAFT").as("owner"), concat_ws("", lit("IX2_"), $"k").as("index_name"),
+          lit("UNIQUE").as("uniqueness")))
+      val dcc = constraints.filter($"constraint_type" === "P")
+        .join(consCols, Seq("owner", "constraint_name", "table_name"))
+        .select($"owner", $"table_name", $"column_name", lit(1).as("pk"))
+      val duq = indCols
+        .join(indexes, indCols("table_owner") === indexes("owner") &&
+          indCols("index_name") === indexes("index_name"))
+        .filter($"uniqueness" === "UNIQUE")
+        .groupBy($"table_owner", $"table_name", $"column_name")
+        .agg(max(lit(1)).as("uq"))
+        .withColumnRenamed("table_owner", "owner")
+      tabCols.filter($"hidden_column" === "NO" && $"virtual_column" === "NO")
+        .join(broadcast(dcc), Seq("owner", "table_name", "column_name"), "left_outer")
+        .join(broadcast(duq), Seq("owner", "table_name", "column_name"), "left_outer")
+        .select($"table_name", $"column_name", $"column_id",
+          coalesce($"pk", lit(0)).as("pk_column"), coalesce($"uq", lit(0)).as("uq_column"))
+        .orderBy($"table_name", $"column_id")
+    },
     // B5 (SQL:11): global MIN aggregate
     "b5_min_agg" -> { (s, dir) =>
       import s.implicits._
@@ -286,6 +348,51 @@ object Relational {
         |  LEFT JOIN dcc ON c_custkey = o_custkey AND o_orderstatus = 'O'
         |  LEFT JOIN duq ON c_nationkey = n_nationkey AND n_regionkey = c_nationkey % 5
         |WHERE c_acctbal > 0 ORDER BY c_custkey""".stripMargin,
+    "b3_dictionary_pkuq" ->
+      """WITH sup AS (SELECT s_suppkey AS k FROM supplier),
+        |tab_cols AS (SELECT 'GRAFT' AS owner, 'T' || (k % 10) AS table_name,
+        |  'C' || k AS column_name, k AS column_id,
+        |  CASE WHEN k % 13 = 0 THEN 'YES' ELSE 'NO' END AS hidden_column,
+        |  CASE WHEN k % 17 = 0 THEN 'YES' ELSE 'NO' END AS virtual_column FROM sup),
+        |constraints AS (SELECT 'GRAFT' AS owner,
+        |  CASE WHEN k % 7 = 0 THEN 'PK_' || k ELSE 'CK_' || k END AS constraint_name,
+        |  'T' || (k % 10) AS table_name,
+        |  CASE WHEN k % 7 = 0 THEN 'P' ELSE 'C' END AS constraint_type
+        |  FROM sup WHERE k % 7 = 0 OR k % 11 = 0),
+        |cons_cols AS (SELECT 'GRAFT' AS owner,
+        |  CASE WHEN k % 7 = 0 THEN 'PK_' || k ELSE 'CK_' || k END AS constraint_name,
+        |  'T' || (k % 10) AS table_name, 'C' || k AS column_name
+        |  FROM sup WHERE k % 7 = 0 OR k % 11 = 0),
+        |ind_cols AS (
+        |  SELECT 'GRAFT' AS table_owner, 'IX_' || k AS index_name,
+        |    'T' || (k % 10) AS table_name, 'C' || k AS column_name FROM sup WHERE k % 5 = 0
+        |  UNION ALL
+        |  SELECT 'GRAFT', 'IX2_' || k, 'T' || (k % 10), 'C' || k FROM sup WHERE k % 15 = 0),
+        |indexes AS (
+        |  SELECT 'GRAFT' AS owner, 'IX_' || k AS index_name,
+        |    CASE WHEN k % 20 = 0 THEN 'NONUNIQUE' ELSE 'UNIQUE' END AS uniqueness
+        |  FROM sup WHERE k % 5 = 0
+        |  UNION ALL
+        |  SELECT 'GRAFT', 'IX2_' || k, 'UNIQUE' FROM sup WHERE k % 15 = 0),
+        |dcc AS (SELECT c.owner, c.table_name, cc.column_name, 1 AS pk
+        |  FROM constraints c JOIN cons_cols cc
+        |    ON c.owner = cc.owner AND c.constraint_name = cc.constraint_name
+        |   AND c.table_name = cc.table_name
+        |  WHERE c.constraint_type = 'P'),
+        |duq AS (SELECT ic.table_owner AS owner, ic.table_name, ic.column_name, max(1) AS uq
+        |  FROM ind_cols ic JOIN indexes i
+        |    ON ic.table_owner = i.owner AND ic.index_name = i.index_name
+        |  WHERE i.uniqueness = 'UNIQUE'
+        |  GROUP BY 1, 2, 3)
+        |SELECT t.table_name, t.column_name, t.column_id,
+        |  coalesce(pk, 0) AS pk_column, coalesce(uq, 0) AS uq_column
+        |FROM tab_cols t
+        |  LEFT OUTER JOIN dcc ON t.owner = dcc.owner AND t.table_name = dcc.table_name
+        |    AND t.column_name = dcc.column_name
+        |  LEFT OUTER JOIN duq ON t.owner = duq.owner AND t.table_name = duq.table_name
+        |    AND t.column_name = duq.column_name
+        |WHERE hidden_column = 'NO' AND virtual_column = 'NO'
+        |ORDER BY t.table_name, t.column_id""".stripMargin,
     "b5_min_agg" ->
       """SELECT min(event_id) AS min_id, max(event_id) AS max_id,
         | cast(count(*) AS BIGINT) AS cnt FROM events""".stripMargin,

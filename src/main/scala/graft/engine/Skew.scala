@@ -19,23 +19,33 @@ object Skew {
 
   /** Salted sum/count per key: phase 1 groupBy(key, salt), phase 2 groupBy(key).
     * The salt mixes a per-row id so a hot key spreads even when its VALUE column is
-    * constant (hash(value) alone would re-funnel fixed-value hot keys into one reducer);
-    * any salt assignment yields the same final sums, so results stay deterministic. */
-  def saltedSumCount(df: DataFrame, key: Column, value: Column, salts: Int = 16): DataFrame =
-    df.select(key.as("k"), value.as("v"))
-      .withColumn("salt", pmod(hash(col("v"), spark_partition_id(), monotonically_increasing_id()), lit(salts)))
+    * constant (hash(value) alone would re-funnel fixed-value hot keys into one reducer).
+    *
+    * Pass `saltSource` (a unique row id column) whenever one exists: the salt is then
+    * `pmod(hash(key, id), salts)` — fully deterministic, so the map stage is reproducible
+    * under task retry and run-to-run. Without one the salt falls back to
+    * partition-id + monotonic-id, which is retry-safe only because the final sums are
+    * salt-assignment-invariant (Spark's indeterminate-stage rollback covers the
+    * partial-fetch case), and plans are not reproducible run-to-run. */
+  def saltedSumCount(df: DataFrame, key: Column, value: Column, salts: Int = 16,
+                     saltSource: Option[Column] = None): DataFrame = {
+    val salt = saltSource
+      .map(id => pmod(hash(key, id), lit(salts)))
+      .getOrElse(pmod(hash(value, spark_partition_id(), monotonically_increasing_id()), lit(salts)))
+    df.select(key.as("k"), value.as("v"), salt.as("salt"))
       .groupBy(col("k"), col("salt"))
       .agg(sum(col("v")).as("partial_sum"), count(lit(1)).as("partial_cnt"))
       .groupBy(col("k"))
       .agg(sum(col("partial_sum")).as("total"), sum(col("partial_cnt")).cast("long").as("cnt"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // oracle-gated proof that the salted two-phase plan equals a plain GROUP BY
     "skew_salted_agg" -> { (s, dir) =>
       import s.implicits._
       val events = Tables(s, dir, "events")
-        .select($"user_id", round($"value" * 100).cast("long").as("cents"))
-      saltedSumCount(events, $"user_id", $"cents")
+        .select($"user_id", round($"value" * 100).cast("long").as("cents"), $"event_id")
+      saltedSumCount(events, $"user_id", $"cents", saltSource = Some($"event_id"))
         .select($"k".as("user_id"), $"total".as("total_cents"), $"cnt".as("event_cnt"))
         .orderBy($"user_id")
     },

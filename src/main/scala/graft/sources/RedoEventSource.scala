@@ -94,4 +94,41 @@ object RedoEventSource {
     (col("scn") > scn) ||
       (col("scn") === scn && col("commitScn") > commitScn) ||
       (col("scn") === scn && col("commitScn") === commitScn && col("rowId") > rowId)
+
+  /**
+   * A5 — the resolved starting posture: mine from `scn`, and when `skipBoundary` drop
+   * records up to and including the exact stored `(scn, commitScn, rowId)` triple (the
+   * inclusive-restart dedup); a fresh/overridden start reads `scn` itself.
+   */
+  final case class ResumePosition(scn: Long, commitScn: Long, rowId: String,
+                                  skipBoundary: Boolean) {
+    /** The stream filter this posture compiles to (pushed into the scan by Catalyst). */
+    def predicate: Column =
+      if (skipBoundary) afterOffset(scn, commitScn, rowId) else col("scn") >= scn
+  }
+
+  /**
+   * A5 — resume resolution, the reference's exact override ladder
+   * (OracleSourceTask2.java:137-192):
+   *   1. stored offset (Connect offset storage / our checkpoint) resumes with the
+   *      boundary-record skip;
+   *   2. a configured `start.scn` OVERRIDES the stored offset and reads from that SCN
+   *      inclusive (Task:168-173, skipRecord=false);
+   *   3. `reset.offset` beats both and zeroes the position (Task:175-180);
+   *   4. a zero position falls back to the current database SCN (Task:182-192 via B5
+   *      `MIN(current_scn)`) — `currentScn` is by-name so the tip is only computed when
+   *      actually needed.
+   */
+  def resolveResume(stored: Option[(Long, Long, String)],
+                    startScn: Option[Long],
+                    resetOffset: Boolean,
+                    currentScn: => Long): ResumePosition =
+    if (resetOffset) ResumePosition(currentScn, 0L, "", skipBoundary = false)
+    else startScn match {
+      case Some(s) => ResumePosition(s, 0L, "", skipBoundary = false)
+      case None => stored match {
+        case Some((s, c, r)) => ResumePosition(s, c, r, skipBoundary = true)
+        case None            => ResumePosition(currentScn, 0L, "", skipBoundary = false)
+      }
+    }
 }

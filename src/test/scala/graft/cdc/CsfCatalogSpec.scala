@@ -96,6 +96,17 @@ class CsfCatalogSpec extends AnyFunSuite {
     assert(row.isNullAt(3)) // column absent from payload -> typed null
   }
 
+  test("catalog carries pk/uq flags as StructField.metadata (SQL:13 dcc/duq, §1.2)") {
+    val spark = graft.SparkTestSession.spark
+    val schema = Catalog.schemaOf(spark, "/root/testdata/sf0.001", "lineitem")
+    assert(Catalog.keyColumns(schema, "pk").toSet == Set("l_orderkey", "l_linenumber"))
+    assert(schema("l_orderkey").metadata.getBoolean("pk"))
+    assert(!schema("l_quantity").metadata.contains("pk"))
+    // direct metadata builder: uq flag + existing metadata preserved
+    val withUq = Catalog.withKeyMetadata(schema, Set("l_orderkey"), Set("l_comment_x", "l_quantity"))
+    assert(Catalog.keyColumns(withUq, "uq") == Seq("l_quantity"))
+  }
+
   test("multimodal resize/frame-sample plumbing: deterministic shapes") {
     val spark = graft.SparkTestSession.spark
     import spark.implicits._

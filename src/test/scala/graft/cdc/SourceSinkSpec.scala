@@ -35,6 +35,46 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(kept == Set((5L, 0L, "R2"), (5L, 1L, "R0"), (6L, 0L, "R0")))
   }
 
+  test("resolveResume: the reference's override ladder (A5, Task:137-192)") {
+    import RedoEventSource.{resolveResume, ResumePosition}
+    val stored = Some((100L, 90L, "R5"))
+    var tipAsked = 0
+    def tip: Long = { tipAsked += 1; 777L }
+    // posture 1: stored offset resumes with the boundary skip; the tip is never computed
+    assert(resolveResume(stored, None, resetOffset = false, tip) ==
+      ResumePosition(100L, 90L, "R5", skipBoundary = true))
+    assert(tipAsked == 0)
+    // posture 2: start.scn OVERRIDES the stored offset, reads inclusive (skipRecord=false)
+    assert(resolveResume(stored, Some(42L), resetOffset = false, tip) ==
+      ResumePosition(42L, 0L, "", skipBoundary = false))
+    // posture 3: reset.offset beats both and starts from the current tip
+    assert(resolveResume(stored, Some(42L), resetOffset = true, tip) ==
+      ResumePosition(777L, 0L, "", skipBoundary = false))
+    // no stored offset at all -> current tip
+    assert(resolveResume(None, None, resetOffset = false, tip) ==
+      ResumePosition(777L, 0L, "", skipBoundary = false))
+    // CdcConfig wiring + predicate compile
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val cfg = CdcConfig("DB1", Seq("APP" -> "*"), startScn = Some(5L))
+    val pos = cfg.resume(stored, tip)
+    assert(pos == ResumePosition(5L, 0L, "", skipBoundary = false))
+    val rows = Seq((4L, 0L, "R1"), (5L, 0L, "R1"), (6L, 0L, "R1"))
+      .toDF("scn", "commitScn", "rowId")
+    assert(rows.filter(pos.predicate).collect().map(_.getLong(0)).sorted.toList == List(5L, 6L))
+  }
+
+  test("CdcConfig validates heartbeatTable OWNER.TABLE shape and startScn positivity") {
+    intercept[IllegalArgumentException] {
+      CdcConfig("DB1", Seq("APP" -> "*"), heartbeatTable = Some("HEARTBEAT"))
+    }
+    intercept[IllegalArgumentException] {
+      CdcConfig("DB1", Seq("APP" -> "*"), startScn = Some(0L))
+    }
+    // well-formed config passes
+    CdcConfig("DB1", Seq("APP" -> "*"), heartbeatTable = Some("APP.HB"), startScn = Some(1L))
+  }
+
   test("RoutedSink.writeBatch partitions the lake by topic; DDL invalidation reports tables") {
     val spark = graft.SparkTestSession.spark
     import spark.implicits._
