@@ -21,6 +21,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.engine.Relational.queries ++
       graft.engine.Skew.queries ++
+      graft.engine.Temporal.queries ++
       graft.engine.CdcQueries.queries ++
       graft.ext.TextOps.queries ++
       graft.ext.Dedup.queries ++
@@ -32,6 +33,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.engine.Relational.oracle ++
       graft.engine.Skew.oracle ++
+      graft.engine.Temporal.oracle ++
       graft.engine.CdcQueries.oracle ++
       graft.ext.TextOps.oracle ++
       graft.ext.Dedup.oracle ++

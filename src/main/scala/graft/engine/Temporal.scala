@@ -1,0 +1,144 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Temporal operators a large-scale event/training-data pipeline needs beyond the
+ * reference's surface, over the `events` table (`ts` is nanos-since-epoch, read as long —
+ * see [[Tables]]):
+ *
+ *  - **as-of join** (`asof_last_click`): for every purchase, the most recent click at or
+ *    before it by the same user. Implemented as the single-pass carry-forward: union both
+ *    sides implicitly (they are one stream), one shuffle on user_id, a running
+ *    `max(when(click, ts))` window — NO join at all. This is the scale-correct as-of plan:
+ *    a join formulation shuffles and matches O(clicks × purchases) per user; the
+ *    carry-forward is O(events) with one sort, and survives any skew a hot user brings.
+ *    (DuckDB ships a native ASOF JOIN; the oracle mirrors the window form so tie-handling
+ *    at equal timestamps is bit-identical across engines.)
+ *  - **gap sessionization** (`sessionize_gap`): 30-minute-gap sessions via
+ *    lag + running sum of session starts — the standard two-window single-shuffle plan
+ *    (the streaming analogue is `session_window`; this is the batch/backfill path).
+ *
+ * Both use the deterministic total order (ts, event_id) so window frames are identical in
+ * Spark and DuckDB.
+ */
+object Temporal {
+
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  private val SessionGapUs = 30L * 60L * 1000000L // 30 minutes in micros
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_last_click" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "events")
+        // micros, not nanos: DuckDB's TIMESTAMP truncates the parquet TIMESTAMP(NANOS) to
+        // microseconds, so cross-engine-comparable event times live at micro precision
+        .select($"event_id", $"user_id", $"event_type", expr("ts div 1000").as("ts_us"))
+        .withColumn("last_click_us", max(when($"event_type" === "click", $"ts_us")).over(w))
+        .filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts_us",
+          coalesce($"last_click_us", lit(-1L)).as("last_click_us"),
+          when($"last_click_us".isNotNull, $"ts_us" - $"last_click_us").otherwise(lit(-1L))
+            .as("gap_us"))
+        .orderBy($"event_id")
+    },
+    "sessionize_gap" -> { (s, dir) =>
+      import s.implicits._
+      val order = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "events")
+        .select($"event_id", $"user_id", expr("ts div 1000").as("ts_us"), $"value")
+        .withColumn("prev_us", lag($"ts_us", 1).over(order))
+        .withColumn("new_sess",
+          when($"prev_us".isNull || $"ts_us" - $"prev_us" > SessionGapUs, 1L).otherwise(0L))
+        .withColumn("session_id", sum($"new_sess").over(running))
+        .groupBy($"user_id", $"session_id")
+        .agg(count(lit(1)).as("event_cnt"),
+          min($"ts_us").as("start_us"),
+          (max($"ts_us") - min($"ts_us")).as("dur_us"),
+          sum(cents($"value")).as("value_cents"))
+        .orderBy($"user_id", $"session_id")
+    },
+    // Structured Streaming watermark + tumbling window, ORACLE-GATED: the same per-minute
+    // aggregation as events_window_agg, but driven through MemoryStream in two
+    // micro-batches with a far-future sentinel whose watermark closes every real window
+    // (append mode emits only closed windows). A green hash proves the event-time path —
+    // watermark tracking, window assignment, late-side state eviction — produces exactly
+    // the batch answer. %4 subsample keeps the driver-side MemoryStream feed harness-sized.
+    "events_window_stream" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.Encoders
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val rows = Tables(s, dir, "events")
+        .filter($"event_id" % 4 === 0)
+        .select(expr("ts div 1000").as("ts_us"), $"event_type", $"value")
+        .as[(Long, String, Double)].collect()
+      val sentinelUs = rows.iterator.map(_._1).max + 30L * 24 * 3600 * 1000000L
+      val input = MemoryStream[(Long, String, Double)](
+        Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.scalaDouble), s)
+      val agg = input.toDS().toDF("ts_us", "event_type", "value")
+        .withColumn("ts", timestamp_micros($"ts_us"))
+        .withWatermark("ts", "1 minute")
+        .groupBy(window($"ts", "1 minute"), $"event_type")
+        .agg(count(lit(1)).as("event_cnt"), sum(cents($"value")).as("value_cents"))
+      val sink = "events_window_stream_sink"
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val query =
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8") // state-store sizing, cf. CdcQueries
+          agg.writeStream.format("memory").queryName(sink).outputMode("append").start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      try {
+        val (h1, h2) = rows.splitAt(rows.length / 2)
+        input.addData(h1.toSeq)
+        query.processAllAvailable()
+        input.addData(h2.toSeq :+ ((sentinelUs, "sentinel", 0.0)))
+        query.processAllAvailable()
+      } finally query.stop()
+      s.table(sink)
+        .filter($"event_type" =!= "sentinel")
+        .select((unix_micros($"window.start") / 60000000L).as("minute_bucket"),
+          $"event_type", $"event_cnt", $"value_cents")
+        .orderBy($"minute_bucket", $"event_type")
+    },
+  )
+
+  val oracle: Map[String, String] = Map(
+    "asof_last_click" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |marked AS (SELECT event_id, user_id, event_type, ts_us,
+        |  max(CASE WHEN event_type = 'click' THEN ts_us END)
+        |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
+        |  FROM ev)
+        |SELECT event_id, user_id, ts_us, coalesce(last_click_us, -1) AS last_click_us,
+        |  CASE WHEN last_click_us IS NOT NULL THEN ts_us - last_click_us ELSE -1 END AS gap_us
+        |FROM marked WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "sessionize_gap" ->
+      s"""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events),
+         |lagged AS (SELECT event_id, user_id, ts_us, value,
+         |  lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM ev),
+         |marked AS (SELECT *,
+         |  CASE WHEN prev_us IS NULL OR ts_us - prev_us > $SessionGapUs THEN 1 ELSE 0 END AS new_sess
+         |  FROM lagged),
+         |sess AS (SELECT *,
+         |  cast(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM marked)
+         |SELECT user_id, session_id, cast(count(*) AS BIGINT) AS event_cnt,
+         |  min(ts_us) AS start_us, max(ts_us) - min(ts_us) AS dur_us,
+         |  cast(sum(cast(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+         |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "events_window_stream" ->
+      """SELECT epoch_us(ts) // 60000000 AS minute_bucket, event_type,
+        | cast(count(*) AS BIGINT) AS event_cnt,
+        | cast(sum(cast(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events WHERE event_id % 4 = 0
+        |GROUP BY 1, 2 ORDER BY minute_bucket, event_type""".stripMargin,
+  )
+}

@@ -126,6 +126,25 @@ object TextOps {
         .select($"doc_id", md5($"text").as("fp"), hash32($"text").as("fp32"), $"n_chars")
         .orderBy($"doc_id")
     },
+    // EXACT length quantiles per language via rank arithmetic (value at ceil(q*n)) —
+    // bit-identical across engines, unlike interpolating percentile functions. At lake
+    // scale the one-pass production variant is approx_percentile (a sketch, not
+    // oracle-able); this is the exact ground-truth path it is validated against.
+    "text_len_quantiles" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ranked = graft.engine.Tables(s, dir, "documents")
+        .select($"lang", length($"text").cast("long").as("len"), $"doc_id")
+        .withColumn("rn",
+          row_number().over(Window.partitionBy($"lang").orderBy($"len", $"doc_id")).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"lang")))
+      ranked.groupBy($"lang")
+        .agg(max($"cnt").as("n"),
+          max(when($"rn" === ceil($"cnt" * 0.5), $"len")).as("p50"),
+          max(when($"rn" === ceil($"cnt" * 0.9), $"len")).as("p90"),
+          max(when($"rn" === ceil($"cnt" * 0.99), $"len")).as("p99"))
+        .orderBy($"lang")
+    },
   )
 
   private val stopwordSql = stopwords.map(w => s"x = '$w'").mkString(" OR ")
@@ -182,5 +201,15 @@ object TextOps {
       """SELECT doc_id, md5(text) AS fp,
         | ('0x' || substr(md5(text), 1, 8))::BIGINT AS fp32, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_len_quantiles" ->
+      """WITH d AS (SELECT lang, length(text) AS len, doc_id FROM documents),
+        |ranked AS (SELECT lang, len,
+        |  row_number() OVER (PARTITION BY lang ORDER BY len, doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY lang) AS cnt FROM d)
+        |SELECT lang, max(cnt) AS n,
+        |  max(CASE WHEN rn = ceil(cnt * 0.5) THEN len END) AS p50,
+        |  max(CASE WHEN rn = ceil(cnt * 0.9) THEN len END) AS p90,
+        |  max(CASE WHEN rn = ceil(cnt * 0.99) THEN len END) AS p99
+        |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }
