@@ -64,6 +64,40 @@ class CsfCatalogSpec extends AnyFunSuite {
     assert(out.head.csf) // still marked incomplete
   }
 
+  test("property: fuseAdjacent is split-invariant — any micro-batch cut fuses identically (300 seeds)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 300).foreach { _ =>
+      var seq = 0L
+      // statements over few (scn, rowId) keys so adjacent same-key runs occur; fragments
+      // of one statement are contiguous (the LogMiner cursor contract)
+      val stmts = (1 to 1 + rnd.nextInt(6)).map { i =>
+        val scn = rnd.nextInt(3).toLong
+        val rowId = s"R${rnd.nextInt(3)}"
+        val text = s"stmt$i:" + ("abcdefgh" * (1 + rnd.nextInt(3)))
+        val nFrags = 1 + rnd.nextInt(4)
+        val cuts = (0 +: Seq.fill(nFrags - 1)(1 + rnd.nextInt(text.length - 1)).sorted :+ text.length)
+        val parts = cuts.sliding(2).map { case Seq(a, b) => text.substring(a, b) }.toVector
+        val events = parts.zipWithIndex.map { case (p, j) =>
+          seq += 1
+          RedoEvent.simple(scn, "x", RedoEvent.Insert, sqlRedo = p, rowId = rowId)
+            .copy(csf = j < parts.length - 1, seq = seq)
+        }
+        (text, events)
+      }
+      val events = stmts.flatMap(_._2)
+      val expected = stmts.map(_._1).toList
+      // unsplit fusion recovers every statement byte-exactly, in order
+      val (out, open) = Csf.fuseAdjacent(events.iterator)
+      assert(open.isEmpty && out.map(_.sqlRedo).toList == expected)
+      // ANY batch cut + state carry produces the same result (the streaming invariant)
+      val cut = rnd.nextInt(events.length + 1)
+      val (a, b) = events.splitAt(cut)
+      val (out1, carry) = Csf.fuseAdjacent(a.iterator)
+      val (out2, open2) = Csf.fuseAdjacent(b.iterator, carry)
+      assert(open2.isEmpty && (out1 ++ out2).map(_.sqlRedo).toList == expected)
+    }
+  }
+
   test("NUMBER precision ladder matches Utils:191-241") {
     import Catalog.oracleTypeToSpark
     assert(oracleTypeToSpark("NUMBER", 0, 2) == DoubleType)   // scale>0 -> double

@@ -1,0 +1,61 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Plan-shape assertions: the 100 TB posture claims that are cheap to regress and invisible
+ * to result-correctness tests. Each pins a property the round-2/3 plan audits established.
+ */
+class PlanAuditSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val spark = graft.SparkTestSession.spark
+    graft.SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+  }
+
+  private def count(haystack: String, needle: String): Int =
+    haystack.sliding(needle.length).count(_ == needle)
+
+  // NOTE: a cached subplan prints once per consuming scan in plan.toString, so substring
+  // counts of the subplan's operators can't prove single execution; the checkable property
+  // is that EVERY consumer reads an InMemoryTableScan (i.e. nothing recomputes the subplan).
+
+  test("simsearch_ivf: both sides of the cell-probe join read the cached assignment") {
+    val p = plan("simsearch_ivf")
+    assert(count(p, "InMemoryTableScan") >= 2,
+      s"expected the base AND query sides to scan the cached assignment:\n$p")
+  }
+
+  test("b7_full_logfiles: both consumers of 'latest' read the cache, none recompute it") {
+    val p = plan("b7_full_logfiles")
+    assert(count(p, "InMemoryTableScan") >= 2,
+      s"expected except() side and re-join side to scan the cached latest:\n$p")
+  }
+
+  test("q3/q5/b3: dimension sides broadcast, no shuffle of the small side") {
+    Seq("q3_topk_revenue", "q5_region_orders", "b3_dictionary_join", "b3_dictionary_pkuq")
+      .foreach { q =>
+        val p = plan(q)
+        assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+          s"$q: expected broadcast dimension join:\n$p")
+      }
+  }
+
+  test("sessionize_gap: windows and aggregate reuse ONE data shuffle (user_id partitioning)") {
+    val p = plan("sessionize_gap")
+    // exchanges: one hashpartitioning(user_id) for the windows+agg, one rangepartitioning
+    // for the final ORDER BY — the groupBy(user_id, session_id) must NOT add a third
+    // (hash partitioning on user_id already clusters (user_id, session_id))
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 2, s"expected <=2 exchanges (window/agg share one):\n$p")
+  }
+
+  test("text scans are column-pruned: text_stats reads only the columns it needs") {
+    val p = plan("text_stats")
+    val scanLine = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scanLine.contains("lang") && scanLine.contains("n_chars") && scanLine.contains("text"))
+    assert(!scanLine.contains("doc_id"), s"doc_id should be pruned from the scan: $scanLine")
+  }
+}
