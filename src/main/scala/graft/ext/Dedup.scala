@@ -141,10 +141,12 @@ object Dedup {
       val prefix = toks.join(dfreq, "tok")
         .withColumn("rn", row_number().over(wDoc))
         .filter($"rn" <= $"sz" - ceil($"sz" * 0.5) + 1) // prefix length for t = 0.5
-        .select($"doc_id", $"lang", $"source", $"tok")
+        .select($"doc_id", $"lang", $"source", $"tok", $"sz")
+      // length filter (also lossless for t=0.5): J >= t forces max(|a|,|b|) <= min/t = 2*min
       val cand = prefix.as("a").join(prefix.as("b"),
           col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-            col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+            col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+            col("a.sz") <= col("b.sz") * 2 && col("b.sz") <= col("a.sz") * 2)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
       cand

@@ -23,6 +23,18 @@ object RoutedSink {
     enveloped.write.mode("append").partitionBy("topic").parquet(baseDir)
 
   /**
+   * Exactly-once posture (SURVEY §7 hard-part 5): the natural identity of a change event is
+   * `(SCN, ROW_ID, OPERATION)` — the reference's offset triple (Task:413-420) restated as a
+   * row key. A replayed micro-batch (restart between sink write and checkpoint commit) can
+   * re-deliver rows; dropping duplicates on the identity inside the batch, and MERGEing on
+   * it at the lake boundary, makes redelivery harmless. The parquet lake here is
+   * append-only, so this dedup covers the within-batch replay; a transactional table format
+   * (or Kafka's idempotent producer keyed the same way) carries the cross-batch guarantee.
+   */
+  def dedupByIdentity(enveloped: DataFrame): DataFrame =
+    enveloped.dropDuplicates("scn", "row_id", "operation")
+
+  /**
    * A14 — apply DDL invalidations of one micro-batch: every table named by a DDL event is
    * evicted from the schema catalog so the next DML against it reloads fresh metadata.
    * Returns the invalidated table names (driver-side; DDL cardinality per batch is tiny).
@@ -43,7 +55,7 @@ object RoutedSink {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         applyDdlInvalidations(batch, sfDir)
-        writeBatch(batch, baseDir)
+        writeBatch(dedupByIdentity(batch), baseDir)
       }
     writer.start()
   }
