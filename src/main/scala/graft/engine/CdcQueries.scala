@@ -185,6 +185,38 @@ object CdcQueries {
         .groupBy($"operation", $"topic").agg(count(lit(1)).as("cnt"))
         .orderBy($"operation", $"topic")
     },
+    // A4: sequence-gap detection, oracle-gated — RBASQN values synthesized with holes
+    // (multiples of 7 and 11 removed), gaps > 1 must be flagged with their widths
+    // (LogMinerThread2.java:144-147).
+    "cdc_seq_gaps" -> { (s, dir) =>
+      import s.implicits._
+      val seqs = Tables(s, dir, "events")
+        .filter($"event_id" % 7 =!= 0 && $"event_id" % 11 =!= 0)
+        .select($"event_id".as("rbasqn"))
+      CdcPipeline.sequenceGaps(seqs).orderBy($"last_seen")
+    },
+    // A21: heartbeat branch, oracle-gated — INSERTs on the configured heartbeat table
+    // route to the .HEARTBEAT topic and surface HEARTBEAT_TIME from the after-image
+    // (Thread:198-211,334-338).
+    "cdc_heartbeat" -> { (s, dir) =>
+      import s.implicits._
+      val redo = Tables(s, dir, "customer")
+        .filter($"c_custkey" % 3 === 0)
+        .select(
+          $"c_custkey".cast("long").as("scn"), lit("hb").as("xid"), lit("r").as("row_id"),
+          lit("APP").as("seg_owner"), lit("HB").as("table_name"),
+          lit(RedoEvent.Insert).as("operation"),
+          concat(lit("insert into \"APP\".\"HB\"(\"ID\",\"HEARTBEAT_TIME\") values ("),
+            $"c_custkey", lit(",'2024-01-01 00:00:"),
+            lpad($"c_custkey" % 60, 2, "0"), lit("')")).as("sql_redo"),
+          lit("").as("info"))
+      val env = CdcPipeline.envelope(
+        redo.withColumn("parsed", ParseRedo.parse($"sql_redo")), "DB1",
+        heartbeatTable = Some("APP.HB"))
+      CdcPipeline.heartbeats(env, "APP.HB")
+        .select($"scn", $"heartbeat_time")
+        .orderBy($"scn")
+    },
     // A18: envelope null rules per operation + routing, from customer-derived redo.
     "cdc_envelope" -> { (s, dir) =>
       import s.implicits._
@@ -232,6 +264,16 @@ object CdcQueries {
         | cast(count(*) AS BIGINT) AS cnt
         |FROM orders WHERE o_orderkey % 10 <> 0 AND o_orderkey % 4 = 0
         |GROUP BY 1 ORDER BY status""".stripMargin,
+    "cdc_seq_gaps" ->
+      """WITH s AS (SELECT DISTINCT event_id AS rbasqn FROM events
+        |           WHERE event_id % 7 <> 0 AND event_id % 11 <> 0),
+        |l AS (SELECT rbasqn, lag(rbasqn) OVER (ORDER BY rbasqn) AS prev FROM s)
+        |SELECT prev AS last_seen, rbasqn AS next_seen, rbasqn - prev - 1 AS missing_cnt
+        |FROM l WHERE prev IS NOT NULL AND rbasqn - prev > 1 ORDER BY last_seen""".stripMargin,
+    "cdc_heartbeat" ->
+      """SELECT c_custkey AS scn,
+        | '2024-01-01 00:00:' || lpad(cast(c_custkey % 60 AS VARCHAR), 2, '0') AS heartbeat_time
+        |FROM customer WHERE c_custkey % 3 = 0 ORDER BY scn""".stripMargin,
     "cdc_filters_routing" ->
       """WITH e AS (SELECT event_id,
         |  CASE WHEN event_id % 11 = 0 THEN 'DDL' WHEN event_id % 11 = 1 THEN 'UPDATE'
