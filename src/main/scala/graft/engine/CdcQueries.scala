@@ -185,6 +185,59 @@ object CdcQueries {
         .groupBy($"operation", $"topic").agg(count(lit(1)).as("cnt"))
         .orderBy($"operation", $"topic")
     },
+    // A1/A2: the source boundary, oracle-gated — events rendered to the Kafka wire shape
+    // (JSON value + binary key) and decoded back; a green hash proves the codec preserves
+    // every field bit-exactly (OracleSourceTask2.java:300-304 hand-off analogue).
+    "cdc_wire_roundtrip" -> { (s, dir) =>
+      import s.implicits._
+      val events = Tables(s, dir, "nation")
+        .select($"n_nationkey".cast("long").as("k"), $"n_name", $"n_regionkey")
+        .as[(Long, String, Int)]
+        .map { case (k, name, reg) =>
+          RedoEvent(scn = k, commitScn = k + 1, xid = s"tx$k", rowId = f"R$k%06d",
+            operation = RedoEvent.Insert, timestamp = new java.sql.Timestamp(k * 1000L),
+            commitTimestamp = Some(new java.sql.Timestamp(k * 2000L)),
+            segOwner = "GRAFT", tableName = "NATION",
+            sqlRedo = s"""insert into "GRAFT"."NATION"("N_NATIONKEY","N_NAME","N_REGIONKEY") values ($k,'$name',$reg)""",
+            csf = false, rollback = k % 2 == 0, info = "", rbasqn = k % 3, seq = k)
+        }
+      graft.sources.RedoEventSource.fromKafka(
+        graft.sources.RedoEventSource.toKafkaValue(events)).toDF()
+        .select($"scn", $"commitScn".as("commit_scn"), $"xid", $"rowId".as("row_id"),
+          unix_millis($"timestamp").as("ts_ms"),
+          unix_millis($"commitTimestamp").as("commit_ts_ms"),
+          $"segOwner".as("seg_owner"), $"tableName".as("table_name"),
+          $"sqlRedo".as("sql_redo"),
+          $"rollback".cast("int").as("rb"), $"rbasqn", $"seq")
+        .orderBy($"scn")
+    },
+    // A6: boundary-record skip, oracle-gated — the strictly-after-offset predicate over a
+    // synthesized (scn, commitScn, rowId) triple space (Task:258-264).
+    "cdc_offset_skip" -> { (s, dir) =>
+      import s.implicits._
+      val triples = Tables(s, dir, "orders").select(
+        ($"o_orderkey" % 100).cast("long").as("scn"),
+        ($"o_orderkey" % 7).cast("long").as("commitScn"),
+        concat(lit("R"), $"o_orderkey" % 5).as("rowId"))
+      triples.filter(graft.sources.RedoEventSource.afterOffset(50L, 3L, "R2"))
+        .groupBy($"scn").agg(count(lit(1)).as("cnt"))
+        .orderBy($"scn")
+    },
+    // A25: dead-letter extraction, oracle-gated — unparsable DML must land in the DLQ
+    // frame, parseable DML must not (Thread:305-308 made observable).
+    "cdc_dead_letters" -> { (s, dir) =>
+      import s.implicits._
+      val frame = Tables(s, dir, "part")
+        .select($"p_partkey".cast("long").as("scn"), lit("x").as("xid"),
+          lit("APP").as("seg_owner"), lit("T1").as("table_name"),
+          lit(RedoEvent.Insert).as("operation"),
+          when($"p_partkey" % 3 === 0, concat(lit("garbage "), $"p_partkey"))
+            .otherwise(concat(lit("insert into \"APP\".\"T1\"(\"ID\") values ("),
+              $"p_partkey", lit(")"))).as("sql_redo"))
+      CdcPipeline.deadLetters(frame.withColumn("parsed", ParseRedo.parse($"sql_redo")))
+        .select($"scn", $"sql_redo")
+        .orderBy($"scn")
+    },
     // A4: sequence-gap detection, oracle-gated — RBASQN values synthesized with holes
     // (multiples of 7 and 11 removed), gaps > 1 must be flagged with their widths
     // (LogMinerThread2.java:144-147).
@@ -264,6 +317,28 @@ object CdcQueries {
         | cast(count(*) AS BIGINT) AS cnt
         |FROM orders WHERE o_orderkey % 10 <> 0 AND o_orderkey % 4 = 0
         |GROUP BY 1 ORDER BY status""".stripMargin,
+    "cdc_wire_roundtrip" ->
+      """WITH n AS (SELECT cast(n_nationkey AS BIGINT) AS k, n_name, n_regionkey FROM nation)
+        |SELECT k AS scn, k + 1 AS commit_scn,
+        | 'tx' || k AS xid,
+        | 'R' || lpad(cast(k AS VARCHAR), 6, '0') AS row_id,
+        | k * 1000 AS ts_ms, k * 2000 AS commit_ts_ms,
+        | 'GRAFT' AS seg_owner, 'NATION' AS table_name,
+        | 'insert into "GRAFT"."NATION"("N_NATIONKEY","N_NAME","N_REGIONKEY") values ('
+        |   || k || ',''' || n_name || ''',' || n_regionkey || ')' AS sql_redo,
+        | cast(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END AS INTEGER) AS rb,
+        | k % 3 AS rbasqn, k AS seq
+        |FROM n ORDER BY scn""".stripMargin,
+    "cdc_offset_skip" ->
+      """WITH t AS (SELECT o_orderkey % 100 AS scn, o_orderkey % 7 AS commitScn,
+        |                  'R' || (o_orderkey % 5) AS rowId FROM orders)
+        |SELECT scn, cast(count(*) AS BIGINT) AS cnt FROM t
+        |WHERE scn > 50 OR (scn = 50 AND commitScn > 3)
+        |   OR (scn = 50 AND commitScn = 3 AND rowId > 'R2')
+        |GROUP BY scn ORDER BY scn""".stripMargin,
+    "cdc_dead_letters" ->
+      """SELECT p_partkey AS scn, 'garbage ' || p_partkey AS sql_redo
+        |FROM part WHERE p_partkey % 3 = 0 ORDER BY scn""".stripMargin,
     "cdc_seq_gaps" ->
       """WITH s AS (SELECT DISTINCT event_id AS rbasqn FROM events
         |           WHERE event_id % 7 <> 0 AND event_id % 11 <> 0),
