@@ -184,7 +184,8 @@ object CdcPipeline {
             map().cast("map<string,string>").as("data"),
             map().cast("map<string,string>").as("before"), lit(false).as("ok")))
     envelope(withParsed, config.dbAlias,
-      extra = Seq(col("commit_scn"), col("timestamp"), col("commitTimestamp").as("commit_timestamp")),
+      extra = Seq(col("commit_scn"), col("timestamp"),
+        col("commitTimestamp").as("commit_timestamp"), col("seq")),
       heartbeatTable = config.heartbeatTable)
   }
 }

@@ -47,7 +47,11 @@ object RedoEvent {
       rollback = rollback, info = "", rbasqn = 1L, seq = scn)
 }
 
-/** A DML row stamped with its transaction's commit metadata (models/DMLRow.java:5-34). */
+/** A DML row stamped with its transaction's commit metadata (models/DMLRow.java:5-34).
+  * `seq` carries the source's monotonic redo-order key through to the sink: it is the only
+  * discriminator between two INDEPENDENT same-operation changes to one row at one SCN
+  * (legal in Oracle redo, see RedoEvent.seq), and it is replay-stable (a redelivered record
+  * keeps its offset) — so (scn, rowId, operation, seq) is the true change identity. */
 final case class CommittedDml(
     xid: String,
     scn: Long,
@@ -58,4 +62,5 @@ final case class CommittedDml(
     segOwner: String,
     tableName: String,
     rowId: String,
-    sqlRedo: String)
+    sqlRedo: String,
+    seq: Long = 0L)

@@ -98,7 +98,7 @@ object TxnAssembler {
             val cts = e.commitTimestamp.getOrElse(e.timestamp)
             survivors.foreach { r =>
               out += CommittedDml(r.xid, r.scn, e.scn, r.timestamp, cts,
-                r.operation, r.segOwner, r.tableName, r.rowId, r.sqlRedo)
+                r.operation, r.segOwner, r.tableName, r.rowId, r.sqlRedo, r.seq)
             }
           }
           buf = TxnBuffer.empty; open = false

@@ -128,7 +128,6 @@ object CdcQueries {
     "cdc_txn_reconstruct_stream" -> { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.Encoders
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       // %4 subsample: this query is the batch/stream PARITY gate (the full-volume
       // throughput path is cdc_txn_reconstruct); MemoryStream encodes its feed on the
       // driver, so the harness — not the operator — would otherwise dominate the bench
@@ -137,28 +136,11 @@ object CdcQueries {
         .as[(Long, String)].collect() // driver-side feed is inherent to MemoryStream
       val all = rows.flatMap { case (k, st) => txnEvents(k, st) }
       val (opening, closing) = all.partition(e => e.seq % 10 <= 1) // START+INSERT vs rest
-      val input = MemoryStream[RedoEvent](Encoders.product[RedoEvent], s)
-      val sink = "cdc_txn_stream_sink"
-      // NoTimeout: a processing-time timeout makes every micro-batch "require another
-      // batch", so processAllAvailable would never return (see TxnAssembler scaladoc).
-      // State-store instance count is pinned low for this harness: it is fixed at query
-      // start from spark.sql.shuffle.partitions, and a wide setting pays per-partition
-      // checkpoint-file churn on every micro-batch for a driver-fed stream (restored in
-      // the finally; a production stream sizes this to the executor count instead).
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      val query =
-        try {
-          s.conf.set("spark.sql.shuffle.partitions", "8")
-          TxnAssembler.assembleStreaming(input.toDS(), abandonedTxnTimeout = None)
-            .writeStream.format("memory").queryName(sink).outputMode("append").start()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      try {
-        input.addData(opening.toSeq)
-        query.processAllAvailable()
-        input.addData(closing.toSeq)
-        query.processAllAvailable()
-      } finally query.stop()
-      reconstructStatus(s.table(sink))
+      val out = StreamGate.runTwoBatches(s, Encoders.product[RedoEvent],
+          "cdc_txn_stream_sink", opening.toSeq, closing.toSeq) { ds =>
+        TxnAssembler.assembleStreaming(ds, abandonedTxnTimeout = None).toDF()
+      }
+      reconstructStatus(out)
     },
     // A8+A9+A10+A11+A15+A22: the filter/routing stack over a stream synthesized from events.
     "cdc_filters_routing" -> { (s, dir) =>

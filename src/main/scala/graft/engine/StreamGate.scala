@@ -1,0 +1,41 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/**
+ * Harness for ORACLE-GATING a streaming plan: drive it through a MemoryStream in two
+ * micro-batches (the cut is what proves state carries across batch boundaries), collect the
+ * append-mode output in a memory sink, return it as a batch frame for the hash gate.
+ *
+ * The state-store instance count is pinned low for the harness: it is fixed at query start
+ * from spark.sql.shuffle.partitions, and a wide setting pays per-partition checkpoint-file
+ * churn on every micro-batch for a driver-fed stream (restored in the finally; a production
+ * stream sizes this to the executor count instead).
+ *
+ * Plans with stateful operators must use timeouts compatible with processAllAvailable
+ * (NoTimeout — a processing-time timeout makes every micro-batch "require another batch",
+ * so the no-new-data signal never fires; see TxnAssembler).
+ */
+object StreamGate {
+
+  def runTwoBatches[T](spark: SparkSession, enc: Encoder[T], sink: String,
+                       batch1: Seq[T], batch2: Seq[T])
+                      (plan: Dataset[T] => DataFrame): DataFrame = {
+    val input = MemoryStream[T](enc, spark)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val query =
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        plan(input.toDS()).writeStream
+          .format("memory").queryName(sink).outputMode("append").start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try {
+      input.addData(batch1)
+      query.processAllAvailable()
+      input.addData(batch2)
+      query.processAllAvailable()
+    } finally query.stop()
+    spark.table(sink)
+  }
+}

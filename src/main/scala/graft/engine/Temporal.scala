@@ -73,36 +73,29 @@ object Temporal {
     "events_window_stream" -> { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.Encoders
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      // sorted by event time: the two-batch cut advances the watermark past batch 1's max,
+      // so an unsorted feed would silently drop out-of-order batch-2 rows as late data —
+      // the sort makes the harness's in-order-arrival precondition explicit
       val rows = Tables(s, dir, "events")
         .filter($"event_id" % 4 === 0)
         .select(expr("ts div 1000").as("ts_us"), $"event_type", $"value")
         .as[(Long, String, Double)].collect()
-      val sentinelUs = rows.iterator.map(_._1).max + 30L * 24 * 3600 * 1000000L
-      val input = MemoryStream[(Long, String, Double)](
-        Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.scalaDouble), s)
-      val agg = input.toDS().toDF("ts_us", "event_type", "value")
-        .withColumn("ts", timestamp_micros($"ts_us"))
-        .withWatermark("ts", "1 minute")
-        .groupBy(window($"ts", "1 minute"), $"event_type")
-        .agg(count(lit(1)).as("event_cnt"), sum(cents($"value")).as("value_cents"))
-      val sink = "events_window_stream_sink"
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      val query =
-        try {
-          s.conf.set("spark.sql.shuffle.partitions", "8") // state-store sizing, cf. CdcQueries
-          agg.writeStream.format("memory").queryName(sink).outputMode("append").start()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      try {
-        val (h1, h2) = rows.splitAt(rows.length / 2)
-        input.addData(h1.toSeq)
-        query.processAllAvailable()
-        input.addData(h2.toSeq :+ ((sentinelUs, "sentinel", 0.0)))
-        query.processAllAvailable()
-      } finally query.stop()
-      s.table(sink)
+        .sortBy(_._1)
+      val sentinelUs = rows.last._1 + 30L * 24 * 3600 * 1000000L
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      val out = StreamGate.runTwoBatches(s,
+          Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.scalaDouble),
+          "events_window_stream_sink",
+          h1.toSeq, h2.toSeq :+ ((sentinelUs, "sentinel", 0.0))) { ds =>
+        ds.toDF("ts_us", "event_type", "value")
+          .withColumn("ts", timestamp_micros($"ts_us"))
+          .withWatermark("ts", "1 minute")
+          .groupBy(window($"ts", "1 minute"), $"event_type")
+          .agg(count(lit(1)).as("event_cnt"), sum(cents($"value")).as("value_cents"))
+      }
+      out
         .filter($"event_type" =!= "sentinel")
-        .select((unix_micros($"window.start") / 60000000L).as("minute_bucket"),
+        .select(expr("unix_micros(window.start) div 60000000").as("minute_bucket"),
           $"event_type", $"event_cnt", $"value_cents")
         .orderBy($"minute_bucket", $"event_type")
     },

@@ -23,16 +23,22 @@ object RoutedSink {
     enveloped.write.mode("append").partitionBy("topic").parquet(baseDir)
 
   /**
-   * Exactly-once posture (SURVEY §7 hard-part 5): the natural identity of a change event is
-   * `(SCN, ROW_ID, OPERATION)` — the reference's offset triple (Task:413-420) restated as a
-   * row key. A replayed micro-batch (restart between sink write and checkpoint commit) can
-   * re-deliver rows; dropping duplicates on the identity inside the batch, and MERGEing on
-   * it at the lake boundary, makes redelivery harmless. The parquet lake here is
-   * append-only, so this dedup covers the within-batch replay; a transactional table format
-   * (or Kafka's idempotent producer keyed the same way) carries the cross-batch guarantee.
+   * Exactly-once posture (SURVEY §7 hard-part 5): the change identity is
+   * `(SCN, ROW_ID, OPERATION, seq)` — the reference's offset triple (Task:413-420) plus the
+   * monotonic redo-order key. `seq` matters: Oracle legally emits two independent
+   * same-operation changes to one row at one SCN (the case CSF run-splitting preserves), and
+   * only `seq` tells them apart, while a REPLAYED record keeps its seq — so the dedup kills
+   * redelivery without ever collapsing distinct changes. A replayed micro-batch (restart
+   * between sink write and checkpoint commit) can re-deliver rows; dropping duplicates on
+   * the identity inside the batch, and MERGEing on it at the lake boundary, makes
+   * redelivery harmless. The parquet lake here is append-only, so this dedup covers the
+   * within-batch replay; a transactional table format (or Kafka's idempotent producer keyed
+   * the same way) carries the cross-batch guarantee.
    */
   def dedupByIdentity(enveloped: DataFrame): DataFrame =
-    enveloped.dropDuplicates("scn", "row_id", "operation")
+    enveloped.dropDuplicates(
+      Seq("scn", "row_id", "operation") ++
+        (if (enveloped.columns.contains("seq")) Seq("seq") else Nil))
 
   /**
    * A14 — apply DDL invalidations of one micro-batch: every table named by a DDL event is
