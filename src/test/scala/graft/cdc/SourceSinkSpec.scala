@@ -8,6 +8,12 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.sources.RedoEventSource
 import graft.sinks.RoutedSink
 
+object SourceSinkSpec {
+  /** Envelope-shaped row for the streaming sink test. */
+  final case class Env(scn: Long, row_id: String, operation: String, seq: Long,
+                       table_name: String, topic: String)
+}
+
 /** A1/A2 source decode round-trip, A6 offset skip, A22 routed sink, A14 invalidation. */
 class SourceSinkSpec extends AnyFunSuite {
 
@@ -73,6 +79,49 @@ class SourceSinkSpec extends AnyFunSuite {
     }
     // well-formed config passes
     CdcConfig("DB1", Seq("APP" -> "*"), heartbeatTable = Some("APP.HB"), startScn = Some(1L))
+  }
+
+  test("dedupByIdentity kills replays but keeps independent same-op changes (seq discriminator)") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val rows = Seq(
+      // two INDEPENDENT updates to one row at one SCN (distinct seq) — both must survive
+      (5L, "RA", "UPDATE", 1L, "set A"),
+      (5L, "RA", "UPDATE", 2L, "set B"),
+      // a true replay of the first (same identity incl. seq) — must collapse
+      (5L, "RA", "UPDATE", 1L, "set A"),
+      (6L, "RB", "INSERT", 3L, "ins"))
+      .toDF("scn", "row_id", "operation", "seq", "sql_redo")
+    val out = RoutedSink.dedupByIdentity(rows).collect()
+    assert(out.length == 3)
+    assert(out.count(r => r.getAs[Long]("scn") == 5L && r.getAs[String]("operation") == "UPDATE") == 2)
+    // without a seq column the triple is the best available identity
+    val noSeq = RoutedSink.dedupByIdentity(rows.drop("seq").distinct())
+    assert(noSeq.count() == 2)
+  }
+
+  test("RoutedSink.start: streaming foreachBatch delivers deduped, topic-partitioned output") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val out = Files.createTempDirectory("graft-routed-out").toString
+    val ckpt = Files.createTempDirectory("graft-routed-ckpt").toString
+    val input = MemoryStream[SourceSinkSpec.Env](
+      Encoders.product[SourceSinkSpec.Env], spark)
+    val enveloped = input.toDS()
+      .toDF("scn", "row_id", "operation", "seq", "table_name", "topic")
+    val q = RoutedSink.start(enveloped, out, ckpt, "/root/testdata/sf0.001")
+    input.addData(
+      SourceSinkSpec.Env(1L, "RA", "INSERT", 1L, "T1", "DB1.APP.T1"),
+      SourceSinkSpec.Env(1L, "RA", "INSERT", 1L, "T1", "DB1.APP.T1"), // replay inside the batch
+      SourceSinkSpec.Env(2L, "RB", "INSERT", 2L, "T2", "DB1.APP.T2"))
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.parquet(out)
+    assert(back.count() == 2) // replay deduped
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toList == List("topic=DB1.APP.T1", "topic=DB1.APP.T2"))
   }
 
   test("RoutedSink.writeBatch partitions the lake by topic; DDL invalidation reports tables") {
