@@ -70,6 +70,52 @@ object Relational {
         .agg(count(lit(1)).as("order_cnt"), sum(cents($"o_totalprice")).as("total_cents"))
         .orderBy($"r_name", $"n_name")
     },
+    // q6: the classic scan-heavy filter + single aggregate — at 100 TB this is the query
+    // whose entire cost is the scan, so pushed filters + column pruning decide everything
+    "q6_forecast" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .filter($"l_discount".between(0.05, 0.07) && $"l_quantity" < 24.0)
+        .agg(sum(cents($"l_extendedprice" * $"l_discount")).as("revenue_cents"),
+          count(lit(1)).as("cnt"))
+    },
+    // q4-style LEFT SEMI join: orders having at least one returned lineitem — the EXISTS
+    // shape; semi joins ship only the join key of the probe side (no fan-out, no payload)
+    "q4_semi_join" -> { (s, dir) =>
+      import s.implicits._
+      val returned = Tables(s, dir, "lineitem")
+        .filter($"l_returnflag" === "R")
+        .select($"l_orderkey")
+      Tables(s, dir, "orders")
+        .join(returned, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("order_cnt"))
+        .orderBy($"o_orderpriority")
+    },
+    // LEFT ANTI join: customers who never ordered — NOT EXISTS as a first-class plan
+    // (except() in b9 is the distinct-set variant; anti join preserves cardinality)
+    "q_anti_join" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("never_ordered_cnt"))
+        .orderBy($"c_nationkey")
+    },
+    // ROLLUP: hierarchical subtotals in ONE pass (detail -> per-type -> grand total),
+    // grouping_id disambiguates aggregation levels — the multi-granularity report shape
+    "events_rollup" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "events")
+        .select($"event_type", ($"user_id" % 10).as("bucket"), $"value")
+        .rollup($"event_type", $"bucket")
+        .agg(count(lit(1)).as("cnt"), sum(cents($"value")).as("value_cents"),
+          grouping_id().as("gid"))
+        .select(coalesce($"event_type", lit("(all)")).as("etype"),
+          coalesce($"bucket", lit(-1L)).as("bucket"),
+          $"cnt", $"value_cents", $"gid")
+        .orderBy($"gid", $"etype", $"bucket")
+    },
     // ---- Layer B reproductions -------------------------------------------------
     // B1 (SQL:5): projection + `||` concat xid + NVL/coalesce + OPERATION_CODE IN (...)
     "b1_scan_project" -> { (s, dir) =>
@@ -316,6 +362,31 @@ object Relational {
         | JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name IN ('ASIA','EUROPE')
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q6_forecast" ->
+      """SELECT cast(sum(cast(round(l_extendedprice*l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        | cast(count(*) AS BIGINT) AS cnt
+        |FROM lineitem
+        |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0""".stripMargin,
+    "q4_semi_join" ->
+      """SELECT o_orderpriority, cast(count(*) AS BIGINT) AS order_cnt
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_nationkey, cast(count(*) AS BIGINT) AS never_ordered_cnt
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "events_rollup" ->
+      """SELECT coalesce(event_type, '(all)') AS etype,
+        | coalesce(user_id % 10, -1) AS bucket,
+        | cast(count(*) AS BIGINT) AS cnt,
+        | cast(sum(cast(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents,
+        | cast(GROUPING(event_type, user_id % 10) AS BIGINT) AS gid
+        |FROM events
+        |GROUP BY ROLLUP(event_type, user_id % 10)
+        |ORDER BY gid, etype, bucket""".stripMargin,
     "b1_scan_project" ->
       """SELECT concat_ws('.', user_id, event_id) AS xid, coalesce(value, 0.0) AS val,
         | event_type, event_id
