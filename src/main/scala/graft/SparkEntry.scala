@@ -31,7 +31,8 @@ object SparkEntry {
   /** Queries whose CONSTRUCTION executes a streaming harness (MemoryStream feed +
     * processAllAvailable): plan printers and other construct-only callers should skip
     * these unless explicitly requested. */
-  val streamingHarness: Set[String] = Set("cdc_txn_reconstruct_stream", "events_window_stream")
+  val streamingHarness: Set[String] =
+    Set("cdc_txn_reconstruct_stream", "events_window_stream", "events_dedup_stream")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

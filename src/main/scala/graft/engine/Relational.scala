@@ -116,6 +116,27 @@ object Relational {
           $"cnt", $"value_cents", $"gid")
         .orderBy($"gid", $"etype", $"bucket")
     },
+    // INTERSECT: customers holding BOTH open and finished orders — the set operator b9's
+    // except() leaves uncovered
+    "q_intersect" -> { (s, dir) =>
+      import s.implicits._
+      val open = Tables(s, dir, "orders").filter($"o_orderstatus" === "O").select($"o_custkey")
+      val done = Tables(s, dir, "orders").filter($"o_orderstatus" === "F").select($"o_custkey")
+      open.intersect(done)
+        .agg(count(lit(1)).as("both_cnt"), min($"o_custkey").as("min_k"), max($"o_custkey").as("max_k"))
+    },
+    // PIVOT: event counts and cents per user bucket, one column per event type — the wide
+    // report shape; Spark's pivot aggregates once and lays columns out without a join
+    "events_pivot" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "events")
+        .select(($"user_id" % 10).as("bucket"), $"event_type", $"value")
+        .groupBy($"bucket")
+        .pivot($"event_type", Seq("click", "view", "purchase"))
+        .agg(count(lit(1)).as("cnt"), sum(cents($"value")).as("cents"))
+        .na.fill(0L) // empty cells: Spark pivot yields null, the oracle coalesces to 0
+        .orderBy($"bucket")
+    },
     // ---- Layer B reproductions -------------------------------------------------
     // B1 (SQL:5): projection + `||` concat xid + NVL/coalesce + OPERATION_CODE IN (...)
     "b1_scan_project" -> { (s, dir) =>
@@ -362,6 +383,20 @@ object Relational {
         | JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name IN ('ASIA','EUROPE')
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q_intersect" ->
+      """SELECT cast(count(*) AS BIGINT) AS both_cnt, min(o_custkey) AS min_k, max(o_custkey) AS max_k
+        |FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |      INTERSECT
+        |      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""".stripMargin,
+    "events_pivot" ->
+      """SELECT user_id % 10 AS bucket,
+        | cast(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click_cnt,
+        | cast(coalesce(sum(cast(round(value*100) AS BIGINT)) FILTER (WHERE event_type = 'click'), 0) AS BIGINT) AS click_cents,
+        | cast(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view_cnt,
+        | cast(coalesce(sum(cast(round(value*100) AS BIGINT)) FILTER (WHERE event_type = 'view'), 0) AS BIGINT) AS view_cents,
+        | cast(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase_cnt,
+        | cast(coalesce(sum(cast(round(value*100) AS BIGINT)) FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT) AS purchase_cents
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q6_forecast" ->
       """SELECT cast(sum(cast(round(l_extendedprice*l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
         | cast(count(*) AS BIGINT) AS cnt

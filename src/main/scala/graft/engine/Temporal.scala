@@ -99,9 +99,32 @@ object Temporal {
           $"event_type", $"event_cnt", $"value_cents")
         .orderBy($"minute_bucket", $"event_type")
     },
+    // Streaming stateful DEDUP, oracle-gated: the same subsample is fed TWICE — batch 2 is
+    // a full replay of batch 1 — and dropDuplicates' key state must suppress every replayed
+    // row across the batch boundary (the CDC redelivery scenario as a first-class op). The
+    // per-type counts then hash-match the non-replayed batch answer. Unbounded key state
+    // here is harness-sized; production bounds it with dropDuplicatesWithinWatermark.
+    "events_dedup_stream" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.Encoders
+      val rows = Tables(s, dir, "events")
+        .filter($"event_id" % 4 === 0)
+        .select($"event_id", $"event_type")
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      val out = StreamGate.runTwoBatches(s,
+          Encoders.tuple(Encoders.scalaLong, Encoders.STRING),
+          "events_dedup_stream_sink", rows, rows) { ds =>
+        ds.toDF("event_id", "event_type").dropDuplicates("event_id")
+      }
+      out.groupBy($"event_type").agg(count(lit(1)).as("cnt")).orderBy($"event_type")
+    },
   )
 
   val oracle: Map[String, String] = Map(
+    "events_dedup_stream" ->
+      """SELECT event_type, cast(count(*) AS BIGINT) AS cnt
+        |FROM events WHERE event_id % 4 = 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "asof_last_click" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
         |marked AS (SELECT event_id, user_id, event_type, ts_us,
