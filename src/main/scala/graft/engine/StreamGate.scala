@@ -38,4 +38,34 @@ object StreamGate {
     } finally query.stop()
     spark.table(sink)
   }
+
+  /** Two-input variant for stream-stream operators: each side gets its own MemoryStream
+    * and its two batches are interleaved (left1, right1, drain, left2, right2, drain) so
+    * both sides' watermarks advance together. */
+  def runTwoInputs[L, R](spark: SparkSession, encL: Encoder[L], encR: Encoder[R],
+                         sink: String,
+                         left1: Seq[L], right1: Seq[R], left2: Seq[L], right2: Seq[R],
+                         statePartitions: Int = 8)
+                        (plan: (Dataset[L], Dataset[R]) => DataFrame): DataFrame = {
+    val leftIn = MemoryStream[L](encL, spark)
+    val rightIn = MemoryStream[R](encR, spark)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val query =
+      try {
+        // stream-stream joins open FOUR state stores per side per partition; a driver-fed
+        // harness wants the minimum instance count, a production job sizes to executors
+        spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+        plan(leftIn.toDS(), rightIn.toDS()).writeStream
+          .format("memory").queryName(sink).outputMode("append").start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try {
+      leftIn.addData(left1)
+      rightIn.addData(right1)
+      query.processAllAvailable()
+      leftIn.addData(left2)
+      rightIn.addData(right2)
+      query.processAllAvailable()
+    } finally query.stop()
+    spark.table(sink)
+  }
 }

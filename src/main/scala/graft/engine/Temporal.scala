@@ -118,9 +118,60 @@ object Temporal {
       }
       out.groupBy($"event_type").agg(count(lit(1)).as("cnt")).orderBy($"event_type")
     },
+    // STREAM-STREAM interval join, oracle-gated: purchases joined to the same user's
+    // clicks within the preceding 24 hours, BOTH sides watermarked and fed as separate
+    // streams cut mid-timeline — state must buffer each side across the batch boundary
+    // until the other side's watermark excludes it. The time-range condition on the
+    // watermarked event-time columns is what lets Spark evict join state; sentinels
+    // (user -1, far future) advance both watermarks and can never join.
+    "events_join_stream" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.Encoders
+      val base = Tables(s, dir, "events")
+        .filter($"event_id" % 8 === 0)
+        .select($"event_id", $"user_id", $"event_type", expr("ts div 1000").as("ts_us"))
+      def side(tpe: String): Seq[(Long, Long, Long)] = base
+        .filter($"event_type" === tpe)
+        .select($"event_id", $"user_id", $"ts_us")
+        .as[(Long, Long, Long)].collect().sortBy(_._3).toSeq
+      val clicks = side("click")
+      val purchases = side("purchase")
+      val sentinelUs =
+        (clicks.last._3 max purchases.last._3) + 30L * 24 * 3600 * 1000000L
+      // distinct sentinel users: with a shared user the two sentinels (same ts) would
+      // join each other and leak one synthetic pair into the output
+      val clickSentinel = Seq((-1L, -1L, sentinelUs))
+      val purchaseSentinel = Seq((-2L, -2L, sentinelUs))
+      val (c1, c2) = clicks.splitAt(clicks.length / 2)
+      val (p1, p2) = purchases.splitAt(purchases.length / 2)
+      val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+      val out = StreamGate.runTwoInputs(s, enc, enc, "events_join_stream_sink",
+          c1, p1, c2 ++ clickSentinel, p2 ++ purchaseSentinel, statePartitions = 2) { (l, r) =>
+        val lc = l.toDF("click_id", "c_user", "c_us")
+          .withColumn("c_ts", timestamp_micros($"c_us"))
+          .withWatermark("c_ts", "1 minute")
+        val rp = r.toDF("purchase_id", "p_user", "p_us")
+          .withColumn("p_ts", timestamp_micros($"p_us"))
+          .withWatermark("p_ts", "1 minute")
+        rp.join(lc,
+          $"p_user" === $"c_user" &&
+            $"c_ts" >= $"p_ts" - expr("INTERVAL 24 HOURS") && $"c_ts" <= $"p_ts")
+          .select($"purchase_id", $"click_id")
+      }
+      out.orderBy($"purchase_id", $"click_id")
+    },
   )
 
   val oracle: Map[String, String] = Map(
+    "events_join_stream" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        |           FROM events WHERE event_id % 8 = 0),
+        |c AS (SELECT event_id AS click_id, user_id, ts_us AS c_us FROM e WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts_us AS p_us FROM e WHERE event_type = 'purchase')
+        |SELECT purchase_id, click_id
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c_us BETWEEN p_us - 86400000000 AND p_us
+        |ORDER BY purchase_id, click_id""".stripMargin,
     "events_dedup_stream" ->
       """SELECT event_type, cast(count(*) AS BIGINT) AS cnt
         |FROM events WHERE event_id % 4 = 0
