@@ -71,6 +71,21 @@ object Dedup {
       df.withColumn(s"band_$b", md5(concat_ws(",", cols: _*)))
     }
 
+  /** Banded-LSH candidate pairs over the doubled corpus (shared by the pair query and the
+    * component clustering). The signature table is cached: without it the union+self-join
+    * recomputes the shingle/minhash subplan once per band per side. */
+  private def lshPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sig = withBands(signatures(doubledDocs(s, dir))).cache()
+    val bandCols = array((0 until NumBands).map(b => col(s"band_$b")): _*)
+    val bands = sig.select($"doc_id", posexplode(bandCols).as(Seq("bi", "bv")))
+    bands.as("a").join(bands.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: double the corpus with byte-identical copies (shifted ids), group by
     // content hash, keep the lowest id — every group must collapse to the original doc
@@ -96,15 +111,49 @@ object Dedup {
     // materialized signature table; here .cache() is the same plan-reuse decision.
     "dedup_minhash_pairs" -> { (s, dir) =>
       import s.implicits._
-      val sig = withBands(signatures(doubledDocs(s, dir))).cache()
-      val bandCols = array((0 until NumBands).map(b => col(s"band_$b")): _*)
-      val bands = sig.select($"doc_id", posexplode(bandCols).as(Seq("bi", "bv")))
-      bands.as("a").join(bands.as("b"),
-          col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-        .orderBy($"doc_a", $"doc_b")
+      lshPairs(s, dir).orderBy($"doc_a", $"doc_b")
+    },
+    // connected components over the LSH pair graph — the dedup pipeline's LAST stage:
+    // near-dup PAIRS become CLUSTERS, each keeping one canonical doc (the min id = the
+    // cluster label). Iterative min-label propagation to a fixpoint, the driver checking
+    // convergence per round; diameter here is small so few rounds run. At 100 TB the same
+    // loop runs with large-star/small-star contraction (alternating min-neighbor rewiring
+    // halves long paths per round) — the loop-with-convergence-check structure is the same.
+    // Oracle: DuckDB recursive-CTE transitive closure + min-per-node.
+    "dedup_components" -> { (s, dir) =>
+      import s.implicits._
+      val pairs = lshPairs(s, dir).cache()
+      val edges = pairs
+        .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+        .cache()
+      val nodes = edges.select($"doc_a".as("id")).distinct()
+      // localCheckpoint (eager): materializes each iteration's frame AND cuts lineage, so
+      // no later action can re-trigger the LSH pair pipeline through a cache re-plan
+      var labels = nodes.withColumn("label", $"id").localCheckpoint()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 20) {
+        val prop = edges.join(labels, edges("doc_a") === labels("id"))
+          .select(edges("doc_b").as("id"), labels("label"))
+        // checkpointed: minNb feeds BOTH sides of the pointer-jump self-join below
+        val minNb = labels.select($"id", $"label").union(prop)
+          .groupBy($"id").agg(min($"label").as("label")).localCheckpoint()
+        // pointer jump (path halving): adopt the label's own label, so chains contract
+        // geometrically and the loop converges in O(log diameter) rounds, not O(diameter)
+        val next = minNb.as("x")
+          .join(minNb.select($"id".as("jid"), $"label".as("jlabel")).as("m"),
+            col("x.label") === col("m.jid"), "left")
+          .select(col("x.id").as("id"),
+            least(col("x.label"), coalesce(col("m.jlabel"), col("x.label"))).as("label"))
+          .localCheckpoint()
+        changed = next.as("n").join(labels.as("o"), "id")
+          .filter(col("n.label") =!= col("o.label")).count()
+        labels = next
+        iter += 1
+      }
+      labels.groupBy($"label")
+        .agg(count(lit(1)).as("member_cnt"), max($"id").as("max_member"))
+        .orderBy($"label")
     },
     // 16-bit simhash fingerprint per document
     "dedup_simhash" -> { (s, dir) =>
@@ -200,6 +249,22 @@ object Dedup {
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_components" ->
+      s"""WITH RECURSIVE src AS ($doubledSql),
+         |${sigSql("src")},
+         |bands AS (${(0 until NumBands).map(b => s"SELECT doc_id, $b AS bi, band_$b AS bv FROM banded").mkString(" UNION ALL ")}),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT s AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+         |labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+         |SELECT label, cast(count(*) AS BIGINT) AS member_cnt, max(id) AS max_member
+         |FROM labels GROUP BY label ORDER BY label""".stripMargin,
     "dedup_simhash" ->
       s"""WITH toks AS (SELECT doc_id, unnest(list_distinct($tokSql)) AS tok FROM documents),
          |hashed AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM toks),
