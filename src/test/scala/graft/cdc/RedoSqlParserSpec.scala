@@ -7,6 +7,40 @@ import scala.util.Random
 /** A12/A17 parser semantics, anchored to OracleSourceConnectorUtils2.java:256-358. */
 class RedoSqlParserSpec extends AnyFunSuite {
 
+  test("property: render->parse round-trips arbitrary string/numeric/null values (500 seeds)") {
+    val rnd = new Random(7)
+    def randomValue(): Option[String] = rnd.nextInt(5) match {
+      case 0 => None // SQL NULL
+      case 1 => Some(rnd.nextLong().toString)
+      case 2 => Some(f"${rnd.nextDouble() * 1e6}%.4f")
+      case _ =>
+        // strings with the characters that break naive parsers: quotes, doubled quotes,
+        // commas, parens, equals, whitespace runs, keywords
+        val pool = Seq("'", "''", ",", "(", ")", " = ", "  ", "values", "where", "and",
+          "O'Brien", "a\"b", "x")
+        Some(Seq.fill(1 + rnd.nextInt(6))(pool(rnd.nextInt(pool.length))).mkString)
+    }
+    def lit(v: Option[String]): String =
+      v.map(s => "'" + s.replace("'", "''") + "'").getOrElse("NULL")
+    (1 to 500).foreach { _ =>
+      val cols = (1 to 1 + rnd.nextInt(5)).map(i => s"C$i")
+      val vals = cols.map(_ => randomValue())
+      val insert = cols.map(c => "\"" + c + "\"").mkString(
+        "insert into \"S\".\"T\"(", ",", ") values (") +
+        vals.map(lit).mkString(",") + ")"
+      val p = RedoSqlParser.parse(insert)
+      assert(p.operation == "INSERT" && p.data.map(_._1) == cols.toVector)
+      assert(p.data.map(_._2) == vals.toVector, s"stmt: $insert")
+      // the same values as an UPDATE's WHERE image (numbers render bare, strings quoted)
+      val where = cols.zip(vals).map {
+        case (c, None)    => "\"" + c + "\" IS NULL"
+        case (c, Some(v)) => "\"" + c + "\" = " + lit(Some(v))
+      }.mkString(" and ")
+      val del = RedoSqlParser.parse(s"""delete from "S"."T" where $where""")
+      assert(del.before.map(_._2) == vals.toVector, s"where: $where")
+    }
+  }
+
   test("INSERT: data = zip(columns, values), before empty (Utils:274-296)") {
     val p = RedoSqlParser.parse(
       """insert into "HR"."EMP"("ID","NAME","SAL") values (1,'Alice',2500.50)""")
