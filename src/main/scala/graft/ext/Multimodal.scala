@@ -113,6 +113,25 @@ object Multimodal {
           (lit(1L) + $"fp32" % 16).as("n_frames"))
         .orderBy($"doc_id")
     },
+    // frame-sampling stage (the 1:N video explode), oracle-gated — every emitted frame's
+    // position, length and byte-sum recomputed by DuckDB from the payload hex dump
+    "multimodal_frames" -> { (s, dir) =>
+      import s.implicits._
+      sampleFrames(mediaFrame(s, dir), nFrames = 10, stride = 3)
+        .map(f => (f.doc_id, f.frame_idx, f.payload.length,
+          f.payload.foldLeft(0L)((a, b) => a + (b & 0xff))))
+        .toDF("doc_id", "frame_idx", "frame_len", "byte_sum")
+        .orderBy($"doc_id", $"frame_idx")
+    },
+    // resize stage (strided selection), oracle-gated the same way
+    "multimodal_resize" -> { (s, dir) =>
+      import s.implicits._
+      resize(mediaFrame(s, dir), width = 4, height = 3)
+        .map(r => (r.doc_id, r.width, r.height,
+          r.payload.foldLeft(0L)((a, b) => a + (b & 0xff))))
+        .toDF("doc_id", "width", "height", "byte_sum")
+        .orderBy($"doc_id")
+    },
     // decode stage: stub decode through the real mapPartitions plumbing, now oracle-gated —
     // f0 is lane 0 of the decode (sum of bytes at positions ≡ 0 mod 8), which DuckDB
     // recomputes from the hex dump of the same payload
@@ -126,6 +145,24 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "multimodal_frames" ->
+      """WITH b AS (SELECT doc_id, encode(text) AS p, octet_length(encode(text)) AS len FROM documents),
+        |c AS (SELECT doc_id, p, len, greatest(len // 10, 1) AS chunk FROM b),
+        |f AS (SELECT doc_id, p, len, chunk, unnest([0, 3, 6, 9]) AS frame_idx FROM c),
+        |g AS (SELECT doc_id, frame_idx, p,
+        |        least(frame_idx * chunk, len) AS f_from,
+        |        least(least(frame_idx * chunk, len) + chunk, len) AS f_to FROM f)
+        |SELECT doc_id, frame_idx, cast(f_to - f_from AS INTEGER) AS frame_len,
+        |  cast(coalesce(list_sum([('0x' || substr(hex(p), 2*i + 1, 2))::BIGINT
+        |    for i in range(f_from, f_to)]), 0) AS BIGINT) AS byte_sum
+        |FROM g ORDER BY doc_id, frame_idx""".stripMargin,
+    "multimodal_resize" ->
+      """WITH b AS (SELECT doc_id, encode(text) AS p, octet_length(encode(text)) AS len FROM documents)
+        |SELECT doc_id, 4 AS width, 3 AS height,
+        |  CASE WHEN len = 0 THEN 0
+        |    ELSE cast(coalesce(list_sum([('0x' || substr(hex(p), 2*((i*len)//12) + 1, 2))::BIGINT
+        |      for i in range(0, 12)]), 0) AS BIGINT) END AS byte_sum
+        |FROM b ORDER BY doc_id""".stripMargin,
     // the decode oracle re-derives lane 0 byte-by-byte from the payload's hex dump:
     // byte i (0-indexed) of a blob is substr(hex(blob), 2i+1, 2) parsed base-16
     "multimodal_decode" ->
