@@ -52,6 +52,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"expected <=2 exchanges (window/agg share one):\n$p")
   }
 
+  test("asof_last_click: the carry-forward as-of plan contains NO join operator") {
+    val p = plan("asof_last_click")
+    assert(!p.contains("Join"), s"as-of must be a window carry-forward, not a join:\n$p")
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 2, s"expected <=2 exchanges (user_id hash + final sort):\n$p")
+  }
+
   test("text scans are column-pruned: text_stats reads only the columns it needs") {
     val p = plan("text_stats")
     val scanLine = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
