@@ -28,12 +28,22 @@ object Bench {
     catch { case _: Throwable => () }
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // per-query time limit: a wedged query is recorded as an error, not a bench hang
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val perQueryTimeout = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "300").toLong
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        Await.result(Future {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        }, perQueryTimeout.seconds)
         timings(name) = (System.nanoTime() - t0) / 1e9
       } catch {
+        case _: java.util.concurrent.TimeoutException =>
+          spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+          errors(name) = s"timeout after ${perQueryTimeout}s"
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }

@@ -18,11 +18,23 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // per-query time limit: one wedged query (e.g. a parked streaming harness) must cost
+    // itself, not zero the whole round's correctness dump; on timeout any stray streaming
+    // queries are stopped and the runner thread is abandoned
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val perQueryTimeout = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "300").toLong
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      try Await.result(Future {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }, perQueryTimeout.seconds)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+          System.err.println(s"[verify] $name timed out after ${perQueryTimeout}s")
+        case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
