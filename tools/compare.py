@@ -15,6 +15,11 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
 results = {}
+# a query that crashed or timed out in Verify writes NO output dir — report it as FAIL
+# instead of silently dropping it from the denominator
+present = {os.path.basename(d) for d in glob.glob(os.path.join(outdir, "*")) if os.path.isdir(d)}
+for name in sorted(set(oracle) - present):
+    results[name] = "MISSING-OUTPUT (query failed or timed out in Verify)"
 for qdir in sorted(glob.glob(os.path.join(outdir, "*"))):
     name = os.path.basename(qdir)
     if not os.path.isdir(qdir):
