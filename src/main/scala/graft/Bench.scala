@@ -17,6 +17,8 @@ object Bench {
       // Spark 4.1's async checksum writer can park streaming tasks forever under
       // local-mode load (see SparkTestSession); cdc_txn_reconstruct_stream runs here
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      // events.ts is TIMESTAMP(NANOS) → LongType (see engine.Tables)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def esc(s: String): String =
@@ -37,15 +39,23 @@ object Bench {
       val t0 = System.nanoTime()
       try {
         Await.result(Future {
+          // job groups are thread-local: tag the runner thread so a timeout on the main
+          // thread can actually cancel the wedged jobs instead of abandoning them to
+          // keep burning cores under the next query's timing
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         }, perQueryTimeout.seconds)
         timings(name) = (System.nanoTime() - t0) / 1e9
       } catch {
         case _: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(name)
           spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
           errors(name) = s"timeout after ${perQueryTimeout}s"
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      } finally {
+        // one query's plan-reuse caches must not tax the next query's timing or memory
+        spark.catalog.clearCache()
       }
     }
     val qs = timings.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")

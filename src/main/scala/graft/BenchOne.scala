@@ -8,12 +8,14 @@ object BenchOne {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.foreach { n =>
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, sfDir).write.mode("overwrite").format("noop").save()
       println(f"TIMING $n ${(System.nanoTime()-t0)/1e9}%.2f")
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

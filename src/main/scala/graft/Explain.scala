@@ -16,6 +16,7 @@ object Explain {
       // streaming-harness queries EXECUTE at construction; without this the Spark 4.1
       // async checksum writer can park their tasks forever (see SparkTestSession)
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // default run skips queries whose construction runs a full streaming harness — name

@@ -15,6 +15,8 @@ object Verify {
       // Spark 4.1's async checksum writer can park streaming tasks forever under
       // local-mode load (see SparkTestSession); cdc_txn_reconstruct_stream runs here
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      // events.ts is TIMESTAMP(NANOS) → LongType (see engine.Tables)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -27,15 +29,19 @@ object Verify {
     val perQueryTimeout = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "300").toLong
     SparkEntry.queries.foreach { case (name, fn) =>
       try Await.result(Future {
+        // job groups are thread-local: tag the runner thread so a timeout can cancel
+        // the wedged jobs instead of leaving them to consume cores alongside the rest
+        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
         fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }, perQueryTimeout.seconds)
       catch {
         case _: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(name)
           spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
           System.err.println(s"[verify] $name timed out after ${perQueryTimeout}s")
         case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      } finally spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -36,6 +36,17 @@ object Dedup {
 
   private val DupIdOffset = 1000000L
 
+  /** Free the block-manager storage behind a localCheckpoint()ed frame once it is
+    * superseded. `Dataset.unpersist` cannot reach these blocks — localCheckpoint persists
+    * the underlying RDD directly, bypassing the shared cache manager — so without this the
+    * iterative loop below accumulates O(iterations × |nodes|) storage: a real leak at
+    * 100 TB that evicts useful blocks or spills (round-3 verdict item #1). */
+  private[ext] def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** 3-token shingles of a token array column (empty when fewer than 3 tokens). */
   private def shingles(toks: Column): Column = {
     val all = transform(toks, (t, i) =>
@@ -74,16 +85,23 @@ object Dedup {
   /** Banded-LSH candidate pairs over the doubled corpus (shared by the pair query and the
     * component clustering). The signature table is cached: without it the union+self-join
     * recomputes the shingle/minhash subplan once per band per side. */
-  private def lshPairs(s: SparkSession, dir: String): DataFrame = {
+  private def lshPairs(s: SparkSession, dir: String): DataFrame =
+    lshPairsWithSig(s, dir)._1
+
+  /** As [[lshPairs]], but also hands back the cached signature frame so callers that
+    * fully materialize the pairs during construction (the components loop) can release
+    * the cache instead of leaving it to tax whatever runs next in the session. */
+  private def lshPairsWithSig(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val sig = withBands(signatures(doubledDocs(s, dir))).cache()
     val bandCols = array((0 until NumBands).map(b => col(s"band_$b")): _*)
     val bands = sig.select($"doc_id", posexplode(bandCols).as(Seq("bi", "bv")))
-    bands.as("a").join(bands.as("b"),
+    val pairs = bands.as("a").join(bands.as("b"),
         col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    (pairs, sig)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -122,7 +140,8 @@ object Dedup {
     // Oracle: DuckDB recursive-CTE transitive closure + min-per-node.
     "dedup_components" -> { (s, dir) =>
       import s.implicits._
-      val pairs = lshPairs(s, dir).cache()
+      val (rawPairs, sig) = lshPairsWithSig(s, dir)
+      val pairs = rawPairs.cache()
       val edges = pairs
         .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
         .cache()
@@ -148,9 +167,20 @@ object Dedup {
           .localCheckpoint()
         changed = next.as("n").join(labels.as("o"), "id")
           .filter(col("n.label") =!= col("o.label")).count()
+        // `next` is materialized (eager checkpoint) and `changed` consumed the old frame,
+        // so the superseded iteration's blocks are dead weight from here on — release them
+        releaseLocalCheckpoint(labels)
+        releaseLocalCheckpoint(minNb)
         labels = next
         iter += 1
       }
+      // an unconverged fixpoint means WRONG cluster labels — fail loudly rather than
+      // surfacing as a confusing oracle hash mismatch downstream
+      require(changed == 0, s"dedup_components did not converge after $iter rounds")
+      // the final checkpoint severed lineage from the LSH pipeline, so its caches can go
+      edges.unpersist(blocking = false)
+      pairs.unpersist(blocking = false)
+      sig.unpersist(blocking = false)
       labels.groupBy($"label")
         .agg(count(lit(1)).as("member_cnt"), max($"id").as("max_member"))
         .orderBy($"label")

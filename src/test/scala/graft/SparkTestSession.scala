@@ -16,6 +16,8 @@ object SparkTestSession {
       // under local[4] test load — tasks park forever in
       // ChecksumCheckpointFileManager.awaitResult. Plain checkpoint files are fine here.
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      // events.ts is TIMESTAMP(NANOS) → LongType (see engine.Tables)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
