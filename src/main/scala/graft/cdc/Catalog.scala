@@ -98,11 +98,13 @@ object Catalog {
    */
   def castProjection(payload: Column, schema: StructType): Seq[Column] =
     schema.fields.toSeq.map { f =>
-      val raw = payload.getItem(f.name.toUpperCase)
-      val typed = f.dataType match {
-        case TimestampType => to_timestamp(regexp_replace(raw, "\\+.*$", ""))
-        case dt            => raw.cast(dt)
-      }
-      typed.as(f.name)
+      castValue(payload.getItem(f.name.toUpperCase), f.dataType).as(f.name)
     }
+
+  /** One string payload value -> the table type (the per-field rule of [[castProjection]],
+    * shared with [[EnvelopeApply]]). */
+  def castValue(raw: Column, dt: DataType): Column = dt match {
+    case TimestampType => to_timestamp(regexp_replace(raw, "\\+.*$", ""))
+    case _             => raw.cast(dt)
+  }
 }

@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.cdc._
@@ -252,6 +252,43 @@ object CdcQueries {
         .select($"scn", $"heartbeat_time")
         .orderBy($"scn")
     },
+    // Envelope-apply (MERGE/upsert) — the consumer's last mile: a deterministic event
+    // script over orders (updates for %3, a later multi-column update for %9, deletes for
+    // %10, inserts of NEW keys for %4, then an update of a freshly-inserted key for %8)
+    // rendered to real redo SQL, parsed, enveloped, and replayed onto the orders snapshot
+    // by [[EnvelopeApply]] in (commit_scn, scn, seq) order. commit_scn is constant so the
+    // comparator's scn/seq fallback is exercised. Oracle: DuckDB computes the same final
+    // state with CASE arithmetic — a green hash proves insert/overlay/tombstone/resurrect
+    // fold semantics AND the pk-metadata-driven join, end to end.
+    "cdc_apply_merge" -> { (s, dir) =>
+      import s.implicits._
+      val snapshot = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_orderpriority")
+      val schema = Catalog.withKeyMetadata(snapshot.schema, Set("o_orderkey"))
+      val base = Tables(s, dir, "orders").select($"o_orderkey".cast("long").as("k"))
+      def frame(flt: Column, scnOff: Int, op: String, redo: Column) =
+        base.filter(flt).select(
+          ($"k" * 10 + scnOff).as("scn"), lit(1L).as("commit_scn"),
+          ($"k" * 10 + scnOff).as("seq"), lit("x").as("xid"), lit("r").as("row_id"),
+          lit("GRAFT").as("seg_owner"), lit("ORDERS").as("table_name"),
+          lit(op).as("operation"), redo.as("sql_redo"), lit("").as("info"))
+      val script =
+        frame($"k" % 3 === 0, 1, RedoEvent.Update,
+          concat(lit("update \"GRAFT\".\"ORDERS\" set \"O_ORDERSTATUS\" = 'Z' where \"O_ORDERKEY\" = "), $"k")) union
+        frame($"k" % 9 === 0, 3, RedoEvent.Update,
+          concat(lit("update \"GRAFT\".\"ORDERS\" set \"O_ORDERSTATUS\" = 'Y', \"O_ORDERPRIORITY\" = '9-PRIO' where \"O_ORDERKEY\" = "), $"k")) union
+        frame($"k" % 10 === 0, 5, RedoEvent.Delete,
+          concat(lit("delete from \"GRAFT\".\"ORDERS\" where \"O_ORDERKEY\" = "), $"k")) union
+        frame($"k" % 4 === 0, 2, RedoEvent.Insert,
+          concat(lit("insert into \"GRAFT\".\"ORDERS\"(\"O_ORDERKEY\",\"O_ORDERSTATUS\",\"O_ORDERPRIORITY\") values ("),
+            $"k" + 10000000L, lit(",'N','NEW')"))) union
+        frame($"k" % 8 === 0, 4, RedoEvent.Update,
+          concat(lit("update \"GRAFT\".\"ORDERS\" set \"O_ORDERSTATUS\" = 'M' where \"O_ORDERKEY\" = "), $"k" + 10000000L))
+      val env = CdcPipeline.envelope(
+        script.withColumn("parsed", ParseRedo.parse($"sql_redo")), "DB1",
+        extra = Seq($"commit_scn", $"seq"))
+      EnvelopeApply(snapshot, env, schema).orderBy($"o_orderkey")
+    },
     // A18: envelope null rules per operation + routing, from customer-derived redo.
     "cdc_envelope" -> { (s, dir) =>
       import s.implicits._
@@ -353,6 +390,21 @@ object CdcQueries {
         |  AND ((seg_owner = 'APP' AND table_name IN ('T0','T1','T2')) OR seg_owner = 'OTHER')
         |  AND operation IN ('INSERT','UPDATE','DDL')
         |GROUP BY 1, 2 ORDER BY operation, topic""".stripMargin,
+    "cdc_apply_merge" ->
+      """WITH base AS (SELECT cast(o_orderkey AS BIGINT) AS k, o_orderstatus, o_orderpriority
+        |              FROM orders),
+        |surv AS (
+        |  SELECT k AS o_orderkey,
+        |    CASE WHEN k % 9 = 0 THEN 'Y' WHEN k % 3 = 0 THEN 'Z'
+        |         ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN k % 9 = 0 THEN '9-PRIO' ELSE o_orderpriority END AS o_orderpriority
+        |  FROM base WHERE k % 10 <> 0),
+        |ins AS (
+        |  SELECT k + 10000000 AS o_orderkey,
+        |    CASE WHEN k % 8 = 0 THEN 'M' ELSE 'N' END AS o_orderstatus,
+        |    'NEW' AS o_orderpriority
+        |  FROM base WHERE k % 4 = 0)
+        |SELECT * FROM surv UNION ALL SELECT * FROM ins ORDER BY o_orderkey""".stripMargin,
     "cdc_envelope" ->
       """WITH c AS (SELECT c_custkey,
         |  CASE WHEN c_custkey % 4 = 0 THEN 'DELETE' WHEN c_custkey % 4 = 1 THEN 'INSERT'

@@ -1,0 +1,54 @@
+package graft.cdc
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Fold semantics of [[EnvelopeApply]] on hand-built envelopes: overlay order, tombstone,
+ * resurrection, new-key materialization, and pk-metadata-driven keying. The oracle-gated
+ * end-to-end version is `cdc_apply_merge` (CdcQueries); this spec pins the corner cases
+ * the modular-arithmetic script can't hit (DELETE then re-INSERT of the same key,
+ * out-of-order arrival).
+ */
+class EnvelopeApplySpec extends AnyFunSuite {
+
+  private lazy val spark = graft.SparkTestSession.spark
+
+  private def env(rows: Seq[(Long, Long, Long, String, Map[String, String], Map[String, String])]) = {
+    import spark.implicits._
+    rows.toDF("commit_scn", "scn", "seq", "operation", "data", "before")
+  }
+
+  test("apply replays insert/update/delete in commit order onto the snapshot") {
+    import spark.implicits._
+    val snapshot = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("id", "name", "v")
+    val schema = Catalog.withKeyMetadata(snapshot.schema, Set("id"))
+
+    val events = env(Seq(
+      // key 1: two updates, later (commit 2) wins on NAME; V untouched
+      (2L, 1L, 1L, RedoEvent.Update, Map("ID" -> "1", "NAME" -> "a2"), Map("ID" -> "1")),
+      (1L, 1L, 1L, RedoEvent.Update, Map("ID" -> "1", "NAME" -> "a1"), Map("ID" -> "1")),
+      // key 2: tombstone (data null per envelope rules)
+      (1L, 2L, 1L, RedoEvent.Delete, null, Map("ID" -> "2")),
+      // key 3: delete then re-insert — must resurrect with the inserted values
+      (1L, 3L, 1L, RedoEvent.Delete, null, Map("ID" -> "3")),
+      (1L, 3L, 2L, RedoEvent.Insert, Map("ID" -> "3", "NAME" -> "c9", "V" -> "99"), null),
+      // key 4: new key inserted then partially updated (V stays from the insert)
+      (1L, 4L, 1L, RedoEvent.Insert, Map("ID" -> "4", "NAME" -> "d", "V" -> "40"), null),
+      (1L, 4L, 2L, RedoEvent.Update, Map("ID" -> "4", "NAME" -> "d2"), Map("ID" -> "4"))))
+
+    val out = EnvelopeApply(snapshot, events, schema).orderBy($"id").collect()
+    assert(out.toSeq === Seq(
+      Row(1L, "a2", 10), Row(3L, "c9", 99), Row(4L, "d2", 40)))
+  }
+
+  test("apply requires pk metadata on the schema") {
+    import spark.implicits._
+    val snapshot = Seq((1L, "a")).toDF("id", "name")
+    val e = intercept[IllegalArgumentException] {
+      EnvelopeApply(snapshot, env(Nil), snapshot.schema)
+    }
+    assert(e.getMessage.contains("pk metadata"))
+  }
+}
