@@ -21,7 +21,15 @@ object StreamGate {
 
   def runTwoBatches[T](spark: SparkSession, enc: Encoder[T], sink: String,
                        batch1: Seq[T], batch2: Seq[T])
-                      (plan: Dataset[T] => DataFrame): DataFrame = {
+                      (plan: Dataset[T] => DataFrame): DataFrame =
+    runBatches(spark, enc, sink, Seq(batch1, batch2))(plan)
+
+  /** N-micro-batch variant: each element of `batches` is drained fully before the next is
+    * fed, so the watermark observed at batch k+1's start is exactly batch k's high mark —
+    * what a state-eviction gate needs to be deterministic. */
+  def runBatches[T](spark: SparkSession, enc: Encoder[T], sink: String,
+                    batches: Seq[Seq[T]])
+                   (plan: Dataset[T] => DataFrame): DataFrame = {
     val input = MemoryStream[T](enc, spark)
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     val query =
@@ -31,10 +39,10 @@ object StreamGate {
           .format("memory").queryName(sink).outputMode("append").start()
       } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     try {
-      input.addData(batch1)
-      query.processAllAvailable()
-      input.addData(batch2)
-      query.processAllAvailable()
+      batches.foreach { b =>
+        input.addData(b)
+        query.processAllAvailable()
+      }
     } finally query.stop()
     spark.table(sink)
   }

@@ -118,6 +118,48 @@ object Temporal {
       }
       out.groupBy($"event_type").agg(count(lit(1)).as("cnt")).orderBy($"event_type")
     },
+    // BOUNDED streaming dedup, oracle-gated — the production form of events_dedup_stream:
+    // dropDuplicatesWithinWatermark holds per-key state only until the watermark passes
+    // firstSeen + delay, so the state store is bounded by the delay window instead of
+    // growing with distinct-key count forever (at 100 TB the unbounded key store is the
+    // first thing to fall over). The price is an at-least-once boundary: a replay farther
+    // apart than the delay re-emits, and this query PROVES both sides of the contract in
+    // three micro-batches: (1) originals emit; (2) replays within the delay are suppressed
+    // by held state; a sentinel then pushes the watermark past every key's expiry, evicting
+    // all state; (3) replays beyond the delay re-emit — the oracle counts originals plus
+    // exactly the evicted-replay set. Reference posture: offset-based dedup A6 (Task:258-264)
+    // bounds redelivery the same way — by position, not by unbounded memory.
+    "events_dedup_stream_wm" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.Encoders
+      val rows = Tables(s, dir, "events")
+        .filter($"event_id" % 4 === 0)
+        .select($"event_id", $"event_type", expr("ts div 1000").as("ts_us"))
+        .as[(Long, String, Long)].collect().sortBy(_._3).toSeq
+      val (minUs, maxUs) = (rows.head._3, rows.last._3)
+      // the delay spans the whole timeline + margin: no original or replay is ever late
+      val delayUs = maxUs - minUs + 3600L * 1000000L
+      val within = rows.filter(_._1 % 3 == 0)
+        .map { case (id, t, ts) => (id, t, ts + 30L * 1000000L) }
+      // watermark pusher: after batch 2 the watermark is pusherTs - delay, strictly past
+      // every original key's expiry (ts + delay <= maxUs + delay < pusherTs - delay)
+      val pusherTs = maxUs + 2 * delayUs + 3600L * 1000000L
+      val pusher = Seq((-1L, "sentinel", pusherTs))
+      // beyond-delay replays land above the post-eviction watermark (not late), state gone
+      val beyond = rows.filter(_._1 % 5 == 0)
+        .map { case (id, t, _) => (id, t, pusherTs + 3600L * 1000000L) }
+      val out = StreamGate.runBatches(s,
+          Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.scalaLong),
+          "events_dedup_wm_sink",
+          Seq(rows, within ++ pusher, beyond)) { ds =>
+        ds.toDF("event_id", "event_type", "ts_us")
+          .withColumn("ts", timestamp_micros($"ts_us"))
+          .withWatermark("ts", s"$delayUs microseconds")
+          .dropDuplicatesWithinWatermark("event_id")
+      }
+      out.filter($"event_type" =!= "sentinel")
+        .groupBy($"event_type").agg(count(lit(1)).as("cnt")).orderBy($"event_type")
+    },
     // STREAM-STREAM interval join, oracle-gated: purchases joined to the same user's
     // clicks within the preceding 24 hours, BOTH sides watermarked and fed as separate
     // streams cut mid-timeline — state must buffer each side across the batch boundary
@@ -174,6 +216,13 @@ object Temporal {
         |ORDER BY purchase_id, click_id""".stripMargin,
     "events_dedup_stream" ->
       """SELECT event_type, cast(count(*) AS BIGINT) AS cnt
+        |FROM events WHERE event_id % 4 = 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // originals + the beyond-delay replays (%5) that re-emit after state eviction;
+    // within-delay replays (%3) are suppressed and add nothing
+    "events_dedup_stream_wm" ->
+      """SELECT event_type,
+        | cast(count(*) + sum(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt
         |FROM events WHERE event_id % 4 = 0
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "asof_last_click" ->
