@@ -215,9 +215,16 @@ object Dedup {
         .withColumn("sz", size($"toks"))
         .cache()
       val toks = d.select($"doc_id", $"lang", $"source", $"sz", explode($"toks").as("tok"))
+      // df via hash aggregate: the occurrence shuffle carries only per-partition partial
+      // counts (map-side combine collapses hot stopwords), so it is skew-immune
       val dfreq = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
       val wDoc = Window.partitionBy($"doc_id").orderBy($"df", $"tok")
-      val prefix = toks.join(dfreq, "tok")
+      // BROADCAST the vocabulary-sized df table: a shuffle join here would repartition
+      // every token OCCURRENCE on the token key — linear, but with one fat partition per
+      // stopword (the round-3 skew finding). Broadcasting keeps occurrences where they
+      // are; at vocabulary scales past broadcast range the production form is an
+      // integer-rank token dictionary bucketed on tok and a co-located join.
+      val prefix = toks.join(broadcast(dfreq), "tok")
         .withColumn("rn", row_number().over(wDoc))
         .filter($"rn" <= $"sz" - ceil($"sz" * 0.5) + 1) // prefix length for t = 0.5
         .select($"doc_id", $"lang", $"source", $"tok", $"sz")
