@@ -128,8 +128,9 @@ object TextOps {
     },
     // EXACT length quantiles per language via rank arithmetic (value at ceil(q*n)) —
     // bit-identical across engines, unlike interpolating percentile functions. At lake
-    // scale the one-pass production variant is approx_percentile (a sketch, not
-    // oracle-able); this is the exact ground-truth path it is validated against.
+    // scale the per-lang full sort here is the WRONG default (5 langs → 5 fat sort
+    // partitions); text_len_quantiles_approx below is the production path, and
+    // TextApproxSpec validates the sketch against this exact query within its rank bound.
     "text_len_quantiles" -> { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -143,6 +144,22 @@ object TextOps {
           max(when($"rn" === ceil($"cnt" * 0.5), $"len")).as("p50"),
           max(when($"rn" === ceil($"cnt" * 0.9), $"len")).as("p90"),
           max(when($"rn" === ceil($"cnt" * 0.99), $"len")).as("p99"))
+        .orderBy($"lang")
+    },
+    // The PRODUCTION quantile path: percentile_approx's mergeable Greenwald-Khanna sketch —
+    // one hash aggregate with map-side partial sketches, no per-lang sort, no fat
+    // partitions, O(accuracy) state per group at any data volume. A sketch result is
+    // rank-bounded (±n/accuracy), not bit-exact, so this entry has NO oracle SQL (the
+    // driver records rows/schema only); TextApproxSpec asserts each value sits within the
+    // sketch's guaranteed rank window of the exact text_len_quantiles answer.
+    "text_len_quantiles_approx" -> { (s, dir) =>
+      import s.implicits._
+      graft.engine.Tables(s, dir, "documents")
+        .select($"lang", length($"text").cast("long").as("len"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n"),
+          percentile_approx($"len", array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("p"))
+        .select($"lang", $"n", $"p"(0).as("p50"), $"p"(1).as("p90"), $"p"(2).as("p99"))
         .orderBy($"lang")
     },
   )
