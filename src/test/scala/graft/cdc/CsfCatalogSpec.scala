@@ -154,15 +154,38 @@ class CsfCatalogSpec extends AnyFunSuite {
     assert(frames.forall(_.payload.length == 10))
   }
 
-  test("multimodal decode plumbing: partition-parallel stub decode") {
+  test("multimodal decode: WAV codec round-trip through the partition-parallel surface") {
     val spark = graft.SparkTestSession.spark
     import spark.implicits._
     val media = Seq(
-      graft.ext.Multimodal.MediaRow(1L, "abcd".getBytes("UTF-8")),
+      graft.ext.Multimodal.MediaRow(1L, "abcde".getBytes("UTF-8")), // odd length: pad path
       graft.ext.Multimodal.MediaRow(2L, Array.emptyByteArray)).toDS()
-    val out = graft.ext.Multimodal.decodeFeatures(media).collect().sortBy(_.doc_id)
-    assert(out.map(_.byte_len).toList == List(4, 0))
-    assert(out.head.features.length == 8 && out.head.features.sum > 0f)
-    assert(out.last.features.forall(_ == 0f))
+    val out = graft.ext.Multimodal
+      .decodeWav(graft.ext.Multimodal.encodeWav(media, id => 8000 + id.toInt * 100))
+      .collect().sortBy(_.doc_id)
+    assert(out.map(_.n_samples).toList == List(5, 0))
+    assert(out.map(_.sample_rate).toList == List(8100, 8200))
+    assert(out.forall(w => w.audio_format == 1 && w.n_channels == 1 && w.bits_per_sample == 8))
+    assert(out.head.sample_sum == "abcde".getBytes("UTF-8").map(_ & 0xff).sum.toLong)
+    assert(out.head.f0 == 'a'.toInt.toDouble) // only index 0 is ≡ 0 mod 8 in 5 samples
+  }
+
+  test("decodeWav is a real chunk walker: unknown chunks, odd padding, order-independence") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val data = Array[Byte](10, 20, 30) // odd data chunk: decoder must step over the pad
+    val junk = Array[Byte](1, 2, 3, 4, 5) // odd unknown chunk BEFORE fmt, also padded
+    val body = 8 + junk.length + 1 + 8 + 16 + 8 + data.length + 1
+    val buf = ByteBuffer.allocate(8 + 4 + body).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(4 + body).put("WAVE".getBytes)
+    buf.put("LIST".getBytes).putInt(junk.length).put(junk).put(0.toByte)
+    buf.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(22050).putInt(22050).putShort(1).putShort(8)
+    buf.put("data".getBytes).putInt(data.length).put(data).put(0.toByte)
+    val w = graft.ext.Multimodal.decodeWavOne(7L, buf.array())
+    assert(w.sample_rate == 22050 && w.n_samples == 3 && w.sample_sum == 60L)
+    // corrupted magic must fail loudly, not mis-parse
+    val bad = buf.array().clone(); bad(0) = 'X'.toByte
+    val e = intercept[IllegalArgumentException](graft.ext.Multimodal.decodeWavOne(8L, bad))
+    assert(e.getMessage.contains("RIFF"))
   }
 }
