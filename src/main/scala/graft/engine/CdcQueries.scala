@@ -252,6 +252,63 @@ object CdcQueries {
         .select($"scn", $"heartbeat_time")
         .orderBy($"scn")
     },
+    // THE COMPOSED PIPELINE, oracle-gated end to end: wire bytes → fromKafka decode →
+    // filter stack → streaming transaction assembly (flatMapGroupsWithState) with
+    // cross-micro-batch CSF fusion → parse → envelope → sink-side identity dedup. The feed
+    // is cut so EVERY transaction splits mid-flight (START+INSERT in batch 1, COMMIT in
+    // batch 2), %3 keys' INSERT statements split mid-STATEMENT across the cut (the carried
+    // fragment run must fuse), %7 keys add non-whitelisted noise that must vanish, and %5
+    // keys' INSERTs are REDELIVERED verbatim in batch 2 (same offset — Kafka at-least-once)
+    // for RoutedSink.dedupByIdentity to kill. A green hash proves the full wiring, not the
+    // stages individually (reference dataflow OracleSourceTask2.java:207-304 entire).
+    "cdc_pipeline_e2e" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.Encoders
+      val cfg = CdcConfig("DB1", Seq("GRAFT" -> "*"), abandonedTxnTimeout = None)
+      val script: Seq[RedoEvent] = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus")
+        .filter($"o_orderkey" % 4 === 0) // harness-sized: MemoryStream is driver-fed
+        .as[(Long, String)].collect().toSeq
+        .flatMap { case (k, st) =>
+          val redo = s"""insert into "GRAFT"."ORDERS"("O_ORDERKEY","O_ORDERSTATUS") values ($k,'$st')"""
+          def ev(off: Long, scn: Long, op: String, sql: String = "") =
+            RedoEvent(scn = scn, commitScn = 0L, xid = s"tx$k", rowId = f"R$k%012d",
+              operation = op, timestamp = new java.sql.Timestamp(0L), commitTimestamp = None,
+              segOwner = "GRAFT", tableName = "ORDERS", sqlRedo = sql, csf = false,
+              rollback = false, info = "", rbasqn = 1L, seq = k * 10 + off)
+          val insert =
+            if (k % 3 == 0) { // CSF split: fragments share (xid, scn, rowId), head csf=true
+              val cut = redo.length / 2
+              Seq(ev(1, k * 10 + 1, RedoEvent.Insert, redo.substring(0, cut)).copy(csf = true),
+                ev(2, k * 10 + 1, RedoEvent.Insert, redo.substring(cut)))
+            } else Seq(ev(1, k * 10 + 1, RedoEvent.Insert, redo))
+          val noise =
+            if (k % 7 == 0)
+              Seq(ev(3, k * 10 + 3, RedoEvent.Insert, "insert into t values (1)")
+                .copy(segOwner = "SYS", tableName = "T"))
+            else Nil
+          (ev(0, k * 10, RedoEvent.Start) +: insert) ++ noise :+ ev(6, k * 10 + 6, RedoEvent.Commit)
+        }
+      val wire = graft.sources.RedoEventSource
+        .toKafkaValue(s.createDataset(script)(Encoders.product[RedoEvent]))
+        .as[(Array[Byte], Array[Byte], Long)].collect().toSeq
+      // cut mid-transaction AND mid-CSF-run: seq%10 <= 1 is START + head/single INSERT
+      val (b1, b2) = wire.partition(_._3 % 10 <= 1)
+      // at-least-once redelivery: %5 keys' complete single INSERTs re-arrive in batch 2
+      // with their original offsets (head fragments excluded — a real redelivery replays
+      // the whole run, and duplicating only the head would corrupt run-splitting)
+      val dups = wire.filter(w => w._3 % 10 == 1 && (w._3 / 10) % 5 == 0 && (w._3 / 10) % 3 != 0)
+      val enc = Encoders.tuple(Encoders.BINARY, Encoders.BINARY, Encoders.scalaLong)
+      val out = StreamGate.runBatches(s, enc, "cdc_pipeline_e2e_sink", Seq(b1, b2 ++ dups)) { ds =>
+        CdcPipeline.stream(
+          graft.sources.RedoEventSource.fromKafka(ds.toDF("key", "value", "offset")),
+          cfg, streaming = true)
+      }
+      graft.sinks.RoutedSink.dedupByIdentity(out)
+        .select(col("data").getItem("O_ORDERSTATUS").as("status"))
+        .groupBy($"status").agg(count(lit(1)).as("cnt"))
+        .orderBy($"status")
+    },
     // Envelope-apply (MERGE/upsert) — the consumer's last mile: a deterministic event
     // script over orders (updates for %3, a later multi-column update for %9, deletes for
     // %10, inserts of NEW keys for %4, then an update of a freshly-inserted key for %8)
@@ -390,6 +447,12 @@ object CdcQueries {
         |  AND ((seg_owner = 'APP' AND table_name IN ('T0','T1','T2')) OR seg_owner = 'OTHER')
         |  AND operation IN ('INSERT','UPDATE','DDL')
         |GROUP BY 1, 2 ORDER BY operation, topic""".stripMargin,
+    // every whitelisted transaction commits exactly one INSERT per key: noise filtered,
+    // CSF fused (an unfused statement would not parse → null status), redelivery deduped
+    "cdc_pipeline_e2e" ->
+      """SELECT o_orderstatus AS status, cast(count(*) AS BIGINT) AS cnt
+        |FROM orders WHERE o_orderkey % 4 = 0
+        |GROUP BY 1 ORDER BY status""".stripMargin,
     "cdc_apply_merge" ->
       """WITH base AS (SELECT cast(o_orderkey AS BIGINT) AS k, o_orderstatus, o_orderpriority
         |              FROM orders),
