@@ -156,9 +156,16 @@ object CdcPipeline {
     val spark = events.sparkSession
     import spark.implicits._
     val isControl = col("operation").isin(RedoEvent.Start, RedoEvent.Commit, RedoEvent.Rollback)
+    // metadata-based filters only here, per fragment (owner/table/operation ride the event,
+    // so they are safe pre-fusion); the CONTENT-based temp-table filter moves after fusion —
+    // applied per fragment it would drop a middle fragment whose text happens to contain
+    // the phrase and let the remaining fragments fuse into a corrupted statement marked
+    // complete (ADVICE r3). The reference checks only the head fragment's sql_redo before
+    // its CSF concat loop (OracleSourceTask2.java:276-281); filtering the FUSED text is a
+    // deliberate superset of that heuristic — it can only drop more temp-table statements,
+    // never corrupt a fuse.
     val keep = isControl || (
-      tempTableFilter(col("sqlRedo")) &&
-        internalDdlFilter(col("operation"), col("info")) &&
+      internalDdlFilter(col("operation"), col("info")) &&
         validTableName(col("tableName")) &&
         whitelist(config.whitelist, col("segOwner"), col("tableName")) &&
         (if (config.blacklist.nonEmpty) blacklist(config.blacklist, col("segOwner"), col("tableName")) else lit(true)) &&
@@ -170,6 +177,7 @@ object CdcPipeline {
           config.maxBufferedRows, droppedTxns)
       else TxnAssembler.assembleBatch(filtered, config.maxBufferedRows)
     val renamed = committed.toDF()
+      .filter(tempTableFilter(col("sqlRedo"))) // content filter on the fused statement (A8)
       .withColumnRenamed("segOwner", "seg_owner")
       .withColumnRenamed("tableName", "table_name")
       .withColumnRenamed("rowId", "row_id")

@@ -54,7 +54,18 @@ object RoutedSink {
     tables
   }
 
-  /** Streaming delivery: foreachBatch doing DDL invalidation then the routed write. */
+  /**
+   * Streaming delivery: foreachBatch doing DDL invalidation then the routed write.
+   *
+   * DELIVERY GUARANTEE (ADVICE r3): this wiring is AT-LEAST-ONCE, not exactly-once.
+   * [[dedupByIdentity]] deduplicates within one micro-batch frame only; a restart between
+   * the parquet append and the checkpoint commit replays the batch and appends its rows a
+   * second time — the append-only lake has no transactional boundary to reject them.
+   * Closing that gap needs cross-batch idempotence at the sink: batchId-keyed staging
+   * directories promoted atomically, a transactional table format MERGEing on the change
+   * identity, or Kafka's idempotent producer keyed the same way. Downstream consumers of
+   * this lake must either tolerate duplicates or apply the identity dedup at read time.
+   */
   def start(enveloped: DataFrame, baseDir: String, checkpoint: String, sfDir: String): StreamingQuery = {
     val writer: DataStreamWriter[Row] = enveloped.writeStream
       .outputMode("append")

@@ -68,6 +68,10 @@ class SourceSinkSpec extends AnyFunSuite {
     val rows = Seq((4L, 0L, "R1"), (5L, 0L, "R1"), (6L, 0L, "R1"))
       .toDF("scn", "commitScn", "rowId")
     assert(rows.filter(pos.predicate).collect().map(_.getLong(0)).sorted.toList == List(5L, 6L))
+    // strict boundary variant: parity with the reference's `WHERE scn > ?` desupport-CM
+    // mining query (OracleConnectorSQL2.java:6) skips the boundary SCN itself (ADVICE r3)
+    val strict = pos.copy(inclusive = false)
+    assert(rows.filter(strict.predicate).collect().map(_.getLong(0)).sorted.toList == List(6L))
   }
 
   test("CdcConfig validates heartbeatTable OWNER.TABLE shape and startScn positivity") {
