@@ -267,7 +267,10 @@ object CdcQueries {
       val cfg = CdcConfig("DB1", Seq("GRAFT" -> "*"), abandonedTxnTimeout = None)
       val script: Seq[RedoEvent] = Tables(s, dir, "orders")
         .select($"o_orderkey", $"o_orderstatus")
-        .filter($"o_orderkey" % 4 === 0) // harness-sized: MemoryStream is driver-fed
+        // %8 subsample: this is the WIRING/parity gate (throughput is cdc_txn_reconstruct);
+        // MemoryStream encodes the feed on the driver, so the harness would otherwise
+        // dominate the bench
+        .filter($"o_orderkey" % 8 === 0)
         .as[(Long, String)].collect().toSeq
         .flatMap { case (k, st) =>
           val redo = s"""insert into "GRAFT"."ORDERS"("O_ORDERKEY","O_ORDERSTATUS") values ($k,'$st')"""
@@ -451,7 +454,7 @@ object CdcQueries {
     // CSF fused (an unfused statement would not parse → null status), redelivery deduped
     "cdc_pipeline_e2e" ->
       """SELECT o_orderstatus AS status, cast(count(*) AS BIGINT) AS cnt
-        |FROM orders WHERE o_orderkey % 4 = 0
+        |FROM orders WHERE o_orderkey % 8 = 0
         |GROUP BY 1 ORDER BY status""".stripMargin,
     "cdc_apply_merge" ->
       """WITH base AS (SELECT cast(o_orderkey AS BIGINT) AS k, o_orderstatus, o_orderpriority
