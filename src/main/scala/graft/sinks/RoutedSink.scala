@@ -23,6 +23,22 @@ object RoutedSink {
     enveloped.write.mode("append").partitionBy("topic").parquet(baseDir)
 
   /**
+   * Cross-batch IDEMPOTENT delivery: the batch lands under its own `batch_id=<id>`
+   * partition with dynamic partition overwrite, so a replayed micro-batch (restart between
+   * sink write and checkpoint commit) REWRITES its partition instead of appending a second
+   * copy — the standard Spark exactly-once foreachBatch recipe (batchId is stable across
+   * replays because it is derived from the checkpointed offset range). Readers treat
+   * `batch_id` as a physical layout column and prune or drop it.
+   */
+  def writeBatchIdempotent(enveloped: DataFrame, baseDir: String, batchId: Long): Unit =
+    enveloped
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "topic")
+      .parquet(baseDir)
+
+  /**
    * Exactly-once posture (SURVEY §7 hard-part 5): the change identity is
    * `(SCN, ROW_ID, OPERATION, seq)` — the reference's offset triple (Task:413-420) plus the
    * monotonic redo-order key. `seq` matters: Oracle legally emits two independent
@@ -57,22 +73,24 @@ object RoutedSink {
   /**
    * Streaming delivery: foreachBatch doing DDL invalidation then the routed write.
    *
-   * DELIVERY GUARANTEE (ADVICE r3): this wiring is AT-LEAST-ONCE, not exactly-once.
-   * [[dedupByIdentity]] deduplicates within one micro-batch frame only; a restart between
-   * the parquet append and the checkpoint commit replays the batch and appends its rows a
-   * second time — the append-only lake has no transactional boundary to reject them.
-   * Closing that gap needs cross-batch idempotence at the sink: batchId-keyed staging
-   * directories promoted atomically, a transactional table format MERGEing on the change
-   * identity, or Kafka's idempotent producer keyed the same way. Downstream consumers of
-   * this lake must either tolerate duplicates or apply the identity dedup at read time.
+   * DELIVERY GUARANTEE (ADVICE r3): with `idempotent = true` (default) the wiring is
+   * EXACTLY-ONCE to the lake — [[dedupByIdentity]] removes within-batch redelivery and
+   * [[writeBatchIdempotent]]'s batchId-keyed dynamic-overwrite partition makes a replayed
+   * micro-batch rewrite, not duplicate, its output. `idempotent = false` keeps the plain
+   * append layout (no batch_id column) and is AT-LEAST-ONCE: a restart between the append
+   * and the checkpoint commit appends the batch twice, and consumers must tolerate or
+   * identity-dedup at read time.
    */
-  def start(enveloped: DataFrame, baseDir: String, checkpoint: String, sfDir: String): StreamingQuery = {
+  def start(enveloped: DataFrame, baseDir: String, checkpoint: String, sfDir: String,
+            idempotent: Boolean = true): StreamingQuery = {
     val writer: DataStreamWriter[Row] = enveloped.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyDdlInvalidations(batch, sfDir)
-        writeBatch(dedupByIdentity(batch), baseDir)
+        val deduped = dedupByIdentity(batch)
+        if (idempotent) writeBatchIdempotent(deduped, baseDir, batchId)
+        else writeBatch(deduped, baseDir)
       }
     writer.start()
   }

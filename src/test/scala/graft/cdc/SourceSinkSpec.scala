@@ -124,8 +124,28 @@ class SourceSinkSpec extends AnyFunSuite {
     q.stop()
     val back = spark.read.parquet(out)
     assert(back.count() == 2) // replay deduped
+    // idempotent default: batchId-keyed layout, topics nested under the batch partition
     val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).sorted
-    assert(dirs.toList == List("topic=DB1.APP.T1", "topic=DB1.APP.T2"))
+    assert(dirs.toList == List("batch_id=0"))
+    val topics = new java.io.File(s"$out/batch_id=0").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(topics.toList == List("topic=DB1.APP.T1", "topic=DB1.APP.T2"))
+  }
+
+  test("writeBatchIdempotent: a replayed batch rewrites its partition, new batches append") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-idem").toString
+    def batch(scns: Long*) = scns.toSeq
+      .map(s => (s, "INSERT", "T1", "DB1.APP.T1")).toDF("scn", "operation", "table_name", "topic")
+    RoutedSink.writeBatchIdempotent(batch(1, 2), out, batchId = 0)
+    // restart between sink write and checkpoint commit: batch 0 replays VERBATIM
+    RoutedSink.writeBatchIdempotent(batch(1, 2), out, batchId = 0)
+    assert(spark.read.parquet(out).count() == 2) // rewritten, not doubled
+    RoutedSink.writeBatchIdempotent(batch(3), out, batchId = 1)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 3) // a NEW batch appends its own partition
+    assert(back.select("scn").as[Long].collect().sorted.toList == List(1L, 2L, 3L))
   }
 
   test("RoutedSink.writeBatch partitions the lake by topic; DDL invalidation reports tables") {
