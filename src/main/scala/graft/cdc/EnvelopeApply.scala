@@ -1,6 +1,6 @@
 package graft.cdc
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -69,9 +69,18 @@ object EnvelopeApply {
           .otherwise(state(lit(false), overlaid))
       })
     val changes = keyed.groupBy(pk.map(col): _*).agg(folded.as("f"))
+    applyChanges(snapshot, changes, schema)
+  }
 
-    // snapshot ⟗ changes on the pk: tombstoned keys drop, changed columns overlay the
-    // snapshot value, untouched keys pass through, new keys materialize from the fold
+  /**
+   * Final MERGE stage shared by the batch fold above and the streaming fold below:
+   * snapshot ⟗ changes on the pk — tombstoned keys drop, changed columns overlay the
+   * snapshot value, untouched keys pass through, new keys materialize from the fold.
+   * `changes` carries the typed pk columns plus `f: struct<deleted: boolean,
+   * m: map<string,string>>`, one row per key.
+   */
+  def applyChanges(snapshot: DataFrame, changes: DataFrame, schema: StructType): DataFrame = {
+    val pk = Catalog.keyColumns(schema)
     snapshot.as("s").join(changes.as("c"), pk, "full_outer")
       .filter(!coalesce(col("c.f.deleted"), lit(false)))
       .select(schema.fields.toSeq.map { f =>
@@ -80,5 +89,76 @@ object EnvelopeApply {
           Catalog.castValue(col("c.f.m").getItem(f.name.toUpperCase), f.dataType),
           col(s"s.${f.name}")).as(f.name)
       }: _*)
+  }
+
+  // ---- streaming variant -----------------------------------------------------
+
+  /** Keyed replica state carried across micro-batches: pk values (kept so a tombstone
+    * still knows its key), the column overlay, and a per-key emission version. */
+  final case class ReplicaState(pk: Map[String, String], deleted: Boolean,
+                                m: Map[String, String], version: Long)
+
+  /** One per-key emission per micro-batch that touched the key: the key's state AFTER
+    * folding that batch's events. The latest version per key is the replica row. */
+  final case class ReplicaEmit(key: String, pk: Map[String, String], deleted: Boolean,
+                               m: Map[String, String], version: Long)
+
+  /** Internal event shape of [[applyStreaming]] (public: encoder codegen constructs it). */
+  final case class ApplyEvent(key: String, pk: Map[String, String], commit_scn: Long,
+                              scn: Long, seq: Long, operation: String,
+                              data: Map[String, String])
+
+  /**
+   * STREAMING envelope-apply — the replica-maintenance consumer as a first-class
+   * Structured Streaming operator: `flatMapGroupsWithState` keyed by the pk, folding each
+   * micro-batch's (commit_scn, scn, seq)-sorted events into per-key state with the same
+   * insert-replaces / update-overlays / delete-tombstones / reinsert-resurrects semantics
+   * as the batch fold. State is one row-image per LIVE key (the replica itself, the
+   * minimum any keyed applier holds); emissions are append-mode deltas and the latest
+   * version per key IS the replica row — see [[latestChanges]].
+   */
+  def applyStreaming(enveloped: DataFrame, schema: StructType): Dataset[ReplicaEmit] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = enveloped.sparkSession
+    import spark.implicits._
+    val pk = Catalog.keyColumns(schema)
+    require(pk.nonEmpty, "schema carries no pk metadata — see Catalog.withKeyMetadata")
+    val pkVals = pk.map(p =>
+      coalesce(col("data").getItem(p.toUpperCase), col("before").getItem(p.toUpperCase)))
+    val events = enveloped.select(
+      concat_ws("\u0000", pkVals: _*).as("key"),
+      map_from_arrays(
+        array(pk.map(p => lit(p.toUpperCase)): _*), array(pkVals: _*)).as("pk"),
+      col("commit_scn"), col("scn"), col("seq"), col("operation"), col("data"))
+      .as[ApplyEvent]
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[ReplicaState, ReplicaEmit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (key, it, state) =>
+        val sorted = it.toVector.sortBy(e => (e.commit_scn, e.scn, e.seq))
+        var st = state.getOption.getOrElse(
+          ReplicaState(sorted.head.pk, deleted = false, Map.empty, 0L))
+        sorted.foreach { e =>
+          val data = Option(e.data).getOrElse(Map.empty[String, String])
+          st = e.operation match {
+            case RedoEvent.Insert => st.copy(deleted = false, m = data)
+            case RedoEvent.Delete => st.copy(deleted = true, m = Map.empty)
+            case _                => st.copy(deleted = false, m = st.m ++ data)
+          }
+        }
+        st = st.copy(version = st.version + 1)
+        state.update(st)
+        Iterator.single(ReplicaEmit(key, st.pk, st.deleted, st.m, st.version))
+      }
+  }
+
+  /** Reduce an emission log to the `changes` shape of [[applyChanges]]: latest version
+    * per key, pk values re-typed via the catalog rule. */
+  def latestChanges(emitted: DataFrame, schema: StructType): DataFrame = {
+    val pk = Catalog.keyColumns(schema)
+    emitted.groupBy(col("key"))
+      .agg(max_by(struct(col("pk"), col("deleted"), col("m")), col("version")).as("s"))
+      .select(pk.map(p =>
+        Catalog.castValue(col("s.pk").getItem(p.toUpperCase), schema(p).dataType).as(p)) :+
+        struct(col("s.deleted").as("deleted"), col("s.m").as("m")).as("f"): _*)
   }
 }

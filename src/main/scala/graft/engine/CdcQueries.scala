@@ -49,6 +49,44 @@ object CdcQueries {
     Seq(ev(0, RedoEvent.Start), ins) ++ rolledBackPair ++ survivingUpdate :+ terminal
   }
 
+  /** Envelope row shape fed to the streaming apply harness. */
+  final case class MergeEnvRow(commit_scn: Long, scn: Long, seq: Long, operation: String,
+                               data: Map[String, String], before: Map[String, String])
+
+  /**
+   * Shared merge-script envelope (batch apply + streaming apply): updates for %3, a later
+   * multi-column update for %9, deletes for %10, inserts of NEW keys for %4, then an
+   * update of a freshly-inserted key for %8 — rendered to real redo SQL, parsed, and
+   * enveloped with (commit_scn, seq) extras. commit_scn is constant so the apply
+   * operators' scn/seq ordering fallback is exercised.
+   */
+  private def mergeEnvelope(s: SparkSession, dir: String,
+                            keyFilter: Column): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val base = Tables(s, dir, "orders").select($"o_orderkey".cast("long").as("k")).filter(keyFilter)
+    def frame(flt: Column, scnOff: Int, op: String, redo: Column) =
+      base.filter(flt).select(
+        ($"k" * 10 + scnOff).as("scn"), lit(1L).as("commit_scn"),
+        ($"k" * 10 + scnOff).as("seq"), lit("x").as("xid"), lit("r").as("row_id"),
+        lit("GRAFT").as("seg_owner"), lit("ORDERS").as("table_name"),
+        lit(op).as("operation"), redo.as("sql_redo"), lit("").as("info"))
+    val script =
+      frame($"k" % 3 === 0, 1, RedoEvent.Update,
+        concat(lit("update \"GRAFT\".\"ORDERS\" set \"O_ORDERSTATUS\" = 'Z' where \"O_ORDERKEY\" = "), $"k")) union
+      frame($"k" % 9 === 0, 3, RedoEvent.Update,
+        concat(lit("update \"GRAFT\".\"ORDERS\" set \"O_ORDERSTATUS\" = 'Y', \"O_ORDERPRIORITY\" = '9-PRIO' where \"O_ORDERKEY\" = "), $"k")) union
+      frame($"k" % 10 === 0, 5, RedoEvent.Delete,
+        concat(lit("delete from \"GRAFT\".\"ORDERS\" where \"O_ORDERKEY\" = "), $"k")) union
+      frame($"k" % 4 === 0, 2, RedoEvent.Insert,
+        concat(lit("insert into \"GRAFT\".\"ORDERS\"(\"O_ORDERKEY\",\"O_ORDERSTATUS\",\"O_ORDERPRIORITY\") values ("),
+          $"k" + 10000000L, lit(",'N','NEW')"))) union
+      frame($"k" % 8 === 0, 4, RedoEvent.Update,
+        concat(lit("update \"GRAFT\".\"ORDERS\" set \"O_ORDERSTATUS\" = 'M' where \"O_ORDERKEY\" = "), $"k" + 10000000L))
+    CdcPipeline.envelope(
+      script.withColumn("parsed", ParseRedo.parse($"sql_redo")), "DB1",
+      extra = Seq($"commit_scn", $"seq"))
+  }
+
   /** Committed envelopes -> final per-key state -> count by final status (shared reducer
     * of the batch and streaming reconstruct queries). */
   private def reconstructStatus(committed: DataFrame): DataFrame = {
@@ -325,29 +363,30 @@ object CdcQueries {
       val snapshot = Tables(s, dir, "orders")
         .select($"o_orderkey", $"o_orderstatus", $"o_orderpriority")
       val schema = Catalog.withKeyMetadata(snapshot.schema, Set("o_orderkey"))
-      val base = Tables(s, dir, "orders").select($"o_orderkey".cast("long").as("k"))
-      def frame(flt: Column, scnOff: Int, op: String, redo: Column) =
-        base.filter(flt).select(
-          ($"k" * 10 + scnOff).as("scn"), lit(1L).as("commit_scn"),
-          ($"k" * 10 + scnOff).as("seq"), lit("x").as("xid"), lit("r").as("row_id"),
-          lit("GRAFT").as("seg_owner"), lit("ORDERS").as("table_name"),
-          lit(op).as("operation"), redo.as("sql_redo"), lit("").as("info"))
-      val script =
-        frame($"k" % 3 === 0, 1, RedoEvent.Update,
-          concat(lit("update \"GRAFT\".\"ORDERS\" set \"O_ORDERSTATUS\" = 'Z' where \"O_ORDERKEY\" = "), $"k")) union
-        frame($"k" % 9 === 0, 3, RedoEvent.Update,
-          concat(lit("update \"GRAFT\".\"ORDERS\" set \"O_ORDERSTATUS\" = 'Y', \"O_ORDERPRIORITY\" = '9-PRIO' where \"O_ORDERKEY\" = "), $"k")) union
-        frame($"k" % 10 === 0, 5, RedoEvent.Delete,
-          concat(lit("delete from \"GRAFT\".\"ORDERS\" where \"O_ORDERKEY\" = "), $"k")) union
-        frame($"k" % 4 === 0, 2, RedoEvent.Insert,
-          concat(lit("insert into \"GRAFT\".\"ORDERS\"(\"O_ORDERKEY\",\"O_ORDERSTATUS\",\"O_ORDERPRIORITY\") values ("),
-            $"k" + 10000000L, lit(",'N','NEW')"))) union
-        frame($"k" % 8 === 0, 4, RedoEvent.Update,
-          concat(lit("update \"GRAFT\".\"ORDERS\" set \"O_ORDERSTATUS\" = 'M' where \"O_ORDERKEY\" = "), $"k" + 10000000L))
-      val env = CdcPipeline.envelope(
-        script.withColumn("parsed", ParseRedo.parse($"sql_redo")), "DB1",
-        extra = Seq($"commit_scn", $"seq"))
-      EnvelopeApply(snapshot, env, schema).orderBy($"o_orderkey")
+      EnvelopeApply(snapshot, mergeEnvelope(s, dir, lit(true)), schema).orderBy($"o_orderkey")
+    },
+    // The STREAMING envelope-apply — replica maintenance as a keyed-state operator
+    // (flatMapGroupsWithState, one row-image per live key): the %7 slice of the same merge
+    // script is cut so key histories STRADDLE the micro-batch boundary (update then later
+    // update, insert then update, update then delete), the per-key fold carries in state,
+    // and the latest emission per key merges onto the full snapshot. Same semantics as the
+    // batch fold, proven by an oracle conditioned on the %7 slice.
+    "cdc_apply_merge_stream" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.Encoders
+      val snapshot = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_orderpriority")
+      val schema = Catalog.withKeyMetadata(snapshot.schema, Set("o_orderkey"))
+      val rows = mergeEnvelope(s, dir, $"k" % 7 === 0)
+        .select($"commit_scn", $"scn", $"seq", $"operation", $"data", $"before")
+        .as[MergeEnvRow].collect().toSeq // driver-side feed is inherent to MemoryStream
+      val (b1, b2) = rows.partition(_.scn % 10 <= 2)
+      val out = StreamGate.runBatches(s, Encoders.product[MergeEnvRow],
+          "cdc_apply_merge_stream_sink", Seq(b1, b2)) { ds =>
+        EnvelopeApply.applyStreaming(ds.toDF(), schema).toDF()
+      }
+      EnvelopeApply.applyChanges(snapshot, EnvelopeApply.latestChanges(out, schema), schema)
+        .orderBy($"o_orderkey")
     },
     // A18: envelope null rules per operation + routing, from customer-derived redo.
     "cdc_envelope" -> { (s, dir) =>
@@ -456,6 +495,25 @@ object CdcQueries {
       """SELECT o_orderstatus AS status, cast(count(*) AS BIGINT) AS cnt
         |FROM orders WHERE o_orderkey % 8 = 0
         |GROUP BY 1 ORDER BY status""".stripMargin,
+    // the merge-script outcome restricted to the %7 keys the stream feeds; all other
+    // snapshot keys pass through untouched
+    "cdc_apply_merge_stream" ->
+      """WITH base AS (SELECT cast(o_orderkey AS BIGINT) AS k, o_orderstatus, o_orderpriority
+        |              FROM orders),
+        |surv AS (
+        |  SELECT k AS o_orderkey,
+        |    CASE WHEN k % 7 = 0 AND k % 9 = 0 THEN 'Y'
+        |         WHEN k % 7 = 0 AND k % 3 = 0 THEN 'Z'
+        |         ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN k % 7 = 0 AND k % 9 = 0 THEN '9-PRIO'
+        |         ELSE o_orderpriority END AS o_orderpriority
+        |  FROM base WHERE NOT (k % 7 = 0 AND k % 10 = 0)),
+        |ins AS (
+        |  SELECT k + 10000000 AS o_orderkey,
+        |    CASE WHEN k % 8 = 0 THEN 'M' ELSE 'N' END AS o_orderstatus,
+        |    'NEW' AS o_orderpriority
+        |  FROM base WHERE k % 7 = 0 AND k % 4 = 0)
+        |SELECT * FROM surv UNION ALL SELECT * FROM ins ORDER BY o_orderkey""".stripMargin,
     "cdc_apply_merge" ->
       """WITH base AS (SELECT cast(o_orderkey AS BIGINT) AS k, o_orderstatus, o_orderpriority
         |              FROM orders),
