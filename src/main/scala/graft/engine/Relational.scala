@@ -345,6 +345,27 @@ object Relational {
         .orderBy($"minute_bucket", $"event_type")
         .limit(500)
     },
+    // exact distinct cardinality per event type — the ground-truth pair of the HLL query
+    // below; count_distinct shuffles the (type, user) pairs once, pre-deduped map-side
+    "events_distinct_users" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(count_distinct($"user_id").as("uniq_users"))
+        .orderBy($"event_type")
+    },
+    // the SKETCH path: approx_count_distinct's HyperLogLog++ — one pass, mergeable
+    // fixed-size registers, no distinct-pair shuffle at all: the lake-scale default when
+    // ±rsd is acceptable. A sketch is not bit-exact → rows/schema gate only; the
+    // SketchSpec suite asserts the estimate lands within the HLL error bound of the exact
+    // events_distinct_users answer.
+    "events_distinct_users_approx" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(approx_count_distinct($"user_id", rsd = 0.02).as("uniq_users"))
+        .orderBy($"event_type")
+    },
     // B10 (SQL:14): TO_NUMBER(REPLACE(version,'.','')) — build a version string, strip, cast
     "b10_version_parse" -> { (s, dir) =>
       import s.implicits._
@@ -538,6 +559,9 @@ object Relational {
         |EXCEPT
         |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000.0
         |ORDER BY custkey""".stripMargin,
+    "events_distinct_users" ->
+      """SELECT event_type, cast(count(DISTINCT user_id) AS BIGINT) AS uniq_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_window_agg" ->
       """SELECT epoch_ns(ts) // 60000000000 AS minute_bucket, event_type,
         | cast(count(*) AS BIGINT) AS event_cnt,
