@@ -224,10 +224,14 @@ object Dedup {
       // stopword (the round-3 skew finding). Broadcasting keeps occurrences where they
       // are; at vocabulary scales past broadcast range the production form is an
       // integer-rank token dictionary bucketed on tok and a co-located join.
+      // cached: the prefix table feeds BOTH sides of the self-join below — without it each
+      // side recomputes tokenize+df+window (two tok-agg shuffles, two window sorts); at
+      // lake scale this cache is a materialized prefix-token table
       val prefix = toks.join(broadcast(dfreq), "tok")
         .withColumn("rn", row_number().over(wDoc))
         .filter($"rn" <= $"sz" - ceil($"sz" * 0.5) + 1) // prefix length for t = 0.5
         .select($"doc_id", $"lang", $"source", $"tok", $"sz")
+        .cache()
       // length filter (also lossless for t=0.5): J >= t forces max(|a|,|b|) <= min/t = 2*min
       val cand = prefix.as("a").join(prefix.as("b"),
           col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&

@@ -59,6 +59,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"expected <=2 exchanges (user_id hash + final sort):\n$p")
   }
 
+  test("cdc_apply_merge: the MERGE join reuses the fold's key partitioning (no re-shuffle)") {
+    val p = plan("cdc_apply_merge")
+    // exchanges: events-side shuffle into the fold aggregate, snapshot-side shuffle into
+    // the join, final ORDER BY range exchange — the changes side of the full-outer join
+    // must NOT add a fourth (the aggregate's hashpartitioning on the pk is the join's)
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 3, s"expected <=3 exchanges (agg partitioning reused by join):\n$p")
+    assert(p.contains("FullOuter"), s"expected a full-outer MERGE join:\n$p")
+  }
+
+  test("dedup_ngram_jaccard: df annotation broadcasts; both self-join sides read the cached prefix") {
+    val p = plan("dedup_ngram_jaccard")
+    // the df annotation join must be broadcast (a shuffle join would repartition every
+    // token occurrence on the skewed tok key), and the prefix table must be cached so the
+    // candidate self-join's two sides scan it instead of recomputing tokenize+df+window
+    assert(p.contains("BroadcastHashJoin"), s"df annotation must be a broadcast join:\n$p")
+    assert(count(p, "InMemoryTableScan") >= 2,
+      s"expected both self-join sides to scan the cached prefix table:\n$p")
+  }
+
+  test("approx sketches aggregate partially: no raw-row shuffle for HLL or quantiles") {
+    Seq("events_distinct_users_approx", "text_len_quantiles_approx").foreach { q =>
+      val p = plan(q)
+      // partial_ before the exchange proves map-side sketch merge; a sort-based fallback
+      // or missing partial would ship raw rows to the reducers
+      assert(p.contains("partial_approx_count_distinct") || p.contains("partial_percentile_approx"),
+        s"$q: expected a partial (map-side) sketch aggregate:\n$p")
+    }
+  }
+
   test("text scans are column-pruned: text_stats reads only the columns it needs") {
     val p = plan("text_stats")
     val scanLine = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
