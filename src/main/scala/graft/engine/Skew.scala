@@ -39,6 +39,21 @@ object Skew {
       .agg(sum(col("partial_sum")).as("total"), sum(col("partial_cnt")).cast("long").as("cnt"))
   }
 
+  /**
+   * Salted equi-join — the join-side twin of [[saltedSumCount]]: the skewed fact side gets
+   * a deterministic salt, the dimension side is replicated `salts`× with an exploded salt
+   * column, and the join key becomes (key, salt) so one hot key spreads over `salts`
+   * reducers at the cost of a salts× dim replication. This is the manual form of AQE's
+   * skew-join split, for when AQE can't act (no shuffle stats yet, skew below its
+   * thresholds but above yours, or a non-shuffle consumer pinning the partitioning).
+   */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int = 16,
+                 saltSource: Column = monotonically_increasing_id()): DataFrame = {
+    val salted = fact.withColumn("__salt", pmod(hash(col(key), saltSource), lit(salts)))
+    val replicated = dim.withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // oracle-gated proof that the salted two-phase plan equals a plain GROUP BY
     "skew_salted_agg" -> { (s, dir) =>
@@ -49,9 +64,30 @@ object Skew {
         .select($"k".as("user_id"), $"total".as("total_cents"), $"cnt".as("event_cnt"))
         .orderBy($"user_id")
     },
+    // oracle-gated proof that the salted join equals a plain equi-join: events carry only
+    // 15 distinct user_ids (every key is hot), customers are the dim side. shuffle_hash
+    // hint pins the shuffle path so the salted distribution is actually exercised (a
+    // broadcast would dodge it and make the salt decorative).
+    "skew_salted_join" -> { (s, dir) =>
+      import s.implicits._
+      val fact = Tables(s, dir, "events")
+        .select($"user_id", round($"value" * 100).cast("long").as("cents"), $"event_id")
+      val dim = Tables(s, dir, "customer")
+        .select($"c_custkey".as("user_id"), $"c_mktsegment")
+      saltedJoin(fact, dim.hint("shuffle_hash"), "user_id", saltSource = $"event_id")
+        .groupBy($"c_mktsegment")
+        .agg(sum($"cents").as("total_cents"), count(lit(1)).as("event_cnt"))
+        .orderBy($"c_mktsegment")
+    },
   )
 
   val oracle: Map[String, String] = Map(
+    "skew_salted_join" ->
+      """SELECT c_mktsegment,
+        | cast(sum(cast(round(value*100) AS BIGINT)) AS BIGINT) AS total_cents,
+        | cast(count(*) AS BIGINT) AS event_cnt
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "skew_salted_agg" ->
       """SELECT user_id,
         | cast(sum(cast(round(value*100) AS BIGINT)) AS BIGINT) AS total_cents,

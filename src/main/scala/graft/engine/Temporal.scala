@@ -118,6 +118,38 @@ object Temporal {
       }
       out.groupBy($"event_type").agg(count(lit(1)).as("cnt")).orderBy($"event_type")
     },
+    // NATIVE streaming session windows, oracle-gated: session_window(ts, 30m) merges a
+    // user's events whose gaps are under the threshold into one state-store session that
+    // GROWS ACROSS micro-batches (the cut lands mid-session) and emits when the watermark
+    // passes its close. This is the streaming twin of the batch sessionize_gap plan — same
+    // one-shuffle-per-key posture, state bounded by open sessions only. Boundary note:
+    // session_window merges strictly (next.ts < prev.ts + gap), so the oracle chains with
+    // `diff >= gap` starting a new session — the one-microsecond disagreement with the
+    // batch query's `diff > gap` convention is inherent to the two definitions.
+    "events_session_stream" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.Encoders
+      val rows = Tables(s, dir, "events")
+        .filter($"event_id" % 4 === 0)
+        .select($"user_id", expr("ts div 1000").as("ts_us"), $"value")
+        .as[(Long, Long, Double)].collect().sortBy(_._2).toSeq
+      // far-future sentinel: its watermark closes every real session (append mode)
+      val sentinel = (-1L, rows.last._2 + 30L * 24 * 3600 * 1000000L, 0.0)
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      val out = StreamGate.runTwoBatches(s,
+          Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble),
+          "events_session_stream_sink", h1, h2 :+ sentinel) { ds =>
+        ds.toDF("user_id", "ts_us", "value")
+          .withColumn("ts", timestamp_micros($"ts_us"))
+          .withWatermark("ts", "1 minute")
+          .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+          .agg(count(lit(1)).as("event_cnt"), sum(cents($"value")).as("value_cents"))
+      }
+      out.filter($"user_id" =!= -1L)
+        .select($"user_id", expr("unix_micros(session_window.start)").as("start_us"),
+          $"event_cnt", $"value_cents")
+        .orderBy($"user_id", $"start_us")
+    },
     // BOUNDED streaming dedup, oracle-gated — the production form of events_dedup_stream:
     // dropDuplicatesWithinWatermark holds per-key state only until the watermark passes
     // firstSeen + delay, so the state store is bounded by the delay window instead of
@@ -214,6 +246,25 @@ object Temporal {
         |FROM p JOIN c ON p.user_id = c.user_id
         |  AND c_us BETWEEN p_us - 86400000000 AND p_us
         |ORDER BY purchase_id, click_id""".stripMargin,
+    // strict-merge chaining (diff >= gap starts a new session) — session_window's
+    // convention, see the query comment
+    "events_session_stream" ->
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+         |            WHERE event_id % 4 = 0),
+         |lagged AS (SELECT user_id, ts_us, value,
+         |  lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev_us FROM ev),
+         |marked AS (SELECT *,
+         |  CASE WHEN prev_us IS NULL OR ts_us - prev_us >= $SessionGapUs THEN 1 ELSE 0 END AS new_sess
+         |  FROM lagged),
+         |sess AS (SELECT *,
+         |  cast(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM marked)
+         |SELECT user_id, min(ts_us) AS start_us,
+         |  cast(count(*) AS BIGINT) AS event_cnt,
+         |  cast(sum(cast(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+         |FROM sess GROUP BY user_id, session_id
+         |ORDER BY user_id, start_us""".stripMargin,
     "events_dedup_stream" ->
       """SELECT event_type, cast(count(*) AS BIGINT) AS cnt
         |FROM events WHERE event_id % 4 = 0
