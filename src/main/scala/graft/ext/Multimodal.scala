@@ -7,13 +7,14 @@ import org.apache.spark.sql.functions._
  * Multimodal column plumbing: media (image/audio/video) travels as an opaque `binary`
  * payload column plus typed metadata, exactly how a 100 TB training-data lake stores it.
  *
- * The audio path is a GENUINE container codec in pure JVM code: [[encodeWav]] wraps sample
- * bytes in a valid RIFF/WAVE (8-bit PCM mono) container — correct chunk sizes, little-endian
- * fields, RIFF even-padding — and [[decodeWav]] is a real chunk-walking parser (magic
- * validation, fmt extraction, arbitrary chunk order, pad handling), not a stub. Image
- * resize and video frame-sampling remain deterministic byte-level stand-ins (no image/video
- * codec exists in pure JVM reach), with the production batching shape:
- * partition-parallel `mapPartitions` iteration, the Scala analogue of `mapInPandas`.
+ * The audio and image paths are GENUINE container codecs in pure JVM code: [[encodeWav]] /
+ * [[decodeWav]] round-trip a valid RIFF/WAVE (8-bit PCM mono) container — correct chunk
+ * sizes, little-endian fields, even-padding, chunk-walking parse — and [[encodeBmp]] /
+ * [[resizeBmp]] round-trip a real 24-bit BMP (bottom-up padded rows) through an actual
+ * nearest-neighbor resample. Only video frame-sampling remains a deterministic byte-level
+ * stand-in (no video codec exists in pure JVM reach). All stages share the production
+ * batching shape: partition-parallel `mapPartitions` iteration, the Scala analogue of
+ * `mapInPandas`.
  *
  * Payloads are synthesized from `documents.text` bytes so every stage is reproducible and
  * DuckDB-oracle-checkable.
@@ -106,26 +107,80 @@ object Multimodal {
     WavDecoded(docId, format, channels, rate, bits, samples.length, sum, f0.toDouble)
   }
 
-  final case class ResizedRow(doc_id: Long, width: Int, height: Int, payload: Array[Byte])
-
   /**
-   * STUB resize (no image codec in this container): deterministic downsample of the raw
-   * byte stream to width*height bytes by strided selection. Real deployments decode,
-   * resample, and re-encode here; the schema, batching, and partition-parallelism are
-   * the production shape.
+   * Wrap each payload's bytes as the grayscale pixels of a genuine 24-bit BMP
+   * (BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up row order, 4-byte row padding —
+   * the real container rules). Width is fixed; height = max(1, len/width); bytes beyond
+   * the grid truncate, missing pixels are black. Each gray byte is replicated into BGR.
    */
-  def resize(media: Dataset[MediaRow], width: Int, height: Int): Dataset[ResizedRow] = {
+  def encodeBmp(media: Dataset[MediaRow], width: Int): Dataset[MediaRow] = {
     val s = media.sparkSession
     import s.implicits._
     media.mapPartitions { batch =>
       batch.map { m =>
-        val n = width * height
-        val out = new Array[Byte](n)
-        if (m.payload.nonEmpty) {
-          var i = 0
-          while (i < n) { out(i) = m.payload((i.toLong * m.payload.length / n).toInt); i += 1 }
+        val w = width
+        val h = math.max(1, m.payload.length / w)
+        val rowBytes = w * 3
+        val pad = (4 - rowBytes % 4) % 4
+        val buf = java.nio.ByteBuffer.allocate(54 + (rowBytes + pad) * h)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.put('B'.toByte).put('M'.toByte).putInt(buf.capacity())
+          .putShort(0).putShort(0).putInt(54)                      // reserved, data offset
+        buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24) // info header, planes, bpp
+          .putInt(0).putInt((rowBytes + pad) * h)                   // BI_RGB, image size
+          .putInt(2835).putInt(2835).putInt(0).putInt(0)            // 72 dpi, palette unused
+        var y = h - 1                                               // bottom-up row order
+        while (y >= 0) {
+          var x = 0
+          while (x < w) {
+            val idx = y * w + x
+            val v = if (idx < m.payload.length) m.payload(idx) else 0.toByte
+            buf.put(v).put(v).put(v)
+            x += 1
+          }
+          var p = 0
+          while (p < pad) { buf.put(0.toByte); p += 1 }
+          y -= 1
         }
-        ResizedRow(m.doc_id, width, height, out)
+        MediaRow(m.doc_id, buf.array())
+      }
+    }
+  }
+
+  final case class ResizedImage(doc_id: Long, src_w: Int, src_h: Int, width: Int, height: Int,
+                                pix_sum: Long)
+
+  /**
+   * REAL image resize through the partition-parallel batch surface: parse the BMP
+   * container (magic, data offset, dimensions, 24 bpp check), recover pixels from the
+   * bottom-up padded rows, nearest-neighbor resample to width×height, and reduce the
+   * output grays to a sum the oracle recomputes from the source bytes.
+   */
+  def resizeBmp(media: Dataset[MediaRow], width: Int, height: Int): Dataset[ResizedImage] = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.mapPartitions { batch =>
+      batch.map { m =>
+        val buf = java.nio.ByteBuffer.wrap(m.payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        require(buf.get(0) == 'B' && buf.get(1) == 'M', s"doc ${m.doc_id}: not a BMP")
+        val dataOffset = buf.getInt(10)
+        val w = buf.getInt(18)
+        val h = buf.getInt(22)
+        require(buf.getShort(28) == 24, s"doc ${m.doc_id}: expected 24 bpp")
+        val stride = w * 3 + (4 - (w * 3) % 4) % 4
+        def gray(x: Int, y: Int): Int = // blue channel of a gray BGR pixel, rows bottom-up
+          m.payload(dataOffset + (h - 1 - y) * stride + x * 3) & 0xff
+        var sum = 0L
+        var j = 0
+        while (j < height) {
+          var i = 0
+          while (i < width) {
+            sum += gray(i * w / width, j * h / height)
+            i += 1
+          }
+          j += 1
+        }
+        ResizedImage(m.doc_id, w, h, width, height, sum)
       }
     }
   }
@@ -181,13 +236,14 @@ object Multimodal {
         .toDF("doc_id", "frame_idx", "frame_len", "byte_sum")
         .orderBy($"doc_id", $"frame_idx")
     },
-    // resize stage (strided selection), oracle-gated the same way
+    // resize stage: a GENUINE image codec round-trip — text bytes become the pixels of a
+    // real 24-bit BMP (bottom-up padded rows), a real parser recovers them, and a
+    // nearest-neighbor resample to 4×3 emits pixel sums DuckDB recomputes byte-by-byte
+    // from the source (the resample index math is replayed in SQL)
     "multimodal_resize" -> { (s, dir) =>
       import s.implicits._
-      resize(mediaFrame(s, dir), width = 4, height = 3)
-        .map(r => (r.doc_id, r.width, r.height,
-          r.payload.foldLeft(0L)((a, b) => a + (b & 0xff))))
-        .toDF("doc_id", "width", "height", "byte_sum")
+      resizeBmp(encodeBmp(mediaFrame(s, dir), width = 8), width = 4, height = 3)
+        .toDF()
         .orderBy($"doc_id")
     },
     // decode stage: a GENUINE WAV codec round-trip through the mapPartitions batch
@@ -214,13 +270,20 @@ object Multimodal {
         |  cast(coalesce(list_sum([('0x' || substr(hex(p), 2*i + 1, 2))::BIGINT
         |    for i in range(f_from, f_to)]), 0) AS BIGINT) AS byte_sum
         |FROM g ORDER BY doc_id, frame_idx""".stripMargin,
+    // the resize oracle replays the BMP pipeline's index math on the source bytes: the
+    // image is the byte grid (w=8, h=max(len/8,1), row-major), nearest-neighbor output
+    // pixel k of a 4x3 grid reads source (x=(k%4)*2, y=(k/4)*h/3), i.e. byte y*8+x;
+    // off-grid positions (truncated tail / empty doc) are black
     "multimodal_resize" ->
-      """WITH b AS (SELECT doc_id, encode(text) AS p, octet_length(encode(text)) AS len FROM documents)
-        |SELECT doc_id, 4 AS width, 3 AS height,
-        |  CASE WHEN len = 0 THEN 0
-        |    ELSE cast(coalesce(list_sum([('0x' || substr(hex(p), 2*((i*len)//12) + 1, 2))::BIGINT
-        |      for i in range(0, 12)]), 0) AS BIGINT) END AS byte_sum
-        |FROM b ORDER BY doc_id""".stripMargin,
+      """WITH b AS (SELECT doc_id, encode(text) AS p, octet_length(encode(text)) AS len FROM documents),
+        |c AS (SELECT doc_id, p, len, greatest(len // 8, 1) AS h FROM b)
+        |SELECT doc_id, 8 AS src_w, cast(h AS INTEGER) AS src_h, 4 AS width, 3 AS height,
+        |  cast(coalesce(list_sum([
+        |    CASE WHEN ((k // 4) * h // 3) * 8 + (k % 4) * 2 < len
+        |         THEN ('0x' || substr(hex(p), 2*(((k // 4) * h // 3) * 8 + (k % 4) * 2) + 1, 2))::BIGINT
+        |         ELSE 0 END
+        |    for k in range(0, 12)]), 0) AS BIGINT) AS pix_sum
+        |FROM c ORDER BY doc_id""".stripMargin,
     // the decode oracle re-derives every WAV header field from the synthesis rule and
     // both sample reductions byte-by-byte from the payload's hex dump:
     // byte i (0-indexed) of a blob is substr(hex(blob), 2i+1, 2) parsed base-16

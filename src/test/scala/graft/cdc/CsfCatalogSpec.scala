@@ -141,13 +141,30 @@ class CsfCatalogSpec extends AnyFunSuite {
     assert(Catalog.keyColumns(withUq, "uq") == Seq("l_quantity"))
   }
 
-  test("multimodal resize/frame-sample plumbing: deterministic shapes") {
+  test("multimodal resize: BMP encode/decode round-trip with real row padding") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    // 100 bytes → 8×12 grid, 4 tail bytes truncated; w*3=24 is 4-aligned so stride=24
+    val media = Seq(graft.ext.Multimodal.MediaRow(1L, (0 until 100).map(_.toByte).toArray)).toDS()
+    val bmp = graft.ext.Multimodal.encodeBmp(media, width = 8).collect().head.payload
+    assert(bmp(0) == 'B'.toByte && bmp(1) == 'M'.toByte && bmp.length == 54 + 24 * 12)
+    val r = graft.ext.Multimodal
+      .resizeBmp(graft.ext.Multimodal.encodeBmp(media, width = 8), 4, 3).collect().head
+    assert(r.src_w == 8 && r.src_h == 12 && r.width == 4 && r.height == 3)
+    // nearest-neighbor: out(i,j) = byte((j*12/3)*8 + 2i) for i<4, j<3
+    val expected = (for (j <- 0 until 3; i <- 0 until 4) yield (j * 12 / 3) * 8 + 2 * i).map(_.toLong).sum
+    assert(r.pix_sum == expected)
+    // empty payload: 8×1 black image
+    val empty = Seq(graft.ext.Multimodal.MediaRow(2L, Array.emptyByteArray)).toDS()
+    val re = graft.ext.Multimodal
+      .resizeBmp(graft.ext.Multimodal.encodeBmp(empty, width = 8), 4, 3).collect().head
+    assert(re.src_h == 1 && re.pix_sum == 0L)
+  }
+
+  test("multimodal frame-sample plumbing: deterministic shapes") {
     val spark = graft.SparkTestSession.spark
     import spark.implicits._
     val media = Seq(graft.ext.Multimodal.MediaRow(1L, (0 until 100).map(_.toByte).toArray)).toDS()
-    val resized = graft.ext.Multimodal.resize(media, 4, 3).collect().head
-    assert(resized.payload.length == 12 && resized.width == 4 && resized.height == 3)
-    assert(resized.payload(0) == 0.toByte) // strided selection is deterministic
     val frames = graft.ext.Multimodal.sampleFrames(media, nFrames = 10, stride = 3)
       .collect().sortBy(_.frame_idx)
     assert(frames.map(_.frame_idx).toList == List(0, 3, 6, 9))
