@@ -157,13 +157,13 @@ object CdcPipeline {
     import spark.implicits._
     val isControl = col("operation").isin(RedoEvent.Start, RedoEvent.Commit, RedoEvent.Rollback)
     // metadata-based filters only here, per fragment (owner/table/operation ride the event,
-    // so they are safe pre-fusion); the CONTENT-based temp-table filter moves after fusion —
-    // applied per fragment it would drop a middle fragment whose text happens to contain
-    // the phrase and let the remaining fragments fuse into a corrupted statement marked
-    // complete (ADVICE r3). The reference checks only the head fragment's sql_redo before
-    // its CSF concat loop (OracleSourceTask2.java:276-281); filtering the FUSED text is a
-    // deliberate superset of that heuristic — it can only drop more temp-table statements,
-    // never corrupt a fuse.
+    // so they are safe pre-fusion); the CONTENT-based temp-table filter runs inside the
+    // assembler's fuse as a HEAD-FRAGMENT check — the reference's exact placement (first
+    // cursor row, before the CSF concat loop: OracleSourceTask2.java:275,
+    // LogMinerThread2.java:263). Head-anchored, it cannot drop a committed DML whose DATA
+    // values contain the phrase (the r3 fused-text check was a superset that could,
+    // ADVICE r4), and run-scoped it cannot corrupt a fuse (the ADVICE-r3 hazard of a
+    // per-fragment filter).
     val keep = isControl || (
       internalDdlFilter(col("operation"), col("info")) &&
         validTableName(col("tableName")) &&
@@ -171,13 +171,14 @@ object CdcPipeline {
         (if (config.blacklist.nonEmpty) blacklist(config.blacklist, col("segOwner"), col("tableName")) else lit(true)) &&
         operationFilter(config.dmlTypes, col("operation")))
     val filtered = events.filter(keep)
+    // A8: temp-table skip on the head fragment (control rows never carry the phrase)
+    val headKeep: RedoEvent => Boolean = e => !e.sqlRedo.contains("temporary tables")
     val committed =
       if (streaming)
         TxnAssembler.assembleStreaming(filtered, config.abandonedTxnTimeout,
-          config.maxBufferedRows, droppedTxns)
-      else TxnAssembler.assembleBatch(filtered, config.maxBufferedRows)
+          config.maxBufferedRows, droppedTxns, headKeep)
+      else TxnAssembler.assembleBatch(filtered, config.maxBufferedRows, headKeep)
     val renamed = committed.toDF()
-      .filter(tempTableFilter(col("sqlRedo"))) // content filter on the fused statement (A8)
       .withColumnRenamed("segOwner", "seg_owner")
       .withColumnRenamed("tableName", "table_name")
       .withColumnRenamed("rowId", "row_id")

@@ -34,26 +34,39 @@ object Csf {
    * interrupts an open run without belonging to it (producer anomaly — fragments are
    * contiguous in redo order) flushes the run incomplete.
    *
+   * `headFilter` is evaluated on each statement's HEAD fragment — the reference's
+   * placement for its content-based temp-table skip, checked on the first cursor row
+   * BEFORE the CSF concat loop (LogMinerThread2.java:263, OracleSourceTask2.java:275) —
+   * and a false verdict drops the whole run (head-fragment parity, NOT a check on the
+   * fused text: a committed DML whose data values happen to contain the phrase passes,
+   * ADVICE r4). Evaluating per-head here is also fuse-safe: a middle fragment can never
+   * be dropped out from under a run.
+   *
    * Returns (fused events in order, still-open trailing run). The caller decides the fate of
    * the open run: batch mode flushes it incomplete, streaming mode carries it in state so a
    * statement split across micro-batches fuses correctly.
    */
   def fuseAdjacent(events: Iterator[RedoEvent],
-                   carryIn: Seq[RedoEvent] = Nil): (Vector[RedoEvent], Vector[RedoEvent]) = {
+                   carryIn: Seq[RedoEvent] = Nil,
+                   headFilter: RedoEvent => Boolean = _ => true)
+      : (Vector[RedoEvent], Vector[RedoEvent]) = {
     val out = Vector.newBuilder[RedoEvent]
     var run = carryIn.toVector
     def sameStmt(e: RedoEvent): Boolean =
       run.head.xid == e.xid && run.head.scn == e.scn && run.head.rowId == e.rowId
+    def emit(r: RedoEvent): Unit = if (headFilter(r)) out += r
+    def emitRun(r: Vector[RedoEvent], complete: Boolean): Unit =
+      if (headFilter(r.head)) out += fused(r, complete)
     events.foreach { e =>
       if (run.nonEmpty && !sameStmt(e)) {
-        out += fused(run, complete = false)
+        emitRun(run, complete = false)
         run = Vector.empty
       }
       if (e.csf) run :+= e
       else if (run.nonEmpty) {
-        out += fused(run :+ e, complete = true)
+        emitRun(run :+ e, complete = true)
         run = Vector.empty
-      } else out += e
+      } else emit(e)
     }
     (out.result(), run)
   }

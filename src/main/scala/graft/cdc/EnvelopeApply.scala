@@ -54,19 +54,25 @@ object EnvelopeApply {
     }
 
     val emptyMap = map().cast(MapType(StringType, StringType))
-    def state(deleted: Column, m: Column) = struct(deleted.as("deleted"), m.as("m"))
-    // fold the ordered events into (deleted, column map): INSERT replaces wholesale,
-    // UPDATE overlays (its data is already before+SET per the parser, so set columns
-    // win), DELETE tombstones; an INSERT after a DELETE resurrects the key
+    def state(deleted: Column, m: Column, replaced: Column) =
+      struct(deleted.as("deleted"), m.as("m"), replaced.as("replaced"))
+    // fold the ordered events into (deleted, column map, replaced): INSERT replaces
+    // wholesale (`replaced` marks the snapshot image as superseded — unlisted columns are
+    // NULL, not the stale snapshot value), UPDATE overlays key-presence-wise (an explicit
+    // null-valued entry — `SET col = NULL` — WINS over the accumulated value; coalesce
+    // would silently keep the stale one, ADVICE r4), DELETE tombstones; an INSERT after a
+    // DELETE resurrects the key
     val folded = aggregate(
       array_sort(collect_list(col("e")), byCommitOrder),
-      state(lit(false), emptyMap),
+      state(lit(false), emptyMap, lit(false)),
       (acc, e) => {
         val data = coalesce(e.getField("data"), emptyMap)
-        val overlaid = map_zip_with(acc.getField("m"), data, (_, v1, v2) => coalesce(v2, v1))
-        when(e.getField("operation") === RedoEvent.Insert, state(lit(false), data))
-          .when(e.getField("operation") === RedoEvent.Delete, state(lit(true), emptyMap))
-          .otherwise(state(lit(false), overlaid))
+        val overlaid = map_concat(
+          map_filter(acc.getField("m"), (k, _) => !map_contains_key(data, k)), data)
+        when(e.getField("operation") === RedoEvent.Insert, state(lit(false), data, lit(true)))
+          .when(e.getField("operation") === RedoEvent.Delete,
+            state(lit(true), emptyMap, lit(true)))
+          .otherwise(state(lit(false), overlaid, acc.getField("replaced")))
       })
     val changes = keyed.groupBy(pk.map(col): _*).agg(folded.as("f"))
     applyChanges(snapshot, changes, schema)
@@ -77,7 +83,12 @@ object EnvelopeApply {
    * snapshot ⟗ changes on the pk — tombstoned keys drop, changed columns overlay the
    * snapshot value, untouched keys pass through, new keys materialize from the fold.
    * `changes` carries the typed pk columns plus `f: struct<deleted: boolean,
-   * m: map<string,string>>`, one row per key.
+   * m: map<string,string>, replaced: boolean>`, one row per key.
+   *
+   * Per non-pk column, key-presence decides (NOT coalesce — an explicit null-valued map
+   * entry means the column was SET to NULL and must null the replica column): present →
+   * the folded value; absent with `replaced` (the key's history contains an INSERT, whose
+   * data is the full row image) → NULL; absent otherwise → the snapshot value.
    */
   def applyChanges(snapshot: DataFrame, changes: DataFrame, schema: StructType): DataFrame = {
     val pk = Catalog.keyColumns(schema)
@@ -85,23 +96,33 @@ object EnvelopeApply {
       .filter(!coalesce(col("c.f.deleted"), lit(false)))
       .select(schema.fields.toSeq.map { f =>
         if (pk.contains(f.name)) col(f.name)
-        else coalesce(
-          Catalog.castValue(col("c.f.m").getItem(f.name.toUpperCase), f.dataType),
-          col(s"s.${f.name}")).as(f.name)
+        else {
+          val key = lit(f.name.toUpperCase)
+          when(map_contains_key(col("c.f.m"), key),
+              Catalog.castValue(col("c.f.m").getItem(f.name.toUpperCase), f.dataType))
+            .when(coalesce(col("c.f.replaced"), lit(false)), lit(null).cast(f.dataType))
+            .otherwise(col(s"s.${f.name}")).as(f.name)
+        }
       }: _*)
   }
 
   // ---- streaming variant -----------------------------------------------------
 
   /** Keyed replica state carried across micro-batches: pk values (kept so a tombstone
-    * still knows its key), the column overlay, and a per-key emission version. */
+    * emission still knows its key), the column overlay, and the wholesale-replace flag.
+    * One row-image per LIVE key — tombstoned keys are evicted (`state.remove`), so state
+    * is bounded by the live key count, not by every key ever deleted (ADVICE r4). */
   final case class ReplicaState(pk: Map[String, String], deleted: Boolean,
-                                m: Map[String, String], version: Long)
+                                m: Map[String, String], replaced: Boolean)
 
   /** One per-key emission per micro-batch that touched the key: the key's state AFTER
-    * folding that batch's events. The latest version per key is the replica row. */
+    * folding that batch's events. The version is the LAST APPLIED event's ordering tuple
+    * `(commit_scn, scn, seq)` — monotonic per key under CDC commit order even across a
+    * delete → state-eviction → re-insert cycle (a per-key counter would restart at 1 and
+    * lose to the tombstone in [[latestChanges]]' max_by). */
   final case class ReplicaEmit(key: String, pk: Map[String, String], deleted: Boolean,
-                               m: Map[String, String], version: Long)
+                               m: Map[String, String], replaced: Boolean,
+                               vcs: Long, vscn: Long, vseq: Long)
 
   /** Internal event shape of [[applyStreaming]] (public: encoder codegen constructs it). */
   final case class ApplyEvent(key: String, pk: Map[String, String], commit_scn: Long,
@@ -136,29 +157,39 @@ object EnvelopeApply {
         OutputMode.Append, GroupStateTimeout.NoTimeout) { (key, it, state) =>
         val sorted = it.toVector.sortBy(e => (e.commit_scn, e.scn, e.seq))
         var st = state.getOption.getOrElse(
-          ReplicaState(sorted.head.pk, deleted = false, Map.empty, 0L))
+          ReplicaState(sorted.head.pk, deleted = false, Map.empty, replaced = false))
         sorted.foreach { e =>
           val data = Option(e.data).getOrElse(Map.empty[String, String])
           st = e.operation match {
-            case RedoEvent.Insert => st.copy(deleted = false, m = data)
-            case RedoEvent.Delete => st.copy(deleted = true, m = Map.empty)
+            case RedoEvent.Insert => st.copy(deleted = false, m = data, replaced = true)
+            case RedoEvent.Delete => st.copy(deleted = true, m = Map.empty, replaced = true)
+            // `++` is key-presence overlay: an explicit null-valued entry (SET col = NULL)
+            // replaces the accumulated value — same semantics as the batch fold's
+            // map_filter + map_concat (ADVICE r4)
             case _                => st.copy(deleted = false, m = st.m ++ data)
           }
         }
-        st = st.copy(version = st.version + 1)
-        state.update(st)
-        Iterator.single(ReplicaEmit(key, st.pk, st.deleted, st.m, st.version))
+        // tombstone: emit it (latestChanges must see the delete), then EVICT the key —
+        // retaining it would grow state with every key ever deleted. A re-insert starts
+        // fresh state and its higher (commit_scn, scn, seq) version outranks the tombstone.
+        if (st.deleted) state.remove() else state.update(st)
+        val last = sorted.last
+        Iterator.single(ReplicaEmit(key, st.pk, st.deleted, st.m, st.replaced,
+          last.commit_scn, last.scn, last.seq))
       }
   }
 
   /** Reduce an emission log to the `changes` shape of [[applyChanges]]: latest version
-    * per key, pk values re-typed via the catalog rule. */
+    * (the event-ordering tuple, struct-ordered) per key, pk values re-typed via the
+    * catalog rule. */
   def latestChanges(emitted: DataFrame, schema: StructType): DataFrame = {
     val pk = Catalog.keyColumns(schema)
     emitted.groupBy(col("key"))
-      .agg(max_by(struct(col("pk"), col("deleted"), col("m")), col("version")).as("s"))
+      .agg(max_by(struct(col("pk"), col("deleted"), col("m"), col("replaced")),
+        struct(col("vcs"), col("vscn"), col("vseq"))).as("s"))
       .select(pk.map(p =>
         Catalog.castValue(col("s.pk").getItem(p.toUpperCase), schema(p).dataType).as(p)) :+
-        struct(col("s.deleted").as("deleted"), col("s.m").as("m")).as("f"): _*)
+        struct(col("s.deleted").as("deleted"), col("s.m").as("m"),
+          col("s.replaced").as("replaced")).as("f"): _*)
   }
 }

@@ -12,9 +12,10 @@ import graft.functions.ParseRedoExpr
  * `map<string,string>`, exactly the `parseSql` output shape of the reference
  * (OracleSourceConnectorUtils2.java:270-271,354-357).
  *
- * SQL-NULL column values are omitted from the maps (a map<string,string> cannot hold null
- * values); the envelope projection reintroduces them as typed nulls via [[Catalog]] casts —
- * same observable behavior as the reference's null struct fields (Utils:392,397,405).
+ * SQL-NULL column values are EXPLICIT null-valued map entries (valueContainsNull = true),
+ * matching the reference's null struct fields (Utils:392,397,405): a consumer can
+ * distinguish `SET col = NULL` (key present, value null) from "column untouched" (key
+ * absent) — [[EnvelopeApply]] relies on exactly that distinction for its overlay/merge.
  *
  * Why an Expression and not a UDF: a deterministic struct-returning UDF gets inlined by
  * CollapseProject into every extracted field, re-running the whole parse per field; the

@@ -124,15 +124,18 @@ object TxnAssembler {
     * no extra exchange), then run the state machine. A truncated trailing run is flushed
     * csf=true so the loss is observable (failed parse → DLQ), not silent. */
   def assembleBatch(events: Dataset[RedoEvent],
-                    maxBufferedRows: Int = Int.MaxValue): Dataset[CommittedDml] = {
+                    maxBufferedRows: Int = Int.MaxValue,
+                    headFilter: RedoEvent => Boolean = _ => true): Dataset[CommittedDml] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
       .groupByKey(_.xid)
       .flatMapGroups { (_, it) =>
         val sorted = it.toVector.sortBy(e => (e.scn, e.seq, e.rowId))
-        val (fusedEvs, open) = Csf.fuseAdjacent(sorted.iterator)
-        val all = if (open.nonEmpty) fusedEvs :+ Csf.fused(open, complete = false) else fusedEvs
+        val (fusedEvs, open) = Csf.fuseAdjacent(sorted.iterator, Nil, headFilter)
+        val all =
+          if (open.nonEmpty && headFilter(open.head)) fusedEvs :+ Csf.fused(open, complete = false)
+          else fusedEvs
         step(TxnBuffer.empty, all.iterator, maxBufferedRows)._1.iterator
       }
   }
@@ -160,7 +163,8 @@ object TxnAssembler {
   def assembleStreaming(events: Dataset[RedoEvent],
                         abandonedTxnTimeout: Option[String] = Some("1 hour"),
                         maxBufferedRows: Int = Int.MaxValue,
-                        droppedTxns: Option[org.apache.spark.util.LongAccumulator] = None)
+                        droppedTxns: Option[org.apache.spark.util.LongAccumulator] = None,
+                        headFilter: RedoEvent => Boolean = _ => true)
       : Dataset[CommittedDml] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -181,7 +185,7 @@ object TxnAssembler {
             val prev = state.getOption.getOrElse(TxnBuffer.empty)
             // A7 across micro-batches: resume the open fragment run carried in state, hold
             // the new trailing open run (if any) for the next batch
-            val (fusedEvs, carry) = Csf.fuseAdjacent(sorted.iterator, prev.frags)
+            val (fusedEvs, carry) = Csf.fuseAdjacent(sorted.iterator, prev.frags, headFilter)
             val (emitted, remaining) = step(prev.copy(frags = Nil),
               fusedEvs.iterator, maxBufferedRows, () => droppedTxns.foreach(_.add(1)))
             val next = remaining match {

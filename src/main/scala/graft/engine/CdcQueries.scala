@@ -54,11 +54,12 @@ object CdcQueries {
                                data: Map[String, String], before: Map[String, String])
 
   /**
-   * Shared merge-script envelope (batch apply + streaming apply): updates for %3, a later
-   * multi-column update for %9, deletes for %10, inserts of NEW keys for %4, then an
-   * update of a freshly-inserted key for %8 — rendered to real redo SQL, parsed, and
-   * enveloped with (commit_scn, seq) extras. commit_scn is constant so the apply
-   * operators' scn/seq ordering fallback is exercised.
+   * Shared merge-script envelope (batch apply + streaming apply): a set-to-NULL update
+   * for %6 FIRST (the explicit null must survive later folds unless %9 re-sets the
+   * column — ADVICE r4), updates for %3, a later multi-column update for %9, deletes for
+   * %10, inserts of NEW keys for %4, then an update of a freshly-inserted key for %8 —
+   * rendered to real redo SQL, parsed, and enveloped with (commit_scn, seq) extras.
+   * commit_scn is constant so the apply operators' scn/seq ordering fallback is exercised.
    */
   private def mergeEnvelope(s: SparkSession, dir: String,
                             keyFilter: Column): org.apache.spark.sql.DataFrame = {
@@ -71,6 +72,8 @@ object CdcQueries {
         lit("GRAFT").as("seg_owner"), lit("ORDERS").as("table_name"),
         lit(op).as("operation"), redo.as("sql_redo"), lit("").as("info"))
     val script =
+      frame($"k" % 6 === 0, 0, RedoEvent.Update,
+        concat(lit("update \"GRAFT\".\"ORDERS\" set \"O_ORDERPRIORITY\" = NULL where \"O_ORDERKEY\" = "), $"k")) union
       frame($"k" % 3 === 0, 1, RedoEvent.Update,
         concat(lit("update \"GRAFT\".\"ORDERS\" set \"O_ORDERSTATUS\" = 'Z' where \"O_ORDERKEY\" = "), $"k")) union
       frame($"k" % 9 === 0, 3, RedoEvent.Update,
@@ -506,6 +509,7 @@ object CdcQueries {
         |         WHEN k % 7 = 0 AND k % 3 = 0 THEN 'Z'
         |         ELSE o_orderstatus END AS o_orderstatus,
         |    CASE WHEN k % 7 = 0 AND k % 9 = 0 THEN '9-PRIO'
+        |         WHEN k % 7 = 0 AND k % 6 = 0 THEN NULL
         |         ELSE o_orderpriority END AS o_orderpriority
         |  FROM base WHERE NOT (k % 7 = 0 AND k % 10 = 0)),
         |ins AS (
@@ -521,7 +525,8 @@ object CdcQueries {
         |  SELECT k AS o_orderkey,
         |    CASE WHEN k % 9 = 0 THEN 'Y' WHEN k % 3 = 0 THEN 'Z'
         |         ELSE o_orderstatus END AS o_orderstatus,
-        |    CASE WHEN k % 9 = 0 THEN '9-PRIO' ELSE o_orderpriority END AS o_orderpriority
+        |    CASE WHEN k % 9 = 0 THEN '9-PRIO' WHEN k % 6 = 0 THEN NULL
+        |         ELSE o_orderpriority END AS o_orderpriority
         |  FROM base WHERE k % 10 <> 0),
         |ins AS (
         |  SELECT k + 10000000 AS o_orderkey,

@@ -46,9 +46,15 @@ object Skew {
    * reducers at the cost of a salts× dim replication. This is the manual form of AQE's
    * skew-join split, for when AQE can't act (no shuffle stats yet, skew below its
    * thresholds but above yours, or a non-shuffle consumer pinning the partitioning).
+   *
+   * `saltSource` is REQUIRED and must be deterministic per row (a unique id column):
+   * a nondeterministic source (monotonically_increasing_id, rand) can re-salt a fact row
+   * differently between shuffle-map re-executions on stage retry — the classic
+   * nondeterministic-repartition hazard that drops/duplicates rows under partial
+   * recomputation (ADVICE r4).
    */
-  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int = 16,
-                 saltSource: Column = monotonically_increasing_id()): DataFrame = {
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, saltSource: Column,
+                 salts: Int = 16): DataFrame = {
     val salted = fact.withColumn("__salt", pmod(hash(col(key), saltSource), lit(salts)))
     val replicated = dim.withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

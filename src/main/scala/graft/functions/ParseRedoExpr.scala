@@ -1,10 +1,12 @@
 package graft.functions
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -32,8 +34,17 @@ case class ParseRedoExpr(child: Expression, unescape: Boolean = true)
 
   private def utf8(s: String): UTF8String = UTF8String.fromString(s)
 
-  private def mapData(kvs: Seq[(String, String)]): ArrayBasedMapData =
-    ArrayBasedMapData(kvs.toMap, (k: Any) => utf8(k.toString), (v: Any) => utf8(v.toString))
+  /** Statement order preserved, duplicate columns last-wins (Map semantics), and SQL-NULL
+    * values kept as EXPLICIT null map entries — the reference envelope carries null struct
+    * fields (Utils:392,397,405), and a consumer applying an `UPDATE SET col = NULL` must be
+    * able to distinguish "column nulled" from "column untouched" (ADVICE r4). */
+  private def mapData(kvs: Seq[(String, Option[String])]): ArrayBasedMapData = {
+    val dedup = mutable.LinkedHashMap.empty[String, Option[String]]
+    kvs.foreach { case (k, v) => dedup(k) = v }
+    new ArrayBasedMapData(
+      new GenericArrayData(dedup.keysIterator.map(k => utf8(k): Any).toArray),
+      new GenericArrayData(dedup.valuesIterator.map(v => v.map(utf8).orNull: Any).toArray))
+  }
 
   override def eval(input: InternalRow): Any = {
     val raw = child.eval(input)
@@ -41,9 +52,7 @@ case class ParseRedoExpr(child: Expression, unescape: Boolean = true)
     parsed match {
       case Some(p) =>
         InternalRow(utf8(p.operation), utf8(p.owner), utf8(p.table),
-          mapData(p.data.collect { case (k, Some(v)) => k -> v }),
-          mapData(p.before.collect { case (k, Some(v)) => k -> v }),
-          true)
+          mapData(p.data), mapData(p.before), true)
       case None =>
         InternalRow(utf8(""), utf8(""), utf8(""), mapData(Nil), mapData(Nil), false)
     }
@@ -58,8 +67,8 @@ object ParseRedoExpr {
     StructField("operation", StringType, nullable = false),
     StructField("owner", StringType, nullable = false),
     StructField("table", StringType, nullable = false),
-    StructField("data", MapType(StringType, StringType, valueContainsNull = false), nullable = false),
-    StructField("before", MapType(StringType, StringType, valueContainsNull = false), nullable = false),
+    StructField("data", MapType(StringType, StringType, valueContainsNull = true), nullable = false),
+    StructField("before", MapType(StringType, StringType, valueContainsNull = true), nullable = false),
     StructField("ok", BooleanType, nullable = false)))
 
   /** The function surface: both unescape postures (map.unescaped.strings, Config:29). */

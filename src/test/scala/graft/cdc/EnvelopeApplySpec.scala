@@ -11,6 +11,10 @@ import org.scalatest.funsuite.AnyFunSuite
  * the modular-arithmetic script can't hit (DELETE then re-INSERT of the same key,
  * out-of-order arrival).
  */
+/** Envelope row shape for the streaming-apply harness feed. */
+final case class EnvRow(commit_scn: Long, scn: Long, seq: Long, operation: String,
+                        data: Map[String, String], before: Map[String, String])
+
 class EnvelopeApplySpec extends AnyFunSuite {
 
   private lazy val spark = graft.SparkTestSession.spark
@@ -41,6 +45,54 @@ class EnvelopeApplySpec extends AnyFunSuite {
     val out = EnvelopeApply(snapshot, events, schema).orderBy($"id").collect()
     assert(out.toSeq === Seq(
       Row(1L, "a2", 10), Row(3L, "c9", 99), Row(4L, "d2", 40)))
+  }
+
+  test("UPDATE SET col = NULL nulls the replica column — explicit null beats coalesce (ADVICE r4)") {
+    import spark.implicits._
+    val snapshot = Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "name", "v")
+    val schema = Catalog.withKeyMetadata(snapshot.schema, Set("id"))
+    val events = env(Seq(
+      // key 1: NAME explicitly set to NULL — the stale snapshot value must NOT survive
+      (1L, 1L, 1L, RedoEvent.Update, Map("ID" -> "1", "NAME" -> null), Map("ID" -> "1")),
+      // key 2: set to NULL then re-set — later value wins over the explicit null too
+      (1L, 2L, 1L, RedoEvent.Update, Map("ID" -> "2", "NAME" -> null), Map("ID" -> "2")),
+      (1L, 2L, 2L, RedoEvent.Update, Map("ID" -> "2", "NAME" -> "b2"), Map("ID" -> "2"))))
+    val out = EnvelopeApply(snapshot, events, schema).orderBy($"id").collect()
+    assert(out.toSeq === Seq(Row(1L, null, 10), Row(2L, "b2", 20)))
+  }
+
+  test("INSERT replaces wholesale: columns absent from its data become NULL, not the snapshot value") {
+    import spark.implicits._
+    val snapshot = Seq((1L, "a", 10)).toDF("id", "name", "v")
+    val schema = Catalog.withKeyMetadata(snapshot.schema, Set("id"))
+    // delete + re-insert listing only (ID, NAME): V must be NULL — the old row is gone
+    val events = env(Seq(
+      (1L, 1L, 1L, RedoEvent.Delete, null, Map("ID" -> "1")),
+      (1L, 1L, 2L, RedoEvent.Insert, Map("ID" -> "1", "NAME" -> "a9"), null)))
+    val out = EnvelopeApply(snapshot, events, schema).collect()
+    assert(out.toSeq === Seq(Row(1L, "a9", null)))
+  }
+
+  test("streaming: tombstoned keys are EVICTED from state; re-insert outranks the tombstone (ADVICE r4)") {
+    import spark.implicits._
+    import org.apache.spark.sql.Encoders
+    val snapshot = Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "name", "v")
+    val schema = Catalog.withKeyMetadata(snapshot.schema, Set("id"))
+    val b1 = Seq(
+      // key 1 deleted in batch 1 (state must evict), key 2 nulled then updated
+      EnvRow(1L, 1L, 1L, RedoEvent.Delete, null, Map("ID" -> "1")),
+      EnvRow(1L, 2L, 1L, RedoEvent.Update, Map("ID" -> "2", "NAME" -> null), Map("ID" -> "2")))
+    val b2 = Seq(
+      // key 1 re-inserted in batch 2 AFTER eviction: its (commit_scn, scn, seq) version
+      // must outrank the batch-1 tombstone in latestChanges
+      EnvRow(2L, 3L, 1L, RedoEvent.Insert, Map("ID" -> "1", "NAME" -> "a2", "V" -> "11"), null))
+    val out = graft.engine.StreamGate.runTwoBatches(spark,
+        Encoders.product[EnvRow], "env_apply_evict_sink", b1, b2) { ds =>
+      EnvelopeApply.applyStreaming(ds.toDF(), schema).toDF()
+    }
+    val merged = EnvelopeApply.applyChanges(snapshot,
+      EnvelopeApply.latestChanges(out, schema), schema).orderBy($"id").collect()
+    assert(merged.toSeq === Seq(Row(1L, "a2", 11), Row(2L, null, 20)))
   }
 
   test("apply requires pk metadata on the schema") {

@@ -82,25 +82,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.last.getAs[Map[String, String]]("before") == Map("ID" -> "0"))
   }
 
-  test("content filter runs on the FUSED statement, never corrupting a CSF run (ADVICE r3)") {
+  test("temp-table skip is HEAD-fragment-anchored: data containing the phrase survives (ADVICE r4)") {
     val spark = graft.SparkTestSession.spark
     import spark.implicits._
     val events = Seq(
       ev(1, "x1", RedoEvent.Start),
-      // 3-fragment INSERT whose MIDDLE fragment contains the temp-table phrase: the run
-      // must fuse whole and the whole statement drop — per-fragment filtering would drop
-      // the middle fragment and fuse head+tail into a corrupted statement marked complete
+      // 3-fragment INSERT whose MIDDLE fragment contains the phrase inside a DATA value:
+      // the reference checks only the head cursor row before its CSF concat loop
+      // (LogMinerThread2.java:263), so this legitimate statement must fuse and SURVIVE —
+      // the r3 fused-text check silently dropped it
       ev(2, "x1", RedoEvent.Insert, redo = """insert into "APP"."T1"("N") values ('a """)
         .copy(csf = true, rowId = "RA", seq = 2),
       ev(2, "x1", RedoEvent.Insert, redo = "temporary tables b ")
         .copy(csf = true, rowId = "RA", seq = 3),
       ev(2, "x1", RedoEvent.Insert, redo = "c')").copy(rowId = "RA", seq = 4),
-      // an untouched statement in the same txn survives
-      ev(3, "x1", RedoEvent.Insert, redo = """insert into "APP"."T1"("ID") values (7)"""),
-      ev(4, "x1", RedoEvent.Commit))
-    val out = CdcPipeline.stream(events.toDS(), config, streaming = false).collect()
-    assert(out.length == 1)
-    assert(out.head.getAs[Map[String, String]]("data") == Map("ID" -> "7"))
+      // a run whose HEAD fragment carries the phrase drops whole — never corrupting the
+      // fuse (no partial-run leakage downstream)
+      ev(3, "x1", RedoEvent.Insert, redo = """alter ... temporary tables ('x """)
+        .copy(csf = true, rowId = "RB", seq = 5),
+      ev(3, "x1", RedoEvent.Insert, redo = "y')").copy(rowId = "RB", seq = 6),
+      ev(4, "x1", RedoEvent.Insert, redo = """insert into "APP"."T1"("ID") values (7)"""),
+      ev(5, "x1", RedoEvent.Commit))
+    val out = CdcPipeline.stream(events.toDS(), config, streaming = false)
+      .collect().sortBy(_.getAs[Long]("scn"))
+    assert(out.length == 2)
+    assert(out.head.getAs[Map[String, String]]("data") == Map("N" -> "a temporary tables b c"))
+    assert(out.last.getAs[Map[String, String]]("data") == Map("ID" -> "7"))
   }
 
   test("typedTableView casts the dynamic payload into the table's parquet types") {

@@ -37,4 +37,19 @@ class ParseRedoExprSpec extends AnyFunSuite {
       .select($"p.operation", $"p.data", $"p.before", $"p.ok").collect()
     assert(native.map(_.toString).toList == viaParseRedo.map(_.toString).toList)
   }
+
+  test("SQL-NULL values are explicit null-valued map entries, not omitted (ADVICE r4)") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val df = Seq(
+      """update "HR"."EMP" set "BONUS" = NULL where "ID" = 1""",
+      """insert into "HR"."EMP"("ID","BONUS") values (2,NULL)""").toDF("sql_redo")
+    val out = df.select(call_function("parse_redo", col("sql_redo")).as("p"))
+      .select($"p.data").collect()
+    val upd = out(0).getAs[Map[String, String]](0)
+    // key present (SET to NULL is distinguishable from untouched), value null
+    assert(upd.keySet == Set("ID", "BONUS") && upd("BONUS") == null && upd("ID") == "1")
+    val ins = out(1).getAs[Map[String, String]](0)
+    assert(ins.keySet == Set("ID", "BONUS") && ins("BONUS") == null)
+  }
 }
