@@ -58,10 +58,34 @@ object Bench {
         spark.catalog.clearCache()
       }
     }
-    val qs = timings.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"${esc(sfDir)}"}""")
+    // full-precision record to stderr (and a file beside the build) for local analysis
+    val fullQs = timings.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$errs,"sf":"${esc(sfDir)}"}"""
+    System.err.println(fullLine)
+    try java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_full.json"),
+      fullLine.getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    // stdout line: the harness that collects this keeps only a ~2000-char tail of stdout,
+    // and the full-precision line has outgrown it every round (BENCH_r1..r4 all record
+    // parsed:null with the line's head clipped). Emit a COMPACT line — 2-decimal timings,
+    // queries ordered fastest-first so a clip would eat the least-informative entries
+    // first — and, if the surface outgrows the window, FOLD the fastest queries into an
+    // "omitted_fastest" summary instead of letting the JSON get truncated mid-object.
+    def fmt(v: Double): String = f"$v%.2f"
+    def line(qSeq: Seq[(String, Double)], omitted: Seq[(String, Double)]): String = {
+      val qs = qSeq.map { case (k, v) => s""""${esc(k)}":${fmt(v)}""" }.mkString("{", ",", "}")
+      val om = if (omitted.isEmpty) ""
+        else s""","omitted_fastest":{"n":${omitted.size},"sum_sec":${fmt(omitted.map(_._2).sum)}}"""
+      s"""{"metric":"total","unit":"sec","sf":"${esc(sfDir)}","queries":$qs$om,"errors":$errs,"value":${fmt(total)}}"""
+    }
+    val asc = timings.toSeq.sortBy(_._2)
+    val budget = 1850 // tail window ~2000 chars minus the build tool's trailing lines
+    var cut = 0
+    while (cut < asc.length && line(asc.drop(cut), asc.take(cut)).length > budget) cut += 1
+    println(line(asc.drop(cut), asc.take(cut)))
     spark.stop()
   }
 }

@@ -65,26 +65,31 @@ object CdcQueries {
                             keyFilter: Column): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val base = Tables(s, dir, "orders").select($"o_orderkey".cast("long").as("k")).filter(keyFilter)
-    def frame(flt: Column, scnOff: Int, op: String, redo: Column) =
-      base.filter(flt).select(
-        ($"k" * 10 + scnOff).as("scn"), lit(1L).as("commit_scn"),
-        ($"k" * 10 + scnOff).as("seq"), lit("x").as("xid"), lit("r").as("row_id"),
-        lit("GRAFT").as("seg_owner"), lit("ORDERS").as("table_name"),
-        lit(op).as("operation"), redo.as("sql_redo"), lit("").as("info"))
-    val script =
-      frame($"k" % 6 === 0, 0, RedoEvent.Update,
-        concat(lit("update \"GRAFT\".\"ORDERS\" set \"O_ORDERPRIORITY\" = NULL where \"O_ORDERKEY\" = "), $"k")) union
-      frame($"k" % 3 === 0, 1, RedoEvent.Update,
-        concat(lit("update \"GRAFT\".\"ORDERS\" set \"O_ORDERSTATUS\" = 'Z' where \"O_ORDERKEY\" = "), $"k")) union
-      frame($"k" % 9 === 0, 3, RedoEvent.Update,
-        concat(lit("update \"GRAFT\".\"ORDERS\" set \"O_ORDERSTATUS\" = 'Y', \"O_ORDERPRIORITY\" = '9-PRIO' where \"O_ORDERKEY\" = "), $"k")) union
-      frame($"k" % 10 === 0, 5, RedoEvent.Delete,
-        concat(lit("delete from \"GRAFT\".\"ORDERS\" where \"O_ORDERKEY\" = "), $"k")) union
-      frame($"k" % 4 === 0, 2, RedoEvent.Insert,
+    // ONE orders scan: every key derives all its script ops in a single explode (a
+    // per-branch union would scan + parse-project the table six times)
+    def op(flt: Column, scnOff: Int, op: String, redo: Column) =
+      when(flt, struct(lit(scnOff).as("off"), lit(op).as("operation"), redo.as("sql_redo")))
+    val ops = array(
+      op($"k" % 6 === 0, 0, RedoEvent.Update,
+        concat(lit("update \"GRAFT\".\"ORDERS\" set \"O_ORDERPRIORITY\" = NULL where \"O_ORDERKEY\" = "), $"k")),
+      op($"k" % 3 === 0, 1, RedoEvent.Update,
+        concat(lit("update \"GRAFT\".\"ORDERS\" set \"O_ORDERSTATUS\" = 'Z' where \"O_ORDERKEY\" = "), $"k")),
+      op($"k" % 9 === 0, 3, RedoEvent.Update,
+        concat(lit("update \"GRAFT\".\"ORDERS\" set \"O_ORDERSTATUS\" = 'Y', \"O_ORDERPRIORITY\" = '9-PRIO' where \"O_ORDERKEY\" = "), $"k")),
+      op($"k" % 10 === 0, 5, RedoEvent.Delete,
+        concat(lit("delete from \"GRAFT\".\"ORDERS\" where \"O_ORDERKEY\" = "), $"k")),
+      op($"k" % 4 === 0, 2, RedoEvent.Insert,
         concat(lit("insert into \"GRAFT\".\"ORDERS\"(\"O_ORDERKEY\",\"O_ORDERSTATUS\",\"O_ORDERPRIORITY\") values ("),
-          $"k" + 10000000L, lit(",'N','NEW')"))) union
-      frame($"k" % 8 === 0, 4, RedoEvent.Update,
-        concat(lit("update \"GRAFT\".\"ORDERS\" set \"O_ORDERSTATUS\" = 'M' where \"O_ORDERKEY\" = "), $"k" + 10000000L))
+          $"k" + 10000000L, lit(",'N','NEW')"))),
+      op($"k" % 8 === 0, 4, RedoEvent.Update,
+        concat(lit("update \"GRAFT\".\"ORDERS\" set \"O_ORDERSTATUS\" = 'M' where \"O_ORDERKEY\" = "), $"k" + 10000000L)))
+    val script = base
+      .select($"k", explode(filter(ops, _.isNotNull)).as("o"))
+      .select(
+        ($"k" * 10 + $"o.off").as("scn"), lit(1L).as("commit_scn"),
+        ($"k" * 10 + $"o.off").as("seq"), lit("x").as("xid"), lit("r").as("row_id"),
+        lit("GRAFT").as("seg_owner"), lit("ORDERS").as("table_name"),
+        $"o.operation".as("operation"), $"o.sql_redo".as("sql_redo"), lit("").as("info"))
     CdcPipeline.envelope(
       script.withColumn("parsed", ParseRedo.parse($"sql_redo")), "DB1",
       extra = Seq($"commit_scn", $"seq"))

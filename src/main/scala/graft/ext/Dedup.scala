@@ -185,17 +185,23 @@ object Dedup {
         .agg(count(lit(1)).as("member_cnt"), max($"id").as("max_member"))
         .orderBy($"label")
     },
-    // 16-bit simhash fingerprint per document
+    // 16-bit simhash fingerprint per document. ONE shuffle, on doc_id, carrying 16
+    // pre-combined bit counters per map-side group — NOT an exploded (doc_id, bit) row per
+    // token per bit (16× the rows through an extra shuffle, the naive plan): each of the
+    // 16 bit positions folds as its own conditional sum in a single hash aggregate, and
+    // the fingerprint assembles from the 16 finished counters in the same pass.
     "dedup_simhash" -> { (s, dir) =>
       import s.implicits._
+      val bitsums = (0 until 16).map(j =>
+        sum(when(expr(s"shiftright(hv, $j)").bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$j"))
+      val fingerprint = (0 until 16)
+        .map(j => when(col(s"b$j") >= 0, lit(1L << j)).otherwise(0L))
+        .reduce(_ + _)
       graft.engine.Tables(s, dir, "documents")
         .select($"doc_id", explode(array_distinct(TextOps.tokens($"text"))).as("tok"))
         .select($"doc_id", TextOps.hash32($"tok").as("hv"))
-        .select($"doc_id", $"hv", explode(sequence(lit(0), lit(15))).as("j"))
-        .withColumn("w", when(expr("shiftright(hv, j)").bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-        .groupBy($"doc_id", $"j").agg(sum($"w").as("bitsum"))
-        .withColumn("bitval", when($"bitsum" >= 0, expr("cast(shiftleft(1, j) as bigint)")).otherwise(0L))
-        .groupBy($"doc_id").agg(sum($"bitval").as("simhash"))
+        .groupBy($"doc_id").agg(bitsums.head, bitsums.tail: _*)
+        .select($"doc_id", fingerprint.as("simhash"))
         .orderBy($"doc_id")
     },
     // token-set Jaccard verification within (lang, source) blocks, integer basis points.

@@ -38,16 +38,21 @@ object Similarity {
   private val IvfTopK = 5
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // brute-force cosine top-k for a fixed query set (vec_id < NumQueries)
+    // brute-force cosine top-k for a fixed query set (vec_id < NumQueries).
+    // Norms are computed ONCE per vector in the scan pass — not re-folded per candidate
+    // pair: at n vectors × q queries that saves 2·n·q of the 3·n·q dot products (the
+    // numerator is the only per-pair fold left). Bit-identical: sqrt(dot(v,v)) is the
+    // same double whether folded once or per pair.
     "simsearch_topk" -> { (s, dir) =>
       import s.implicits._
       val emb = graft.engine.Tables(s, dir, "embeddings")
         .select($"vec_id", toDouble($"embedding").as("v"))
+        .withColumn("nrm", sqrt(dot($"v", $"v")))
       val q = emb.filter($"vec_id" < NumQueries)
-        .select($"vec_id".as("q_id"), $"v".as("qv"))
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
       val scored = emb.join(broadcast(q), $"vec_id" =!= $"q_id")
         .select($"q_id", $"vec_id",
-          round(dot($"v", $"qv") / (sqrt(dot($"v", $"v")) * sqrt(dot($"qv", $"qv"))), 6).as("sim"))
+          round(dot($"v", $"qv") / ($"nrm" * $"qnrm"), 6).as("sim"))
       val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
       scored.withColumn("rnk", row_number().over(w))
         .filter($"rnk" <= TopK)
@@ -77,26 +82,27 @@ object Similarity {
       import s.implicits._
       val base = graft.engine.Tables(s, dir, "embeddings")
         .select($"vec_id", toDouble($"embedding").as("v"))
+        .withColumn("nrm", sqrt(dot($"v", $"v"))) // folded once, reused across centroids AND probes
       val cents = base.filter($"vec_id".isin(CentroidIds: _*))
-        .select($"vec_id".as("c_id"), $"v".as("cv"))
+        .select($"vec_id".as("c_id"), $"v".as("cv"), $"nrm".as("cnrm"))
       // nearest-centroid assignment as a max_by hash aggregate (map-side partial agg, no
       // per-key window sort); tie-break struct(csim, -c_id) == the oracle's
       // row_number() ORDER BY csim DESC, c_id. Cached because it feeds BOTH the base and
       // query sides of the cell-probe join — without it the dominant assignment pass
       // (full scan x centroids) executes twice (the round-2 plan audit's finding).
       val assigned = base.crossJoin(broadcast(cents))
-        .select($"vec_id", $"v", $"c_id",
-          round(dot($"v", $"cv") / (sqrt(dot($"v", $"v")) * sqrt(dot($"cv", $"cv"))), 6).as("csim"))
+        .select($"vec_id", $"v", $"nrm", $"c_id",
+          round(dot($"v", $"cv") / ($"nrm" * $"cnrm"), 6).as("csim"))
         .groupBy($"vec_id")
-        .agg(max_by(struct($"v", $"c_id"), struct($"csim", -$"c_id")).as("best"))
-        .select($"vec_id", $"best.v".as("v"), $"best.c_id".as("cell"))
+        .agg(max_by(struct($"v", $"nrm", $"c_id"), struct($"csim", -$"c_id")).as("best"))
+        .select($"vec_id", $"best.v".as("v"), $"best.nrm".as("nrm"), $"best.c_id".as("cell"))
         .cache()
       val queries = assigned.filter($"vec_id" < NumQueries)
-        .select($"vec_id".as("q_id"), $"v".as("qv"), $"cell".as("q_cell"))
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"), $"cell".as("q_cell"))
       val wTopK = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
       assigned.join(broadcast(queries), $"cell" === $"q_cell" && $"vec_id" =!= $"q_id")
         .select($"q_id", $"vec_id",
-          round(dot($"v", $"qv") / (sqrt(dot($"v", $"v")) * sqrt(dot($"qv", $"qv"))), 6).as("sim"))
+          round(dot($"v", $"qv") / ($"nrm" * $"qnrm"), 6).as("sim"))
         .withColumn("rnk", row_number().over(wTopK))
         .filter($"rnk" <= IvfTopK)
         .select($"q_id", $"rnk".cast("long").as("rnk"), $"vec_id", $"sim")
