@@ -1,10 +1,24 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+import scala.util.control.NonFatal
 
 /** Benchmark main: runs every registered query against SPARK_GRAFT_SF_DIR and prints one
   * JSON line. A query that throws is recorded as an `"errors"` entry (and excluded from the
-  * total) rather than silently timed — BENCH output distinguishes fast from crashed. */
+  * total) rather than silently timed — BENCH output distinguishes fast from crashed.
+  *
+  * MEASUREMENT VALIDITY (r6, after BENCH_r05 recorded 10-50× inflation on untouched code
+  * from machine contention during the run):
+  *   - each query runs K times (SPARK_GRAFT_BENCH_REPS, default 3) and the MEDIAN is
+  *     recorded — one noisy-neighbor spike on a single rep no longer poisons the number;
+  *     per-query min/max land in the full-precision file (target/bench_full.json);
+  *   - a fixed CANARY query (orders scan + groupBy count) is re-timed at start, middle and
+  *     end of the run; if its timings drift by more than 2× the whole run is stamped
+  *     `"degraded":true` — a consumer must treat such a file as environment-corrupted
+  *     rather than as a regression signal.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -27,50 +41,96 @@ object Bench {
     // query doesn't absorb session initialization in its timing
     try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).write.mode("overwrite")
       .format("noop").save()
-    catch { case _: Throwable => () }
-    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    catch { case NonFatal(_) => () }
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    // load canary: a fixed, cheap reference query whose cost is scan + one shuffle; its
+    // drift across the run measures the MACHINE, not the engine
+    def canary(): Double = {
+      val t0 = System.nanoTime()
+      try spark.read.parquet(s"$sfDir/orders.parquet")
+        .groupBy(col("o_orderstatus")).count()
+        .write.mode("overwrite").format("noop").save()
+      catch { case NonFatal(_) => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
+    canary() // throwaway: the first execution absorbs the canary's own codegen (~2 s),
+             // which would read as 10× "drift" on a perfectly healthy machine
+    canaries += canary()
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double] // median
+    val spreads = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)] // (min, max)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    // per-query time limit: a wedged query is recorded as an error, not a bench hang
+    // per-rep time limit: a wedged query is recorded as an error, not a bench hang
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
     val perQueryTimeout = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "300").toLong
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        Await.result(Future {
-          // job groups are thread-local: tag the runner thread so a timeout on the main
-          // thread can actually cancel the wedged jobs instead of abandoning them to
-          // keep burning cores under the next query's timing
-          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
-          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        }, perQueryTimeout.seconds)
-        timings(name) = (System.nanoTime() - t0) / 1e9
-      } catch {
-        case _: java.util.concurrent.TimeoutException =>
-          spark.sparkContext.cancelJobGroup(name)
-          spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
-          errors(name) = s"timeout after ${perQueryTimeout}s"
-        case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-      } finally {
-        // one query's plan-reuse caches must not tax the next query's timing or memory
-        spark.catalog.clearCache()
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    names.zipWithIndex.foreach { case (name, i) =>
+      if (i == names.size / 2) canaries += canary()
+      val fn = SparkEntry.queries(name)
+      val ts = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var rep = 0
+      while (rep < reps && !errors.contains(name)) {
+        val t0 = System.nanoTime()
+        try {
+          Await.result(Future {
+            // job groups are thread-local: tag the runner thread so a timeout on the main
+            // thread can actually cancel the wedged jobs instead of abandoning them to
+            // keep burning cores under the next query's timing
+            spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+            fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          }, perQueryTimeout.seconds)
+          ts += (System.nanoTime() - t0) / 1e9
+        } catch {
+          case _: java.util.concurrent.TimeoutException =>
+            spark.sparkContext.cancelJobGroup(name)
+            spark.streams.active.foreach(q => try q.stop() catch { case NonFatal(_) => () })
+            errors(name) = s"timeout after ${perQueryTimeout}s"
+          case NonFatal(e) =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        } finally {
+          // one rep's plan-reuse caches must not tax the next rep's timing or memory
+          spark.catalog.clearCache()
+        }
+        rep += 1
+      }
+      if (ts.nonEmpty && !errors.contains(name)) {
+        val sorted = ts.sorted
+        timings(name) = sorted(sorted.size / 2)
+        spreads(name) = (sorted.head, sorted.last)
       }
     }
-    val errs = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
+    canaries += canary()
+    val degraded = canaries.nonEmpty && canaries.max > canaries.min * 2
+    // errs stay bounded too (ADVICE r5: an unbounded error map defeats the stdout budget):
+    // messages clip at 80 chars and whole entries fold into "_omitted" past the cap
+    def errsJson(maxLen: Int): String = {
+      var entries = errors.toSeq.map { case (k, v) => s""""${esc(k)}":"${esc(v.take(80))}"""" }
+      var dropped = 0
+      var s = entries.mkString("{", ",", "}")
+      while (s.length > maxLen && entries.nonEmpty) {
+        entries = entries.dropRight(1); dropped += 1
+        s = (entries :+ s""""_omitted":$dropped""").mkString("{", ",", "}")
+      }
+      s
+    }
     val total = timings.values.sum
+    val canaryJson = canaries.map(c => f"$c%.2f").mkString("[", ",", "]")
     // full-precision record to stderr (and a file beside the build) for local analysis
-    val fullQs = timings.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+    val fullQs = timings.map { case (k, v) =>
+      val (lo, hi) = spreads(k)
+      s""""${esc(k)}":{"med":$v,"min":$lo,"max":$hi}"""
+    }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$errs,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"degraded":$degraded,"canary_sec":$canaryJson,"queries":$fullQs,"errors":${errsJson(4000)},"sf":"${esc(sfDir)}"}"""
     System.err.println(fullLine)
     try java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_full.json"),
       fullLine.getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    catch { case NonFatal(_) => () }
     // stdout line: the harness that collects this keeps only a ~2000-char tail of stdout,
     // and the full-precision line has outgrown it every round (BENCH_r1..r4 all record
-    // parsed:null with the line's head clipped). Emit a COMPACT line — 2-decimal timings,
+    // parsed:null with the line's head clipped). Emit a COMPACT line — 2-decimal medians,
     // queries ordered fastest-first so a clip would eat the least-informative entries
     // first — and, if the surface outgrows the window, FOLD the fastest queries into an
     // "omitted_fastest" summary instead of letting the JSON get truncated mid-object.
@@ -79,7 +139,7 @@ object Bench {
       val qs = qSeq.map { case (k, v) => s""""${esc(k)}":${fmt(v)}""" }.mkString("{", ",", "}")
       val om = if (omitted.isEmpty) ""
         else s""","omitted_fastest":{"n":${omitted.size},"sum_sec":${fmt(omitted.map(_._2).sum)}}"""
-      s"""{"metric":"total","unit":"sec","sf":"${esc(sfDir)}","queries":$qs$om,"errors":$errs,"value":${fmt(total)}}"""
+      s"""{"metric":"total","unit":"sec","sf":"${esc(sfDir)}","reps":$reps,"degraded":$degraded,"queries":$qs$om,"errors":${errsJson(400)},"value":${fmt(total)}}"""
     }
     val asc = timings.toSeq.sortBy(_._2)
     val budget = 1850 // tail window ~2000 chars minus the build tool's trailing lines

@@ -1,5 +1,9 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Spot-measure named queries. Same warmup as [[Bench]] (a first measurement would
+  * otherwise absorb ~4-7 s of session init + codegen — VERDICT r5); set
+  * SPARK_GRAFT_BENCH_REPS>1 to print per-rep timings plus the median. */
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -11,11 +15,20 @@ object BenchOne {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).write.mode("overwrite")
+      .format("noop").save()
+    catch { case scala.util.control.NonFatal(_) => () }
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt)
     args.foreach { n =>
-      val t0 = System.nanoTime()
-      SparkEntry.queries(n)(spark, sfDir).write.mode("overwrite").format("noop").save()
-      println(f"TIMING $n ${(System.nanoTime()-t0)/1e9}%.2f")
-      spark.catalog.clearCache()
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, sfDir).write.mode("overwrite").format("noop").save()
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val med = ts.sorted.apply(ts.size / 2)
+      println(f"TIMING $n $med%.2f" +
+        (if (reps > 1) ts.map(t => f"$t%.2f").mkString(" [", " ", "]") else ""))
     }
     spark.stop()
   }

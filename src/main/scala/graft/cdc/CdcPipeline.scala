@@ -15,9 +15,15 @@ import org.apache.spark.sql.functions._
  */
 object CdcPipeline {
 
+  /** A8 marker phrase (Task:275, the reference's single TEMPORARY_TABLE constant):
+    * ONE definition feeding both the Column filter ([[tempTableFilter]]) and the
+    * head-fragment RedoEvent predicate in [[stream]] (ADVICE r5 — two string literals
+    * can drift). */
+  val TempTablePhrase = "temporary tables"
+
   /** A8 (Task:275): drop records whose redo mentions temporary tables. */
   def tempTableFilter(sqlRedo: Column = col("sql_redo")): Column =
-    !sqlRedo.contains("temporary tables")
+    !sqlRedo.contains(TempTablePhrase)
 
   /** A9 (Task:276): drop internal DDL (INFO starts with 'INTERNAL DDL'). */
   def internalDdlFilter(operation: Column = col("operation"), info: Column = col("info")): Column =
@@ -172,7 +178,7 @@ object CdcPipeline {
         operationFilter(config.dmlTypes, col("operation")))
     val filtered = events.filter(keep)
     // A8: temp-table skip on the head fragment (control rows never carry the phrase)
-    val headKeep: RedoEvent => Boolean = e => !e.sqlRedo.contains("temporary tables")
+    val headKeep: RedoEvent => Boolean = e => !e.sqlRedo.contains(TempTablePhrase)
     val committed =
       if (streaming)
         TxnAssembler.assembleStreaming(filtered, config.abandonedTxnTimeout,

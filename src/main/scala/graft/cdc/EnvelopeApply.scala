@@ -109,17 +109,24 @@ object EnvelopeApply {
   // ---- streaming variant -----------------------------------------------------
 
   /** Keyed replica state carried across micro-batches: pk values (kept so a tombstone
-    * emission still knows its key), the column overlay, and the wholesale-replace flag.
+    * emission still knows its key), the column overlay, the wholesale-replace flag, and
+    * the MAX APPLIED version tuple `(vcs, vscn, vseq)` (ADVICE r5: emissions must stay
+    * monotonic per key even when a batch delivers an event older than a prior batch's —
+    * emitting only THIS batch's last tuple would lose max_by in [[latestChanges]] and the
+    * late event's effect would silently vanish from the replica).
     * One row-image per LIVE key — tombstoned keys are evicted (`state.remove`), so state
     * is bounded by the live key count, not by every key ever deleted (ADVICE r4). */
   final case class ReplicaState(pk: Map[String, String], deleted: Boolean,
-                                m: Map[String, String], replaced: Boolean)
+                                m: Map[String, String], replaced: Boolean,
+                                vcs: Long = Long.MinValue, vscn: Long = Long.MinValue,
+                                vseq: Long = Long.MinValue)
 
   /** One per-key emission per micro-batch that touched the key: the key's state AFTER
-    * folding that batch's events. The version is the LAST APPLIED event's ordering tuple
-    * `(commit_scn, scn, seq)` — monotonic per key under CDC commit order even across a
-    * delete → state-eviction → re-insert cycle (a per-key counter would restart at 1 and
-    * lose to the tombstone in [[latestChanges]]' max_by). */
+    * folding that batch's events. The version is the MAX ordering tuple
+    * `(commit_scn, scn, seq)` ever applied to the key — max(prior batches, this batch) —
+    * so emissions are monotonic per key even under cross-batch out-of-order arrival
+    * (ADVICE r5), and survive a delete → state-eviction → re-insert cycle (a per-key
+    * counter would restart at 1 and lose to the tombstone in [[latestChanges]]' max_by). */
   final case class ReplicaEmit(key: String, pk: Map[String, String], deleted: Boolean,
                                m: Map[String, String], replaced: Boolean,
                                vcs: Long, vscn: Long, vseq: Long)
@@ -137,6 +144,16 @@ object EnvelopeApply {
    * as the batch fold. State is one row-image per LIVE key (the replica itself, the
    * minimum any keyed applier holds); emissions are append-mode deltas and the latest
    * version per key IS the replica row — see [[latestChanges]].
+   *
+   * CONTRACT (ADVICE r5): an UPDATE on a key whose tombstone was evicted in an EARLIER
+   * micro-batch rebuilds state with `replaced = false`, so columns the update doesn't set
+   * read through to the snapshot (the batch fold, which sees the DELETE in the same fold,
+   * would null them). This sequence is out of contract by construction: redo DML cannot
+   * UPDATE a deleted row — a key is only ever touched again via INSERT (which sets
+   * `replaced = true` and restores parity). Distinguishing "evicted tombstone" from
+   * "never-seen key" would require retaining every tombstone forever, the exact unbounded
+   * state growth eviction exists to prevent; the in-contract path is batch/stream
+   * identical (proven by `cdc_apply_merge` vs `cdc_apply_merge_stream`).
    */
   def applyStreaming(enveloped: DataFrame, schema: StructType): Dataset[ReplicaEmit] = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
@@ -169,13 +186,20 @@ object EnvelopeApply {
             case _                => st.copy(deleted = false, m = st.m ++ data)
           }
         }
+        // emission version = max(version already applied in prior batches, this batch's
+        // last event): monotonic per key even if this batch delivered only an event older
+        // than a prior batch's (ADVICE r5 — emitting the batch-local tuple would lose
+        // max_by in latestChanges and silently drop the late event's effect)
+        val last = sorted.last
+        val ver = Seq((st.vcs, st.vscn, st.vseq),
+          (last.commit_scn, last.scn, last.seq)).max
+        st = st.copy(vcs = ver._1, vscn = ver._2, vseq = ver._3)
         // tombstone: emit it (latestChanges must see the delete), then EVICT the key —
         // retaining it would grow state with every key ever deleted. A re-insert starts
         // fresh state and its higher (commit_scn, scn, seq) version outranks the tombstone.
         if (st.deleted) state.remove() else state.update(st)
-        val last = sorted.last
         Iterator.single(ReplicaEmit(key, st.pk, st.deleted, st.m, st.replaced,
-          last.commit_scn, last.scn, last.seq))
+          ver._1, ver._2, ver._3))
       }
   }
 

@@ -122,10 +122,15 @@ object TxnAssembler {
   /** Batch-mode assembly: group by xid, sort by SCN within the group, fuse CSF fragment
     * runs (A7 — fragments share the xid, so fusion rides the same shuffle as assembly:
     * no extra exchange), then run the state machine. A truncated trailing run is flushed
-    * csf=true so the loss is observable (failed parse → DLQ), not silent. */
+    * csf=true so the loss is observable (failed parse → DLQ), not silent.
+    * @param droppedTxns optional accumulator counting transactions dropped whole at COMMIT
+    *                    because their buffer overflowed `maxBufferedRows` (same monitoring
+    *                    surface as [[assembleStreaming]]'s). */
   def assembleBatch(events: Dataset[RedoEvent],
                     maxBufferedRows: Int = Int.MaxValue,
-                    headFilter: RedoEvent => Boolean = _ => true): Dataset[CommittedDml] = {
+                    headFilter: RedoEvent => Boolean = _ => true,
+                    droppedTxns: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[CommittedDml] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
@@ -136,7 +141,8 @@ object TxnAssembler {
         val all =
           if (open.nonEmpty && headFilter(open.head)) fusedEvs :+ Csf.fused(open, complete = false)
           else fusedEvs
-        step(TxnBuffer.empty, all.iterator, maxBufferedRows)._1.iterator
+        step(TxnBuffer.empty, all.iterator, maxBufferedRows,
+          () => droppedTxns.foreach(_.add(1)))._1.iterator
       }
   }
 

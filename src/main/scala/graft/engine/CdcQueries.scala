@@ -188,6 +188,38 @@ object CdcQueries {
       }
       reconstructStatus(out)
     },
+    // VERDICT r5 #5 — the bounded-buffer OVERFLOW drop path, oracle-gated (the deliberate
+    // deviation from the reference's unbounded trnCollection, SURVEY §7 hard-part 2): one
+    // txn per order key with 1 + k%13 DML rows, cap maxBufferedRows = 8 — txns with more
+    // than 8 rows (k%13 >= 8) must drop WHOLE at COMMIT (never emit truncated). Output:
+    // histogram of surviving txn sizes (the survivor-set assertion) plus a txn_rows = -1
+    // row counting dropped txns, computed DECLARATIVELY as input-xids ANTI-JOIN
+    // surviving-xids — the same number the droppedTxns accumulator reports
+    // (TxnAssemblerSpec pins accumulator == anti-join count on a small set).
+    "cdc_txn_overflow" -> { (s, dir) =>
+      import s.implicits._
+      def mk(k: Long, off: Long, op: String, redo: String = "", rid: String = "r") =
+        RedoEvent(scn = k * 100 + off, commitScn = 0L, xid = s"tx$k", rowId = rid,
+          operation = op, timestamp = new java.sql.Timestamp(0L), commitTimestamp = None,
+          segOwner = "GRAFT", tableName = "ORDERS", sqlRedo = redo, csf = false,
+          rollback = false, info = "", rbasqn = 1L, seq = k * 100 + off)
+      val events = Tables(s, dir, "orders").select($"o_orderkey".cast("long")).as[Long]
+        .flatMap { k =>
+          val n = 1 + (k % 13).toInt
+          val dmls = (1 to n).map(i => mk(k, i.toLong, RedoEvent.Insert,
+            s"""insert into "GRAFT"."ORDERS"("O_ORDERKEY","LINE") values ($k,$i)""",
+            rid = f"R$k%09d$i%02d"))
+          (mk(k, 0, RedoEvent.Start) +: dmls) :+ mk(k, 99, RedoEvent.Commit)
+        }
+      val committed = TxnAssembler.assembleBatch(events, maxBufferedRows = 8).toDF().cache()
+      val sizes = committed.groupBy($"xid").agg(count(lit(1)).as("txn_rows"))
+        .groupBy($"txn_rows").agg(count(lit(1)).as("txn_cnt"))
+      val dropped = events.toDF().filter($"operation" === RedoEvent.Insert)
+        .select($"xid").distinct()
+        .join(committed.select($"xid").distinct(), Seq("xid"), "left_anti")
+        .agg(lit(-1L).as("txn_rows"), count(lit(1)).as("txn_cnt"))
+      sizes.union(dropped).orderBy($"txn_rows")
+    },
     // A8+A9+A10+A11+A15+A22: the filter/routing stack over a stream synthesized from events.
     "cdc_filters_routing" -> { (s, dir) =>
       import s.implicits._
@@ -373,6 +405,39 @@ object CdcQueries {
       val schema = Catalog.withKeyMetadata(snapshot.schema, Set("o_orderkey"))
       EnvelopeApply(snapshot, mergeEnvelope(s, dir, lit(true)), schema).orderBy($"o_orderkey")
     },
+    // VERDICT r5 #3 — the reference's FULL dictionary chain in one gated query: dictionary
+    // views (literal frames stand in for dba_tab_cols/constraints/cons_columns/ind_columns/
+    // indexes) → the faithful dcc/duq dictionary query (Catalog.pkUqDictionary, the same
+    // shared plan b3_dictionary_pkuq gates) → per-column pk flags stamped as
+    // StructField.metadata (withKeyMetadataFromDictionary) → the keys drive EnvelopeApply's
+    // MERGE (Utils:156-252 → models/Column.java:19-20 → apply). The hidden SYS_NC column
+    // and the non-P check constraint must be filtered by the dictionary query, or the key
+    // set is wrong and the hash diverges. Oracle: identical final state to cdc_apply_merge.
+    "cdc_apply_merge_dict" -> { (s, dir) =>
+      import s.implicits._
+      val snapshot = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_orderpriority")
+      val tabCols = Seq(
+        ("GRAFT", "ORDERS", "O_ORDERKEY", 1L, "NO", "NO"),
+        ("GRAFT", "ORDERS", "O_ORDERSTATUS", 2L, "NO", "NO"),
+        ("GRAFT", "ORDERS", "O_ORDERPRIORITY", 3L, "NO", "NO"),
+        ("GRAFT", "ORDERS", "SYS_NC00004$", 4L, "YES", "NO"))
+        .toDF("owner", "table_name", "column_name", "column_id", "hidden_column", "virtual_column")
+      val constraints = Seq(
+        ("GRAFT", "PK_ORDERS", "ORDERS", "P"), ("GRAFT", "CK_ORDERS", "ORDERS", "C"))
+        .toDF("owner", "constraint_name", "table_name", "constraint_type")
+      val consCols = Seq(
+        ("GRAFT", "PK_ORDERS", "ORDERS", "O_ORDERKEY"),
+        ("GRAFT", "CK_ORDERS", "ORDERS", "O_ORDERSTATUS"))
+        .toDF("owner", "constraint_name", "table_name", "column_name")
+      val indCols = Seq(("GRAFT", "IX_ORDERS", "ORDERS", "O_ORDERKEY"))
+        .toDF("table_owner", "index_name", "table_name", "column_name")
+      val indexes = Seq(("GRAFT", "IX_ORDERS", "UNIQUE"))
+        .toDF("owner", "index_name", "uniqueness")
+      val dict = Catalog.pkUqDictionary(tabCols, constraints, consCols, indCols, indexes)
+      val schema = Catalog.withKeyMetadataFromDictionary(snapshot.schema, dict, "orders")
+      EnvelopeApply(snapshot, mergeEnvelope(s, dir, lit(true)), schema).orderBy($"o_orderkey")
+    },
     // The STREAMING envelope-apply — replica maintenance as a keyed-state operator
     // (flatMapGroupsWithState, one row-image per live key): the %7 slice of the same merge
     // script is cut so key histories STRADDLE the micro-batch boundary (update then later
@@ -465,6 +530,15 @@ object CdcQueries {
     "cdc_dead_letters" ->
       """SELECT p_partkey AS scn, 'garbage ' || p_partkey AS sql_redo
         |FROM part WHERE p_partkey % 3 = 0 ORDER BY scn""".stripMargin,
+    // survivors keep ALL their rows (1 + k%13 ≤ 8); overflowing txns (k%13 ≥ 8) vanish
+    // whole and are counted — never emitted truncated
+    "cdc_txn_overflow" ->
+      """WITH k AS (SELECT cast(o_orderkey AS BIGINT) AS k FROM orders),
+        |surv AS (SELECT 1 + k % 13 AS txn_rows, cast(count(*) AS BIGINT) AS txn_cnt
+        |         FROM k WHERE k % 13 < 8 GROUP BY 1),
+        |drp AS (SELECT cast(-1 AS BIGINT) AS txn_rows, cast(count(*) AS BIGINT) AS txn_cnt
+        |        FROM k WHERE k % 13 >= 8)
+        |SELECT * FROM drp UNION ALL SELECT * FROM surv ORDER BY txn_rows""".stripMargin,
     "cdc_seq_gaps" ->
       """WITH s AS (SELECT DISTINCT event_id AS rbasqn FROM events
         |           WHERE event_id % 7 <> 0 AND event_id % 11 <> 0),
@@ -522,6 +596,23 @@ object CdcQueries {
         |    CASE WHEN k % 8 = 0 THEN 'M' ELSE 'N' END AS o_orderstatus,
         |    'NEW' AS o_orderpriority
         |  FROM base WHERE k % 7 = 0 AND k % 4 = 0)
+        |SELECT * FROM surv UNION ALL SELECT * FROM ins ORDER BY o_orderkey""".stripMargin,
+    // same final state as cdc_apply_merge — the dictionary path must change nothing
+    "cdc_apply_merge_dict" ->
+      """WITH base AS (SELECT cast(o_orderkey AS BIGINT) AS k, o_orderstatus, o_orderpriority
+        |              FROM orders),
+        |surv AS (
+        |  SELECT k AS o_orderkey,
+        |    CASE WHEN k % 9 = 0 THEN 'Y' WHEN k % 3 = 0 THEN 'Z'
+        |         ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN k % 9 = 0 THEN '9-PRIO' WHEN k % 6 = 0 THEN NULL
+        |         ELSE o_orderpriority END AS o_orderpriority
+        |  FROM base WHERE k % 10 <> 0),
+        |ins AS (
+        |  SELECT k + 10000000 AS o_orderkey,
+        |    CASE WHEN k % 8 = 0 THEN 'M' ELSE 'N' END AS o_orderstatus,
+        |    'NEW' AS o_orderpriority
+        |  FROM base WHERE k % 4 = 0)
         |SELECT * FROM surv UNION ALL SELECT * FROM ins ORDER BY o_orderkey""".stripMargin,
     "cdc_apply_merge" ->
       """WITH base AS (SELECT cast(o_orderkey AS BIGINT) AS k, o_orderstatus, o_orderpriority

@@ -43,6 +43,31 @@ object Relational {
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
     },
+    // the DECIMAL-EXACT twin of q1_pricing (VERDICT r5 #4): the same aggregate computed in
+    // DecimalType end to end — the correct-by-construction alternative SURVEY §1.2 names
+    // next to the reference's NUMBER→double parity ladder (Catalog.oracleTypeToSpark).
+    // Every step is exact integer-scaled arithmetic: cast to (12,2) at the scan,
+    // (1.00 - disc) at scale 2, the product at scale 4, sums at the widened scale — no
+    // float rounding anywhere, order-independent, and identical in any engine. The final
+    // casts pin the output scale both sides emit.
+    "q1_pricing_decimal" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val li = Tables(s, dir, "lineitem")
+        .select($"l_returnflag", $"l_linestatus",
+          $"l_quantity".cast(DecimalType(12, 2)).as("qty"),
+          $"l_extendedprice".cast(DecimalType(12, 2)).as("price"),
+          $"l_discount".cast(DecimalType(12, 2)).as("disc"))
+        .filter($"qty" > lit(BigDecimal(2)))
+      li.groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"qty").cast(DecimalType(18, 2)).as("sum_qty"),
+          sum($"price").cast(DecimalType(18, 2)).as("sum_base"),
+          sum($"price" * (lit(BigDecimal(1)).cast(DecimalType(3, 2)) - $"disc"))
+            .cast(DecimalType(22, 4)).as("sum_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
     "q3_topk_revenue" -> { (s, dir) =>
       import s.implicits._
       val customer = Tables(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
@@ -244,22 +269,10 @@ object Relational {
         .unionAll(sup.filter($"k" % 15 === 0).select(
           lit("GRAFT").as("owner"), concat_ws("", lit("IX2_"), $"k").as("index_name"),
           lit("UNIQUE").as("uniqueness")))
-      val dcc = constraints.filter($"constraint_type" === "P")
-        .join(consCols, Seq("owner", "constraint_name", "table_name"))
-        .select($"owner", $"table_name", $"column_name", lit(1).as("pk"))
-      val duq = indCols
-        .join(indexes, indCols("table_owner") === indexes("owner") &&
-          indCols("index_name") === indexes("index_name"))
-        .filter($"uniqueness" === "UNIQUE")
-        .groupBy($"table_owner", $"table_name", $"column_name")
-        .agg(max(lit(1)).as("uq"))
-        .withColumnRenamed("table_owner", "owner")
-      tabCols.filter($"hidden_column" === "NO" && $"virtual_column" === "NO")
-        .join(broadcast(dcc), Seq("owner", "table_name", "column_name"), "left_outer")
-        .join(broadcast(duq), Seq("owner", "table_name", "column_name"), "left_outer")
-        .select($"table_name", $"column_name", $"column_id",
-          coalesce($"pk", lit(0)).as("pk_column"), coalesce($"uq", lit(0)).as("uq_column"))
-        .orderBy($"table_name", $"column_id")
+      // the join/dedup/NVL shape itself is the SHARED production path
+      // (graft.cdc.Catalog.pkUqDictionary): the same plan that loads key metadata for the
+      // merge operators (cdc_apply_merge_dict) is what the oracle gates here
+      graft.cdc.Catalog.pkUqDictionary(tabCols, constraints, consCols, indCols, indexes)
     },
     // B5 (SQL:11): global MIN aggregate
     "b5_min_agg" -> { (s, dir) =>
@@ -387,6 +400,19 @@ object Relational {
         | min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
         | cast(count(*) AS BIGINT) AS count_order
         |FROM lineitem WHERE l_quantity > 2.0
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q1_pricing_decimal" ->
+      """SELECT l_returnflag, l_linestatus,
+        | cast(sum(qty) AS DECIMAL(18,2)) AS sum_qty,
+        | cast(sum(price) AS DECIMAL(18,2)) AS sum_base,
+        | cast(sum(price * (1.00 - disc)) AS DECIMAL(22,4)) AS sum_disc,
+        | cast(count(*) AS BIGINT) AS count_order
+        |FROM (SELECT l_returnflag, l_linestatus,
+        |        cast(l_quantity AS DECIMAL(12,2)) AS qty,
+        |        cast(l_extendedprice AS DECIMAL(12,2)) AS price,
+        |        cast(l_discount AS DECIMAL(12,2)) AS disc
+        |      FROM lineitem)
+        |WHERE qty > 2
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_topk_revenue" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate, o_orderpriority,

@@ -57,6 +57,42 @@ object RoutedSink {
         (if (enveloped.columns.contains("seq")) Seq("seq") else Nil))
 
   /**
+   * Lake compaction (VERDICT r5 #6): [[writeBatchIdempotent]] accretes one
+   * `batch_id=<id>` partition per micro-batch — correct for exactly-once, unbounded for a
+   * long-lived stream (at 100× that is millions of small partitions and a metadata-bound
+   * listing). `compactBatches` folds every `batch_id <= upTo` partition into a compacted
+   * base layout partitioned by `topic` only, identity-deduping ACROSS batches on the way
+   * (the cross-batch replay case the per-batch overwrite cannot see), then removes the
+   * folded partitions. Returns the number of batch partitions folded.
+   *
+   * CONTRACT: run offline relative to the writer (the streaming query keeps writing new
+   * `batch_id` partitions above `upTo`; readers union `baseDir/batch_id=*` with
+   * `compactedDir`). The write-then-delete pair here is NOT crash-atomic — a failure
+   * between the append and the deletes leaves folded batches present twice until a re-run;
+   * a production deployment gets the atomic version of exactly this operation from a
+   * transactional table format (Delta/Iceberg OPTIMIZE), which is the intended target —
+   * this helper is the lake-layout fallback.
+   */
+  def compactBatches(spark: org.apache.spark.sql.SparkSession, baseDir: String,
+                     compactedDir: String, upTo: Long): Int = {
+    val basePath = new org.apache.hadoop.fs.Path(baseDir)
+    val fs = basePath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(basePath)) return 0
+    val folded = fs.listStatus(basePath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+      .filter(_.getPath.getName.stripPrefix("batch_id=").toLong <= upTo)
+    if (folded.isEmpty) return 0
+    val df = spark.read
+      .option("basePath", baseDir) // keep batch_id/topic as partition columns
+      .parquet(folded.map(_.getPath.toString): _*)
+    dedupByIdentity(df)
+      .drop("batch_id")
+      .write.mode("append").partitionBy("topic").parquet(compactedDir)
+    folded.foreach(st => fs.delete(st.getPath, true))
+    folded.size
+  }
+
+  /**
    * A14 — apply DDL invalidations of one micro-batch: every table named by a DDL event is
    * evicted from the schema catalog so the next DML against it reloads fresh metadata.
    * Returns the invalidated table names (driver-side; DDL cardinality per batch is tiny).

@@ -161,14 +161,37 @@ class CsfCatalogSpec extends AnyFunSuite {
     assert(re.src_h == 1 && re.pix_sum == 0L)
   }
 
-  test("multimodal frame-sample plumbing: deterministic shapes") {
+  test("multimodal frame-sample: AVI container codec round-trip") {
     val spark = graft.SparkTestSession.spark
     import spark.implicits._
-    val media = Seq(graft.ext.Multimodal.MediaRow(1L, (0 until 100).map(_.toByte).toArray)).toDS()
-    val frames = graft.ext.Multimodal.sampleFrames(media, nFrames = 10, stride = 3)
-      .collect().sortBy(_.frame_idx)
-    assert(frames.map(_.frame_idx).toList == List(0, 3, 6, 9))
-    assert(frames.forall(_.payload.length == 10))
+    val media = Seq(
+      graft.ext.Multimodal.MediaRow(1L, (0 until 100).map(_.toByte).toArray),
+      graft.ext.Multimodal.MediaRow(2L, (0 until 33).map(_.toByte).toArray), // odd chunk len: pad path
+      graft.ext.Multimodal.MediaRow(3L, Array.emptyByteArray))               // empty frames
+      .toDS()
+    val avi = graft.ext.Multimodal.encodeAvi(media, nFrames = 10).collect().sortBy(_.doc_id)
+    val h = avi.head.payload
+    assert(new String(h.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(h.slice(8, 12), "US-ASCII") == "AVI ")
+    val frames = graft.ext.Multimodal
+      .sampleFrames(graft.ext.Multimodal.encodeAvi(media, nFrames = 10), stride = 3)
+      .collect().groupBy(_.doc_id)
+    assert(frames(1L).map(_.frame_idx).sorted.toList == List(0, 3, 6, 9))
+    assert(frames(1L).forall(_.payload.length == 10))
+    // 33 bytes / 10 frames → chunk 3 (odd: every 00db body pads to even); frame 3 = [9,12)
+    assert(frames(2L).sortBy(_.frame_idx).map(_.payload.length).toList == List(3, 3, 3, 3))
+    assert(frames(2L).find(_.frame_idx == 3).get.payload.toList ==
+      List(9, 10, 11).map(_.toByte))
+    assert(frames(3L).forall(_.payload.isEmpty))
+    // tampered container: header frame count vs movi content cross-check must throw
+    val bad = avi.head.payload.clone()
+    // dwTotalFrames lives at RIFF(12) + LIST hdrl hdr(12) + 'avih'+size(8) + 4 ints(16) = 48
+    bad(48) = 99.toByte
+    val ex = intercept[org.apache.spark.SparkException] {
+      graft.ext.Multimodal.sampleFrames(
+        Seq(graft.ext.Multimodal.MediaRow(9L, bad)).toDS(), stride = 3).collect()
+    }
+    assert(ex.getMessage.contains("declares") || ex.getCause != null)
   }
 
   test("multimodal decode: WAV codec round-trip through the partition-parallel surface") {

@@ -148,6 +148,33 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(back.select("scn").as[Long].collect().sorted.toList == List(1L, 2L, 3L))
   }
 
+  test("compactBatches folds batch_id partitions, dedups across batches, leaves newer batches") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-compact-base").toString
+    val compacted = Files.createTempDirectory("graft-compact-out").toString
+    def batch(rows: (Long, String)*) = rows.toSeq
+      .map { case (s, t) => (s, s"R$s", "INSERT", s, t, "T1") }
+      .toDF("scn", "row_id", "operation", "seq", "topic", "table_name")
+    RoutedSink.writeBatchIdempotent(batch(1L -> "DB1.APP.T1", 2L -> "DB1.APP.T2"), base, 0)
+    // cross-batch replay: scn=2 re-delivered verbatim in batch 1 (at-least-once restart) —
+    // the per-batch overwrite can't see it; compaction's identity dedup must collapse it
+    RoutedSink.writeBatchIdempotent(batch(2L -> "DB1.APP.T2", 3L -> "DB1.APP.T1"), base, 1)
+    RoutedSink.writeBatchIdempotent(batch(4L -> "DB1.APP.T1"), base, 2)
+    assert(RoutedSink.compactBatches(spark, base, compacted, upTo = 1) == 2)
+    // folded batch partitions removed; the batch above upTo untouched
+    val dirs = new java.io.File(base).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toList == List("batch_id=2"))
+    val back = spark.read.parquet(compacted)
+    assert(back.select("scn").as[Long].collect().sorted.toList == List(1L, 2L, 3L))
+    assert(!back.columns.contains("batch_id"))
+    val topics = new java.io.File(compacted).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(topics.toList == List("topic=DB1.APP.T1", "topic=DB1.APP.T2"))
+    // re-run is a no-op: nothing left at or below the fold point
+    assert(RoutedSink.compactBatches(spark, base, compacted, upTo = 1) == 0)
+  }
+
   test("RoutedSink.writeBatch partitions the lake by topic; DDL invalidation reports tables") {
     val spark = graft.SparkTestSession.spark
     import spark.implicits._

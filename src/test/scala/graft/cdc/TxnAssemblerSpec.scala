@@ -115,6 +115,28 @@ class TxnAssemblerSpec extends AnyFunSuite {
     assert(out.map(_.sqlRedo) == List("a", "b", "c"))
   }
 
+  test("assembleBatch overflow: oversized txn drops whole, droppedTxns == anti-join count") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    // tx1: 3 rows (cap 2 → overflow, drop whole); tx2: 2 rows (at cap → survives intact)
+    val e1 = Seq(ctl(1, RedoEvent.Start), dml(2), dml(3), dml(4), ctl(5, RedoEvent.Commit))
+    val e2 = Seq(
+      RedoEvent.simple(6, "x2", RedoEvent.Start),
+      RedoEvent.simple(7, "x2", RedoEvent.Insert, sqlRedo = "a", rowId = "RA"),
+      RedoEvent.simple(8, "x2", RedoEvent.Insert, sqlRedo = "b", rowId = "RB"),
+      RedoEvent.simple(9, "x2", RedoEvent.Commit))
+    val acc = spark.sparkContext.longAccumulator("droppedTxns")
+    val out = TxnAssembler.assembleBatch((e1 ++ e2).toDS(), maxBufferedRows = 2,
+      droppedTxns = Some(acc)).collect()
+    // survivor set: x2 complete, x1 absent entirely (never truncated)
+    assert(out.map(_.xid).toSet == Set("x2") && out.length == 2)
+    // the accumulator reports the same count the declarative anti-join (cdc_txn_overflow's
+    // dropped row) computes: input DML xids minus surviving xids
+    val inputXids = (e1 ++ e2).filter(_.operation == RedoEvent.Insert).map(_.xid).toSet
+    assert(acc.value == (inputXids -- out.map(_.xid).toSet).size.toLong)
+    assert(acc.value == 1L)
+  }
+
   test("assembleBatch: multiple transactions, rollback txn dropped") {
     val spark = graft.SparkTestSession.spark
     import spark.implicits._
