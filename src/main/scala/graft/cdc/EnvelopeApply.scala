@@ -15,9 +15,11 @@ import org.apache.spark.sql.types._
  * Spark shape (100 TB posture): ONE shuffle — events group on the PK extracted from the
  * payload maps, fold to per-key final state with a native `aggregate` over the
  * `(commit_scn, scn, seq)`-sorted event list (per-key event cardinality is bounded by
- * change volume per key, the same bound as any keyed-state CDC applier), then a single
- * co-partitioned full-outer join against the snapshot on the same key. No window over
- * the whole stream, no driver-side state; every step is codegen'd Column algebra.
+ * change volume per key, the same bound as any keyed-state CDC applier — for a
+ * pathological million-update hot key, [[applyPrefolded]] bounds the buffer by column
+ * count instead), then a single co-partitioned full-outer join against the snapshot on
+ * the same key. No window over the whole stream, no driver-side state; every step is
+ * codegen'd Column algebra.
  */
 object EnvelopeApply {
 
@@ -75,6 +77,60 @@ object EnvelopeApply {
           .otherwise(state(lit(false), overlaid, acc.getField("replaced")))
       })
     val changes = keyed.groupBy(pk.map(col): _*).agg(folded.as("f"))
+    applyChanges(snapshot, changes, schema)
+  }
+
+  /**
+   * The PRE-FOLDED batch apply (VERDICT r5 #7) — semantically identical to [[apply]] but
+   * with per-key aggregation state bounded by the COLUMN COUNT, not the history length:
+   * [[apply]]'s `collect_list` holds one key's whole change history in one buffer (fine
+   * under normal per-key change volume, pathological for a million-update hot key). This
+   * variant exploits the fold's closed form — the final state only depends on
+   *   - the LAST event's operation (`deleted` = it was a DELETE),
+   *   - the last INSERT/DELETE "boundary" B (`replaced` = B exists; INSERT replaces the
+   *     row image wholesale, so nothing before B can contribute), and
+   *   - the per-column LAST value among INSERT/UPDATE events at-or-after B
+   * — so it computes exactly those with bounded aggregates: a per-key (last_op, max
+   * boundary ord) pass, a per-(key, column) `max_by` winner pass over the exploded
+   * payload maps, and a winners-at-or-after-B reassembly. Explicit SQL-NULL entries
+   * survive explode/max_by/map_from_entries, so SET-col-NULL semantics are preserved.
+   *
+   * Cost of the bound: the exploded (key, column) shuffle and two extra exchanges vs the
+   * fold's one — the classic buffer-vs-shuffle trade. Equivalence to [[apply]] is pinned
+   * by EnvelopeApplySpec's 300-scenario property test and the `cdc_apply_merge_prefold`
+   * oracle row.
+   */
+  def applyPrefolded(snapshot: DataFrame, enveloped: DataFrame, schema: StructType): DataFrame = {
+    val pk = Catalog.keyColumns(schema)
+    require(pk.nonEmpty, "schema carries no pk metadata — see Catalog.withKeyMetadata")
+    val keyCols = pk.map { p =>
+      Catalog.castValue(
+        coalesce(col("data").getItem(p.toUpperCase), col("before").getItem(p.toUpperCase)),
+        schema(p).dataType).as(p)
+    }
+    val pkc = pk.map(col)
+    val evs = enveloped.select(keyCols ++ Seq(
+      struct(col("commit_scn"), col("scn"), col("seq")).as("ord"),
+      col("operation"), col("data")): _*)
+    val bounds = evs.groupBy(pkc: _*).agg(
+      max_by(col("operation"), col("ord")).as("last_op"),
+      max(when(col("operation").isin(RedoEvent.Insert, RedoEvent.Delete), col("ord")))
+        .as("b_ord"))
+    val winners = evs
+      .filter(col("operation").isin(RedoEvent.Insert, RedoEvent.Update))
+      .select(pkc ++ Seq(col("ord"), explode(col("data")).as(Seq("c", "v"))): _*)
+      .groupBy(pkc :+ col("c"): _*)
+      .agg(max_by(struct(col("v")), col("ord")).as("w"), max(col("ord")).as("w_ord"))
+    val emptyMap = map().cast(MapType(StringType, StringType, valueContainsNull = true))
+    val m = winners.join(bounds.select(pkc :+ col("b_ord"): _*), pk)
+      .filter(col("b_ord").isNull || col("w_ord") >= col("b_ord"))
+      .groupBy(pkc: _*)
+      .agg(map_from_entries(collect_list(struct(col("c"), col("w.v").as("v")))).as("m"))
+    val changes = bounds.join(m, pk, "left_outer")
+      .select(pkc :+ struct(
+        (col("last_op") === RedoEvent.Delete).as("deleted"),
+        coalesce(col("m"), emptyMap).as("m"),
+        col("b_ord").isNotNull.as("replaced")).as("f"): _*)
     applyChanges(snapshot, changes, schema)
   }
 

@@ -405,6 +405,18 @@ object CdcQueries {
       val schema = Catalog.withKeyMetadata(snapshot.schema, Set("o_orderkey"))
       EnvelopeApply(snapshot, mergeEnvelope(s, dir, lit(true)), schema).orderBy($"o_orderkey")
     },
+    // VERDICT r5 #7 — the PRE-FOLDED apply (bounded per-key aggregation state: per-column
+    // max_by winners + boundary pass instead of collect_list of the whole history) over
+    // the SAME merge script and oracle as cdc_apply_merge: a green hash here plus the
+    // 300-scenario property spec pins applyPrefolded ≡ apply.
+    "cdc_apply_merge_prefold" -> { (s, dir) =>
+      import s.implicits._
+      val snapshot = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_orderpriority")
+      val schema = Catalog.withKeyMetadata(snapshot.schema, Set("o_orderkey"))
+      EnvelopeApply.applyPrefolded(snapshot, mergeEnvelope(s, dir, lit(true)), schema)
+        .orderBy($"o_orderkey")
+    },
     // VERDICT r5 #3 — the reference's FULL dictionary chain in one gated query: dictionary
     // views (literal frames stand in for dba_tab_cols/constraints/cons_columns/ind_columns/
     // indexes) → the faithful dcc/duq dictionary query (Catalog.pkUqDictionary, the same
@@ -596,6 +608,23 @@ object CdcQueries {
         |    CASE WHEN k % 8 = 0 THEN 'M' ELSE 'N' END AS o_orderstatus,
         |    'NEW' AS o_orderpriority
         |  FROM base WHERE k % 7 = 0 AND k % 4 = 0)
+        |SELECT * FROM surv UNION ALL SELECT * FROM ins ORDER BY o_orderkey""".stripMargin,
+    // same final state as cdc_apply_merge — the pre-folded plan must change nothing
+    "cdc_apply_merge_prefold" ->
+      """WITH base AS (SELECT cast(o_orderkey AS BIGINT) AS k, o_orderstatus, o_orderpriority
+        |              FROM orders),
+        |surv AS (
+        |  SELECT k AS o_orderkey,
+        |    CASE WHEN k % 9 = 0 THEN 'Y' WHEN k % 3 = 0 THEN 'Z'
+        |         ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN k % 9 = 0 THEN '9-PRIO' WHEN k % 6 = 0 THEN NULL
+        |         ELSE o_orderpriority END AS o_orderpriority
+        |  FROM base WHERE k % 10 <> 0),
+        |ins AS (
+        |  SELECT k + 10000000 AS o_orderkey,
+        |    CASE WHEN k % 8 = 0 THEN 'M' ELSE 'N' END AS o_orderstatus,
+        |    'NEW' AS o_orderpriority
+        |  FROM base WHERE k % 4 = 0)
         |SELECT * FROM surv UNION ALL SELECT * FROM ins ORDER BY o_orderkey""".stripMargin,
     // same final state as cdc_apply_merge — the dictionary path must change nothing
     "cdc_apply_merge_dict" ->

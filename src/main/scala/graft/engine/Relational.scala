@@ -53,12 +53,15 @@ object Relational {
     "q1_pricing_decimal" -> { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.types.DecimalType
+      // filter on the RAW column (selection is identical — values are exact 2-decimal
+      // doubles) so the predicate pushes into the parquet scan; a filter on the cast
+      // decimal would block pushdown and scan everything
       val li = Tables(s, dir, "lineitem")
+        .filter($"l_quantity" > 2.0)
         .select($"l_returnflag", $"l_linestatus",
           $"l_quantity".cast(DecimalType(12, 2)).as("qty"),
           $"l_extendedprice".cast(DecimalType(12, 2)).as("price"),
           $"l_discount".cast(DecimalType(12, 2)).as("disc"))
-        .filter($"qty" > lit(BigDecimal(2)))
       li.groupBy($"l_returnflag", $"l_linestatus")
         .agg(
           sum($"qty").cast(DecimalType(18, 2)).as("sum_qty"),
@@ -411,8 +414,7 @@ object Relational {
         |        cast(l_quantity AS DECIMAL(12,2)) AS qty,
         |        cast(l_extendedprice AS DECIMAL(12,2)) AS price,
         |        cast(l_discount AS DECIMAL(12,2)) AS disc
-        |      FROM lineitem)
-        |WHERE qty > 2
+        |      FROM lineitem WHERE l_quantity > 2.0)
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_topk_revenue" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate, o_orderpriority,

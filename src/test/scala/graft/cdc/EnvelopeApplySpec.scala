@@ -95,6 +95,39 @@ class EnvelopeApplySpec extends AnyFunSuite {
     assert(merged.toSeq === Seq(Row(1L, "a2", 11), Row(2L, null, 20)))
   }
 
+  test("property: applyPrefolded ≡ apply on 300 random per-key histories (VERDICT r5 #7)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val cols = Seq("NAME", "V", "W") // W exercises payload columns outside the schema
+    val events = (1 to 300).flatMap { k =>
+      val n = rnd.nextInt(9)
+      val evs = (1 to n).map { i =>
+        val op = rnd.nextInt(10) match {
+          case 0 | 1 => RedoEvent.Delete
+          case 2 | 3 => RedoEvent.Insert
+          case _     => RedoEvent.Update
+        }
+        val data: Map[String, String] =
+          if (op == RedoEvent.Delete) null
+          else Map("ID" -> k.toString) ++ cols.filter(_ => rnd.nextBoolean())
+            .map(c => c -> (if (rnd.nextInt(4) == 0) null
+                            else if (c == "V") (k * 100 + i).toString // int-typed column
+                            else s"$c$i")).toMap
+        val before: Map[String, String] =
+          if (op == RedoEvent.Insert) null else Map("ID" -> k.toString)
+        // random commit_scn + unique seq: a total per-key order that is NOT arrival order
+        (1L + rnd.nextInt(3), k.toLong, i.toLong, op, data, before)
+      }
+      rnd.shuffle(evs)
+    }
+    val snapshot = (1 to 150).map(k => (k.toLong, s"n$k", k * 10)).toDF("id", "name", "v")
+    val schema = Catalog.withKeyMetadata(snapshot.schema, Set("id"))
+    val a = EnvelopeApply(snapshot, env(events), schema).orderBy($"id").collect().toSeq
+    val b = EnvelopeApply.applyPrefolded(snapshot, env(events), schema)
+      .orderBy($"id").collect().toSeq
+    assert(a === b)
+  }
+
   test("apply requires pk metadata on the schema") {
     import spark.implicits._
     val snapshot = Seq((1L, "a")).toDF("id", "name")
