@@ -61,6 +61,15 @@ object Catalog {
       case f if f.metadata.contains(flag) && f.metadata.getBoolean(flag) => f.name
     }
 
+  /** Key columns for MERGE/apply: the PK; for a PK-less table, the unique-index columns —
+    * the reason the reference's dictionary query loads BOTH flag sets side by side
+    * (SQL:13 CTEs dcc AND duq → models/Column.java:19-20): a replica of a PK-less table
+    * is still keyable by any unique index. */
+  def effectiveKeys(schema: StructType): Seq[String] = {
+    val pk = keyColumns(schema, "pk")
+    if (pk.nonEmpty) pk else keyColumns(schema, "uq")
+  }
+
   /**
    * THE dictionary query (OracleConnectorSQL2.java:13, faithful dcc/duq shape): per-column
    * pk/uq flags from the five dictionary views — `dba_tab_cols` LEFT OUTER JOIN

@@ -31,8 +31,8 @@ object EnvelopeApply {
    * @param schema    table schema carrying pk flags ([[Catalog.withKeyMetadata]])
    */
   def apply(snapshot: DataFrame, enveloped: DataFrame, schema: StructType): DataFrame = {
-    val pk = Catalog.keyColumns(schema)
-    require(pk.nonEmpty, "schema carries no pk metadata — see Catalog.withKeyMetadata")
+    val pk = Catalog.effectiveKeys(schema)
+    require(pk.nonEmpty, "schema carries no pk/uq key metadata — see Catalog.withKeyMetadata")
 
     // PK lives in `data` for INSERT/UPDATE and only in `before` for DELETE
     val keyCols = pk.map { p =>
@@ -101,17 +101,22 @@ object EnvelopeApply {
    * oracle row.
    */
   def applyPrefolded(snapshot: DataFrame, enveloped: DataFrame, schema: StructType): DataFrame = {
-    val pk = Catalog.keyColumns(schema)
-    require(pk.nonEmpty, "schema carries no pk metadata — see Catalog.withKeyMetadata")
+    val pk = Catalog.effectiveKeys(schema)
+    require(pk.nonEmpty, "schema carries no pk/uq key metadata — see Catalog.withKeyMetadata")
     val keyCols = pk.map { p =>
       Catalog.castValue(
         coalesce(col("data").getItem(p.toUpperCase), col("before").getItem(p.toUpperCase)),
         schema(p).dataType).as(p)
     }
     val pkc = pk.map(col)
+    // evs feeds BOTH the boundary pass and the winners pass: without the cache the
+    // upstream envelope (typically a parse-heavy projection) is computed twice — the same
+    // shared-subplan rule as b7_full_logfiles (r2 plan audit). MEMORY_AND_DISK, so at
+    // scale it spills rather than re-parses; callers owning a long-lived session can
+    // unpersist after the action.
     val evs = enveloped.select(keyCols ++ Seq(
       struct(col("commit_scn"), col("scn"), col("seq")).as("ord"),
-      col("operation"), col("data")): _*)
+      col("operation"), col("data")): _*).cache()
     val bounds = evs.groupBy(pkc: _*).agg(
       max_by(col("operation"), col("ord")).as("last_op"),
       max(when(col("operation").isin(RedoEvent.Insert, RedoEvent.Delete), col("ord")))
@@ -147,7 +152,7 @@ object EnvelopeApply {
    * data is the full row image) → NULL; absent otherwise → the snapshot value.
    */
   def applyChanges(snapshot: DataFrame, changes: DataFrame, schema: StructType): DataFrame = {
-    val pk = Catalog.keyColumns(schema)
+    val pk = Catalog.effectiveKeys(schema)
     snapshot.as("s").join(changes.as("c"), pk, "full_outer")
       .filter(!coalesce(col("c.f.deleted"), lit(false)))
       .select(schema.fields.toSeq.map { f =>
@@ -215,8 +220,8 @@ object EnvelopeApply {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val spark = enveloped.sparkSession
     import spark.implicits._
-    val pk = Catalog.keyColumns(schema)
-    require(pk.nonEmpty, "schema carries no pk metadata — see Catalog.withKeyMetadata")
+    val pk = Catalog.effectiveKeys(schema)
+    require(pk.nonEmpty, "schema carries no pk/uq key metadata — see Catalog.withKeyMetadata")
     val pkVals = pk.map(p =>
       coalesce(col("data").getItem(p.toUpperCase), col("before").getItem(p.toUpperCase)))
     val events = enveloped.select(
@@ -263,7 +268,7 @@ object EnvelopeApply {
     * (the event-ordering tuple, struct-ordered) per key, pk values re-typed via the
     * catalog rule. */
   def latestChanges(emitted: DataFrame, schema: StructType): DataFrame = {
-    val pk = Catalog.keyColumns(schema)
+    val pk = Catalog.effectiveKeys(schema)
     emitted.groupBy(col("key"))
       .agg(max_by(struct(col("pk"), col("deleted"), col("m"), col("replaced")),
         struct(col("vcs"), col("vscn"), col("vseq"))).as("s"))

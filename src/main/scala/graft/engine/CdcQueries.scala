@@ -214,8 +214,12 @@ object CdcQueries {
       val committed = TxnAssembler.assembleBatch(events, maxBufferedRows = 8).toDF().cache()
       val sizes = committed.groupBy($"xid").agg(count(lit(1)).as("txn_rows"))
         .groupBy($"txn_rows").agg(count(lit(1)).as("txn_cnt"))
-      val dropped = events.toDF().filter($"operation" === RedoEvent.Insert)
-        .select($"xid").distinct()
+      // input xid universe straight from the key table (every txn has >=1 DML by
+      // construction) — re-running the event synthesis + a distinct just to recover it
+      // would double the synthesis work
+      val allXids = Tables(s, dir, "orders")
+        .select(concat(lit("tx"), $"o_orderkey".cast("long")).as("xid"))
+      val dropped = allXids
         .join(committed.select($"xid").distinct(), Seq("xid"), "left_anti")
         .agg(lit(-1L).as("txn_rows"), count(lit(1)).as("txn_cnt"))
       sizes.union(dropped).orderBy($"txn_rows")

@@ -128,12 +128,24 @@ class EnvelopeApplySpec extends AnyFunSuite {
     assert(a === b)
   }
 
-  test("apply requires pk metadata on the schema") {
+  test("apply requires pk/uq key metadata on the schema") {
     import spark.implicits._
     val snapshot = Seq((1L, "a")).toDF("id", "name")
     val e = intercept[IllegalArgumentException] {
       EnvelopeApply(snapshot, env(Nil), snapshot.schema)
     }
-    assert(e.getMessage.contains("pk metadata"))
+    assert(e.getMessage.contains("key metadata"))
+  }
+
+  test("PK-less table keys on its unique index (SQL:13 duq → Column.java:19-20 fallback)") {
+    import spark.implicits._
+    val snapshot = Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "name", "v")
+    // no pk flag anywhere; id carries only the uq flag — effectiveKeys must fall back
+    val schema = Catalog.withKeyMetadata(snapshot.schema, Set.empty, uqCols = Set("id"))
+    val events = env(Seq(
+      (1L, 1L, 1L, RedoEvent.Update, Map("ID" -> "1", "NAME" -> "a2"), Map("ID" -> "1")),
+      (1L, 2L, 1L, RedoEvent.Delete, null, Map("ID" -> "2"))))
+    val out = EnvelopeApply(snapshot, events, schema).orderBy($"id").collect()
+    assert(out.toSeq === Seq(Row(1L, "a2", 10)))
   }
 }

@@ -89,6 +89,34 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q1_pricing_decimal: raw-column filter pushes into the scan; decimal casts don't block it") {
+    val p = plan("q1_pricing_decimal")
+    val scanLine = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(scanLine.contains("l_quantity"),
+      s"expected the l_quantity predicate pushed to parquet: $scanLine\n$p")
+    val readLine = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readLine.contains("l_orderkey") && !readLine.contains("l_comment"),
+      s"scan must be pruned to the five used columns: $readLine")
+  }
+
+  test("cdc_apply_merge_prefold: no history collect (array_sort-free), both passes read the cache") {
+    val p = plan("cdc_apply_merge_prefold")
+    // the bounded-buffer claim: no sorted whole-history array aggregate anywhere in the
+    // plan (that is apply()'s shape); winners come from per-(key,column) max_by
+    assert(!p.contains("array_sort"), s"prefold must not materialize sorted histories:\n$p")
+    assert(p.contains("max_by"), s"expected per-column max_by winners:\n$p")
+    // boundary pass and winners pass both consume the shared evs projection via cache —
+    // without it the parse-heavy envelope computes twice
+    assert(count(p, "InMemoryTableScan") >= 2,
+      s"expected bounds AND winners to scan the cached event projection:\n$p")
+  }
+
+  test("cdc_txn_overflow: survivor histogram and dropped-count both read the cached assembly") {
+    val p = plan("cdc_txn_overflow")
+    assert(count(p, "InMemoryTableScan") >= 2,
+      s"expected sizes and anti-join sides to scan the cached committed set:\n$p")
+  }
+
   test("text scans are column-pruned: text_stats reads only the columns it needs") {
     val p = plan("text_stats")
     val scanLine = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
