@@ -14,7 +14,10 @@ import org.apache.spark.sql.functions._
  *    100 TB (this is the standard banded-LSH plan, cf. PAPERS.md set-similarity joins);
  *  - SimHash: 16-bit sign-of-weighted-bits fingerprint per document;
  *  - n-gram (token-set) Jaccard verification within small (lang, source) blocks, integer
- *    basis-points so the oracle compare is exact.
+ *    basis-points so the oracle compare is exact;
+ *  - train/test decontamination: train docs sharing any 5-gram with a (broadcast)
+ *    benchmark corpus — the cross-corpus contamination check every LLM data pipeline
+ *    runs before training.
  *
  * Everything is Column algebra (codegen'd, no UDFs). The hash family is derived from md5
  * prefixes, bit-identical in Spark and DuckDB, so even the LSH bucketing stages are graded
@@ -47,12 +50,15 @@ object Dedup {
       case _ => ()
     }
 
-  /** 3-token shingles of a token array column (empty when fewer than 3 tokens). */
-  private def shingles(toks: Column): Column = {
+  /** n-token shingles of a token array column (empty when fewer than n tokens). */
+  private def shinglesN(toks: Column, n: Int): Column = {
     val all = transform(toks, (t, i) =>
-      concat_ws(" ", t, try_element_at(toks, i + 2), try_element_at(toks, i + 3)))
-    array_distinct(slice(all, lit(1), greatest(size(toks) - 2, lit(0))))
+      concat_ws(" ", Seq(t) ++ (2 to n).map(k => try_element_at(toks, i + lit(k))): _*))
+    array_distinct(slice(all, lit(1), greatest(size(toks) - (n - 1), lit(0))))
   }
+
+  /** 3-token shingles of a token array column (empty when fewer than 3 tokens). */
+  private def shingles(toks: Column): Column = shinglesN(toks, 3)
 
   /** documents ∪ near-dup copies (doc_id shifted, ' graftdup' appended). */
   private def doubledDocs(s: SparkSession, dir: String): DataFrame = {
@@ -204,6 +210,27 @@ object Dedup {
         .select($"doc_id", fingerprint.as("simhash"))
         .orderBy($"doc_id")
     },
+    // TRAIN/TEST DECONTAMINATION — the cross-corpus sibling of near-dup dedup and a
+    // first-class step of any LLM training-data pipeline: flag TRAIN documents sharing
+    // any 5-token shingle with a BENCHMARK corpus (here synthesized as token excerpts of
+    // %17 docs — the "benchmark question leaked from a training page" case; excerpt
+    // slicing keeps the oracle exact). 100 TB plan shape: the benchmark corpus is MBs
+    // against a 100 TB train side, so its shingle set BROADCASTS (plan-asserted) and the
+    // scan-side join filters train shingles in place — no shuffle of the train corpus at
+    // all; production interns shingles to 64-bit hashes, identical plan.
+    "decontam_ngram" -> { (s, dir) =>
+      import s.implicits._
+      val docs = graft.engine.Tables(s, dir, "documents")
+        .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      val train = docs.select($"doc_id", explode(shinglesN($"toks", 5)).as("sh"))
+      val bench = docs.filter($"doc_id" % 17 === 0)
+        .select(($"doc_id" + 9000000L).as("bench_id"),
+          explode(shinglesN(slice($"toks", 3, 9), 5)).as("sh"))
+      train.join(broadcast(bench), "sh")
+        .groupBy($"doc_id")
+        .agg(count_distinct($"bench_id").as("bench_hits"), min($"bench_id").as("first_bench"))
+        .orderBy($"doc_id")
+    },
     // token-set Jaccard verification within (lang, source) blocks, integer basis points.
     // PREFIX-FILTERED set-similarity join (PPJoin-style, cf. PAPERS.md): tokens get a
     // global canonical rare-first order (document frequency asc, token asc); for J >= t a
@@ -320,6 +347,19 @@ object Dedup {
          |         FROM bits GROUP BY doc_id, j)
          |SELECT doc_id, cast(sum(CASE WHEN bitsum >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
          |FROM sums GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "decontam_ngram" -> {
+      def sh5(x: String) =
+        s"""list_distinct(list_transform(generate_series(1, greatest(len($x) - 4, 0)),
+           | i -> $x[i] || ' ' || $x[i+1] || ' ' || $x[i+2] || ' ' || $x[i+3] || ' ' || $x[i+4]))""".stripMargin
+      s"""WITH d AS (SELECT doc_id, $tokSql AS toks FROM documents),
+         |tr AS (SELECT doc_id, unnest(${sh5("toks")}) AS sh FROM d),
+         |be AS (SELECT doc_id + 9000000 AS bench_id, unnest(${sh5("(toks[3:11])")}) AS sh
+         |       FROM d WHERE doc_id % 17 = 0)
+         |SELECT tr.doc_id, cast(count(DISTINCT be.bench_id) AS BIGINT) AS bench_hits,
+         |  min(be.bench_id) AS first_bench
+         |FROM tr JOIN be ON tr.sh = be.sh
+         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
+    },
     "dedup_ngram_jaccard" ->
       s"""WITH d AS (SELECT doc_id, lang, source, list_distinct($tokSql) AS toks FROM documents)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -103,6 +103,23 @@ object TextOps {
         .select($"doc_id", $"lang", $"n_chars")
         .orderBy($"doc_id")
     },
+    // STRATIFIED corpus-mixing sample — the data-balancing step of a training mix: each
+    // language stratum keeps a different deterministic hash fraction (permille weights —
+    // zh upsampled, es downsampled), driven by a tiny weights table BROADCAST against the
+    // corpus scan (at 100 TB the mixing weights are always the broadcast side; the corpus
+    // never shuffles — the filter runs inside the scan stage). Deterministic hash
+    // sampling keeps the sample reproducible across runs and engines, unlike rand().
+    "text_sample_stratified" -> { (s, dir) =>
+      import s.implicits._
+      val rates = Seq(("en", 300), ("de", 150), ("fr", 100), ("es", 50), ("zh", 500))
+        .toDF("lang", "permille")
+      graft.engine.Tables(s, dir, "documents")
+        .join(broadcast(rates), Seq("lang"), "left_outer")
+        .filter(hash32($"text") % 1000 < coalesce($"permille", lit(0)))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("sampled_cnt"), sum($"n_chars").as("sampled_chars"))
+        .orderBy($"lang")
+    },
     // PII-style scrubbing: digit runs masked, emails-ish tokens dropped; counts prove the
     // rewrite touched exactly the documents it should
     "text_scrub" -> { (s, dir) =>
@@ -200,6 +217,14 @@ object TextOps {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 10
         |ORDER BY doc_id""".stripMargin,
+    "text_sample_stratified" ->
+      """WITH r AS (SELECT * FROM (VALUES ('en', 300), ('de', 150), ('fr', 100),
+        |                                 ('es', 50), ('zh', 500)) AS t(lang, permille))
+        |SELECT d.lang, cast(count(*) AS BIGINT) AS sampled_cnt,
+        |  cast(sum(n_chars) AS BIGINT) AS sampled_chars
+        |FROM documents d LEFT JOIN r ON d.lang = r.lang
+        |WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 1000 < coalesce(permille, 0)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "text_scrub" ->
       """WITH d AS (SELECT lang, text, regexp_replace(text, '[0-9]+', '#', 'g') AS scrubbed FROM documents)
         |SELECT lang, cast(count(*) AS BIGINT) AS doc_cnt,

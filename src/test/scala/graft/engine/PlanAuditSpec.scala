@@ -117,6 +117,12 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected sizes and anti-join sides to scan the cached committed set:\n$p")
   }
 
+  test("decontam_ngram: the benchmark shingle set broadcasts — no shuffle of the train corpus") {
+    val p = plan("decontam_ngram")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the MB-scale benchmark side must broadcast against the 100 TB train side:\n$p")
+  }
+
   test("text scans are column-pruned: text_stats reads only the columns it needs") {
     val p = plan("text_stats")
     val scanLine = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
