@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 /**
  * Text-analysis operators for large-scale training-data pipelines, over the `documents`
  * table: tokenization/token counting, quality scoring (length/punctuation/stopword ratios),
- * n-gram-heuristic language ID, and content fingerprinting.
+ * n-gram-heuristic language ID, content fingerprinting, deterministic hash + stratified
+ * corpus-mix sampling, and training sequence packing (per-shard token-budget packs).
  *
  * All are narrow, codegen'd Column expressions (no UDFs) — they scale linearly with the scan
  * and keep the parquet reader's column pruning (only `text`/`lang`/`n_chars` are read).
@@ -120,6 +121,27 @@ object TextOps {
         .agg(count(lit(1)).as("sampled_cnt"), sum($"n_chars").as("sampled_chars"))
         .orderBy($"lang")
     },
+    // TRAINING SEQUENCE PACKING — the step that turns a filtered corpus into fixed-budget
+    // training sequences: docs are laid out in a deterministic order and each is assigned
+    // to the pack its running token offset falls in (pack = floor(prev_cumsum / budget),
+    // the standard streaming-packing approximation; docs can straddle a boundary, exactly
+    // like token-level packing with document breaks). 100 TB shape: the window partitions
+    // by `source` (the shard key), so packing is embarrassingly parallel per shard and no
+    // global single-partition sort exists; budget 256 tokens keeps multiple docs per pack
+    // at this corpus size.
+    "text_pack_sequences" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+      graft.engine.Tables(s, dir, "documents")
+        .select($"doc_id", $"source", size(tokens($"text")).cast("long").as("n_toks"))
+        .withColumn("cum", sum($"n_toks").over(w))
+        .withColumn("pack_id", expr("(cum - n_toks) div 256"))
+        .groupBy($"source", $"pack_id")
+        .agg(count(lit(1)).as("doc_cnt"), sum($"n_toks").as("pack_toks"),
+          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+        .orderBy($"source", $"pack_id")
+    },
     // PII-style scrubbing: digit runs masked, emails-ish tokens dropped; counts prove the
     // rewrite touched exactly the documents it should
     "text_scrub" -> { (s, dir) =>
@@ -217,6 +239,17 @@ object TextOps {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 10
         |ORDER BY doc_id""".stripMargin,
+    "text_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  len(list_filter(string_split_regex(trim(text),'\s+'), x -> x <> '')) AS n_toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_toks,
+        |  sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+        |                    ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+        |SELECT source, (cum - n_toks) // 256 AS pack_id,
+        |  cast(count(*) AS BIGINT) AS doc_cnt, cast(sum(n_toks) AS BIGINT) AS pack_toks,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin,
     "text_sample_stratified" ->
       """WITH r AS (SELECT * FROM (VALUES ('en', 300), ('de', 150), ('fr', 100),
         |                                 ('es', 50), ('zh', 500)) AS t(lang, permille))
