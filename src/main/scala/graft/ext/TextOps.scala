@@ -121,6 +121,27 @@ object TextOps {
         .agg(count(lit(1)).as("sampled_cnt"), sum($"n_chars").as("sampled_chars"))
         .orderBy($"lang")
     },
+    // REPETITION quality signal — the repetitive-document filter of web-corpus pipelines
+    // (boilerplate, keyword-stuffed and template pages score high): the share of the
+    // document's trigram occurrences taken by its single most frequent trigram, in
+    // integer basis points (exact both engines). One explode + two hash aggregates keyed
+    // on doc_id — partial aggregation collapses repeated trigrams map-side, so the
+    // shuffle carries per-(doc, trigram) counts, not raw occurrences.
+    "text_repetition" -> { (s, dir) =>
+      import s.implicits._
+      val toks = tokens($"text")
+      // NON-distinct trigrams: repetition is exactly what array_distinct would erase
+      val tris = slice(
+        transform(toks, (t, i) =>
+          concat_ws(" ", t, try_element_at(toks, i + lit(2)), try_element_at(toks, i + lit(3)))),
+        lit(1), greatest(size(toks) - 2, lit(0)))
+      graft.engine.Tables(s, dir, "documents")
+        .select($"doc_id", explode(tris).as("tri"))
+        .groupBy($"doc_id", $"tri").agg(count(lit(1)).as("cnt"))
+        .groupBy($"doc_id").agg(max($"cnt").as("max_cnt"), sum($"cnt").as("tri_cnt"))
+        .select($"doc_id", $"tri_cnt", expr("max_cnt * 10000 div tri_cnt").as("rep_bp"))
+        .orderBy($"doc_id")
+    },
     // TRAINING SEQUENCE PACKING — the step that turns a filtered corpus into fixed-budget
     // training sequences: docs are laid out in a deterministic order and each is assigned
     // to the pack its running token offset falls in (pack = floor(prev_cumsum / budget),
@@ -239,6 +260,17 @@ object TextOps {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 10
         |ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(trim(text),'\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |tri AS (SELECT doc_id,
+        |  unnest(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS tri FROM toks),
+        |cnts AS (SELECT doc_id, tri, count(*) AS cnt FROM tri GROUP BY 1, 2)
+        |SELECT doc_id, cast(sum(cnt) AS BIGINT) AS tri_cnt,
+        |  cast(max(cnt) * 10000 // sum(cnt) AS BIGINT) AS rep_bp
+        |FROM cnts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_pack_sequences" ->
       """WITH t AS (SELECT doc_id, source,
         |  len(list_filter(string_split_regex(trim(text),'\s+'), x -> x <> '')) AS n_toks
