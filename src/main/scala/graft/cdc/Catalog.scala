@@ -132,6 +132,22 @@ object Catalog {
   /** A14: DDL for a table evicts its cached schema; next access reloads. */
   def invalidate(sfDir: String, table: String): Unit = cache.remove(s"$sfDir/$table")
 
+  /** A14 — dictionary-backed schema load: same cache, keyed by (source, table), with the
+    * dictionary query supplied by the caller; `load` runs ONLY on a miss, so a DDL-driven
+    * [[invalidate]] is exactly what forces the next DML batch to see the post-DDL columns
+    * (Utils:368-371 — the reference evicts its `tableColumnsMap` entry the same way). */
+  def schemaOfDictionary(source: String, table: String)(load: => StructType): StructType =
+    cache.getOrElseUpdate(s"$source/$table", load)
+
+  /** Dictionary rows `(column_name, data_type, precision, scale)` → table schema through
+    * the NUMBER ladder ([[oracleTypeToSpark]]) — the reference's dictionary-to-schema step
+    * (Utils:156-252): field names are the lowercased dictionary identifiers, so
+    * [[castProjection]]'s uppercase payload lookup round-trips. */
+  def schemaFromTabCols(cols: Seq[(String, String, Int, Int)]): StructType =
+    StructType(cols.map { case (n, t, p, sc) =>
+      StructField(n.toLowerCase, oracleTypeToSpark(t, p, sc))
+    })
+
   /**
    * The Oracle NUMBER precision ladder (Utils:191-241): dictionary (type, precision, scale)
    * to Spark type. Mirrors the reference's choices including NUMBER-with-scale -> double

@@ -477,6 +477,117 @@ object CdcQueries {
       EnvelopeApply.applyChanges(snapshot, EnvelopeApply.latestChanges(out, schema), schema)
         .orderBy($"o_orderkey")
     },
+    // A5, oracle-gated: the full resume-resolution ladder (OracleSourceTask2.java:137-192)
+    // compiled to predicates over one synthesized (scn, commitScn, rowId) triple space and
+    // reduced in a single scan (conditional aggregates, stacked to one row per posture):
+    //   1. stored offset           -> boundary-record skip (strictly-after triple compare);
+    //   2. start.scn override      -> inclusive from the configured SCN (Task:168-173);
+    //   3. reset.offset beats both -> from the database tip;
+    //   4. no position at all      -> from the database tip (Task:182-192);
+    //   5. the CM-desupport parity posture (inclusive = false): strictly after start.scn.
+    // The tip is a driver-side scalar lookup (the reference's SELECT current_scn; here the
+    // B5-shaped MIN/MAX over the same data so DuckDB recomputes it), and `currentScn` is
+    // by-name: postures 1/2 pass a thrower, proving the tip is only queried when needed.
+    "cdc_resume_ladder" -> { (s, dir) =>
+      import s.implicits._
+      import graft.sources.RedoEventSource
+      val triples = Tables(s, dir, "orders").select(
+        ($"o_orderkey" % 100).cast("long").as("scn"),
+        ($"o_orderkey" % 7).cast("long").as("commitScn"),
+        concat(lit("R"), $"o_orderkey" % 5).as("rowId"))
+      val tip: Long = triples.agg(max($"scn")).head.getLong(0) - 29
+      def noTip: Long = sys.error("resume ladder consulted the DB tip when a position exists")
+      val postures: Seq[(String, Column)] = Seq(
+        "1_stored_offset" ->
+          RedoEventSource.resolveResume(Some((50L, 3L, "R2")), None, resetOffset = false, noTip).predicate,
+        "2_start_scn_override" ->
+          RedoEventSource.resolveResume(Some((50L, 3L, "R2")), Some(60L), resetOffset = false, noTip).predicate,
+        "3_reset_offset" ->
+          RedoEventSource.resolveResume(Some((50L, 3L, "R2")), Some(60L), resetOffset = true, tip).predicate,
+        "4_fresh_from_tip" ->
+          RedoEventSource.resolveResume(None, None, resetOffset = false, tip).predicate,
+        "5_cm_exclusive" ->
+          RedoEventSource.ResumePosition(60L, 0L, "", skipBoundary = false, inclusive = false).predicate)
+      val aggs = postures.flatMap { case (n, p) =>
+        Seq(sum(when(p, 1L)).as(s"c_$n"), min(when(p, $"scn")).as(s"m_$n")) }
+      val stacked = postures.map { case (n, _) =>
+        struct(lit(n).as("resume_case"), col(s"c_$n").as("cnt"), col(s"m_$n").as("min_scn")) }
+      triples.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(stacked: _*)).as("r"))
+        .select($"r.*")
+        .orderBy($"resume_case")
+    },
+    // A14, oracle-gated: schema-cache invalidation on DDL, end to end. Two "micro-batch"
+    // windows of redo (the foreachBatch discipline — DDLs are collected on the driver,
+    // which evicts + advances the dictionary; DML is cast with the CURRENT cached schema):
+    // window 1 INSERTs (S_SUPPKEY, S_NAME) under dictionary v1; window 2 opens with
+    // `alter table add S_TIER number(4,0)` and then UPDATEs that SET the new column. If
+    // eviction failed, window 2 would still project with the cached v1 schema, s_tier
+    // would vanish, and the hash would diverge — the A14 contract is what the oracle
+    // checks. The new column's type comes through the NUMBER ladder (precision 4 ->
+    // ShortType), so A16's dictionary typing is gated here too.
+    "cdc_schema_evolution" -> { (s, dir) =>
+      import s.implicits._
+      val dictV1 = Seq(("S_SUPPKEY", "NUMBER", 9, 0), ("S_NAME", "VARCHAR2", 0, 0))
+      val dictV2 = dictV1 :+ (("S_TIER", "NUMBER", 4, 0))
+      var dict = dictV1 // the live dictionary; the DDL below advances it (driver-side)
+      Catalog.invalidate("evo", "SUPP") // deterministic when re-run within one JVM
+      def window(events: DataFrame): DataFrame = {
+        val sawDdl = events.filter($"operation" === "DDL").limit(1).count() > 0
+        if (sawDdl) { dict = dictV2; Catalog.invalidate("evo", "SUPP") }
+        val schema = Catalog.schemaOfDictionary("evo", "SUPP")(Catalog.schemaFromTabCols(dict))
+        events.filter($"operation" =!= "DDL")
+          .withColumn("p", ParseRedo.parse($"sql_redo"))
+          .select(col("operation") +: Catalog.castProjection(col("p.data"), schema): _*)
+      }
+      val supp = Tables(s, dir, "supplier").select($"s_suppkey".cast("long").as("k"), $"s_name")
+      val w1 = supp.select(lit("INSERT").as("operation"),
+        concat(lit("insert into \"GRAFT\".\"SUPP\"(\"S_SUPPKEY\",\"S_NAME\") values ("),
+          $"k", lit(",'"), $"s_name", lit("')")).as("sql_redo"))
+      val w2 = Seq(("DDL", "alter table \"GRAFT\".\"SUPP\" add \"S_TIER\" number(4,0)"))
+        .toDF("operation", "sql_redo")
+        .union(supp.filter($"k" % 2 === 0).select(lit("UPDATE").as("operation"),
+          concat(lit("update \"GRAFT\".\"SUPP\" set \"S_TIER\" = "), $"k" % 5,
+            lit(" where \"S_SUPPKEY\" = "), $"k").as("sql_redo")))
+      window(w1).unionByName(window(w2), allowMissingColumns = true)
+        .orderBy($"s_suppkey", $"operation")
+    },
+    // A24, oracle-gated: the run-status side channel. A real streaming query (MemoryStream,
+    // two drained micro-batches sized by the customer table) runs with [[StatusListener]]
+    // attached; the JSONL status feed it writes is then read back and reduced to its
+    // deterministic core — one RUNNING line, one PROGRESS line per data batch with the
+    // exact fed row counts, one STOPPED line (idle-tick PROGRESS lines with zero input
+    // rows are monitoring noise and are filtered; the listener bus is async, so the gate
+    // polls briefly for the terminal line). DuckDB recomputes the batch sizes.
+    "cdc_status_feed" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.Encoders
+      import java.nio.file.Files
+      val keys = Tables(s, dir, "customer").filter($"c_custkey" % 4 === 0)
+        .select($"c_custkey".cast("long")).as[Long]
+        .collect().toSeq // driver-side feed is inherent to MemoryStream
+      val (b1, b2) = keys.partition(_ % 8 == 0)
+      val path = Files.createTempFile("graft-status", ".jsonl")
+      val listener = new StatusListener(path.toString)
+      s.streams.addListener(listener)
+      try {
+        StreamGate.runBatches(s, Encoders.scalaLong, "cdc_status_feed_sink", Seq(b1, b2))(
+          ds => ds.toDF("k"))
+        val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+        while (!new String(Files.readAllBytes(path), "UTF-8").contains("\"STOPPED\"") &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+      } finally s.streams.removeListener(listener)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("numInputRows", org.apache.spark.sql.types.StringType)))
+      s.read.schema(schema).json(path.toString)
+        .filter($"event" =!= "PROGRESS" || coalesce($"numInputRows".cast("long"), lit(0L)) > 0)
+        .groupBy($"event")
+        .agg(count(lit(1)).as("cnt"),
+          coalesce(sum($"numInputRows".cast("long")), lit(0L)).as("input_rows"))
+        .withColumnRenamed("event", "status_event")
+        .orderBy($"status_event")
+    },
     // A18: envelope null rules per operation + routing, from customer-derived redo.
     "cdc_envelope" -> { (s, dir) =>
       import s.implicits._
@@ -663,6 +774,40 @@ object CdcQueries {
         |    'NEW' AS o_orderpriority
         |  FROM base WHERE k % 4 = 0)
         |SELECT * FROM surv UNION ALL SELECT * FROM ins ORDER BY o_orderkey""".stripMargin,
+    "cdc_resume_ladder" ->
+      """WITH t AS (SELECT cast(o_orderkey % 100 AS BIGINT) AS scn,
+        |                  cast(o_orderkey % 7 AS BIGINT) AS cs,
+        |                  'R' || (o_orderkey % 5) AS rid FROM orders),
+        |tip AS (SELECT max(scn) - 29 AS cur FROM t)
+        |SELECT * FROM (
+        |  SELECT '1_stored_offset' AS resume_case, cast(count(*) AS BIGINT) AS cnt,
+        |         min(scn) AS min_scn FROM t
+        |  WHERE scn > 50 OR (scn = 50 AND cs > 3) OR (scn = 50 AND cs = 3 AND rid > 'R2')
+        |  UNION ALL
+        |  SELECT '2_start_scn_override', cast(count(*) AS BIGINT), min(scn) FROM t WHERE scn >= 60
+        |  UNION ALL
+        |  SELECT '3_reset_offset', cast(count(*) AS BIGINT), min(scn) FROM t
+        |  WHERE scn >= (SELECT cur FROM tip)
+        |  UNION ALL
+        |  SELECT '4_fresh_from_tip', cast(count(*) AS BIGINT), min(scn) FROM t
+        |  WHERE scn >= (SELECT cur FROM tip)
+        |  UNION ALL
+        |  SELECT '5_cm_exclusive', cast(count(*) AS BIGINT), min(scn) FROM t WHERE scn > 60
+        |) ORDER BY resume_case""".stripMargin,
+    "cdc_schema_evolution" ->
+      """WITH k AS (SELECT cast(s_suppkey AS INTEGER) AS k, s_name FROM supplier)
+        |SELECT 'INSERT' AS operation, k AS s_suppkey, s_name,
+        |       cast(NULL AS SMALLINT) AS s_tier FROM k
+        |UNION ALL
+        |SELECT 'UPDATE', k, NULL, cast(k % 5 AS SMALLINT) FROM k WHERE k % 2 = 0
+        |ORDER BY s_suppkey, operation""".stripMargin,
+    "cdc_status_feed" ->
+      """WITH c AS (SELECT cast(count(*) AS BIGINT) AS total FROM customer WHERE c_custkey % 4 = 0)
+        |SELECT * FROM (
+        |  SELECT 'PROGRESS' AS status_event, cast(2 AS BIGINT) AS cnt, total AS input_rows FROM c
+        |  UNION ALL SELECT 'RUNNING', cast(1 AS BIGINT), cast(0 AS BIGINT) FROM c
+        |  UNION ALL SELECT 'STOPPED', cast(1 AS BIGINT), cast(0 AS BIGINT) FROM c
+        |) ORDER BY status_event""".stripMargin,
     "cdc_envelope" ->
       """WITH c AS (SELECT c_custkey,
         |  CASE WHEN c_custkey % 4 = 0 THEN 'DELETE' WHEN c_custkey % 4 = 1 THEN 'INSERT'

@@ -231,6 +231,60 @@ object Dedup {
         .agg(count_distinct($"bench_id").as("bench_hits"), min($"bench_id").as("first_bench"))
         .orderBy($"doc_id")
     },
+    // INCREMENTAL (cross-snapshot) dedup — the production posture at 100 TB: a corpus is
+    // never re-deduped whole; each new crawl batch is admitted against the EXISTING
+    // corpus's persisted indexes. Stage 1: exact — the batch's content hashes anti-join
+    // the (fp -> min doc_id) content index (the join ships only narrow (fp, id) pairs;
+    // the corpus text never moves). Stage 2: near — the survivors' MinHash band
+    // signatures probe the corpus's banded-LSH index with the BATCH side broadcast (a
+    // crawl batch is MBs-GBs against a 100 TB index — the index never shuffles), and
+    // candidates verify with exact token-set Jaccard at the same t = 0.5 bar as the batch
+    // pipeline. The incoming batch is synthesized: genuinely-new docs (%5), exact replays
+    // of %7==1 corpus docs, near-dup variants (' graftdup') of %7==3 corpus docs — each
+    // must land in admitted / exact_dup / near_dup respectively, with the matched corpus
+    // doc surfaced.
+    "dedup_incremental" -> { (s, dir) =>
+      import s.implicits._
+      val docs = graft.engine.Tables(s, dir, "documents").select($"doc_id", $"text")
+      val existing = docs.filter($"doc_id" % 5 =!= 0).cache()
+      val incoming = docs.filter($"doc_id" % 5 === 0)
+        .union(existing.filter($"doc_id" % 7 === 1)
+          .select(($"doc_id" + 2000000L).as("doc_id"), $"text"))
+        .union(existing.filter($"doc_id" % 7 === 3)
+          .select(($"doc_id" + 3000000L).as("doc_id"), concat($"text", lit(" graftdup")).as("text")))
+      val exIdx = existing.groupBy(md5($"text").as("fp")).agg(min($"doc_id").as("ex_id"))
+      val inFp = incoming.select($"doc_id", $"text", md5($"text").as("fp")).cache()
+      val exact = inFp.join(exIdx, "fp").select($"doc_id", $"ex_id".as("exact_id"))
+      val surv1 = inFp.join(exIdx.select($"fp"), Seq("fp"), "left_anti")
+        .select($"doc_id", $"text")
+      val bandCols = array((0 until NumBands).map(b => col(s"band_$b")): _*)
+      val exBands = withBands(signatures(existing))
+        .select($"doc_id".as("ex_id"), posexplode(bandCols).as(Seq("bi", "bv")))
+      val inBands = withBands(signatures(surv1))
+        .select($"doc_id", posexplode(bandCols).as(Seq("bi", "bv")))
+      val cand = exBands.join(broadcast(inBands), Seq("bi", "bv"))
+        .select($"doc_id", $"ex_id").distinct()
+      val inToks = surv1.select($"doc_id", array_distinct(TextOps.tokens($"text")).as("toks"))
+      val exToks = existing.select($"doc_id".as("ex_id"),
+        array_distinct(TextOps.tokens($"text")).as("ex_toks"))
+      val near = cand
+        .join(inToks, "doc_id")
+        .join(exToks, "ex_id")
+        .withColumn("inter", size(array_intersect($"toks", $"ex_toks")))
+        .withColumn("jac_bp",
+          expr("cast(inter as bigint) * 10000 div (size(toks) + size(ex_toks) - inter)"))
+        .filter($"jac_bp" >= 5000)
+        .groupBy($"doc_id").agg(min($"ex_id").as("near_id"))
+      inFp.select($"doc_id")
+        .join(exact, Seq("doc_id"), "left_outer")
+        .join(near, Seq("doc_id"), "left_outer")
+        .select($"doc_id",
+          when($"exact_id".isNotNull, "exact_dup")
+            .when($"near_id".isNotNull, "near_dup")
+            .otherwise("admitted").as("status"),
+          coalesce($"exact_id", $"near_id").as("match_id"))
+        .orderBy($"doc_id")
+    },
     // token-set Jaccard verification within (lang, source) blocks, integer basis points.
     // PREFIX-FILTERED set-similarity join (PPJoin-style, cf. PAPERS.md): tokens get a
     // global canonical rare-first order (document frequency asc, token asc); for J >= t a
@@ -299,11 +353,11 @@ object Dedup {
   private val doubledSql =
     s"""SELECT doc_id, text FROM documents
        | UNION ALL SELECT doc_id + $DupIdOffset AS doc_id, text || ' graftdup' AS text FROM documents""".stripMargin
-  private def sigSql(src: String) =
-    s"""shingled AS (SELECT doc_id, unnest($shingleSql) AS shingle FROM src),
-       |hashed AS (SELECT doc_id, $hv32 AS hv FROM shingled),
-       |sig AS (SELECT doc_id, $minExprs FROM hashed GROUP BY doc_id),
-       |banded AS (SELECT doc_id, $bandExprs FROM sig)""".stripMargin.replace("src", src)
+  private def sigSql(src: String, sfx: String = "") =
+    s"""shingled$sfx AS (SELECT doc_id, unnest($shingleSql) AS shingle FROM $src),
+       |hashed$sfx AS (SELECT doc_id, $hv32 AS hv FROM shingled$sfx),
+       |sig$sfx AS (SELECT doc_id, $minExprs FROM hashed$sfx GROUP BY doc_id),
+       |banded$sfx AS (SELECT doc_id, $bandExprs FROM sig$sfx)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
@@ -359,6 +413,38 @@ object Dedup {
          |  min(be.bench_id) AS first_bench
          |FROM tr JOIN be ON tr.sh = be.sh
          |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
+    },
+    "dedup_incremental" -> {
+      val inter = "len(list_filter(a.toks, x -> list_contains(b.toks, x)))"
+      val jac = s"cast($inter * 10000 // (len(a.toks) + len(b.toks) - $inter) AS BIGINT)"
+      s"""WITH ex AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+         |inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+         |        UNION ALL SELECT doc_id + 2000000, text FROM ex WHERE doc_id % 7 = 1
+         |        UNION ALL SELECT doc_id + 3000000, text || ' graftdup' FROM ex WHERE doc_id % 7 = 3),
+         |exidx AS (SELECT md5(text) AS fp, min(doc_id) AS ex_id FROM ex GROUP BY 1),
+         |infp AS (SELECT doc_id, text, md5(text) AS fp FROM inc),
+         |exact AS (SELECT i.doc_id, x.ex_id AS exact_id FROM infp i JOIN exidx x USING (fp)),
+         |surv1 AS (SELECT doc_id, text FROM infp WHERE fp NOT IN (SELECT fp FROM exidx)),
+         |${sigSql("ex", "_ex")},
+         |${sigSql("surv1", "_in")},
+         |exbands AS (${(0 until NumBands).map(b => s"SELECT doc_id AS ex_id, $b AS bi, band_$b AS bv FROM banded_ex").mkString(" UNION ALL ")}),
+         |inbands AS (${(0 until NumBands).map(b => s"SELECT doc_id, $b AS bi, band_$b AS bv FROM banded_in").mkString(" UNION ALL ")}),
+         |cand AS (SELECT DISTINCT i.doc_id, e.ex_id
+         |         FROM inbands i JOIN exbands e ON i.bi = e.bi AND i.bv = e.bv),
+         |toks_in AS (SELECT doc_id, list_distinct($tokSql) AS toks FROM surv1),
+         |toks_ex AS (SELECT doc_id AS ex_id, list_distinct($tokSql) AS toks FROM ex),
+         |near AS (SELECT c.doc_id, min(c.ex_id) AS near_id
+         |         FROM cand c JOIN toks_in a ON a.doc_id = c.doc_id
+         |                     JOIN toks_ex b ON b.ex_id = c.ex_id
+         |         WHERE $jac >= 5000 GROUP BY c.doc_id)
+         |SELECT i.doc_id,
+         |  CASE WHEN e.exact_id IS NOT NULL THEN 'exact_dup'
+         |       WHEN n.near_id IS NOT NULL THEN 'near_dup'
+         |       ELSE 'admitted' END AS status,
+         |  coalesce(e.exact_id, n.near_id) AS match_id
+         |FROM inc i LEFT JOIN exact e ON i.doc_id = e.doc_id
+         |           LEFT JOIN near n ON i.doc_id = n.doc_id
+         |ORDER BY i.doc_id""".stripMargin
     },
     "dedup_ngram_jaccard" ->
       s"""WITH d AS (SELECT doc_id, lang, source, list_distinct($tokSql) AS toks FROM documents)

@@ -163,6 +163,37 @@ object TextOps {
           min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
         .orderBy($"source", $"pack_id")
     },
+    // CORPUS CURATION FUNNEL — the end-to-end report every training-data pipeline keeps:
+    // how many documents survive each cumulative filter stage (language identified ->
+    // quality -> lexical diversity -> exact dedup). Runs over the corpus doubled with
+    // byte-identical copies so the dedup stage measurably halves the survivors. ONE scan
+    // and ONE single-row aggregate: each stage is a conditional sum, and the dedup stage
+    // is a conditional DISTINCT count of the content hash — no per-stage passes, no
+    // intermediate materialization; at 100 TB this is a single map-side-combined
+    // aggregation over the scan (the distinct-count shuffles only (fp) partials).
+    "corpus_funnel" -> { (s, dir) =>
+      import s.implicits._
+      val d = graft.engine.Tables(s, dir, "documents").select($"doc_id", $"text", $"n_chars")
+      val doubled = d.union(d.select(($"doc_id" + 1000000L).as("doc_id"), $"text", $"n_chars"))
+      val markers = Seq("the", "and", "of", "der", "und", "die", "le", "et", "la", "el", "y", "los")
+      val toks = tokens($"text")
+      val flagged = doubled.select($"text",
+        (size(filter(toks, t => markers.map(t === _).reduce(_ || _))) > 0).as("f1"),
+        ($"n_chars" >= 200L && size(toks) >= 30).as("f2"),
+        (size(array_distinct(toks)) * 10000 >= size(toks) * 3000).as("f3"))
+      val agg = flagged.agg(
+        count(lit(1)).as("n0"),
+        sum($"f1".cast("long")).as("n1"),
+        sum(($"f1" && $"f2").cast("long")).as("n2"),
+        sum(($"f1" && $"f2" && $"f3").cast("long")).as("n3"),
+        count_distinct(when($"f1" && $"f2" && $"f3", md5($"text"))).as("n4"))
+      val stages = Seq("0_raw" -> "n0", "1_lang_id" -> "n1", "2_quality" -> "n2",
+        "3_diversity" -> "n3", "4_dedup" -> "n4")
+      agg.select(explode(array(stages.map { case (nm, c) =>
+          struct(lit(nm).as("stage"), col(c).as("surviving_docs")) }: _*)).as("r"))
+        .select($"r.*")
+        .orderBy($"stage")
+    },
     // PII-style scrubbing: digit runs masked, emails-ish tokens dropped; counts prove the
     // rewrite touched exactly the documents it should
     "text_scrub" -> { (s, dir) =>
@@ -290,6 +321,30 @@ object TextOps {
         |FROM documents d LEFT JOIN r ON d.lang = r.lang
         |WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 1000 < coalesce(permille, 0)
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    "corpus_funnel" -> {
+      val markerSql = Seq("the", "and", "of", "der", "und", "die", "le", "et", "la", "el", "y", "los")
+        .map(w => s"x = '$w'").mkString(" OR ")
+      s"""WITH d0 AS (SELECT doc_id, text, n_chars FROM documents
+         |            UNION ALL SELECT doc_id + 1000000, text, n_chars FROM documents),
+         |f AS (SELECT text, n_chars,
+         |  list_filter(string_split_regex(trim(text),'\\s+'), x -> x <> '') AS toks FROM d0),
+         |flags AS (SELECT text,
+         |  len(list_filter(toks, x -> $markerSql)) > 0 AS f1,
+         |  (n_chars >= 200 AND len(toks) >= 30) AS f2,
+         |  len(list_distinct(toks)) * 10000 >= len(toks) * 3000 AS f3 FROM f),
+         |agg AS (SELECT cast(count(*) AS BIGINT) AS n0,
+         |  cast(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |  cast(sum(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |  cast(sum(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         |  cast(count(DISTINCT CASE WHEN f1 AND f2 AND f3 THEN md5(text) END) AS BIGINT) AS n4
+         |  FROM flags)
+         |SELECT '0_raw' AS stage, n0 AS surviving_docs FROM agg
+         |UNION ALL SELECT '1_lang_id', n1 FROM agg
+         |UNION ALL SELECT '2_quality', n2 FROM agg
+         |UNION ALL SELECT '3_diversity', n3 FROM agg
+         |UNION ALL SELECT '4_dedup', n4 FROM agg
+         |ORDER BY stage""".stripMargin
+    },
     "text_scrub" ->
       """WITH d AS (SELECT lang, text, regexp_replace(text, '[0-9]+', '#', 'g') AS scrubbed FROM documents)
         |SELECT lang, cast(count(*) AS BIGINT) AS doc_cnt,

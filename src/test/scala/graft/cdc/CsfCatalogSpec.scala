@@ -228,4 +228,27 @@ class CsfCatalogSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](graft.ext.Multimodal.decodeWavOne(8L, bad))
     assert(e.getMessage.contains("RIFF"))
   }
+
+  test("A14: dictionary-backed schema cache loads on miss only; invalidate forces reload") {
+    val src = "csfcatalogspec-a14"
+    Catalog.invalidate(src, "T")
+    var loads = 0
+    def load(cols: Seq[(String, String, Int, Int)]): StructType = {
+      loads += 1; Catalog.schemaFromTabCols(cols)
+    }
+    val v1 = Seq(("ID", "NUMBER", 9, 0), ("NAME", "VARCHAR2", 0, 0))
+    val s1 = Catalog.schemaOfDictionary(src, "T")(load(v1))
+    assert(s1.fieldNames.toList == List("id", "name") && loads == 1)
+    // hit: `load` is by-name, so on a cache hit a throwing loader must never evaluate
+    val s1b = Catalog.schemaOfDictionary(src, "T")(sys.error("loader ran on a cache hit"))
+    assert(s1b == s1)
+    // DDL: evict, reload sees the new column through the NUMBER ladder (precision 4 -> short)
+    Catalog.invalidate(src, "T")
+    val v2 = v1 :+ (("TIER", "NUMBER", 4, 0))
+    val s2 = Catalog.schemaOfDictionary(src, "T")(load(v2))
+    assert(loads == 2)
+    assert(s2.fields.map(f => (f.name, f.dataType)).toList ==
+      List(("id", IntegerType), ("name", StringType), ("tier", ShortType)))
+    Catalog.invalidate(src, "T")
+  }
 }
