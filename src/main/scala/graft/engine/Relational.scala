@@ -153,6 +153,24 @@ object Relational {
       open.intersect(done)
         .agg(count(lit(1)).as("both_cnt"), min($"o_custkey").as("min_k"), max($"o_custkey").as("max_k"))
     },
+    // SEMI-STRUCTURED extraction: the `props` JSON payload parsed in the scan stage
+    // (`from_json` with an explicit schema — codegen'd, no UDF, evaluated once per row)
+    // and aggregated. The lake-engine JSON path: schema-on-read over a string column,
+    // projection pushed to the scan so only (event_type, props) are ever read; at 100 TB
+    // the parse is embarrassingly parallel map-side work feeding one hash aggregate.
+    "events_json_extract" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "events")
+        .select($"event_type",
+          from_json($"props", org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum($"k").cast("long").as("sum_k"),
+          min($"k").as("min_k"), max($"k").as("max_k"),
+          count(when($"k".isNull, 1)).as("null_k_cnt"))
+        .orderBy($"event_type")
+    },
     // PIVOT: event counts and cents per user bucket, one column per event type — the wide
     // report shape; Spark's pivot aggregates once and lays columns out without a join
     "events_pivot" -> { (s, dir) =>
@@ -437,6 +455,12 @@ object Relational {
         |FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |      INTERSECT
         |      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""".stripMargin,
+    "events_json_extract" ->
+      """WITH e AS (SELECT event_type, (props->>'k')::INTEGER AS k FROM events)
+        |SELECT event_type, cast(count(*) AS BIGINT) AS cnt,
+        | cast(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k,
+        | cast(count(CASE WHEN k IS NULL THEN 1 END) AS BIGINT) AS null_k_cnt
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_pivot" ->
       """SELECT user_id % 10 AS bucket,
         | cast(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click_cnt,

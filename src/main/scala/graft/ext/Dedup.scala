@@ -285,6 +285,36 @@ object Dedup {
           coalesce($"exact_id", $"near_id").as("match_id"))
         .orderBy($"doc_id")
     },
+    // The STREAMING admission path of [[dedup_incremental]]: new documents arrive as a
+    // micro-batched stream and LEFT-join the STATIC corpus content index — a stream-static
+    // join, the Spark-native shape for continuous corpus ingestion. Stateless (no state
+    // store at all: each micro-batch probes the index and emits), and the static side is
+    // the persisted (fp -> min doc_id) index — broadcast per batch here; at 100 TB it is
+    // a bucketed table co-located on fp. The two-batch cut proves admission decisions are
+    // per-arrival, not per-job.
+    "dedup_incremental_stream" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.Encoders
+      val docs = graft.engine.Tables(s, dir, "documents").select($"doc_id", $"text")
+      val existing = docs.filter($"doc_id" % 5 =!= 0)
+      val exIdx = existing.groupBy(md5($"text").as("fp")).agg(min($"doc_id").as("ex_id"))
+      val feed = docs.filter($"doc_id" % 5 === 0)
+        .union(existing.filter($"doc_id" % 7 === 1)
+          .select(($"doc_id" + 2000000L).as("doc_id"), $"text"))
+        .as[(Long, String)].collect().toSeq // driver-side feed is inherent to MemoryStream
+      val (b1, b2) = feed.partition(_._1 % 2 == 0)
+      val out = graft.engine.StreamGate.runBatches(s,
+          Encoders.tuple(Encoders.scalaLong, Encoders.STRING),
+          "dedup_incremental_stream_sink", Seq(b1, b2)) { ds =>
+        ds.toDF("doc_id", "text")
+          .withColumn("fp", md5($"text"))
+          .join(broadcast(exIdx), Seq("fp"), "left_outer")
+          .select($"doc_id",
+            when($"ex_id".isNotNull, "exact_dup").otherwise("admitted").as("status"),
+            $"ex_id".as("match_id"))
+      }
+      out.orderBy($"doc_id")
+    },
     // token-set Jaccard verification within (lang, source) blocks, integer basis points.
     // PREFIX-FILTERED set-similarity join (PPJoin-style, cf. PAPERS.md): tokens get a
     // global canonical rare-first order (document frequency asc, token asc); for J >= t a
@@ -446,6 +476,16 @@ object Dedup {
          |           LEFT JOIN near n ON i.doc_id = n.doc_id
          |ORDER BY i.doc_id""".stripMargin
     },
+    "dedup_incremental_stream" ->
+      """WITH ex AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+        |inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |        UNION ALL SELECT doc_id + 2000000, text FROM ex WHERE doc_id % 7 = 1),
+        |exidx AS (SELECT md5(text) AS fp, min(doc_id) AS ex_id FROM ex GROUP BY 1)
+        |SELECT i.doc_id,
+        |  CASE WHEN x.ex_id IS NOT NULL THEN 'exact_dup' ELSE 'admitted' END AS status,
+        |  x.ex_id AS match_id
+        |FROM inc i LEFT JOIN exidx x ON md5(i.text) = x.fp
+        |ORDER BY i.doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH d AS (SELECT doc_id, lang, source, list_distinct($tokSql) AS toks FROM documents)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

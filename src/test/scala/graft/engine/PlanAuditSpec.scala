@@ -129,4 +129,39 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scanLine.contains("lang") && scanLine.contains("n_chars") && scanLine.contains("text"))
     assert(!scanLine.contains("doc_id"), s"doc_id should be pruned from the scan: $scanLine")
   }
+
+  test("dedup_incremental: the batch side broadcasts into the LSH index probe") {
+    val p = plan("dedup_incremental")
+    // the incoming batch (MBs-GBs) probes the corpus index (100 TB): the batch side must
+    // broadcast so the index never shuffles
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the incoming band signatures broadcast against the corpus index:\n$p")
+  }
+
+  test("corpus_funnel: ONE aggregate over the scan — no per-stage passes") {
+    val p = plan("corpus_funnel")
+    // all five stage counts (incl. the dedup distinct-count) fold into one aggregation
+    // pipeline: exchanges are the distinct/final agg shuffles + the tiny ORDER BY of 5
+    // rows — nothing per-stage
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 3, s"expected <=3 exchanges (single aggregation pipeline):\n$p")
+    assert(count(p, "FileScan") <= 2, s"the doubled corpus should scan at most twice:\n$p")
+  }
+
+  test("cdc_resume_ladder: all five postures reduce in one scan + one aggregate") {
+    val p = plan("cdc_resume_ladder")
+    assert(count(p, "FileScan") == 1, s"expected ONE orders scan for all postures:\n$p")
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 2, s"expected <=2 exchanges (partial->final agg + 5-row sort):\n$p")
+  }
+
+  test("events_json_extract: props parse stays in the scan stage, projection pruned") {
+    val p = plan("events_json_extract")
+    val scanLine = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scanLine.contains("event_type") && scanLine.contains("props"),
+      s"expected only (event_type, props) read: $scanLine")
+    assert(!scanLine.contains("user_id") && !scanLine.contains("value"),
+      s"unused columns must be pruned from the scan: $scanLine")
+    assert(p.contains("from_json"), s"expected the codegen'd from_json path:\n$p")
+  }
 }
