@@ -124,20 +124,28 @@ object TextOps {
     // REPETITION quality signal — the repetitive-document filter of web-corpus pipelines
     // (boilerplate, keyword-stuffed and template pages score high): the share of the
     // document's trigram occurrences taken by its single most frequent trigram, in
-    // integer basis points (exact both engines). One explode + two hash aggregates keyed
-    // on doc_id — partial aggregation collapses repeated trigrams map-side, so the
-    // shuffle carries per-(doc, trigram) counts, not raw occurrences.
+    // integer basis points. Trigrams are counted by their 32-bit md5-prefix hash —
+    // identical in both engines, so even hash collisions (which merge a pair of distinct
+    // trigrams) reproduce bit-exactly in the oracle. The hash matters for SCALE: the
+    // per-(doc, trigram) aggregate keys on (long, long) instead of (long, ~30-byte
+    // string), which keeps the hash table compact and the shuffle narrow (the string-key
+    // variant was 4x slower at sf0.1; a sorted-array per-row fold was 7x slower — HOF
+    // lambdas evaluate interpreted). Partial aggregation collapses repeats map-side.
     "text_repetition" -> { (s, dir) =>
       import s.implicits._
-      val toks = tokens($"text")
+      // toks is materialized as a column FIRST (same discipline as Dedup.signatures): the
+      // trigram lambda references it three times, and inlined that would re-run the
+      // regex split per reference
+      val toks = $"toks"
       // NON-distinct trigrams: repetition is exactly what array_distinct would erase
       val tris = slice(
         transform(toks, (t, i) =>
           concat_ws(" ", t, try_element_at(toks, i + lit(2)), try_element_at(toks, i + lit(3)))),
         lit(1), greatest(size(toks) - 2, lit(0)))
       graft.engine.Tables(s, dir, "documents")
+        .select($"doc_id", tokens($"text").as("toks"))
         .select($"doc_id", explode(tris).as("tri"))
-        .groupBy($"doc_id", $"tri").agg(count(lit(1)).as("cnt"))
+        .groupBy($"doc_id", hash32($"tri").as("h")).agg(count(lit(1)).as("cnt"))
         .groupBy($"doc_id").agg(max($"cnt").as("max_cnt"), sum($"cnt").as("tri_cnt"))
         .select($"doc_id", $"tri_cnt", expr("max_cnt * 10000 div tri_cnt").as("rep_bp"))
         .orderBy($"doc_id")
@@ -193,6 +201,39 @@ object TextOps {
           struct(lit(nm).as("stage"), col(c).as("surviving_docs")) }: _*)).as("r"))
         .select($"r.*")
         .orderBy($"stage")
+    },
+    // THE COMPOSED CURATION PIPELINE, end to end — the LLM-data sibling of
+    // cdc_pipeline_e2e: raw (doubled) corpus -> language/quality/diversity filters ->
+    // exact dedup (keep-min-id per content hash) -> per-source training-sequence packing,
+    // in ONE lazy plan. A green hash proves the stages compose (the funnel's survivors
+    // are exactly what packs, pack offsets shift with every dropped doc), not just each
+    // stage alone. Plan shape: scan -> map-side flags -> one dedup shuffle (fp) -> one
+    // pack window per source shard -> pack aggregate; nothing materializes in between.
+    "corpus_to_training_e2e" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val d = graft.engine.Tables(s, dir, "documents")
+        .select($"doc_id", $"text", $"source", $"n_chars")
+      val doubled = d.union(d.select(($"doc_id" + 1000000L).as("doc_id"), $"text",
+        $"source", $"n_chars"))
+      val markers = Seq("the", "and", "of", "der", "und", "die", "le", "et", "la", "el", "y", "los")
+      val toks = tokens($"text")
+      val kept = doubled
+        .withColumn("n_toks", size(toks).cast("long"))
+        .filter(size(filter(toks, t => markers.map(t === _).reduce(_ || _))) > 0)
+        .filter($"n_chars" >= 200L && $"n_toks" >= 30L)
+        .filter(size(array_distinct(toks)) * 10000 >= $"n_toks" * 3000)
+      val deduped = kept
+        .withColumn("keep_id", min($"doc_id").over(Window.partitionBy(md5($"text"))))
+        .filter($"doc_id" === $"keep_id")
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+      deduped
+        .withColumn("cum", sum($"n_toks").over(w))
+        .withColumn("pack_id", expr("(cum - n_toks) div 256"))
+        .groupBy($"source", $"pack_id")
+        .agg(count(lit(1)).as("doc_cnt"), sum($"n_toks").as("pack_toks"),
+          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+        .orderBy($"source", $"pack_id")
     },
     // PII-style scrubbing: digit runs masked, emails-ish tokens dropped; counts prove the
     // rewrite touched exactly the documents it should
@@ -298,7 +339,8 @@ object TextOps {
         |tri AS (SELECT doc_id,
         |  unnest(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS tri FROM toks),
-        |cnts AS (SELECT doc_id, tri, count(*) AS cnt FROM tri GROUP BY 1, 2)
+        |cnts AS (SELECT doc_id, ('0x' || substr(md5(tri), 1, 8))::BIGINT AS h,
+        |  count(*) AS cnt FROM tri GROUP BY 1, 2)
         |SELECT doc_id, cast(sum(cnt) AS BIGINT) AS tri_cnt,
         |  cast(max(cnt) * 10000 // sum(cnt) AS BIGINT) AS rep_bp
         |FROM cnts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
@@ -344,6 +386,28 @@ object TextOps {
          |UNION ALL SELECT '3_diversity', n3 FROM agg
          |UNION ALL SELECT '4_dedup', n4 FROM agg
          |ORDER BY stage""".stripMargin
+    },
+    "corpus_to_training_e2e" -> {
+      val markerSql = Seq("the", "and", "of", "der", "und", "die", "le", "et", "la", "el", "y", "los")
+        .map(w => s"x = '$w'").mkString(" OR ")
+      s"""WITH d0 AS (SELECT doc_id, text, source, n_chars FROM documents
+         |            UNION ALL SELECT doc_id + 1000000, text, source, n_chars FROM documents),
+         |t AS (SELECT doc_id, text, source, n_chars,
+         |  list_filter(string_split_regex(trim(text),'\\s+'), x -> x <> '') AS toks FROM d0),
+         |kept AS (SELECT doc_id, text, source, len(toks) AS n_toks FROM t
+         |  WHERE len(list_filter(toks, x -> $markerSql)) > 0
+         |    AND n_chars >= 200 AND len(toks) >= 30
+         |    AND len(list_distinct(toks)) * 10000 >= len(toks) * 3000),
+         |ded AS (SELECT * FROM (SELECT doc_id, source, n_toks,
+         |    min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM kept)
+         |  WHERE doc_id = keep_id),
+         |c AS (SELECT doc_id, source, n_toks,
+         |  sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+         |                    ROWS UNBOUNDED PRECEDING) AS cum FROM ded)
+         |SELECT source, (cum - n_toks) // 256 AS pack_id,
+         |  cast(count(*) AS BIGINT) AS doc_cnt, cast(sum(n_toks) AS BIGINT) AS pack_toks,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin
     },
     "text_scrub" ->
       """WITH d AS (SELECT lang, text, regexp_replace(text, '[0-9]+', '#', 'g') AS scrubbed FROM documents)
