@@ -45,3 +45,56 @@ final case class CdcConfig(
       : graft.sources.RedoEventSource.ResumePosition =
     graft.sources.RedoEventSource.resolveResume(stored, startScn, resetOffset, currentScn)
 }
+
+object CdcConfig {
+
+  /**
+   * A26 — the reference's string-properties parse surface
+   * (OracleSourceConnectorConfig2.java:41-64): CSV `OWNER.TABLE` / `OWNER.*` lists for
+   * `table.whitelist`/`table.blacklist`, CSV `dml.types` (empty = all), STRING-typed
+   * `start.scn` with `""` meaning unset (Config:55 defines it as Type.STRING, default ""),
+   * boolean `parse.dml.data` / `reset.offset` / `map.unescaped.strings` (the last
+   * defaulting FALSE, Config:58 — the only boolean the reference defaults). Connection
+   * keys (`db.hostname`, `db.user`, ...) and unknown keys are ignored, as Kafka's
+   * `AbstractConfig` ignores unconfigured keys. Malformed values fail fast with the key
+   * name — a config typo must kill the job at start, not mis-capture silently.
+   */
+  def fromMap(props: Map[String, String]): CdcConfig = {
+    def bool(key: String, dflt: Boolean): Boolean =
+      props.get(key).map(_.trim.toLowerCase).map {
+        case "true" => true
+        case "false" => false
+        case v => throw new IllegalArgumentException(s"$key must be true/false, got: $v")
+      }.getOrElse(dflt)
+    def tableList(key: String): Seq[(String, String)] =
+      props.get(key).map(_.trim).filter(_.nonEmpty).toSeq
+        .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        .map { entry =>
+          entry.split("\\.") match {
+            case Array(owner, table) => (owner, table)
+            case _ => throw new IllegalArgumentException(
+              s"$key entries must be OWNER.TABLE or OWNER.*, got: $entry")
+          }
+        }
+    val startScn = props.get("start.scn").map(_.trim).filter(_.nonEmpty).map { v =>
+      try v.toLong catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"start.scn must be numeric, got: $v")
+      }
+    }
+    val dmlTypes = props.get("dml.types").map(_.trim).filter(_.nonEmpty)
+      .map(_.split(",").toSeq.map(_.trim.toUpperCase).filter(_.nonEmpty))
+      .getOrElse(Seq(RedoEvent.Insert, RedoEvent.Update, RedoEvent.Delete, RedoEvent.Ddl))
+    CdcConfig(
+      dbAlias = props.getOrElse("db.name.alias",
+        throw new IllegalArgumentException("db.name.alias must be set (Connector:27-30)")),
+      whitelist = tableList("table.whitelist"),
+      blacklist = tableList("table.blacklist"),
+      dmlTypes = dmlTypes,
+      parseDmlData = bool("parse.dml.data", dflt = true),
+      heartbeatTable = props.get("heartbeat.table").map(_.trim).filter(_.nonEmpty),
+      unescapeStrings = bool("map.unescaped.strings", dflt = false),
+      startScn = startScn,
+      resetOffset = bool("reset.offset", dflt = false))
+  }
+}

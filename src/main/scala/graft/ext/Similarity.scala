@@ -108,6 +108,26 @@ object Similarity {
         .select($"q_id", $"rnk".cast("long").as("rnk"), $"vec_id", $"sim")
         .orderBy($"q_id", $"rnk")
     },
+    // ANN index EVALUATION — recall@k of the IVF path against the exact brute-force
+    // baseline, per query: the measurement every production ANN deployment runs before
+    // trusting an index (and after every re-train). Composes the two registered plans
+    // (exact top-k truncated to IVF's k; IVF nprobe=1) and reduces the overlap to integer
+    // basis points. Plan shape: both sides end (n_queries × k) rows, so the semi-join and
+    // aggregate are driver-trivial at any corpus size — the cost IS the two searches.
+    "simsearch_recall" -> { (s, dir) =>
+      import s.implicits._
+      val exact = queries("simsearch_topk")(s, dir)
+        .filter($"rnk" <= IvfTopK).select($"q_id", $"vec_id")
+      val approx = queries("simsearch_ivf")(s, dir).select($"q_id", $"vec_id")
+      val hits = exact.join(approx, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy($"q_id").agg(count(lit(1)).as("hits"))
+      exact.groupBy($"q_id").agg(count(lit(1)).as("k"))
+        .join(hits, Seq("q_id"), "left_outer")
+        .select($"q_id", $"k",
+          coalesce($"hits", lit(0L)).as("hits"),
+          expr("coalesce(hits, 0) * 10000 div k").as("recall_bp"))
+        .orderBy($"q_id")
+    },
     // embedding-cosine near-dup: double the corpus with identical copies, bucket by
     // 10 sign-projections (identical vectors land together by construction), verify by
     // exact cosine within buckets only — never an all-pairs crossJoin. Norms precomputed
@@ -173,6 +193,37 @@ object Similarity {
          |ranked AS (SELECT q_id, vec_id, sim,
          |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk FROM scored)
          |SELECT q_id, rnk, vec_id, sim FROM ranked WHERE rnk <= $IvfTopK ORDER BY q_id, rnk""".stripMargin,
+    "simsearch_recall" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |qx AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE $qSetSql),
+         |sx AS (SELECT q_id, vec_id,
+         |  round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS sim
+         |  FROM e, qx WHERE vec_id <> q_id),
+         |rx AS (SELECT q_id, vec_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk FROM sx),
+         |exact AS (SELECT q_id, vec_id FROM rx WHERE rnk <= $IvfTopK),
+         |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id IN ${CentroidIds.mkString("(", ", ", ")")}),
+         |asim AS (SELECT vec_id, v, c_id,
+         |  round(list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS csim
+         |  FROM e, c),
+         |assigned AS (SELECT vec_id, v, c_id AS cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS rn FROM asim)
+         |  WHERE rn = 1),
+         |qi AS (SELECT vec_id AS q_id, v AS qv, cell AS q_cell FROM assigned WHERE vec_id < $NumQueries),
+         |si AS (SELECT q_id, vec_id,
+         |  round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS sim
+         |  FROM assigned JOIN qi ON cell = q_cell AND vec_id <> q_id),
+         |ri AS (SELECT q_id, vec_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk FROM si),
+         |approx AS (SELECT q_id, vec_id FROM ri WHERE rnk <= $IvfTopK),
+         |h AS (SELECT exact.q_id, cast(count(*) AS BIGINT) AS hits FROM exact
+         |      JOIN approx ON exact.q_id = approx.q_id AND exact.vec_id = approx.vec_id
+         |      GROUP BY exact.q_id),
+         |kx AS (SELECT q_id, cast(count(*) AS BIGINT) AS k FROM exact GROUP BY q_id)
+         |SELECT kx.q_id, kx.k, coalesce(h.hits, 0) AS hits,
+         |  coalesce(h.hits, 0) * 10000 // kx.k AS recall_bp
+         |FROM kx LEFT JOIN h ON kx.q_id = h.q_id
+         |ORDER BY kx.q_id""".stripMargin,
     "dedup_embedding_cosine" ->
       s"""WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
          |e AS (SELECT vec_id, v FROM e0 UNION ALL SELECT vec_id + $DupIdOffset AS vec_id, v FROM e0),

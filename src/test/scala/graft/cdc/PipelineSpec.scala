@@ -176,4 +176,46 @@ class PipelineSpec extends AnyFunSuite {
     val (out2, _) = TxnAssembler.step(TxnAssembler.TxnBuffer.empty, okEvents, maxBufferedRows = 2)
     assert(out2.length == 1)
   }
+
+  test("A26: fromMap parses the reference's property surface (Config2:41-64)") {
+    val cfg = CdcConfig.fromMap(Map(
+      "db.name.alias" -> "DB1",
+      "table.whitelist" -> "GRAFT.ORDERS, GRAFT.*",
+      "table.blacklist" -> "SYS.AUD$",
+      "dml.types" -> "insert,update",
+      "parse.dml.data" -> "true",
+      "map.unescaped.strings" -> "TRUE",
+      "start.scn" -> "12345",
+      "heartbeat.table" -> "APP.HB",
+      "db.hostname" -> "ignored-connection-key", // unknown/connection keys are ignored
+      "some.unknown.key" -> "also-ignored"))
+    assert(cfg.dbAlias == "DB1")
+    assert(cfg.whitelist == Seq("GRAFT" -> "ORDERS", "GRAFT" -> "*"))
+    assert(cfg.blacklist == Seq("SYS" -> "AUD$"))
+    assert(cfg.dmlTypes == Seq("INSERT", "UPDATE"))
+    assert(cfg.unescapeStrings && cfg.parseDmlData && !cfg.resetOffset)
+    assert(cfg.startScn.contains(12345L) && cfg.heartbeatTable.contains("APP.HB"))
+  }
+
+  test("A26: fromMap defaults match the reference (empty start.scn/dml.types; unescape=false)") {
+    val cfg = CdcConfig.fromMap(Map(
+      "db.name.alias" -> "DB1", "table.whitelist" -> "APP.*",
+      "start.scn" -> "", "dml.types" -> "")) // Type.STRING default "" = unset (Config:55,57)
+    assert(cfg.startScn.isEmpty)
+    assert(cfg.dmlTypes == Seq("INSERT", "UPDATE", "DELETE", "DDL"))
+    assert(!cfg.unescapeStrings) // the reference's only boolean default (Config:58, false)
+    assert(cfg.parseDmlData && cfg.abandonedTxnTimeout.isDefined)
+  }
+
+  test("A26: fromMap fails fast on malformed values, with the key named") {
+    def msg(props: Map[String, String]): String =
+      intercept[IllegalArgumentException](CdcConfig.fromMap(props)).getMessage
+    val base = Map("db.name.alias" -> "DB1", "table.whitelist" -> "APP.*")
+    assert(msg(base - "db.name.alias").contains("db.name.alias"))
+    assert(msg(base + ("table.whitelist" -> "NODOT")).contains("table.whitelist"))
+    assert(msg(base + ("start.scn" -> "abc")).contains("start.scn"))
+    assert(msg(base + ("reset.offset" -> "yes")).contains("reset.offset"))
+    // validation layered below fromMap still applies (empty whitelist, Connector:31-34)
+    assert(msg(base + ("table.whitelist" -> "")).contains("whitelist"))
+  }
 }
