@@ -54,6 +54,13 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // ambient 1-min load average at start and end: the r6 root-cause of BENCH_r05's
+    // corruption was stale sbt JVMs burning ~3 cores for hours — a high START sample
+    // (before this JVM does any heavy work; the canary drift only catches drift DURING
+    // the run) tells a consumer the whole file was measured on a contended machine
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadAvg()
     canary() // throwaway: the first execution absorbs the canary's own codegen (~2 s),
              // which would read as 10× "drift" on a perfectly healthy machine
     canaries += canary()
@@ -117,13 +124,14 @@ object Bench {
     }
     val total = timings.values.sum
     val canaryJson = canaries.map(c => f"$c%.2f").mkString("[", ",", "]")
+    val loadJson = f"""[$loadStart%.2f,${loadAvg()}%.2f]"""
     // full-precision record to stderr (and a file beside the build) for local analysis
     val fullQs = timings.map { case (k, v) =>
       val (lo, hi) = spreads(k)
       s""""${esc(k)}":{"med":$v,"min":$lo,"max":$hi}"""
     }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"degraded":$degraded,"canary_sec":$canaryJson,"queries":$fullQs,"errors":${errsJson(4000)},"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"degraded":$degraded,"canary_sec":$canaryJson,"load_avg":$loadJson,"queries":$fullQs,"errors":${errsJson(4000)},"sf":"${esc(sfDir)}"}"""
     System.err.println(fullLine)
     try java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_full.json"),
       fullLine.getBytes("UTF-8"))
@@ -139,7 +147,7 @@ object Bench {
       val qs = qSeq.map { case (k, v) => s""""${esc(k)}":${fmt(v)}""" }.mkString("{", ",", "}")
       val om = if (omitted.isEmpty) ""
         else s""","omitted_fastest":{"n":${omitted.size},"sum_sec":${fmt(omitted.map(_._2).sum)}}"""
-      s"""{"metric":"total","unit":"sec","sf":"${esc(sfDir)}","reps":$reps,"degraded":$degraded,"queries":$qs$om,"errors":${errsJson(400)},"value":${fmt(total)}}"""
+      s"""{"metric":"total","unit":"sec","sf":"${esc(sfDir)}","reps":$reps,"degraded":$degraded,"load_avg":$loadJson,"queries":$qs$om,"errors":${errsJson(400)},"value":${fmt(total)}}"""
     }
     val asc = timings.toSeq.sortBy(_._2)
     val budget = 1850 // tail window ~2000 chars minus the build tool's trailing lines

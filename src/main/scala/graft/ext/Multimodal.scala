@@ -329,6 +329,28 @@ object Multimodal {
         .toDF("doc_id", "frame_idx", "frame_len", "byte_sum")
         .orderBy($"doc_id", $"frame_idx")
     },
+    // SCENE-CUT detection over the decoded frame stream — the shot-boundary pass a video
+    // curation pipeline runs right after frame extraction: every frame's intensity proxy
+    // (byte sum) diffs against its predecessor inside a per-video window, and a jump past
+    // 16x the frame's length (≈ a 16/255 mean-intensity shift) marks a cut. The decode is
+    // the real AVI chunk walk (stride 1 = every frame); the window partitions by video so
+    // the pass is embarrassingly parallel per video at any corpus size.
+    "multimodal_scene_cuts" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val frames = sampleFrames(encodeAvi(mediaFrame(s, dir), nFrames = 10), stride = 1)
+        .map(f => (f.doc_id, f.frame_idx, f.payload.length.toLong,
+          f.payload.foldLeft(0L)((a, b) => a + (b & 0xff))))
+        .toDF("doc_id", "frame_idx", "frame_len", "byte_sum")
+      val w = Window.partitionBy($"doc_id").orderBy($"frame_idx")
+      frames
+        .withColumn("jump", abs($"byte_sum" - lag($"byte_sum", 1).over(w)))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when($"jump" > $"frame_len" * 16, 1L).otherwise(0L)).as("n_cuts"),
+          coalesce(max($"jump"), lit(0L)).as("max_jump"))
+        .orderBy($"doc_id")
+    },
     // resize stage: a GENUINE image codec round-trip — text bytes become the pixels of a
     // real 24-bit BMP (bottom-up padded rows), a real parser recovers them, and a
     // nearest-neighbor resample to 4×3 emits pixel sums DuckDB recomputes byte-by-byte
@@ -363,6 +385,23 @@ object Multimodal {
         |  cast(coalesce(list_sum([('0x' || substr(hex(p), 2*i + 1, 2))::BIGINT
         |    for i in range(f_from, f_to)]), 0) AS BIGINT) AS byte_sum
         |FROM g ORDER BY doc_id, frame_idx""".stripMargin,
+    "multimodal_scene_cuts" ->
+      """WITH b AS (SELECT doc_id, encode(text) AS p, octet_length(encode(text)) AS len FROM documents),
+        |c AS (SELECT doc_id, p, len, greatest(len // 10, 1) AS chunk FROM b),
+        |f AS (SELECT doc_id, p, len, chunk, unnest(generate_series(0, 9)) AS frame_idx FROM c),
+        |g AS (SELECT doc_id, frame_idx, p,
+        |        least(frame_idx * chunk, len) AS f_from,
+        |        least(least(frame_idx * chunk, len) + chunk, len) AS f_to FROM f),
+        |sums AS (SELECT doc_id, frame_idx, f_to - f_from AS frame_len,
+        |  coalesce(list_sum([('0x' || substr(hex(p), 2*i + 1, 2))::BIGINT
+        |    for i in range(f_from, f_to)]), 0) AS byte_sum FROM g),
+        |d AS (SELECT doc_id, frame_len, byte_sum,
+        |  abs(byte_sum - lag(byte_sum) OVER (PARTITION BY doc_id ORDER BY frame_idx)) AS jump
+        |  FROM sums)
+        |SELECT doc_id, cast(count(*) AS BIGINT) AS n_frames,
+        |  cast(sum(CASE WHEN jump > frame_len * 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+        |  cast(coalesce(max(jump), 0) AS BIGINT) AS max_jump
+        |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the resize oracle replays the BMP pipeline's index math on the source bytes: the
     // image is the byte grid (w=8, h=max(len/8,1), row-major), nearest-neighbor output
     // pixel k of a 4x3 grid reads source (x=(k%4)*2, y=(k/4)*h/3), i.e. byte y*8+x;
