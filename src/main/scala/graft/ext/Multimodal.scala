@@ -257,41 +257,66 @@ object Multimodal {
   def sampleFrames(media: Dataset[MediaRow], stride: Int): Dataset[FrameRow] = {
     val s = media.sparkSession
     import s.implicits._
-    media.flatMap { m =>
-      val bytes = m.payload
-      val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      def fourcc(): String = {
-        val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
-      }
-      require(fourcc() == "RIFF", s"doc ${m.doc_id}: not a RIFF container")
-      val riffSize = buf.getInt()
-      require(riffSize == bytes.length - 8,
-        s"doc ${m.doc_id}: RIFF size $riffSize != ${bytes.length - 8}")
-      require(fourcc() == "AVI ", s"doc ${m.doc_id}: not an AVI form")
-      var totalFrames = -1
-      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-      def walk(end: Int, inMovi: Boolean): Unit =
-        while (buf.position() + 8 <= end) {
-          val id = fourcc()
-          val size = buf.getInt()
-          val next = buf.position() + size + (size % 2) // RIFF: odd chunk bodies pad to even
-          id match {
-            case "LIST" =>
-              val listType = fourcc()
-              if (listType == "hdrl" || listType == "movi") walk(next, listType == "movi")
-            case "avih" =>
-              buf.getInt(); buf.getInt(); buf.getInt(); buf.getInt() // usec, bps, pad, flags
-              totalFrames = buf.getInt()
-            case "00db" | "00dc" if inMovi =>
-              val f = new Array[Byte](size); buf.get(f); frames += f
-            case _ => () // unknown chunk (strl, idx1, ...): skip
-          }
-          buf.position(next)
+    media.flatMap(m => sampleFramesOne(m.doc_id, m.payload, stride))
+  }
+
+  /** The per-payload AVI walk behind [[sampleFrames]] — also the unit a fault-tolerant
+    * decode wraps in Try ([[decodeFramesOrDlq]]): corrupt containers THROW here (loudly,
+    * never a silent mis-parse), and the caller decides drop vs dead-letter. */
+  private[ext] def sampleFramesOne(docId: Long, bytes: Array[Byte],
+                                   stride: Int): Iterator[FrameRow] = {
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    require(fourcc() == "RIFF", s"doc $docId: not a RIFF container")
+    val riffSize = buf.getInt()
+    require(riffSize == bytes.length - 8,
+      s"doc $docId: RIFF size $riffSize != ${bytes.length - 8}")
+    require(fourcc() == "AVI ", s"doc $docId: not an AVI form")
+    var totalFrames = -1
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def walk(end: Int, inMovi: Boolean): Unit =
+      while (buf.position() + 8 <= end) {
+        val id = fourcc()
+        val size = buf.getInt()
+        val next = buf.position() + size + (size % 2) // RIFF: odd chunk bodies pad to even
+        id match {
+          case "LIST" =>
+            val listType = fourcc()
+            if (listType == "hdrl" || listType == "movi") walk(next, listType == "movi")
+          case "avih" =>
+            buf.getInt(); buf.getInt(); buf.getInt(); buf.getInt() // usec, bps, pad, flags
+            totalFrames = buf.getInt()
+          case "00db" | "00dc" if inMovi =>
+            val f = new Array[Byte](size); buf.get(f); frames += f
+          case _ => () // unknown chunk (strl, idx1, ...): skip
         }
-      walk(bytes.length, inMovi = false)
-      require(totalFrames == frames.size,
-        s"doc ${m.doc_id}: header declares $totalFrames frames, movi carries ${frames.size}")
-      (0 until frames.size by stride).iterator.map(f => FrameRow(m.doc_id, f, frames(f)))
+        buf.position(next)
+      }
+    walk(bytes.length, inMovi = false)
+    require(totalFrames == frames.size,
+      s"doc $docId: header declares $totalFrames frames, movi carries ${frames.size}")
+    (0 until frames.size by stride).iterator.map(f => FrameRow(docId, f, frames(f)))
+  }
+
+  /** Decode outcome of one media payload: ok + frame count, or the dead-letter row. */
+  final case class DecodeOutcome(doc_id: Long, status: String, n_frames: Long, err: String)
+
+  /** A25 posture for the media path: decode every container, route failures to a
+    * dead-letter outcome instead of wedging the job — one poison payload in a 100 TB
+    * corpus must cost one row, not the stage. The error string keeps the codec's
+    * diagnosis (truncated to a bounded prefix so a DLQ sink row stays small). */
+  def decodeFramesOrDlq(media: Dataset[MediaRow], stride: Int): Dataset[DecodeOutcome] = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.map { m =>
+      scala.util.Try(sampleFramesOne(m.doc_id, m.payload, stride).size) match {
+        case scala.util.Success(n) => DecodeOutcome(m.doc_id, "ok", n.toLong, "")
+        case scala.util.Failure(e) =>
+          DecodeOutcome(m.doc_id, "corrupt", 0L,
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(60))
+      }
     }
   }
 
@@ -328,6 +353,22 @@ object Multimodal {
           f.payload.foldLeft(0L)((a, b) => a + (b & 0xff))))
         .toDF("doc_id", "frame_idx", "frame_len", "byte_sum")
         .orderBy($"doc_id", $"frame_idx")
+    },
+    // Fault-tolerant decode (A25 for media): two deterministic corruption modes — a
+    // flipped RIFF magic (%13==0) and a flipped container-size byte (%13==5) — must land
+    // in the dead-letter outcome with zero frames, while every intact container decodes
+    // all 10; a poison payload costs one row, never the stage, and never mis-parses.
+    "multimodal_decode_dlq" -> { (s, dir) =>
+      import s.implicits._
+      val poisoned = encodeAvi(mediaFrame(s, dir), nFrames = 10).map { m =>
+        val b = m.payload.clone()
+        if (m.doc_id % 13 == 0) b(0) = 'X'.toByte
+        else if (m.doc_id % 13 == 5) b(4) = (b(4) ^ 0x01).toByte
+        MediaRow(m.doc_id, b)
+      }
+      decodeFramesOrDlq(poisoned, stride = 1).toDF()
+        .select($"doc_id", $"status", $"n_frames")
+        .orderBy($"doc_id")
     },
     // SCENE-CUT detection over the decoded frame stream — the shot-boundary pass a video
     // curation pipeline runs right after frame extraction: every frame's intensity proxy
@@ -385,6 +426,11 @@ object Multimodal {
         |  cast(coalesce(list_sum([('0x' || substr(hex(p), 2*i + 1, 2))::BIGINT
         |    for i in range(f_from, f_to)]), 0) AS BIGINT) AS byte_sum
         |FROM g ORDER BY doc_id, frame_idx""".stripMargin,
+    "multimodal_decode_dlq" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 13 IN (0, 5) THEN 'corrupt' ELSE 'ok' END AS status,
+        |  cast(CASE WHEN doc_id % 13 IN (0, 5) THEN 0 ELSE 10 END AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "multimodal_scene_cuts" ->
       """WITH b AS (SELECT doc_id, encode(text) AS p, octet_length(encode(text)) AS len FROM documents),
         |c AS (SELECT doc_id, p, len, greatest(len // 10, 1) AS chunk FROM b),
