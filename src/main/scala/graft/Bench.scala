@@ -109,7 +109,12 @@ object Bench {
       }
     }
     canaries += canary()
-    val degraded = canaries.nonEmpty && canaries.max > canaries.min * 2
+    // degraded = RELATIVE drift (>2x) AND a MATERIAL absolute spread (>1s): the canary is
+    // a sub-second query, so pure ratio flags 0.2s of JIT/GC jitter as "contention" (a
+    // 0.38-vs-0.18 sample tripped it on an otherwise-clean r6 run); the BENCH_r05-style
+    // corruption this flag exists for moves the canary by whole seconds
+    val degraded = canaries.nonEmpty &&
+      canaries.max > canaries.min * 2 && canaries.max - canaries.min > 1.0
     // errs stay bounded too (ADVICE r5: an unbounded error map defeats the stdout budget):
     // messages clip at 80 chars and whole entries fold into "_omitted" past the cap
     def errsJson(maxLen: Int): String = {

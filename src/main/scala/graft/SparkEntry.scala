@@ -10,7 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - [[graft.ext.TextOps]]       — text analysis / fingerprinting
   *  - [[graft.ext.Dedup]]         — exact + MinHash-LSH + SimHash + Jaccard dedup
   *  - [[graft.ext.Similarity]]    — cosine top-k + LSH bucketing over embeddings
-  *  - [[graft.ext.Multimodal]]    — binary media columns + stubbed decode plumbing
+  *  - [[graft.ext.Multimodal]]    — binary media columns + WAV/BMP/AVI container codecs
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -34,7 +34,8 @@ object SparkEntry {
   val streamingHarness: Set[String] =
     Set("cdc_txn_reconstruct_stream", "cdc_pipeline_e2e", "cdc_apply_merge_stream",
       "events_window_stream", "events_dedup_stream", "events_dedup_stream_wm",
-      "events_join_stream", "events_session_stream")
+      "events_join_stream", "events_session_stream", "cdc_status_feed",
+      "dedup_incremental_stream")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
