@@ -26,6 +26,12 @@ object TextOps {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
+  /** Marker tokens of the four language heuristics — the "language identified" signal
+    * shared by the funnel and the composed curation pipeline (and their oracles). */
+  private val langMarkers =
+    Seq("the", "and", "of", "der", "und", "die", "le", "et", "la", "el", "y", "los")
+  private val langMarkerSql = langMarkers.map(w => s"x = '$w'").mkString(" OR ")
+
   private def stopwordCount(toks: Column): Column =
     size(filter(toks, t => stopwords.map(w => t === w).reduce(_ || _)))
 
@@ -183,7 +189,7 @@ object TextOps {
       import s.implicits._
       val d = graft.engine.Tables(s, dir, "documents").select($"doc_id", $"text", $"n_chars")
       val doubled = d.union(d.select(($"doc_id" + 1000000L).as("doc_id"), $"text", $"n_chars"))
-      val markers = Seq("the", "and", "of", "der", "und", "die", "le", "et", "la", "el", "y", "los")
+      val markers = langMarkers
       val toks = tokens($"text")
       val flagged = doubled.select($"text",
         (size(filter(toks, t => markers.map(t === _).reduce(_ || _))) > 0).as("f1"),
@@ -216,7 +222,7 @@ object TextOps {
         .select($"doc_id", $"text", $"source", $"n_chars")
       val doubled = d.union(d.select(($"doc_id" + 1000000L).as("doc_id"), $"text",
         $"source", $"n_chars"))
-      val markers = Seq("the", "and", "of", "der", "und", "die", "le", "et", "la", "el", "y", "los")
+      val markers = langMarkers
       val toks = tokens($"text")
       val kept = doubled
         .withColumn("n_toks", size(toks).cast("long"))
@@ -364,8 +370,7 @@ object TextOps {
         |WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 1000 < coalesce(permille, 0)
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "corpus_funnel" -> {
-      val markerSql = Seq("the", "and", "of", "der", "und", "die", "le", "et", "la", "el", "y", "los")
-        .map(w => s"x = '$w'").mkString(" OR ")
+      val markerSql = langMarkerSql
       s"""WITH d0 AS (SELECT doc_id, text, n_chars FROM documents
          |            UNION ALL SELECT doc_id + 1000000, text, n_chars FROM documents),
          |f AS (SELECT text, n_chars,
@@ -388,8 +393,7 @@ object TextOps {
          |ORDER BY stage""".stripMargin
     },
     "corpus_to_training_e2e" -> {
-      val markerSql = Seq("the", "and", "of", "der", "und", "die", "le", "et", "la", "el", "y", "los")
-        .map(w => s"x = '$w'").mkString(" OR ")
+      val markerSql = langMarkerSql
       s"""WITH d0 AS (SELECT doc_id, text, source, n_chars FROM documents
          |            UNION ALL SELECT doc_id + 1000000, text, source, n_chars FROM documents),
          |t AS (SELECT doc_id, text, source, n_chars,
