@@ -108,6 +108,32 @@ object Similarity {
         .select($"q_id", $"rnk".cast("long").as("rnk"), $"vec_id", $"sim")
         .orderBy($"q_id", $"rnk")
     },
+    // METADATA-FILTERED vector search — the RAG-retrieval shape: neighbors must also
+    // satisfy a document-metadata predicate (language + length here). PRE-filter design:
+    // the predicate applies via an id equi-join BEFORE any scoring, so excluded vectors
+    // are never scored (post-filtering a top-k instead can starve k after the filter —
+    // the classic filtered-ANN failure). At 100 TB both tables bucket on the id, making
+    // the metadata join co-located; the query set stays the broadcast side.
+    "simsearch_filtered" -> { (s, dir) =>
+      import s.implicits._
+      val meta = graft.engine.Tables(s, dir, "documents")
+        .filter($"lang".isin("en", "de") && $"n_chars" >= 200L)
+        .select($"doc_id".as("vec_id"))
+      val emb = graft.engine.Tables(s, dir, "embeddings")
+        .select($"vec_id", toDouble($"embedding").as("v"))
+        .withColumn("nrm", sqrt(dot($"v", $"v")))
+      val q = emb.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+      val scored = emb.join(meta, "vec_id")
+        .join(broadcast(q), $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id",
+          round(dot($"v", $"qv") / ($"nrm" * $"qnrm"), 6).as("sim"))
+      val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
+      scored.withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= TopK)
+        .select($"q_id", $"rnk".cast("long").as("rnk"), $"vec_id", $"sim")
+        .orderBy($"q_id", $"rnk")
+    },
     // ANN index EVALUATION — recall@k of the IVF path against the exact brute-force
     // baseline, per query: the measurement every production ANN deployment runs before
     // trusting an index (and after every re-train). Composes the two registered plans
@@ -193,6 +219,16 @@ object Similarity {
          |ranked AS (SELECT q_id, vec_id, sim,
          |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk FROM scored)
          |SELECT q_id, rnk, vec_id, sim FROM ranked WHERE rnk <= $IvfTopK ORDER BY q_id, rnk""".stripMargin,
+    "simsearch_filtered" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |m AS (SELECT doc_id AS vec_id FROM documents WHERE lang IN ('en','de') AND n_chars >= 200),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE $qSetSql),
+         |scored AS (SELECT q_id, e.vec_id,
+         |  round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS sim
+         |  FROM e JOIN m ON e.vec_id = m.vec_id, q WHERE e.vec_id <> q_id),
+         |ranked AS (SELECT q_id, vec_id, sim,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk FROM scored)
+         |SELECT q_id, rnk, vec_id, sim FROM ranked WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin,
     "simsearch_recall" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
          |qx AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE $qSetSql),
