@@ -577,10 +577,16 @@ object CdcQueries {
         while (!new String(Files.readAllBytes(path), "UTF-8").contains("\"STOPPED\"") &&
           System.nanoTime() < deadline) Thread.sleep(50)
       } finally s.streams.removeListener(listener)
+      // the feed is read EAGERLY (it is a driver-local few-hundred-byte file) so the temp
+      // file can be deleted before returning — the result frame must not keep a lazy
+      // dependency on it
+      val lines =
+        try new String(Files.readAllBytes(path), "UTF-8").linesIterator.toVector
+        finally Files.deleteIfExists(path)
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("event", org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("numInputRows", org.apache.spark.sql.types.StringType)))
-      s.read.schema(schema).json(path.toString)
+      s.read.schema(schema).json(s.createDataset(lines)(org.apache.spark.sql.Encoders.STRING))
         .filter($"event" =!= "PROGRESS" || coalesce($"numInputRows".cast("long"), lit(0L)) > 0)
         .groupBy($"event")
         .agg(count(lit(1)).as("cnt"),

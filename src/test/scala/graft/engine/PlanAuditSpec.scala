@@ -155,6 +155,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"expected <=2 exchanges (partial->final agg + 5-row sort):\n$p")
   }
 
+  test("simsearch_filtered: the metadata PRE-filter pushes into the documents scan") {
+    val p = plan("simsearch_filtered")
+    // filtered ANN: the predicate must reach the parquet reader (excluded docs are never
+    // even read), and the documents scan must not drag the text column along
+    val docScan = p.linesIterator.find(l => l.contains("documents") && l.contains("PushedFilters"))
+      .getOrElse("")
+    assert(docScan.contains("n_chars") && docScan.contains("lang"),
+      s"expected lang/n_chars pushed to the documents scan: $docScan\n$p")
+    assert(!docScan.contains("text"), s"documents scan must not read text: $docScan")
+  }
+
   test("events_json_extract: props parse stays in the scan stage, projection pruned") {
     val p = plan("events_json_extract")
     val scanLine = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
