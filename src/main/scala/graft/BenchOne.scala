@@ -23,8 +23,11 @@ object BenchOne {
       val ts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, sfDir).write.mode("overwrite").format("noop").save()
+        val t = (System.nanoTime() - t0) / 1e9
+        // OUTSIDE the timed window, same as Bench's finally — eviction cost must not
+        // inflate the spot measurement it exists to sanity-check
         spark.catalog.clearCache()
-        (System.nanoTime() - t0) / 1e9
+        t
       }
       val med = ts.sorted.apply(ts.size / 2)
       println(f"TIMING $n $med%.2f" +

@@ -112,13 +112,13 @@ object Catalog {
    */
   def withKeyMetadataFromDictionary(schema: StructType, dict: DataFrame,
                                     table: String): StructType = {
-    val rows = dict.filter(upper(col("table_name")) === table.toUpperCase)
+    val rows = dict.filter(upper(col("table_name")) === table.toUpperCase(java.util.Locale.ROOT))
       .select(lower(col("column_name")).as("c"),
         col("pk_column").cast("int").as("pk"), col("uq_column").cast("int").as("uq"))
       .collect()
     val pk = rows.collect { case r if r.getInt(1) == 1 => r.getString(0) }.toSet
     val uq = rows.collect { case r if r.getInt(2) == 1 => r.getString(0) }.toSet
-    val byLower = schema.fields.map(f => f.name.toLowerCase -> f.name).toMap
+    val byLower = schema.fields.map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f.name).toMap
     withKeyMetadata(schema, pk.flatMap(byLower.get), uq.flatMap(byLower.get))
   }
 
@@ -145,7 +145,7 @@ object Catalog {
     * [[castProjection]]'s uppercase payload lookup round-trips. */
   def schemaFromTabCols(cols: Seq[(String, String, Int, Int)]): StructType =
     StructType(cols.map { case (n, t, p, sc) =>
-      StructField(n.toLowerCase, oracleTypeToSpark(t, p, sc))
+      StructField(n.toLowerCase(java.util.Locale.ROOT), oracleTypeToSpark(t, p, sc))
     })
 
   /**
@@ -159,7 +159,7 @@ object Catalog {
    * NUMBER(p,s>0) there instead of to DoubleType.
    */
   def oracleTypeToSpark(dataType: String, precision: Int, scale: Int): DataType =
-    dataType.toUpperCase match {
+    dataType.toUpperCase(java.util.Locale.ROOT) match {
       case "NUMBER" =>
         // reference condition verbatim (Utils:194): scale>0 OR precision==0 -> FLOAT64 —
         // an unconstrained NUMBER (precision 0, scale 0) can hold fractions, so double
@@ -182,7 +182,7 @@ object Catalog {
    */
   def castProjection(payload: Column, schema: StructType): Seq[Column] =
     schema.fields.toSeq.map { f =>
-      castValue(payload.getItem(f.name.toUpperCase), f.dataType).as(f.name)
+      castValue(payload.getItem(f.name.toUpperCase(java.util.Locale.ROOT)), f.dataType).as(f.name)
     }
 
   /** One string payload value -> the table type (the per-field rule of [[castProjection]],

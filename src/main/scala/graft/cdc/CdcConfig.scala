@@ -61,7 +61,7 @@ object CdcConfig {
    */
   def fromMap(props: Map[String, String]): CdcConfig = {
     def bool(key: String, dflt: Boolean): Boolean =
-      props.get(key).map(_.trim.toLowerCase).map {
+      props.get(key).map(_.trim.toLowerCase(java.util.Locale.ROOT)).map {
         case "true" => true
         case "false" => false
         case v => throw new IllegalArgumentException(s"$key must be true/false, got: $v")
@@ -83,7 +83,7 @@ object CdcConfig {
       }
     }
     val dmlTypes = props.get("dml.types").map(_.trim).filter(_.nonEmpty)
-      .map(_.split(",").toSeq.map(_.trim.toUpperCase).filter(_.nonEmpty))
+      .map(_.split(",").toSeq.map(_.trim.toUpperCase(java.util.Locale.ROOT)).filter(_.nonEmpty))
       .getOrElse(Seq(RedoEvent.Insert, RedoEvent.Update, RedoEvent.Delete, RedoEvent.Ddl))
     CdcConfig(
       dbAlias = props.getOrElse("db.name.alias",

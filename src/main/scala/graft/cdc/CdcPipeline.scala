@@ -102,7 +102,7 @@ object CdcPipeline {
    * the reference's `setValueV2` per-table Struct (Task:395-407) as a Column plan.
    */
   def typedTableView(enveloped: DataFrame, sfDir: String, owner: String, table: String): DataFrame = {
-    val schema = Catalog.schemaOf(enveloped.sparkSession, sfDir, table.toLowerCase)
+    val schema = Catalog.schemaOf(enveloped.sparkSession, sfDir, table.toLowerCase(java.util.Locale.ROOT))
     enveloped
       .filter(col("seg_owner") === owner && col("table_name") === table)
       .select(Seq(col("scn"), col("operation")) ++ Catalog.castProjection(col("data"), schema): _*)

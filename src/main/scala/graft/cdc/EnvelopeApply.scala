@@ -37,7 +37,7 @@ object EnvelopeApply {
     // PK lives in `data` for INSERT/UPDATE and only in `before` for DELETE
     val keyCols = pk.map { p =>
       Catalog.castValue(
-        coalesce(col("data").getItem(p.toUpperCase), col("before").getItem(p.toUpperCase)),
+        coalesce(col("data").getItem(p.toUpperCase(java.util.Locale.ROOT)), col("before").getItem(p.toUpperCase(java.util.Locale.ROOT))),
         schema(p).dataType).as(p)
     }
     val keyed = enveloped.select(
@@ -105,7 +105,7 @@ object EnvelopeApply {
     require(pk.nonEmpty, "schema carries no pk/uq key metadata — see Catalog.withKeyMetadata")
     val keyCols = pk.map { p =>
       Catalog.castValue(
-        coalesce(col("data").getItem(p.toUpperCase), col("before").getItem(p.toUpperCase)),
+        coalesce(col("data").getItem(p.toUpperCase(java.util.Locale.ROOT)), col("before").getItem(p.toUpperCase(java.util.Locale.ROOT))),
         schema(p).dataType).as(p)
     }
     val pkc = pk.map(col)
@@ -158,9 +158,9 @@ object EnvelopeApply {
       .select(schema.fields.toSeq.map { f =>
         if (pk.contains(f.name)) col(f.name)
         else {
-          val key = lit(f.name.toUpperCase)
+          val key = lit(f.name.toUpperCase(java.util.Locale.ROOT))
           when(map_contains_key(col("c.f.m"), key),
-              Catalog.castValue(col("c.f.m").getItem(f.name.toUpperCase), f.dataType))
+              Catalog.castValue(col("c.f.m").getItem(f.name.toUpperCase(java.util.Locale.ROOT)), f.dataType))
             .when(coalesce(col("c.f.replaced"), lit(false)), lit(null).cast(f.dataType))
             .otherwise(col(s"s.${f.name}")).as(f.name)
         }
@@ -180,7 +180,7 @@ object EnvelopeApply {
   final case class ReplicaState(pk: Map[String, String], deleted: Boolean,
                                 m: Map[String, String], replaced: Boolean,
                                 vcs: Long = Long.MinValue, vscn: Long = Long.MinValue,
-                                vseq: Long = Long.MinValue)
+                                vseq: Long = Long.MinValue, vepoch: Long = 0L)
 
   /** One per-key emission per micro-batch that touched the key: the key's state AFTER
     * folding that batch's events. The version is the MAX ordering tuple
@@ -190,7 +190,7 @@ object EnvelopeApply {
     * counter would restart at 1 and lose to the tombstone in [[latestChanges]]' max_by). */
   final case class ReplicaEmit(key: String, pk: Map[String, String], deleted: Boolean,
                                m: Map[String, String], replaced: Boolean,
-                               vcs: Long, vscn: Long, vseq: Long)
+                               vcs: Long, vscn: Long, vseq: Long, vepoch: Long)
 
   /** Internal event shape of [[applyStreaming]] (public: encoder codegen constructs it). */
   final case class ApplyEvent(key: String, pk: Map[String, String], commit_scn: Long,
@@ -223,11 +223,11 @@ object EnvelopeApply {
     val pk = Catalog.effectiveKeys(schema)
     require(pk.nonEmpty, "schema carries no pk/uq key metadata — see Catalog.withKeyMetadata")
     val pkVals = pk.map(p =>
-      coalesce(col("data").getItem(p.toUpperCase), col("before").getItem(p.toUpperCase)))
+      coalesce(col("data").getItem(p.toUpperCase(java.util.Locale.ROOT)), col("before").getItem(p.toUpperCase(java.util.Locale.ROOT))))
     val events = enveloped.select(
       concat_ws("\u0000", pkVals: _*).as("key"),
       map_from_arrays(
-        array(pk.map(p => lit(p.toUpperCase)): _*), array(pkVals: _*)).as("pk"),
+        array(pk.map(p => lit(p.toUpperCase(java.util.Locale.ROOT))): _*), array(pkVals: _*)).as("pk"),
       col("commit_scn"), col("scn"), col("seq"), col("operation"), col("data"))
       .as[ApplyEvent]
     events.groupByKey(_.key)
@@ -254,13 +254,20 @@ object EnvelopeApply {
         val last = sorted.last
         val ver = Seq((st.vcs, st.vscn, st.vseq),
           (last.commit_scn, last.scn, last.seq)).max
-        st = st.copy(vcs = ver._1, vscn = ver._2, vseq = ver._3)
+        // vepoch breaks version TIES deterministically: a batch that delivers only an
+        // event OLDER than the max already applied re-emits the max version — without the
+        // epoch, latestChanges' max_by would pick between the two equal-version emissions
+        // arbitrarily and could drop the late event's absorbed effect. The epoch strictly
+        // increases per emission of a state lineage, so the emission that folded MORE
+        // events always outranks an equal-version predecessor. (Not needed across an
+        // eviction: a re-insert's event version strictly exceeds the tombstone's.)
+        st = st.copy(vcs = ver._1, vscn = ver._2, vseq = ver._3, vepoch = st.vepoch + 1)
         // tombstone: emit it (latestChanges must see the delete), then EVICT the key —
         // retaining it would grow state with every key ever deleted. A re-insert starts
         // fresh state and its higher (commit_scn, scn, seq) version outranks the tombstone.
         if (st.deleted) state.remove() else state.update(st)
         Iterator.single(ReplicaEmit(key, st.pk, st.deleted, st.m, st.replaced,
-          ver._1, ver._2, ver._3))
+          ver._1, ver._2, ver._3, st.vepoch))
       }
   }
 
@@ -271,9 +278,9 @@ object EnvelopeApply {
     val pk = Catalog.effectiveKeys(schema)
     emitted.groupBy(col("key"))
       .agg(max_by(struct(col("pk"), col("deleted"), col("m"), col("replaced")),
-        struct(col("vcs"), col("vscn"), col("vseq"))).as("s"))
+        struct(col("vcs"), col("vscn"), col("vseq"), col("vepoch"))).as("s"))
       .select(pk.map(p =>
-        Catalog.castValue(col("s.pk").getItem(p.toUpperCase), schema(p).dataType).as(p)) :+
+        Catalog.castValue(col("s.pk").getItem(p.toUpperCase(java.util.Locale.ROOT)), schema(p).dataType).as(p)) :+
         struct(col("s.deleted").as("deleted"), col("s.m").as("m"),
           col("s.replaced").as("replaced")).as("f"): _*)
   }

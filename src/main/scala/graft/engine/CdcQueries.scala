@@ -626,6 +626,26 @@ object CdcQueries {
     },
   )
 
+  /** The merge script's final state — shared by cdc_apply_merge, _prefold and _dict:
+    * the three queries' whole premise is gating against the IDENTICAL final state, so the
+    * identity is structural (one string), not three copies that can drift. */
+  private val applyMergeOracleSql =
+      """WITH base AS (SELECT cast(o_orderkey AS BIGINT) AS k, o_orderstatus, o_orderpriority
+        |              FROM orders),
+        |surv AS (
+        |  SELECT k AS o_orderkey,
+        |    CASE WHEN k % 9 = 0 THEN 'Y' WHEN k % 3 = 0 THEN 'Z'
+        |         ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN k % 9 = 0 THEN '9-PRIO' WHEN k % 6 = 0 THEN NULL
+        |         ELSE o_orderpriority END AS o_orderpriority
+        |  FROM base WHERE k % 10 <> 0),
+        |ins AS (
+        |  SELECT k + 10000000 AS o_orderkey,
+        |    CASE WHEN k % 8 = 0 THEN 'M' ELSE 'N' END AS o_orderstatus,
+        |    'NEW' AS o_orderpriority
+        |  FROM base WHERE k % 4 = 0)
+        |SELECT * FROM surv UNION ALL SELECT * FROM ins ORDER BY o_orderkey""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "cdc_parse_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
@@ -731,55 +751,10 @@ object CdcQueries {
         |  FROM base WHERE k % 7 = 0 AND k % 4 = 0)
         |SELECT * FROM surv UNION ALL SELECT * FROM ins ORDER BY o_orderkey""".stripMargin,
     // same final state as cdc_apply_merge — the pre-folded plan must change nothing
-    "cdc_apply_merge_prefold" ->
-      """WITH base AS (SELECT cast(o_orderkey AS BIGINT) AS k, o_orderstatus, o_orderpriority
-        |              FROM orders),
-        |surv AS (
-        |  SELECT k AS o_orderkey,
-        |    CASE WHEN k % 9 = 0 THEN 'Y' WHEN k % 3 = 0 THEN 'Z'
-        |         ELSE o_orderstatus END AS o_orderstatus,
-        |    CASE WHEN k % 9 = 0 THEN '9-PRIO' WHEN k % 6 = 0 THEN NULL
-        |         ELSE o_orderpriority END AS o_orderpriority
-        |  FROM base WHERE k % 10 <> 0),
-        |ins AS (
-        |  SELECT k + 10000000 AS o_orderkey,
-        |    CASE WHEN k % 8 = 0 THEN 'M' ELSE 'N' END AS o_orderstatus,
-        |    'NEW' AS o_orderpriority
-        |  FROM base WHERE k % 4 = 0)
-        |SELECT * FROM surv UNION ALL SELECT * FROM ins ORDER BY o_orderkey""".stripMargin,
+    "cdc_apply_merge_prefold" -> applyMergeOracleSql,
     // same final state as cdc_apply_merge — the dictionary path must change nothing
-    "cdc_apply_merge_dict" ->
-      """WITH base AS (SELECT cast(o_orderkey AS BIGINT) AS k, o_orderstatus, o_orderpriority
-        |              FROM orders),
-        |surv AS (
-        |  SELECT k AS o_orderkey,
-        |    CASE WHEN k % 9 = 0 THEN 'Y' WHEN k % 3 = 0 THEN 'Z'
-        |         ELSE o_orderstatus END AS o_orderstatus,
-        |    CASE WHEN k % 9 = 0 THEN '9-PRIO' WHEN k % 6 = 0 THEN NULL
-        |         ELSE o_orderpriority END AS o_orderpriority
-        |  FROM base WHERE k % 10 <> 0),
-        |ins AS (
-        |  SELECT k + 10000000 AS o_orderkey,
-        |    CASE WHEN k % 8 = 0 THEN 'M' ELSE 'N' END AS o_orderstatus,
-        |    'NEW' AS o_orderpriority
-        |  FROM base WHERE k % 4 = 0)
-        |SELECT * FROM surv UNION ALL SELECT * FROM ins ORDER BY o_orderkey""".stripMargin,
-    "cdc_apply_merge" ->
-      """WITH base AS (SELECT cast(o_orderkey AS BIGINT) AS k, o_orderstatus, o_orderpriority
-        |              FROM orders),
-        |surv AS (
-        |  SELECT k AS o_orderkey,
-        |    CASE WHEN k % 9 = 0 THEN 'Y' WHEN k % 3 = 0 THEN 'Z'
-        |         ELSE o_orderstatus END AS o_orderstatus,
-        |    CASE WHEN k % 9 = 0 THEN '9-PRIO' WHEN k % 6 = 0 THEN NULL
-        |         ELSE o_orderpriority END AS o_orderpriority
-        |  FROM base WHERE k % 10 <> 0),
-        |ins AS (
-        |  SELECT k + 10000000 AS o_orderkey,
-        |    CASE WHEN k % 8 = 0 THEN 'M' ELSE 'N' END AS o_orderstatus,
-        |    'NEW' AS o_orderpriority
-        |  FROM base WHERE k % 4 = 0)
-        |SELECT * FROM surv UNION ALL SELECT * FROM ins ORDER BY o_orderkey""".stripMargin,
+    "cdc_apply_merge_dict" -> applyMergeOracleSql,
+    "cdc_apply_merge" -> applyMergeOracleSql,
     "cdc_resume_ladder" ->
       """WITH t AS (SELECT cast(o_orderkey % 100 AS BIGINT) AS scn,
         |                  cast(o_orderkey % 7 AS BIGINT) AS cs,

@@ -32,6 +32,13 @@ object TextOps {
     Seq("the", "and", "of", "der", "und", "die", "le", "et", "la", "el", "y", "los")
   private val langMarkerSql = langMarkers.map(w => s"x = '$w'").mkString(" OR ")
 
+  /** Curation-quality thresholds, shared by text_quality, the funnel, the composed
+    * pipeline AND their oracles — one definition so the gates cannot drift apart. */
+  private val MinChars = 200L
+  private val MinToks = 30
+  private val DiversityBp = 3000
+  private val PackBudget = 256
+
   private def stopwordCount(toks: Column): Column =
     size(filter(toks, t => stopwords.map(w => t === w).reduce(_ || _)))
 
@@ -55,8 +62,8 @@ object TextOps {
       val toks = tokens($"text")
       graft.engine.Tables(s, dir, "documents")
         .select($"lang",
-          ($"n_chars" >= 200L).cast("int").as("long_enough"),
-          (size(toks) >= 30).cast("int").as("enough_tokens"),
+          ($"n_chars" >= MinChars).cast("int").as("long_enough"),
+          (size(toks) >= MinToks).cast("int").as("enough_tokens"),
           (stopwordCount(toks) * 10 >= size(toks)).cast("int").as("stopword_heavy"),
           (length(regexp_replace($"text", "[a-z0-9\\s]", "")) > 0).cast("int").as("has_punct"))
         .groupBy($"lang")
@@ -171,7 +178,7 @@ object TextOps {
       graft.engine.Tables(s, dir, "documents")
         .select($"doc_id", $"source", size(tokens($"text")).cast("long").as("n_toks"))
         .withColumn("cum", sum($"n_toks").over(w))
-        .withColumn("pack_id", expr("(cum - n_toks) div 256"))
+        .withColumn("pack_id", expr(s"(cum - n_toks) div $PackBudget"))
         .groupBy($"source", $"pack_id")
         .agg(count(lit(1)).as("doc_cnt"), sum($"n_toks").as("pack_toks"),
           min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
@@ -193,8 +200,8 @@ object TextOps {
       val toks = tokens($"text")
       val flagged = doubled.select($"text",
         (size(filter(toks, t => markers.map(t === _).reduce(_ || _))) > 0).as("f1"),
-        ($"n_chars" >= 200L && size(toks) >= 30).as("f2"),
-        (size(array_distinct(toks)) * 10000 >= size(toks) * 3000).as("f3"))
+        ($"n_chars" >= MinChars && size(toks) >= MinToks).as("f2"),
+        (size(array_distinct(toks)) * 10000 >= size(toks) * DiversityBp).as("f3"))
       val agg = flagged.agg(
         count(lit(1)).as("n0"),
         sum($"f1".cast("long")).as("n1"),
@@ -227,15 +234,15 @@ object TextOps {
       val kept = doubled
         .withColumn("n_toks", size(toks).cast("long"))
         .filter(size(filter(toks, t => markers.map(t === _).reduce(_ || _))) > 0)
-        .filter($"n_chars" >= 200L && $"n_toks" >= 30L)
-        .filter(size(array_distinct(toks)) * 10000 >= $"n_toks" * 3000)
+        .filter($"n_chars" >= MinChars && $"n_toks" >= lit(MinToks).cast("long"))
+        .filter(size(array_distinct(toks)) * 10000 >= $"n_toks" * DiversityBp)
       val deduped = kept
         .withColumn("keep_id", min($"doc_id").over(Window.partitionBy(md5($"text"))))
         .filter($"doc_id" === $"keep_id")
       val w = Window.partitionBy($"source").orderBy($"doc_id")
       deduped
         .withColumn("cum", sum($"n_toks").over(w))
-        .withColumn("pack_id", expr("(cum - n_toks) div 256"))
+        .withColumn("pack_id", expr(s"(cum - n_toks) div $PackBudget"))
         .groupBy($"source", $"pack_id")
         .agg(count(lit(1)).as("doc_cnt"), sum($"n_toks").as("pack_toks"),
           min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
@@ -315,8 +322,8 @@ object TextOps {
       s"""WITH d AS (SELECT lang, n_chars, text,
          |  list_filter(string_split_regex(trim(text),'\\s+'), x -> x <> '') AS toks FROM documents)
          |SELECT lang, cast(count(*) AS BIGINT) AS doc_cnt,
-         | cast(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS long_cnt,
-         | cast(sum(CASE WHEN len(toks) >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS token_rich_cnt,
+         | cast(sum(CASE WHEN n_chars >= $MinChars THEN 1 ELSE 0 END) AS BIGINT) AS long_cnt,
+         | cast(sum(CASE WHEN len(toks) >= $MinToks THEN 1 ELSE 0 END) AS BIGINT) AS token_rich_cnt,
          | cast(sum(CASE WHEN len(list_filter(toks, x -> $stopwordSql)) * 10 >= len(toks) THEN 1 ELSE 0 END) AS BIGINT) AS stopword_heavy_cnt,
          | cast(sum(CASE WHEN length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS punct_cnt
          |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
@@ -351,13 +358,13 @@ object TextOps {
         |  cast(max(cnt) * 10000 // sum(cnt) AS BIGINT) AS rep_bp
         |FROM cnts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_pack_sequences" ->
-      """WITH t AS (SELECT doc_id, source,
-        |  len(list_filter(string_split_regex(trim(text),'\s+'), x -> x <> '')) AS n_toks
+      s"""WITH t AS (SELECT doc_id, source,
+        |  len(list_filter(string_split_regex(trim(text),'\\s+'), x -> x <> '')) AS n_toks
         |  FROM documents),
         |c AS (SELECT doc_id, source, n_toks,
         |  sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
         |                    ROWS UNBOUNDED PRECEDING) AS cum FROM t)
-        |SELECT source, (cum - n_toks) // 256 AS pack_id,
+        |SELECT source, (cum - n_toks) // $PackBudget AS pack_id,
         |  cast(count(*) AS BIGINT) AS doc_cnt, cast(sum(n_toks) AS BIGINT) AS pack_toks,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin,
@@ -377,8 +384,8 @@ object TextOps {
          |  list_filter(string_split_regex(trim(text),'\\s+'), x -> x <> '') AS toks FROM d0),
          |flags AS (SELECT text,
          |  len(list_filter(toks, x -> $markerSql)) > 0 AS f1,
-         |  (n_chars >= 200 AND len(toks) >= 30) AS f2,
-         |  len(list_distinct(toks)) * 10000 >= len(toks) * 3000 AS f3 FROM f),
+         |  (n_chars >= $MinChars AND len(toks) >= $MinToks) AS f2,
+         |  len(list_distinct(toks)) * 10000 >= len(toks) * $DiversityBp AS f3 FROM f),
          |agg AS (SELECT cast(count(*) AS BIGINT) AS n0,
          |  cast(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
          |  cast(sum(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
@@ -400,15 +407,15 @@ object TextOps {
          |  list_filter(string_split_regex(trim(text),'\\s+'), x -> x <> '') AS toks FROM d0),
          |kept AS (SELECT doc_id, text, source, len(toks) AS n_toks FROM t
          |  WHERE len(list_filter(toks, x -> $markerSql)) > 0
-         |    AND n_chars >= 200 AND len(toks) >= 30
-         |    AND len(list_distinct(toks)) * 10000 >= len(toks) * 3000),
+         |    AND n_chars >= $MinChars AND len(toks) >= $MinToks
+         |    AND len(list_distinct(toks)) * 10000 >= len(toks) * $DiversityBp),
          |ded AS (SELECT * FROM (SELECT doc_id, source, n_toks,
          |    min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM kept)
          |  WHERE doc_id = keep_id),
          |c AS (SELECT doc_id, source, n_toks,
          |  sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
          |                    ROWS UNBOUNDED PRECEDING) AS cum FROM ded)
-         |SELECT source, (cum - n_toks) // 256 AS pack_id,
+         |SELECT source, (cum - n_toks) // $PackBudget AS pack_id,
          |  cast(count(*) AS BIGINT) AS doc_cnt, cast(sum(n_toks) AS BIGINT) AS pack_toks,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM c GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin

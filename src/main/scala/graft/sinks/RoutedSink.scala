@@ -1,6 +1,7 @@
 package graft.sinks
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
 import org.apache.spark.sql.Row
 
@@ -67,11 +68,14 @@ object RoutedSink {
    *
    * CONTRACT: run offline relative to the writer (the streaming query keeps writing new
    * `batch_id` partitions above `upTo`; readers union `baseDir/batch_id=*` with
-   * `compactedDir`). The write-then-delete pair here is NOT crash-atomic — a failure
-   * between the append and the deletes leaves folded batches present twice until a re-run;
-   * a production deployment gets the atomic version of exactly this operation from a
-   * transactional table format (Delta/Iceberg OPTIMIZE), which is the intended target —
-   * this helper is the lake-layout fallback.
+   * `compactedDir`). The write-then-delete pair is NOT crash-atomic, but a re-run IS the
+   * recovery: the fold ANTI-JOINS the compacted base's identity keys before appending, so
+   * a failure between the append and the deletes (folded rows present twice) resolves on
+   * the next run instead of duplicating again — and a row replayed across COMPACTION runs
+   * (batch 3 in run 1, batch 12 in run 2) is deduped by the same anti-join. The identity
+   * probe reads only the identity columns of the base (column-pruned scan); avoiding even
+   * that per-compaction scan is what a transactional table format's OPTIMIZE buys — the
+   * intended production target, with this helper as the lake-layout fallback.
    */
   def compactBatches(spark: org.apache.spark.sql.SparkSession, baseDir: String,
                      compactedDir: String, upTo: Long): Int = {
@@ -85,9 +89,14 @@ object RoutedSink {
     val df = spark.read
       .option("basePath", baseDir) // keep batch_id/topic as partition columns
       .parquet(folded.map(_.getPath.toString): _*)
-    dedupByIdentity(df)
-      .drop("batch_id")
-      .write.mode("append").partitionBy("topic").parquet(compactedDir)
+    val fresh = dedupByIdentity(df).drop("batch_id")
+    val idCols = Seq("scn", "row_id", "operation") ++
+      (if (fresh.columns.contains("seq")) Seq("seq") else Nil)
+    val existing = scala.util.Try(
+        spark.read.parquet(compactedDir).select(idCols.map(col): _*))
+      .toOption // first compaction: no base yet (or an empty dir) — nothing to probe
+    val out = existing.fold(fresh)(e => fresh.join(e, idCols, "left_anti"))
+    out.write.mode("append").partitionBy("topic").parquet(compactedDir)
     folded.foreach(st => fs.delete(st.getPath, true))
     folded.size
   }
@@ -102,7 +111,7 @@ object RoutedSink {
       .filter(enveloped("operation") === graft.cdc.RedoEvent.Ddl)
       .select("table_name").distinct().collect()
       .map((r: Row) => r.getString(0)).toSeq
-    tables.foreach(t => Catalog.invalidate(sfDir, t.toLowerCase))
+    tables.foreach(t => Catalog.invalidate(sfDir, t.toLowerCase(java.util.Locale.ROOT)))
     tables
   }
 

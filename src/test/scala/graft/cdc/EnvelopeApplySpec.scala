@@ -95,6 +95,26 @@ class EnvelopeApplySpec extends AnyFunSuite {
     assert(merged.toSeq === Seq(Row(1L, "a2", 11), Row(2L, null, 20)))
   }
 
+  test("streaming: a late-arriving OLDER event's emission outranks the equal-version predecessor") {
+    import spark.implicits._
+    import org.apache.spark.sql.Encoders
+    val snapshot = Seq((1L, "a", 10)).toDF("id", "name", "v")
+    val schema = Catalog.withKeyMetadata(snapshot.schema, Set("id"))
+    // batch 1 applies version (1,5,1); batch 2 delivers ONLY an older event (1,3,1) that
+    // sets V. Both emissions then carry max version (1,5,1) — the vepoch tiebreaker must
+    // make latestChanges pick batch 2's emission (which absorbed BOTH events), not leave
+    // the choice to max_by encounter order where V's update could silently vanish.
+    val b1 = Seq(EnvRow(1L, 5L, 1L, RedoEvent.Update, Map("ID" -> "1", "NAME" -> "n5"), Map("ID" -> "1")))
+    val b2 = Seq(EnvRow(1L, 3L, 1L, RedoEvent.Update, Map("ID" -> "1", "V" -> "77"), Map("ID" -> "1")))
+    val out = graft.engine.StreamGate.runTwoBatches(spark,
+        Encoders.product[EnvRow], "env_apply_late_sink", b1, b2) { ds =>
+      EnvelopeApply.applyStreaming(ds.toDF(), schema).toDF()
+    }
+    val merged = EnvelopeApply.applyChanges(snapshot,
+      EnvelopeApply.latestChanges(out, schema), schema).collect()
+    assert(merged.toSeq === Seq(Row(1L, "n5", 77)))
+  }
+
   test("property: applyPrefolded ≡ apply on 300 random per-key histories (VERDICT r5 #7)") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)

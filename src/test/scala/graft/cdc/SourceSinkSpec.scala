@@ -173,6 +173,19 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(topics.toList == List("topic=DB1.APP.T1", "topic=DB1.APP.T2"))
     // re-run is a no-op: nothing left at or below the fold point
     assert(RoutedSink.compactBatches(spark, base, compacted, upTo = 1) == 0)
+    // crash recovery: a failure between the append and the partition deletes leaves the
+    // folded batch dirs behind — simulate by re-writing batch 0 verbatim; the re-run must
+    // anti-join against the compacted base and append NOTHING new (not duplicate)
+    RoutedSink.writeBatchIdempotent(batch(1L -> "DB1.APP.T1", 2L -> "DB1.APP.T2"), base, 0)
+    assert(RoutedSink.compactBatches(spark, base, compacted, upTo = 1) == 1)
+    val afterRerun = spark.read.parquet(compacted)
+    assert(afterRerun.select("scn").as[Long].collect().sorted.toList == List(1L, 2L, 3L))
+    // cross-compaction-run replay: scn=3 re-delivered in a LATER batch, folded by a later
+    // run — the anti-join must collapse it too
+    RoutedSink.writeBatchIdempotent(batch(3L -> "DB1.APP.T1", 5L -> "DB1.APP.T1"), base, 3)
+    assert(RoutedSink.compactBatches(spark, base, compacted, upTo = 3) == 2)
+    val afterRun2 = spark.read.parquet(compacted)
+    assert(afterRun2.select("scn").as[Long].collect().sorted.toList == List(1L, 2L, 3L, 4L, 5L))
   }
 
   test("RoutedSink.writeBatch partitions the lake by topic; DDL invalidation reports tables") {
