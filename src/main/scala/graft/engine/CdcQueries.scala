@@ -346,7 +346,11 @@ object CdcQueries {
     "cdc_pipeline_e2e" -> { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.Encoders
-      val cfg = CdcConfig("DB1", Seq("GRAFT" -> "*"), abandonedTxnTimeout = None)
+      // config arrives as the reference's property map (A26 parse surface in the gated
+      // path, not just in its spec); NoTimeout posture for the drained-batch harness
+      val cfg = CdcConfig.fromMap(Map(
+        "db.name.alias" -> "DB1", "table.whitelist" -> "GRAFT.*"))
+        .copy(abandonedTxnTimeout = None)
       val script: Seq[RedoEvent] = Tables(s, dir, "orders")
         .select($"o_orderkey", $"o_orderstatus")
         // %8 subsample: this is the WIRING/parity gate (throughput is cdc_txn_reconstruct);
