@@ -577,7 +577,9 @@ object CdcQueries {
       try {
         StreamGate.runBatches(s, Encoders.scalaLong, "cdc_status_feed_sink", Seq(b1, b2))(
           ds => ds.toDF("k"))
-        val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+        // generous: the bus normally delivers in ms, but the round's gate can run on a
+        // heavily contended machine and a missed STOPPED line would read as a hash miss
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
         while (!new String(Files.readAllBytes(path), "UTF-8").contains("\"STOPPED\"") &&
           System.nanoTime() < deadline) Thread.sleep(50)
       } finally s.streams.removeListener(listener)
