@@ -35,6 +35,9 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // f"" uses the JVM default locale — a de_DE machine would print decimal COMMAS and
+    // corrupt the JSON; all numeric formatting here goes through Locale.ROOT
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
     // warmup: parquet footer reads + codegen/classloading so the alphabetically-first
@@ -128,8 +131,8 @@ object Bench {
       s
     }
     val total = timings.values.sum
-    val canaryJson = canaries.map(c => f"$c%.2f").mkString("[", ",", "]")
-    val loadJson = f"""[$loadStart%.2f,${loadAvg()}%.2f]"""
+    val canaryJson = canaries.map(num).mkString("[", ",", "]")
+    val loadJson = s"[${num(loadStart)},${num(loadAvg())}]"
     // full-precision record to stderr (and a file beside the build) for local analysis
     val fullQs = timings.map { case (k, v) =>
       val (lo, hi) = spreads(k)
@@ -147,7 +150,7 @@ object Bench {
     // queries ordered fastest-first so a clip would eat the least-informative entries
     // first — and, if the surface outgrows the window, FOLD the fastest queries into an
     // "omitted_fastest" summary instead of letting the JSON get truncated mid-object.
-    def fmt(v: Double): String = f"$v%.2f"
+    def fmt(v: Double): String = num(v)
     def line(qSeq: Seq[(String, Double)], omitted: Seq[(String, Double)]): String = {
       val qs = qSeq.map { case (k, v) => s""""${esc(k)}":${fmt(v)}""" }.mkString("{", ",", "}")
       val om = if (omitted.isEmpty) ""

@@ -30,8 +30,9 @@ object BenchOne {
         t
       }
       val med = ts.sorted.apply(ts.size / 2)
-      println(f"TIMING $n $med%.2f" +
-        (if (reps > 1) ts.map(t => f"$t%.2f").mkString(" [", " ", "]") else ""))
+      def num(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      println(s"TIMING $n ${num(med)}" +
+        (if (reps > 1) ts.map(num).mkString(" [", " ", "]") else ""))
     }
     spark.stop()
   }

@@ -82,9 +82,15 @@ object CdcConfig {
           throw new IllegalArgumentException(s"start.scn must be numeric, got: $v")
       }
     }
+    val knownOps = Seq(RedoEvent.Insert, RedoEvent.Update, RedoEvent.Delete, RedoEvent.Ddl)
     val dmlTypes = props.get("dml.types").map(_.trim).filter(_.nonEmpty)
       .map(_.split(",").toSeq.map(_.trim.toUpperCase(java.util.Locale.ROOT)).filter(_.nonEmpty))
-      .getOrElse(Seq(RedoEvent.Insert, RedoEvent.Update, RedoEvent.Delete, RedoEvent.Ddl))
+      .getOrElse(knownOps)
+    // a typo'd operation would silently exclude a whole DML class from capture — the
+    // exact silent mis-capture this parse surface promises to prevent
+    dmlTypes.find(!knownOps.contains(_)).foreach(bad =>
+      throw new IllegalArgumentException(
+        s"dml.types must be among ${knownOps.mkString(",")}, got: $bad"))
     CdcConfig(
       dbAlias = props.getOrElse("db.name.alias",
         throw new IllegalArgumentException("db.name.alias must be set (Connector:27-30)")),

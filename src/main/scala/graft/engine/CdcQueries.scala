@@ -349,7 +349,10 @@ object CdcQueries {
       // config arrives as the reference's property map (A26 parse surface in the gated
       // path, not just in its spec); NoTimeout posture for the drained-batch harness
       val cfg = CdcConfig.fromMap(Map(
-        "db.name.alias" -> "DB1", "table.whitelist" -> "GRAFT.*"))
+        "db.name.alias" -> "DB1", "table.whitelist" -> "GRAFT.*",
+        // explicit: fromMap's reference-parity default is FALSE, while this pipeline has
+        // always run the unescaping posture — never flip semantics via an implicit default
+        "map.unescaped.strings" -> "true"))
         .copy(abandonedTxnTimeout = None)
       val script: Seq[RedoEvent] = Tables(s, dir, "orders")
         .select($"o_orderkey", $"o_orderstatus")
@@ -513,7 +516,9 @@ object CdcQueries {
         "5_cm_exclusive" ->
           RedoEventSource.ResumePosition(60L, 0L, "", skipBoundary = false, inclusive = false).predicate)
       val aggs = postures.flatMap { case (n, p) =>
-        Seq(sum(when(p, 1L)).as(s"c_$n"), min(when(p, $"scn")).as(s"m_$n")) }
+        // count(when(...)) not sum: a zero-match posture must read 0 like the oracle's
+        // count(*), never NULL
+        Seq(count(when(p, 1)).as(s"c_$n"), min(when(p, $"scn")).as(s"m_$n")) }
       val stacked = postures.map { case (n, _) =>
         struct(lit(n).as("resume_case"), col(s"c_$n").as("cnt"), col(s"m_$n").as("min_scn")) }
       triples.agg(aggs.head, aggs.tail: _*)
@@ -572,23 +577,36 @@ object CdcQueries {
         .collect().toSeq // driver-side feed is inherent to MemoryStream
       val (b1, b2) = keys.partition(_ % 8 == 0)
       val path = Files.createTempFile("graft-status", ".jsonl")
+      val sinkName = "cdc_status_feed_sink"
       val listener = new StatusListener(path.toString)
+      // the listener hears EVERY query on the session bus — the gate must key on THIS
+      // query's id (resolved from its RUNNING line by name) or a stray query still
+      // winding down from an earlier bench entry would contaminate the counts
+      val idOf = """"id":"([^"]+)"""".r
+      def feed(): Vector[String] =
+        new String(Files.readAllBytes(path), "UTF-8").linesIterator.toVector
+      def ourId(ls: Vector[String]): Option[String] =
+        ls.find(l => l.contains(""""event":"RUNNING"""") && l.contains(s""""name":"$sinkName""""))
+          .flatMap(idOf.findFirstMatchIn(_)).map(_.group(1))
+      def stopped(ls: Vector[String]): Boolean = ourId(ls).exists(id =>
+        ls.exists(l => l.contains(""""event":"STOPPED"""") && l.contains(s""""id":"$id"""")))
       s.streams.addListener(listener)
       try {
-        StreamGate.runBatches(s, Encoders.scalaLong, "cdc_status_feed_sink", Seq(b1, b2))(
-          ds => ds.toDF("k"))
+        StreamGate.runBatches(s, Encoders.scalaLong, sinkName, Seq(b1, b2))(ds => ds.toDF("k"))
         // generous: the bus normally delivers in ms, but the round's gate can run on a
         // heavily contended machine and a missed STOPPED line would read as a hash miss
         val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-        while (!new String(Files.readAllBytes(path), "UTF-8").contains("\"STOPPED\"") &&
-          System.nanoTime() < deadline) Thread.sleep(50)
+        while (!stopped(feed()) && System.nanoTime() < deadline) Thread.sleep(50)
       } finally s.streams.removeListener(listener)
       // the feed is read EAGERLY (it is a driver-local few-hundred-byte file) so the temp
       // file can be deleted before returning — the result frame must not keep a lazy
       // dependency on it
       val lines =
-        try new String(Files.readAllBytes(path), "UTF-8").linesIterator.toVector
-        finally Files.deleteIfExists(path)
+        try {
+          val ls = feed()
+          val id = ourId(ls)
+          ls.filter(l => id.exists(i => l.contains(s""""id":"$i"""")))
+        } finally Files.deleteIfExists(path)
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("event", org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("numInputRows", org.apache.spark.sql.types.StringType)))

@@ -84,7 +84,12 @@ object Multimodal {
     while (buf.remaining() >= 8) {
       val id = fourcc()
       val size = buf.getInt()
-      val next = buf.position() + size + (size % 2) // RIFF: odd chunk bodies pad to even
+      val next = buf.position().toLong + size + (size % 2) // RIFF: odd bodies pad even
+      // same bounds discipline as the AVI walk (Long math: no Int overflow past the
+      // check): a negative size must not move `next` backwards (infinite loop) and an
+      // oversized one must not drive a fatal allocation
+      require(size >= 0 && next <= bytes.length,
+        s"doc $docId: chunk $id size $size out of bounds (next=$next len=${bytes.length})")
       id match {
         case "fmt " =>
           format = buf.getShort(); channels = buf.getShort()
@@ -94,7 +99,7 @@ object Multimodal {
           samples = new Array[Byte](size); buf.get(samples)
         case _ => () // unknown chunk: skip
       }
-      buf.position(next)
+      buf.position(next.toInt)
     }
     require(samples != null && format >= 0, s"doc $docId: missing fmt or data chunk")
     var sum = 0L; var f0 = 0L; var i = 0
@@ -263,7 +268,7 @@ object Multimodal {
   /** The per-payload AVI walk behind [[sampleFrames]] — also the unit a fault-tolerant
     * decode wraps in Try ([[decodeFramesOrDlq]]): corrupt containers THROW here (loudly,
     * never a silent mis-parse), and the caller decides drop vs dead-letter. */
-  private[ext] def sampleFramesOne(docId: Long, bytes: Array[Byte],
+  private[graft] def sampleFramesOne(docId: Long, bytes: Array[Byte],
                                    stride: Int): Iterator[FrameRow] = {
     val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def fourcc(): String = {
@@ -280,11 +285,18 @@ object Multimodal {
       while (buf.position() + 8 <= end) {
         val id = fourcc()
         val size = buf.getInt()
-        val next = buf.position() + size + (size % 2) // RIFF: odd chunk bodies pad to even
+        // Long arithmetic: a near-Int.MaxValue size would overflow an Int `next` negative
+        // and slip past the bound check below
+        val next = buf.position().toLong + size + (size % 2) // RIFF: odd bodies pad even
+        // bounds BEFORE use: a negative size would move `next` backwards (infinite loop —
+        // the stage would wedge instead of dead-lettering the row), and a huge positive
+        // one would attempt a multi-GB frame allocation whose OOM is fatal and uncatchable
+        require(size >= 0 && next <= end,
+          s"doc $docId: chunk $id size $size out of bounds (next=$next end=$end)")
         id match {
           case "LIST" =>
             val listType = fourcc()
-            if (listType == "hdrl" || listType == "movi") walk(next, listType == "movi")
+            if (listType == "hdrl" || listType == "movi") walk(next.toInt, listType == "movi")
           case "avih" =>
             buf.getInt(); buf.getInt(); buf.getInt(); buf.getInt() // usec, bps, pad, flags
             totalFrames = buf.getInt()
@@ -292,7 +304,7 @@ object Multimodal {
             val f = new Array[Byte](size); buf.get(f); frames += f
           case _ => () // unknown chunk (strl, idx1, ...): skip
         }
-        buf.position(next)
+        buf.position(next.toInt)
       }
     walk(bytes.length, inMovi = false)
     require(totalFrames == frames.size,

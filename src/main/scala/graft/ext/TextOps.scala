@@ -197,11 +197,13 @@ object TextOps {
       val d = graft.engine.Tables(s, dir, "documents").select($"doc_id", $"text", $"n_chars")
       val doubled = d.union(d.select(($"doc_id" + 1000000L).as("doc_id"), $"text", $"n_chars"))
       val markers = langMarkers
-      val toks = tokens($"text")
-      val flagged = doubled.select($"text",
-        (size(filter(toks, t => markers.map(t === _).reduce(_ || _))) > 0).as("f1"),
-        ($"n_chars" >= MinChars && size(toks) >= MinToks).as("f2"),
-        (size(array_distinct(toks)) * 10000 >= size(toks) * DiversityBp).as("f3"))
+      // same generator barrier as the composed pipeline: one split per row, not one per flag
+      val flagged = doubled
+        .select($"text", $"n_chars", explode(array(tokens($"text"))).as("toks"))
+        .select($"text",
+          (size(filter($"toks", t => markers.map(t === _).reduce(_ || _))) > 0).as("f1"),
+          ($"n_chars" >= MinChars && size($"toks") >= MinToks).as("f2"),
+          (size(array_distinct($"toks")) * 10000 >= size($"toks") * DiversityBp).as("f3"))
       val agg = flagged.agg(
         count(lit(1)).as("n0"),
         sum($"f1".cast("long")).as("n1"),
@@ -230,12 +232,16 @@ object TextOps {
       val doubled = d.union(d.select(($"doc_id" + 1000000L).as("doc_id"), $"text",
         $"source", $"n_chars"))
       val markers = langMarkers
-      val toks = tokens($"text")
+      // explode(array(...)) barrier: toks is referenced by three filters, and inlined the
+      // regex split would re-run per reference (the text_repetition lesson — a generator
+      // output is materialized once per row)
       val kept = doubled
-        .withColumn("n_toks", size(toks).cast("long"))
-        .filter(size(filter(toks, t => markers.map(t === _).reduce(_ || _))) > 0)
+        .select($"doc_id", $"text", $"source", $"n_chars",
+          explode(array(tokens($"text"))).as("toks"))
+        .withColumn("n_toks", size($"toks").cast("long"))
+        .filter(size(filter($"toks", t => markers.map(t === _).reduce(_ || _))) > 0)
         .filter($"n_chars" >= MinChars && $"n_toks" >= lit(MinToks).cast("long"))
-        .filter(size(array_distinct(toks)) * 10000 >= $"n_toks" * DiversityBp)
+        .filter(size(array_distinct($"toks")) * 10000 >= $"n_toks" * DiversityBp)
       val deduped = kept
         .withColumn("keep_id", min($"doc_id").over(Window.partitionBy(md5($"text"))))
         .filter($"doc_id" === $"keep_id")

@@ -92,10 +92,17 @@ object RoutedSink {
     val fresh = dedupByIdentity(df).drop("batch_id")
     val idCols = Seq("scn", "row_id", "operation") ++
       (if (fresh.columns.contains("seq")) Seq("seq") else Nil)
-    val existing = scala.util.Try(
-        spark.read.parquet(compactedDir).select(idCols.map(col): _*))
-      .toOption // first compaction: no base yet (or an empty dir) — nothing to probe
-    val out = existing.fold(fresh)(e => fresh.join(e, idCols, "left_anti"))
+    // only a genuinely absent/empty base skips the idempotency probe — a real read
+    // failure (corrupt footer, schema drift, FS error) must PROPAGATE, because silently
+    // skipping the anti-join would append duplicates the contract says cannot happen
+    val compactedPath = new org.apache.hadoop.fs.Path(compactedDir)
+    val hasBase = fs.exists(compactedPath) &&
+      fs.listStatus(compactedPath).exists(f => !f.getPath.getName.startsWith("_"))
+    val out =
+      if (hasBase)
+        fresh.join(spark.read.parquet(compactedDir).select(idCols.map(col): _*),
+          idCols, "left_anti")
+      else fresh
     out.write.mode("append").partitionBy("topic").parquet(compactedDir)
     folded.foreach(st => fs.delete(st.getPath, true))
     folded.size

@@ -229,6 +229,25 @@ class CsfCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("RIFF"))
   }
 
+  test("AVI walk rejects out-of-bounds chunk sizes loudly (no infinite loop, no huge alloc)") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // minimal RIFF/AVI envelope with one chunk whose size field is NEGATIVE — without the
+    // bounds require the walk would loop forever on it (next == chunk start)
+    def container(chunkSize: Int): Array[Byte] = {
+      val body = 4 + 8 // "AVI " + one chunk header
+      val buf = ByteBuffer.allocate(8 + body).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes).putInt(body).put("AVI ".getBytes)
+      buf.put("junk".getBytes).putInt(chunkSize)
+      buf.array()
+    }
+    val e1 = intercept[IllegalArgumentException](
+      graft.ext.Multimodal.sampleFramesOne(1L, container(-8), 1).toList)
+    assert(e1.getMessage.contains("out of bounds"))
+    val e2 = intercept[IllegalArgumentException](
+      graft.ext.Multimodal.sampleFramesOne(2L, container(0x7FFFFFF0), 1).toList)
+    assert(e2.getMessage.contains("out of bounds"))
+  }
+
   test("A14: dictionary-backed schema cache loads on miss only; invalidate forces reload") {
     val src = "csfcatalogspec-a14"
     Catalog.invalidate(src, "T")
