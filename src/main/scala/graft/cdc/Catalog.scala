@@ -96,7 +96,11 @@ object Catalog {
     tabCols.filter(col("hidden_column") === "NO" && col("virtual_column") === "NO")
       .join(broadcast(dcc), Seq("owner", "table_name", "column_name"), "left_outer")
       .join(broadcast(duq), Seq("owner", "table_name", "column_name"), "left_outer")
-      .select(col("table_name"), col("column_name"), col("column_id"),
+      // owner stays in the projection (the reference selects dc.owner and binds
+      // $TABLE_OWNER$, SQL:13): same-named tables under different owners are distinct
+      // dictionary entries, and a consumer that keyed on table_name alone would merge
+      // their pk sets into a wrong composite key
+      .select(col("owner"), col("table_name"), col("column_name"), col("column_id"),
         coalesce(col("pk"), lit(0)).as("pk_column"), coalesce(col("uq"), lit(0)).as("uq_column"))
       .orderBy(col("table_name"), col("column_id"))
   }
@@ -111,8 +115,13 @@ object Catalog {
    * executors never consult the dictionary.
    */
   def withKeyMetadataFromDictionary(schema: StructType, dict: DataFrame,
-                                    table: String): StructType = {
-    val rows = dict.filter(upper(col("table_name")) === table.toUpperCase(java.util.Locale.ROOT))
+                                    owner: String, table: String): StructType = {
+    val up = (s: String) => s.toUpperCase(java.util.Locale.ROOT)
+    // filter on the (owner, table) PAIR, as the reference binds $TABLE_OWNER$ AND
+    // $TABLE_NAME$ (SQL:13) — matching table_name alone would union the pk sets of
+    // same-named tables across owners into a wrong composite key
+    val rows = dict.filter(upper(col("owner")) === up(owner) &&
+        upper(col("table_name")) === up(table))
       .select(lower(col("column_name")).as("c"),
         col("pk_column").cast("int").as("pk"), col("uq_column").cast("int").as("uq"))
       .collect()

@@ -40,10 +40,14 @@ final case class CdcConfig(
     s"heartbeatTable must be OWNER.TABLE, got: ${heartbeatTable.getOrElse("")}")
   require(startScn.forall(_ > 0L), "startScn must be positive when set (Task:168-173)")
 
-  /** The resolved resume posture given a stored offset and the current tip (A5). */
-  def resume(stored: Option[(Long, Long, String)], currentScn: => Long)
+  /** The resolved resume posture given a stored offset and the current tip (A5). Pass the
+    * checkpointed order key as `storedSeq` so the boundary skip is the loss-free
+    * `seq > boundary` form rather than the triple-lexicographic parity fallback. */
+  def resume(stored: Option[(Long, Long, String)], currentScn: => Long,
+             storedSeq: Option[Long] = None)
       : graft.sources.RedoEventSource.ResumePosition =
-    graft.sources.RedoEventSource.resolveResume(stored, startScn, resetOffset, currentScn)
+    graft.sources.RedoEventSource.resolveResume(stored, startScn, resetOffset, currentScn,
+      storedSeq)
 }
 
 object CdcConfig {

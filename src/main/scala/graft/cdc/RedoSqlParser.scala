@@ -213,9 +213,22 @@ object RedoSqlParser {
     out.result()
   }
 
-  /** Parse one redo DML statement. Throws IllegalArgumentException on non-DML / malformed input. */
+  /** Parse one redo DML statement. Throws IllegalArgumentException on non-DML / malformed
+    * input — INCLUDING statements with trailing out-of-grammar syntax (an OR disjunct, a
+    * subquery, …): a half-parsed statement accepted ok=true would apply a truncated
+    * before-image to the replica, so anything this grammar cannot consume to EOF must
+    * fail and route to the DLQ (parseOpt -> None -> A25), mirroring the reference's
+    * parse-failure posture (Thread:305-308). */
   def parse(sqlRedo: String, unescape: Boolean = true): ParsedDml = {
     val c = new Cursor(tokenize(sqlRedo.trim.stripSuffix(";"), unescape))
+    val parsed = parseStatement(c)
+    if (!c.eof)
+      throw new IllegalArgumentException(
+        s"trailing tokens after statement at token ${c.pos}: ${c.peek.getOrElse("")} — unsupported syntax")
+    parsed
+  }
+
+  private def parseStatement(c: Cursor): ParsedDml = {
     if (c.isKw("insert")) {
       c.next(); c.expectKw("into")
       val (owner, table) = parseQualifiedName(c)
@@ -242,8 +255,14 @@ object RedoSqlParser {
           case other    => throw new IllegalArgumentException(s"bad insert values list: $other")
         }
       }
-      val data = cols.result().zip(vals.result())
-      ParsedDml("INSERT", owner, table, data, Vector.empty)
+      val (cs, vs) = (cols.result(), vals.result())
+      // zip would silently TRUNCATE on arity mismatch — a column would vanish from data
+      // with ok=true and EnvelopeApply would treat it as never-set (NULL on INSERT); a
+      // malformed statement must fail loudly to the DLQ instead
+      if (cs.size != vs.size)
+        throw new IllegalArgumentException(
+          s"insert arity mismatch: ${cs.size} columns vs ${vs.size} values")
+      ParsedDml("INSERT", owner, table, cs.zip(vs), Vector.empty)
     } else if (c.isKw("update")) {
       c.next()
       val (owner, table) = parseQualifiedName(c)
@@ -274,7 +293,7 @@ object RedoSqlParser {
         if (c.isKw("where")) { c.next(); parseWhere(c) } else Vector.empty
       ParsedDml("DELETE", owner, table, Vector.empty, before)
     } else {
-      throw new IllegalArgumentException(s"not a redo DML statement: ${sqlRedo.take(60)}")
+      throw new IllegalArgumentException(s"not a redo DML statement (starts with ${c.peek.getOrElse("<empty>")})")
     }
   }
 

@@ -108,7 +108,11 @@ object TxnAssembler {
           // trnCollection); orphan rows implicitly open a buffer (Thread:292-297).
           buf =
             if (buf.overflowed || buf.n >= maxBufferedRows)
-              buf.copy(started = true, overflowed = true)
+              // the txn is now guaranteed to be dropped whole at COMMIT, so the buffered
+              // rows are dead weight — clear them (in streaming they would otherwise be
+              // re-serialized into the state store every micro-batch until COMMIT/timeout,
+              // exactly the runaway-transaction cost the cap exists to bound)
+              buf.copy(rows = Nil, started = true, overflowed = true)
             else
               TxnBuffer(e :: buf.rows, buf.containsRollback || e.rollback, started = true,
                 overflowed = false, n = buf.n + 1)

@@ -458,7 +458,7 @@ object CdcQueries {
       val indexes = Seq(("GRAFT", "IX_ORDERS", "UNIQUE"))
         .toDF("owner", "index_name", "uniqueness")
       val dict = Catalog.pkUqDictionary(tabCols, constraints, consCols, indCols, indexes)
-      val schema = Catalog.withKeyMetadataFromDictionary(snapshot.schema, dict, "orders")
+      val schema = Catalog.withKeyMetadataFromDictionary(snapshot.schema, dict, "GRAFT", "orders")
       EnvelopeApply(snapshot, mergeEnvelope(s, dir, lit(true)), schema).orderBy($"o_orderkey")
     },
     // The STREAMING envelope-apply — replica maintenance as a keyed-state operator
@@ -501,10 +501,16 @@ object CdcQueries {
       val triples = Tables(s, dir, "orders").select(
         ($"o_orderkey" % 100).cast("long").as("scn"),
         ($"o_orderkey" % 7).cast("long").as("commitScn"),
-        concat(lit("R"), $"o_orderkey" % 5).as("rowId"))
+        concat(lit("R"), $"o_orderkey" % 5).as("rowId"),
+        ($"o_orderkey" % 1000).cast("long").as("seq"))
       val tip: Long = triples.agg(max($"scn")).head.getLong(0) - 29
       def noTip: Long = sys.error("resume ladder consulted the DB tip when a position exists")
       val postures: Seq[(String, Column)] = Seq(
+        // a checkpoint that kept the order key resumes loss-free on seq alone — the
+        // triple in the same stored offset is carried but not consulted
+        "0_stored_seq" ->
+          RedoEventSource.resolveResume(Some((50L, 3L, "R2")), None, resetOffset = false,
+            noTip, storedSeq = Some(800L)).predicate,
         "1_stored_offset" ->
           RedoEventSource.resolveResume(Some((50L, 3L, "R2")), None, resetOffset = false, noTip).predicate,
         "2_start_scn_override" ->
@@ -782,9 +788,13 @@ object CdcQueries {
     "cdc_resume_ladder" ->
       """WITH t AS (SELECT cast(o_orderkey % 100 AS BIGINT) AS scn,
         |                  cast(o_orderkey % 7 AS BIGINT) AS cs,
-        |                  'R' || (o_orderkey % 5) AS rid FROM orders),
+        |                  'R' || (o_orderkey % 5) AS rid,
+        |                  cast(o_orderkey % 1000 AS BIGINT) AS seq FROM orders),
         |tip AS (SELECT max(scn) - 29 AS cur FROM t)
         |SELECT * FROM (
+        |  SELECT '0_stored_seq' AS resume_case, cast(count(*) AS BIGINT) AS cnt,
+        |         min(scn) AS min_scn FROM t WHERE seq > 800
+        |  UNION ALL
         |  SELECT '1_stored_offset' AS resume_case, cast(count(*) AS BIGINT) AS cnt,
         |         min(scn) AS min_scn FROM t
         |  WHERE scn > 50 OR (scn = 50 AND cs > 3) OR (scn = 50 AND cs = 3 AND rid > 'R2')

@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
  */
 object Relational {
 
-  private def cents(c: Column): Column = round(c * 100).cast("long")
+  private def cents(c: Column): Column = Tables.cents(c)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- TPC-H-style analytics -------------------------------------------------
@@ -563,7 +563,7 @@ object Relational {
         |    ON ic.table_owner = i.owner AND ic.index_name = i.index_name
         |  WHERE i.uniqueness = 'UNIQUE'
         |  GROUP BY 1, 2, 3)
-        |SELECT t.table_name, t.column_name, t.column_id,
+        |SELECT t.owner, t.table_name, t.column_name, t.column_id,
         |  coalesce(pk, 0) AS pk_column, coalesce(uq, 0) AS uq_column
         |FROM tab_cols t
         |  LEFT OUTER JOIN dcc ON t.owner = dcc.owner AND t.table_name = dcc.table_name

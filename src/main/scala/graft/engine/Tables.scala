@@ -13,4 +13,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Money as integer cents — THE cross-engine determinism invariant for currency math
+    * (see the Relational/Temporal file headers): summing doubles is order-dependent, so
+    * Spark's partial aggregates and DuckDB's serial fold would drift in the last bits;
+    * integer cents make the sum exact and the oracle hash stable. One shared definition —
+    * a per-file copy could drift (e.g. one side gaining half-even rounding) and the
+    * oracle gates of the two query families would silently disagree. */
+  def cents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.round(c * 100).cast("long")
 }

@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
  */
 object Temporal {
 
-  private def cents(c: Column): Column = round(c * 100).cast("long")
+  private def cents(c: Column): Column = Tables.cents(c)
 
   private val SessionGapUs = 30L * 60L * 1000000L // 30 minutes in micros
 

@@ -52,10 +52,12 @@ object RoutedSink {
    * within-batch replay; a transactional table format (or Kafka's idempotent producer keyed
    * the same way) carries the cross-batch guarantee.
    */
+  def identityCols(df: DataFrame): Seq[String] =
+    Seq("scn", "row_id", "operation") ++
+      (if (df.columns.contains("seq")) Seq("seq") else Nil)
+
   def dedupByIdentity(enveloped: DataFrame): DataFrame =
-    enveloped.dropDuplicates(
-      Seq("scn", "row_id", "operation") ++
-        (if (enveloped.columns.contains("seq")) Seq("seq") else Nil))
+    enveloped.dropDuplicates(identityCols(enveloped))
 
   /**
    * Lake compaction (VERDICT r5 #6): [[writeBatchIdempotent]] accretes one
@@ -90,8 +92,9 @@ object RoutedSink {
       .option("basePath", baseDir) // keep batch_id/topic as partition columns
       .parquet(folded.map(_.getPath.toString): _*)
     val fresh = dedupByIdentity(df).drop("batch_id")
-    val idCols = Seq("scn", "row_id", "operation") ++
-      (if (fresh.columns.contains("seq")) Seq("seq") else Nil)
+    // the SAME identity the sink dedups on — one definition, or the compaction anti-join
+    // silently diverges from the exactly-once contract
+    val idCols = identityCols(fresh)
     // only a genuinely absent/empty base skips the idempotency probe — a real read
     // failure (corrupt footer, schema drift, FS error) must PROPAGATE, because silently
     // skipping the anti-join would append duplicates the contract says cannot happen

@@ -85,10 +85,28 @@ object RedoEventSource {
   }
 
   /**
-   * A6 — boundary-record skip: after an offset-based resume the first records up to and
-   * including the stored position `(scn, commitScn, rowId)` must be dropped
-   * (OracleSourceTask2.java:258-264). With SCN-ordered input this is the pure predicate
-   * "strictly after the stored position" — no state needed.
+   * A6 — boundary-record skip: after an offset-based resume the records up to and
+   * including the stored position must be dropped (OracleSourceTask2.java:258-264).
+   *
+   * The reference implements this as skip-until-EXACT-match over the replayed LogMiner
+   * cursor (`skipRecord` flips false when (scn, commitScn, rowId) all equal the stored
+   * triple) — correct because LogMiner replays rows in a deterministic order. Over a
+   * replay-deterministic stream with a monotonic order key, skip-until-match is exactly
+   * the predicate `seq > boundarySeq`, so the production resume path uses `seq` (the
+   * Kafka partition offset, our RS_ID/SSN analogue) and stays a pure pushed-down filter.
+   */
+  def afterSeq(seq: Long): Column = col("seq") > seq
+
+  /**
+   * Triple-based parity fallback for stores that kept only the reference's
+   * `(scn, commitScn, rowId)` offset map (Task:98-104) and lost the order key.
+   *
+   * CAVEAT: this compares rowId LEXICOGRAPHICALLY, which is only equivalent to the
+   * reference's skip-until-match when delivery order within one (scn, commitScn) is
+   * rowId order. Oracle does not guarantee that (many changes can share an SCN; order
+   * within it is redo order, not rowId order), so at the boundary SCN this can drop a
+   * not-yet-delivered record with a smaller rowId. Prefer [[afterSeq]] whenever the
+   * stored offset carries `seq` — [[resolveResume]] does exactly that.
    */
   def afterOffset(scn: Long, commitScn: Long, rowId: String): Column =
     (col("scn") > scn) ||
@@ -108,10 +126,13 @@ object RedoEventSource {
    * `inclusive = false`.
    */
   final case class ResumePosition(scn: Long, commitScn: Long, rowId: String,
-                                  skipBoundary: Boolean, inclusive: Boolean = true) {
-    /** The stream filter this posture compiles to (pushed into the scan by Catalyst). */
+                                  skipBoundary: Boolean, inclusive: Boolean = true,
+                                  seq: Option[Long] = None) {
+    /** The stream filter this posture compiles to (pushed into the scan by Catalyst).
+      * A stored `seq` wins over the triple: it is the only loss-free skip when several
+      * records share the boundary SCN (see [[afterSeq]] vs [[afterOffset]]). */
     def predicate: Column =
-      if (skipBoundary) afterOffset(scn, commitScn, rowId)
+      if (skipBoundary) seq.map(afterSeq).getOrElse(afterOffset(scn, commitScn, rowId))
       else if (inclusive) col("scn") >= scn
       else col("scn") > scn
   }
@@ -131,12 +152,13 @@ object RedoEventSource {
   def resolveResume(stored: Option[(Long, Long, String)],
                     startScn: Option[Long],
                     resetOffset: Boolean,
-                    currentScn: => Long): ResumePosition =
+                    currentScn: => Long,
+                    storedSeq: Option[Long] = None): ResumePosition =
     if (resetOffset) ResumePosition(currentScn, 0L, "", skipBoundary = false)
     else startScn match {
       case Some(s) => ResumePosition(s, 0L, "", skipBoundary = false)
       case None => stored match {
-        case Some((s, c, r)) => ResumePosition(s, c, r, skipBoundary = true)
+        case Some((s, c, r)) => ResumePosition(s, c, r, skipBoundary = true, seq = storedSeq)
         case None            => ResumePosition(currentScn, 0L, "", skipBoundary = false)
       }
     }

@@ -141,6 +141,37 @@ class CsfCatalogSpec extends AnyFunSuite {
     assert(Catalog.keyColumns(withUq, "uq") == Seq("l_quantity"))
   }
 
+  test("dictionary keys are per (owner, table): same-named tables do not merge pk sets") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    // pkUqDictionary output shape; HR.EMP keys on ID, SALES.EMP keys on (REGION, ID) — a
+    // table_name-only lookup would union them into a wrong 3-column composite key
+    val dict = Seq(
+      ("HR", "EMP", "ID", 1L, 1, 0), ("HR", "EMP", "NAME", 2L, 0, 0),
+      ("SALES", "EMP", "REGION", 1L, 1, 0), ("SALES", "EMP", "ID", 2L, 1, 0),
+      ("SALES", "EMP", "NAME", 3L, 0, 1))
+      .toDF("owner", "table_name", "column_name", "column_id", "pk_column", "uq_column")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("region", StringType), StructField("name", StringType)))
+    val hr = Catalog.withKeyMetadataFromDictionary(schema, dict, "HR", "EMP")
+    assert(Catalog.effectiveKeys(hr) == Seq("id"))
+    val sales = Catalog.withKeyMetadataFromDictionary(schema, dict, "SALES", "emp")
+    assert(Catalog.effectiveKeys(sales).toSet == Set("id", "region"))
+    assert(Catalog.keyColumns(sales, "uq") == Seq("name"))
+    // and the faithful dictionary query itself keeps owner in its projection
+    val tabCols = Seq(("HR", "EMP", "ID", 1L, "NO", "NO"))
+      .toDF("owner", "table_name", "column_name", "column_id", "hidden_column", "virtual_column")
+    val cons = Seq(("HR", "PK_E", "EMP", "P")).toDF("owner", "constraint_name", "table_name", "constraint_type")
+    val consCols = Seq(("HR", "PK_E", "EMP", "ID")).toDF("owner", "constraint_name", "table_name", "column_name")
+    val indCols = Seq.empty[(String, String, String, String)]
+      .toDF("table_owner", "index_name", "table_name", "column_name")
+    val indexes = Seq.empty[(String, String, String)].toDF("owner", "index_name", "uniqueness")
+    val out = Catalog.pkUqDictionary(tabCols, cons, consCols, indCols, indexes)
+    assert(out.columns.toList ==
+      List("owner", "table_name", "column_name", "column_id", "pk_column", "uq_column"))
+    assert(out.collect().map(r => (r.getString(0), r.getInt(4))).toList == List(("HR", 1)))
+  }
+
   test("multimodal resize: BMP encode/decode round-trip with real row padding") {
     val spark = graft.SparkTestSession.spark
     import spark.implicits._

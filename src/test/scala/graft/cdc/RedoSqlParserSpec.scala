@@ -116,6 +116,26 @@ class RedoSqlParserSpec extends AnyFunSuite {
     assert(RedoSqlParser.parseOpt("").isEmpty)
   }
 
+  test("out-of-grammar trailing syntax fails to DLQ, never half-parses ok=true") {
+    // an OR disjunct: accepting the first conjunct and discarding the rest would delete
+    // with a truncated predicate image
+    assert(RedoSqlParser.parseOpt("""delete from "HR"."EMP" where "ID" = 1 or "ID" = 2""").isEmpty)
+    assert(RedoSqlParser.parseOpt(
+      """update "HR"."EMP" set "SAL" = 1 where "ID" = 1 or "ID" = 2""").isEmpty)
+    assert(RedoSqlParser.parseOpt(
+      """insert into "HR"."EMP"("ID") values (1) returning "ID" into :b0""").isEmpty)
+    // well-formed statements still parse to EOF (trailing ; and whitespace are fine)
+    assert(RedoSqlParser.parseOpt("""delete from "HR"."EMP" where "ID" = 1 and "X" = 2; """).nonEmpty)
+  }
+
+  test("INSERT column/values arity mismatch fails instead of silently truncating") {
+    assert(RedoSqlParser.parseOpt("""insert into "T"("A","B","C") values (1,2)""").isEmpty)
+    assert(RedoSqlParser.parseOpt("""insert into "T"("A") values (1,2)""").isEmpty)
+    val e = intercept[IllegalArgumentException](
+      RedoSqlParser.parse("""insert into "T"("A","B","C") values (1,2)"""))
+    assert(e.getMessage.contains("arity"))
+  }
+
   private def randomValue(r: Random): Option[String] = r.nextInt(4) match {
     case 0 => None
     case 1 => Some((r.nextLong() % 100000L).toString)

@@ -41,6 +41,29 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(kept == Set((5L, 0L, "R2"), (5L, 1L, "R0"), (6L, 0L, "R0")))
   }
 
+  test("seq-based resume keeps boundary-SCN records the rowId-lexicographic skip loses (A6)") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    // Delivery order within scn=5 was R2 then R1 (seq 10, 11); the crash happened after
+    // delivering (5,0,"R2") @ seq=10, so (5,0,"R1") @ seq=11 was NEVER delivered. The
+    // triple-lexicographic fallback drops it ("R1" <= "R2" — a lost committed change);
+    // the seq predicate, equivalent to the reference's skip-until-match over the
+    // deterministic replay, keeps exactly the undelivered suffix.
+    val rows = Seq(
+      (4L, 0L, "R9", 9L), (5L, 0L, "R2", 10L), (5L, 0L, "R1", 11L), (6L, 0L, "R0", 12L))
+      .toDF("scn", "commitScn", "rowId", "seq")
+    val bySeq = RedoEventSource
+      .resolveResume(Some((5L, 0L, "R2")), None, resetOffset = false,
+        sys.error("tip"), storedSeq = Some(10L))
+      .predicate
+    assert(rows.filter(bySeq).collect().map(_.getLong(3)).sorted.toList == List(11L, 12L))
+    val byTriple = RedoEventSource
+      .resolveResume(Some((5L, 0L, "R2")), None, resetOffset = false, sys.error("tip"))
+      .predicate
+    // the documented parity-fallback loss, pinned so the caveat stays honest
+    assert(rows.filter(byTriple).collect().map(_.getLong(3)).sorted.toList == List(12L))
+  }
+
   test("resolveResume: the reference's override ladder (A5, Task:137-192)") {
     import RedoEventSource.{resolveResume, ResumePosition}
     val stored = Some((100L, 90L, "R5"))

@@ -137,6 +137,23 @@ class TxnAssemblerSpec extends AnyFunSuite {
     assert(acc.value == 1L)
   }
 
+  test("overflow transition clears buffered rows (dead weight in the state store)") {
+    // once past the cap the txn is guaranteed to drop whole at COMMIT, so the buffer must
+    // not keep (or re-serialize into streaming state every micro-batch) the rows it will
+    // never emit — the runaway-transaction memory the cap exists to bound
+    val evs = Seq(ctl(1, RedoEvent.Start), dml(2), dml(3), dml(4))
+    val (emitted, carry) = TxnAssembler.step(TxnAssembler.TxnBuffer.empty,
+      evs.iterator, maxBufferedRows = 2)
+    assert(emitted.isEmpty)
+    val buf = carry.get
+    assert(buf.overflowed && buf.started && buf.rows.isEmpty)
+    // a later COMMIT still counts the drop exactly once
+    var drops = 0
+    val (out2, carry2) = TxnAssembler.step(buf,
+      Seq(dml(5), ctl(6, RedoEvent.Commit)).iterator, maxBufferedRows = 2, () => drops += 1)
+    assert(out2.isEmpty && carry2.isEmpty && drops == 1)
+  }
+
   test("assembleBatch: multiple transactions, rollback txn dropped") {
     val spark = graft.SparkTestSession.spark
     import spark.implicits._
