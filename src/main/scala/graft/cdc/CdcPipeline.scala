@@ -174,8 +174,7 @@ object CdcPipeline {
       internalDdlFilter(col("operation"), col("info")) &&
         validTableName(col("tableName")) &&
         whitelist(config.whitelist, col("segOwner"), col("tableName")) &&
-        (if (config.blacklist.nonEmpty) blacklist(config.blacklist, col("segOwner"), col("tableName")) else lit(true)) &&
-        operationFilter(config.dmlTypes, col("operation")))
+        (if (config.blacklist.nonEmpty) blacklist(config.blacklist, col("segOwner"), col("tableName")) else lit(true)))
     val filtered = events.filter(keep)
     // A8: temp-table skip on the head fragment (control rows never carry the phrase)
     val headKeep: RedoEvent => Boolean = e => !e.sqlRedo.contains(TempTablePhrase)
@@ -183,8 +182,14 @@ object CdcPipeline {
       if (streaming)
         TxnAssembler.assembleStreaming(filtered, config.abandonedTxnTimeout,
           config.maxBufferedRows, droppedTxns, headKeep)
-      else TxnAssembler.assembleBatch(filtered, config.maxBufferedRows, headKeep)
-    val renamed = committed.toDF()
+      else TxnAssembler.assembleBatch(filtered, config.maxBufferedRows, headKeep, droppedTxns)
+    // A10 — dml.types runs POST-assembly on committed rows, the reference's placement
+    // (Task:296-300 filters records that are already committed data; the assembly thread
+    // buffers all of INSERT|UPDATE|DELETE|DDL, Thread:247-249). Pre-assembly it would
+    // break partial-rollback pair elimination: excluding DELETE would drop an INSERT's
+    // compensating rollback DELETE and emit the rolled-back INSERT as a phantom row.
+    val opKept = committed.filter(operationFilter(config.dmlTypes, col("operation")))
+    val renamed = opKept.toDF()
       .withColumnRenamed("segOwner", "seg_owner")
       .withColumnRenamed("tableName", "table_name")
       .withColumnRenamed("rowId", "row_id")

@@ -23,6 +23,19 @@ import org.apache.spark.sql.types._
  */
 object EnvelopeApply {
 
+  /** PK extraction from the envelope payload: the key lives in `data` for INSERT/UPDATE
+    * and only in `before` for DELETE; payload keys are the redo statement's UPPERCASE
+    * identifiers. ONE definition — the batch, prefolded and streaming appliers must
+    * extract identically or they silently diverge on the same envelope. */
+  private def rawPkValue(p: String): Column = {
+    val k = p.toUpperCase(java.util.Locale.ROOT)
+    coalesce(col("data").getItem(k), col("before").getItem(k))
+  }
+
+  /** [[rawPkValue]] re-typed to the table's column types (the catalog cast rule). */
+  private def typedKeyCols(pk: Seq[String], schema: StructType): Seq[Column] =
+    pk.map(p => Catalog.castValue(rawPkValue(p), schema(p).dataType).as(p))
+
   /**
    * @param snapshot  current table state, columns = `schema` (keys unique)
    * @param enveloped [[CdcPipeline.envelope]] output for ONE table, with `commit_scn`
@@ -34,12 +47,7 @@ object EnvelopeApply {
     val pk = Catalog.effectiveKeys(schema)
     require(pk.nonEmpty, "schema carries no pk/uq key metadata — see Catalog.withKeyMetadata")
 
-    // PK lives in `data` for INSERT/UPDATE and only in `before` for DELETE
-    val keyCols = pk.map { p =>
-      Catalog.castValue(
-        coalesce(col("data").getItem(p.toUpperCase(java.util.Locale.ROOT)), col("before").getItem(p.toUpperCase(java.util.Locale.ROOT))),
-        schema(p).dataType).as(p)
-    }
+    val keyCols = typedKeyCols(pk, schema)
     val keyed = enveloped.select(
       keyCols :+ struct(col("commit_scn"), col("scn"), col("seq"),
         col("operation"), col("data")).as("e"): _*)
@@ -100,20 +108,25 @@ object EnvelopeApply {
    * by EnvelopeApplySpec's 300-scenario property test and the `cdc_apply_merge_prefold`
    * oracle row.
    */
-  def applyPrefolded(snapshot: DataFrame, enveloped: DataFrame, schema: StructType): DataFrame = {
+  def applyPrefolded(snapshot: DataFrame, enveloped: DataFrame, schema: StructType): DataFrame =
+    applyPrefoldedWithHandle(snapshot, enveloped, schema)._1
+
+  /** [[applyPrefolded]] plus a RELEASE HANDLE for the internal cache: call the returned
+    * thunk after the terminal action to unpersist the cached event projection. A
+    * long-lived session (a service applying envelopes for many tables) that uses the
+    * no-handle overload accretes one pinned cache per call with no per-call remedy short
+    * of `spark.catalog.clearCache()` — per-query harnesses that already clear the cache
+    * between queries (Bench/Verify) don't need the handle. */
+  def applyPrefoldedWithHandle(snapshot: DataFrame, enveloped: DataFrame,
+                               schema: StructType): (DataFrame, () => Unit) = {
     val pk = Catalog.effectiveKeys(schema)
     require(pk.nonEmpty, "schema carries no pk/uq key metadata — see Catalog.withKeyMetadata")
-    val keyCols = pk.map { p =>
-      Catalog.castValue(
-        coalesce(col("data").getItem(p.toUpperCase(java.util.Locale.ROOT)), col("before").getItem(p.toUpperCase(java.util.Locale.ROOT))),
-        schema(p).dataType).as(p)
-    }
+    val keyCols = typedKeyCols(pk, schema)
     val pkc = pk.map(col)
     // evs feeds BOTH the boundary pass and the winners pass: without the cache the
     // upstream envelope (typically a parse-heavy projection) is computed twice — the same
     // shared-subplan rule as b7_full_logfiles (r2 plan audit). MEMORY_AND_DISK, so at
-    // scale it spills rather than re-parses; callers owning a long-lived session can
-    // unpersist after the action.
+    // scale it spills rather than re-parses.
     val evs = enveloped.select(keyCols ++ Seq(
       struct(col("commit_scn"), col("scn"), col("seq")).as("ord"),
       col("operation"), col("data")): _*).cache()
@@ -136,7 +149,7 @@ object EnvelopeApply {
         (col("last_op") === RedoEvent.Delete).as("deleted"),
         coalesce(col("m"), emptyMap).as("m"),
         col("b_ord").isNotNull.as("replaced")).as("f"): _*)
-    applyChanges(snapshot, changes, schema)
+    (applyChanges(snapshot, changes, schema), () => { evs.unpersist(); () })
   }
 
   /**
@@ -222,10 +235,17 @@ object EnvelopeApply {
     import spark.implicits._
     val pk = Catalog.effectiveKeys(schema)
     require(pk.nonEmpty, "schema carries no pk/uq key metadata — see Catalog.withKeyMetadata")
-    val pkVals = pk.map(p =>
-      coalesce(col("data").getItem(p.toUpperCase(java.util.Locale.ROOT)), col("before").getItem(p.toUpperCase(java.util.Locale.ROOT))))
+    val pkVals = pk.map(rawPkValue)
+    // NULL-SAFE key encoding: concat_ws SKIPS null components, so a bare concat_ws would
+    // collide distinct composite keys ({A:"x", B:null} and {A:null, B:"x"} both -> "x",
+    // and every all-null/unparsed key -> "") into ONE keyed state -- diverging from the
+    // batch apply, which groups on the typed pk columns and keeps null components
+    // distinct. A presence prefix per component keeps arity and nullness in the key
+    // (\u0001 = null, \u0002+value = present; \u0000 separates components).
+    val keyParts = pkVals.map(v =>
+      when(v.isNull, lit("\u0001")).otherwise(concat(lit("\u0002"), v)))
     val events = enveloped.select(
-      concat_ws("\u0000", pkVals: _*).as("key"),
+      concat_ws("\u0000", keyParts: _*).as("key"),
       map_from_arrays(
         array(pk.map(p => lit(p.toUpperCase(java.util.Locale.ROOT))): _*), array(pkVals: _*)).as("pk"),
       col("commit_scn"), col("scn"), col("seq"), col("operation"), col("data"))

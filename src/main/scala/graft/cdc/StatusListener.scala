@@ -15,17 +15,10 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
  */
 final class StatusListener(path: String) extends StreamingQueryListener {
 
-  // full JSON string escaping — terminated-query events carry multi-line stack traces,
-  // and a raw newline would split the JSONL record exactly on the FAILED lines
-  private def esc(s: String): String = s.flatMap {
-    case '"'          => "\\\""
-    case '\\'         => "\\\\"
-    case '\n'         => "\\n"
-    case '\r'         => "\\r"
-    case '\t'         => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c            => c.toString
-  }
+  // full JSON string escaping ([[graft.JsonText]]) — terminated-query events carry
+  // multi-line stack traces, and a raw newline would split the JSONL record exactly on
+  // the FAILED lines
+  private def esc(s: String): String = graft.JsonText.escape(s)
 
   private def append(kind: String, fields: (String, String)*): Unit = {
     val body = fields.map { case (k, v) => s""""$k":"${esc(v)}"""" }.mkString(",")

@@ -72,14 +72,25 @@ object ParseRedoExpr {
     StructField("ok", BooleanType, nullable = false)))
 
   /** The function surface: both unescape postures (map.unescaped.strings, Config:29). */
+  private def unary(name: String, unescape: Boolean)(children: Seq[Expression]): Expression = {
+    // a silent children.head would discard extra arguments (a user passing a hoped-for
+    // flag argument gets wrong semantics with no diagnostic) and die on zero args with a
+    // bare NoSuchElementException instead of an arity error at analysis
+    if (children.size != 1)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map("functionName" -> name, "expectedNum" -> "1",
+          "actualNum" -> children.size.toString, "docroot" -> ""))
+    ParseRedoExpr(children.head, unescape)
+  }
   private[graft] val registrations
       : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (new FunctionIdentifier("parse_redo"),
       new ExpressionInfo(classOf[ParseRedoExpr].getName, "parse_redo"),
-      (children: Seq[Expression]) => ParseRedoExpr(children.head, unescape = true)),
+      unary("parse_redo", unescape = true) _),
     (new FunctionIdentifier("parse_redo_noescape"),
       new ExpressionInfo(classOf[ParseRedoExpr].getName, "parse_redo_noescape"),
-      (children: Seq[Expression]) => ParseRedoExpr(children.head, unescape = false)))
+      unary("parse_redo_noescape", unescape = false) _))
 
   /**
    * Idempotently register `parse_redo`/`parse_redo_noescape` in the session's function

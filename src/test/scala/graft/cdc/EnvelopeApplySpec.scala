@@ -115,6 +115,46 @@ class EnvelopeApplySpec extends AnyFunSuite {
     assert(merged.toSeq === Seq(Row(1L, "n5", 77)))
   }
 
+  test("streaming: composite keys with NULL components stay DISTINCT (concat_ws null-skip)") {
+    import spark.implicits._
+    import org.apache.spark.sql.Encoders
+    val snapshot = Seq((1L, "p", "a", 10)).toDF("id", "region", "name", "v")
+    val schema = Catalog.withKeyMetadata(snapshot.schema, Set("id", "region"))
+    // {ID:"7", REGION:null} vs {ID:null, REGION:"7"} vs {ID:"7", REGION:""}: a bare
+    // concat_ws key would collide all three onto "7" and fold them into ONE keyed state —
+    // the second key's UPDATE would overlay the first key's image
+    val b1 = Seq(
+      EnvRow(1L, 1L, 1L, RedoEvent.Update, Map("ID" -> "7", "REGION" -> null, "NAME" -> "k1"), Map("ID" -> "7")),
+      EnvRow(1L, 2L, 1L, RedoEvent.Update, Map("ID" -> null, "REGION" -> "7", "NAME" -> "k2"), Map("REGION" -> "7")),
+      EnvRow(1L, 3L, 1L, RedoEvent.Update, Map("ID" -> "7", "REGION" -> "", "NAME" -> "k3"), Map("ID" -> "7")))
+    val b2 = Seq(
+      EnvRow(2L, 4L, 1L, RedoEvent.Update, Map("ID" -> "7", "REGION" -> null, "V" -> "42"), Map("ID" -> "7")))
+    val out = graft.engine.StreamGate.runTwoBatches(spark,
+        Encoders.product[EnvRow], "env_apply_nullkey_sink", b1, b2) { ds =>
+      EnvelopeApply.applyStreaming(ds.toDF(), schema).toDF()
+    }
+    // three distinct keyed states, and batch 2's update landed on k1's state (NAME kept)
+    assert(out.select("key").distinct().count() == 3L)
+    val k1 = out.filter(col("m").getItem("NAME") === "k1" && col("m").getItem("V").isNotNull)
+      .orderBy(col("vscn").desc).collect()
+    assert(k1.nonEmpty && k1.head.getAs[Map[String, String]]("m")("V") == "42")
+  }
+
+  test("applyPrefoldedWithHandle: release thunk unpersists the internal cache") {
+    import spark.implicits._
+    val snapshot = Seq((1L, "a", 10)).toDF("id", "name", "v")
+    val schema = Catalog.withKeyMetadata(snapshot.schema, Set("id"))
+    val envDf = env(Seq(
+      (1L, 1L, 1L, RedoEvent.Update, Map("ID" -> "1", "NAME" -> "z"), Map("ID" -> "1"))))
+    spark.catalog.clearCache()
+    val (result, release) = EnvelopeApply.applyPrefoldedWithHandle(snapshot, envDf, schema)
+    assert(result.collect().toSeq == Seq(Row(1L, "z", 10)))
+    val cm = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sharedState.cacheManager
+    assert(!cm.isEmpty, "prefolded apply should have registered its event cache")
+    release()
+    assert(cm.isEmpty, "release handle must unpersist the event projection cache")
+  }
+
   test("property: applyPrefolded ≡ apply on 300 random per-key histories (VERDICT r5 #7)") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)

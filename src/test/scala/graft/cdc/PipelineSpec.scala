@@ -177,6 +177,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(out2.length == 1)
   }
 
+  test("dml.types filters POST-assembly: excluding DELETE cannot create phantom rows") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    // txn x1: INSERT RA is savepoint-rolled-back by its compensating DELETE (rollback=1,
+    // same rowId); INSERT RB commits. With dml.types = INSERT a PRE-assembly filter
+    // would drop the compensating DELETE, pair elimination would never fire, and the
+    // rolled-back INSERT RA would emit as a phantom row.
+    val events = Seq(
+      ev(1, "x1", RedoEvent.Start),
+      ev(2, "x1", RedoEvent.Insert, redo = """insert into "APP"."T1"("ID") values (1)""")
+        .copy(rowId = "RA", seq = 1),
+      ev(3, "x1", RedoEvent.Delete, redo = """delete from "APP"."T1" where "ID" = 1""")
+        .copy(rowId = "RA", rollback = true, seq = 2),
+      ev(4, "x1", RedoEvent.Insert, redo = """insert into "APP"."T1"("ID") values (2)""")
+        .copy(rowId = "RB", seq = 3),
+      // txn x2: a committed (non-rollback) DELETE — excluded from the OUTPUT by
+      // dml.types, but only after assembly
+      ev(5, "x2", RedoEvent.Start),
+      ev(6, "x2", RedoEvent.Delete, redo = """delete from "APP"."T1" where "ID" = 9""")
+        .copy(rowId = "RC", seq = 4),
+      ev(7, "x2", RedoEvent.Commit),
+      ev(8, "x1", RedoEvent.Commit))
+    val cfg = config.copy(dmlTypes = Seq(RedoEvent.Insert))
+    val out = CdcPipeline.stream(events.toDS(), cfg, streaming = false).collect()
+    assert(out.map(_.getAs[String]("row_id")).toList == List("RB"))
+    assert(out.forall(_.getAs[String]("operation") == RedoEvent.Insert))
+  }
+
+  test("stream(batch) forwards the droppedTxns accumulator (overflow observable)") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val events = Seq(
+      ev(1, "big", RedoEvent.Start),
+      ev(2, "big", RedoEvent.Insert, redo = """insert into "APP"."T1"("ID") values (1)"""),
+      ev(3, "big", RedoEvent.Insert, redo = """insert into "APP"."T1"("ID") values (2)"""),
+      ev(4, "big", RedoEvent.Insert, redo = """insert into "APP"."T1"("ID") values (3)"""),
+      ev(5, "big", RedoEvent.Commit))
+    val acc = spark.sparkContext.longAccumulator("droppedTxnsBatch")
+    val out = CdcPipeline.stream(events.toDS(), config.copy(maxBufferedRows = 2),
+      streaming = false, droppedTxns = Some(acc)).collect()
+    assert(out.isEmpty && acc.value == 1L)
+  }
+
   test("A26: fromMap parses the reference's property surface (Config2:41-64)") {
     val cfg = CdcConfig.fromMap(Map(
       "db.name.alias" -> "DB1",
