@@ -20,6 +20,15 @@ import scala.util.control.NonFatal
   *     rather than as a regression signal.
   */
 object Bench {
+  /** True median: odd count → middle; even count → mean of the two middles.
+    * `sorted(size/2)` alone picks the UPPER middle, which for reps=2 is the MAX — one
+    * contention spike would then poison the recorded number, the exact failure the
+    * median-of-K mechanism exists to prevent. Shared with [[BenchOne]]. */
+  private[graft] def median(ts: Seq[Double]): Double = {
+    val s = ts.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -107,7 +116,7 @@ object Bench {
       }
       if (ts.nonEmpty && !errors.contains(name)) {
         val sorted = ts.sorted
-        timings(name) = sorted(sorted.size / 2)
+        timings(name) = median(ts.toSeq)
         spreads(name) = (sorted.head, sorted.last)
       }
     }

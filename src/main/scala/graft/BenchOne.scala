@@ -7,8 +7,11 @@ import org.apache.spark.sql.SparkSession
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    // same SPARK_GRAFT_CPUS knob as Bench: a spot measurement exists to sanity-check a
+    // bench number, so it must run under the same parallelism/shuffle fan-out
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
@@ -29,7 +32,7 @@ object BenchOne {
         spark.catalog.clearCache()
         t
       }
-      val med = ts.sorted.apply(ts.size / 2)
+      val med = Bench.median(ts)
       def num(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
       println(s"TIMING $n ${num(med)}" +
         (if (reps > 1) ts.map(num).mkString(" [", " ", "]") else ""))

@@ -26,8 +26,10 @@ object Explain {
       else SparkEntry.queries.keys.toSeq.filterNot(SparkEntry.streamingHarness).sorted
     names.foreach { n =>
       println(s"\n======== $n ========")
+      // NonFatal only: a LinkageError/OOM means the environment is broken for every
+      // remaining query — fail fast on the real cause, don't print ~90 FAILED lines
       try SparkEntry.queries(n)(spark, sfDir).explain("formatted")
-      catch { case e: Throwable => println(s"EXPLAIN FAILED: ${e.getMessage}") }
+      catch { case scala.util.control.NonFatal(e) => println(s"EXPLAIN FAILED: ${e.getMessage}") }
     }
     spark.stop()
   }

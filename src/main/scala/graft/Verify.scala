@@ -7,6 +7,10 @@ object Verify {
   def main(args: Array[String]): Unit = {
     // args: sfDir outDir [queryName...] — names (builder-local use) restrict the dump to
     // those queries for fast single-query gating; the driver always runs the full set
+    if (args.length < 2) {
+      System.err.println("usage: graft.Verify <sfDir> <outDir> [queryName...]")
+      sys.exit(2)
+    }
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -42,9 +46,13 @@ object Verify {
       catch {
         case _: java.util.concurrent.TimeoutException =>
           spark.sparkContext.cancelJobGroup(name)
-          spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+          spark.streams.active.foreach(q =>
+            try q.stop() catch { case scala.util.control.NonFatal(_) => () })
           System.err.println(s"[verify] $name timed out after ${perQueryTimeout}s")
-        case e: Throwable =>
+        // NonFatal only (Bench does the same): swallowing an OutOfMemoryError here would
+        // keep iterating in a corrupted JVM and degrade EVERY later query's dump —
+        // the round must die loudly at the real fault instead
+        case scala.util.control.NonFatal(e) =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
       } finally spark.catalog.clearCache()
     }
