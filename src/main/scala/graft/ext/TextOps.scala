@@ -38,6 +38,10 @@ object TextOps {
   private val MinToks = 30
   private val DiversityBp = 3000
   private val PackBudget = 256
+  // line-dedup segmentation: 4-token windows are this corpus's "lines" (the flat synthetic
+  // text has no newlines); a segment seen 2+ times anywhere in the corpus is boilerplate
+  private val LineDedupWindow = 4
+  private val LineDedupMinRepeats = 2
 
   private def stopwordCount(toks: Column): Column =
     size(filter(toks, t => stopwords.map(w => t === w).reduce(_ || _)))
@@ -161,6 +165,43 @@ object TextOps {
         .groupBy($"doc_id", hash32($"tri").as("h")).agg(count(lit(1)).as("cnt"))
         .groupBy($"doc_id").agg(max($"cnt").as("max_cnt"), sum($"cnt").as("tri_cnt"))
         .select($"doc_id", $"tri_cnt", expr("max_cnt * 10000 div tri_cnt").as("rep_bp"))
+        .orderBy($"doc_id")
+    },
+    // CORPUS-LEVEL LINE DEDUP — the CCNet/RefinedWeb boilerplate-removal step: documents
+    // segment into fixed 4-token windows (this corpus's "lines"), any segment whose exact
+    // text repeats LineDedupMinRepeats+ times ACROSS the corpus is dropped everywhere,
+    // and survivors reassemble in document order (empty docs are kept, text = '').
+    // 100 TB shape: ONE map-side-combined shuffle builds the segment spectrum; the
+    // boilerplate set (the high-repetition tail — tiny by construction) BROADCASTS into a
+    // left_anti join, so the skewed segment key never drives a window or a shuffled join
+    // (a count-over-window here would shuffle every row with NO partial aggregation and
+    // hot-spot on exactly the repeated segments); the only other shuffle is the per-doc
+    // rebuild on the uniform doc_id key.
+    "text_line_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val W = LineDedupWindow
+      val toks = $"toks"
+      val segsOf = transform(
+        sequence(lit(0), floor((size(toks) - 1) / W).cast("int")),
+        i => array_join(slice(toks, i * W + 1, lit(W)), " "))
+      val segs = graft.engine.Tables(s, dir, "documents")
+        .select($"doc_id", tokens($"text").as("toks"))
+        .select($"doc_id", posexplode(segsOf))
+        .withColumnRenamed("col", "seg")
+      val boiler = segs.groupBy($"seg").agg(count(lit(1)).as("cnt"))
+        .filter($"cnt" >= LineDedupMinRepeats).select($"seg")
+      val rebuilt = segs.join(broadcast(boiler), Seq("seg"), "left_anti")
+        .groupBy($"doc_id").agg(
+          array_join(transform(array_sort(collect_list(struct($"pos", $"seg"))),
+            x => x.getField("seg")), " ").as("clean_text"),
+          count(lit(1)).as("kept_segs"))
+      graft.engine.Tables(s, dir, "documents")
+        .select($"doc_id",
+          (floor((size(tokens($"text")) - 1) / W).cast("long") + 1L).as("total_segs"))
+        .join(rebuilt, Seq("doc_id"), "left_outer")
+        .select($"doc_id", coalesce($"clean_text", lit("")).as("clean_text"),
+          coalesce($"kept_segs", lit(0L)).as("kept_segs"),
+          ($"total_segs" - coalesce($"kept_segs", lit(0L))).as("dropped_segs"))
         .orderBy($"doc_id")
     },
     // TRAINING SEQUENCE PACKING — the step that turns a filtered corpus into fixed-budget
@@ -363,6 +404,25 @@ object TextOps {
         |SELECT doc_id, cast(sum(cnt) AS BIGINT) AS tri_cnt,
         |  cast(max(cnt) * 10000 // sum(cnt) AS BIGINT) AS rep_bp
         |FROM cnts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_line_dedup" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  list_filter(string_split_regex(trim(text),'\\s+'), x -> x <> '') AS w
+         |  FROM documents),
+         |idx AS (SELECT doc_id, w,
+         |  unnest(range(((len(w) - 1) // $LineDedupWindow) + 1)) AS i FROM t),
+         |segs AS (SELECT doc_id, i, array_to_string(
+         |  list_slice(w, i * $LineDedupWindow + 1, i * $LineDedupWindow + $LineDedupWindow),
+         |  ' ') AS seg FROM idx),
+         |boiler AS (SELECT seg FROM segs GROUP BY seg
+         |  HAVING count(*) >= $LineDedupMinRepeats),
+         |kept AS (SELECT * FROM segs WHERE seg NOT IN (SELECT seg FROM boiler)),
+         |reb AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY i) AS clean_text,
+         |  cast(count(*) AS BIGINT) AS kept_segs FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, coalesce(reb.clean_text, '') AS clean_text,
+         |  coalesce(reb.kept_segs, cast(0 AS BIGINT)) AS kept_segs,
+         |  cast(((len(t.w) - 1) // $LineDedupWindow) + 1
+         |    - coalesce(reb.kept_segs, 0) AS BIGINT) AS dropped_segs
+         |FROM t LEFT JOIN reb ON t.doc_id = reb.doc_id ORDER BY t.doc_id""".stripMargin,
     "text_pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, source,
         |  len(list_filter(string_split_regex(trim(text),'\\s+'), x -> x <> '')) AS n_toks

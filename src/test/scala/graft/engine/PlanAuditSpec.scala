@@ -166,6 +166,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!docScan.contains("text"), s"documents scan must not read text: $docScan")
   }
 
+  test("text_line_dedup: boilerplate set broadcasts into the anti-join, no shuffled join/window on seg") {
+    val p = plan("text_line_dedup")
+    // the segment key is skewed BY DEFINITION (boilerplate = repeated segments): the
+    // anti-join must consume a BroadcastExchange of the tiny boilerplate set, and no
+    // count-over-window (zero partial aggregation, hot-spots on the repeated segments)
+    // or sort-merge join may appear on the seg key
+    assert(p.contains("BroadcastHashJoin LeftAnti") || p.contains("BroadcastNestedLoopJoin LeftAnti") ||
+      (p.contains("LeftAnti") && p.contains("BroadcastExchange")),
+      s"expected broadcast left_anti of the boilerplate set:\n$p")
+    assert(!p.contains("Window"), s"seg spectrum must be a partial-agg groupBy, not a window:\n$p")
+    assert(!p.contains("SortMergeJoin LeftAnti"), s"anti-join must not shuffle the seg key:\n$p")
+  }
+
   test("events_json_extract: props parse stays in the scan stage, projection pruned") {
     val p = plan("events_json_extract")
     val scanLine = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
