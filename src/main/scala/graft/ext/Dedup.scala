@@ -97,6 +97,57 @@ object Dedup {
   /** As [[lshPairs]], but also hands back the cached signature frame so callers that
     * fully materialize the pairs during construction (the components loop) can release
     * the cache instead of leaving it to tax whatever runs next in the session. */
+  /** LSH pair graph → connected-component labels `(id, label)`: min-label propagation
+    * with pointer jumping (path halving) to a fixpoint, O(log diameter) rounds. Each
+    * iteration's frame is an EAGER localCheckpoint (lineage cut, so no later action can
+    * re-trigger the LSH pipeline through a cache re-plan) and superseded blocks are
+    * released per round; the upstream pair/signature caches are dropped before returning
+    * (the final checkpoint severed their lineage). Shared by `dedup_components` and
+    * `dedup_canonical` — the label algebra must be identical or the cluster universes
+    * diverge. */
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (rawPairs, sig) = lshPairsWithSig(s, dir)
+    val pairs = rawPairs.cache()
+    val edges = pairs
+      .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .cache()
+    val nodes = edges.select($"doc_a".as("id")).distinct()
+    var labels = nodes.withColumn("label", $"id").localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val prop = edges.join(labels, edges("doc_a") === labels("id"))
+        .select(edges("doc_b").as("id"), labels("label"))
+      // checkpointed: minNb feeds BOTH sides of the pointer-jump self-join below
+      val minNb = labels.select($"id", $"label").union(prop)
+        .groupBy($"id").agg(min($"label").as("label")).localCheckpoint()
+      // pointer jump (path halving): adopt the label's own label, so chains contract
+      // geometrically and the loop converges in O(log diameter) rounds, not O(diameter)
+      val next = minNb.as("x")
+        .join(minNb.select($"id".as("jid"), $"label".as("jlabel")).as("m"),
+          col("x.label") === col("m.jid"), "left")
+        .select(col("x.id").as("id"),
+          least(col("x.label"), coalesce(col("m.jlabel"), col("x.label"))).as("label"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label")).count()
+      // `next` is materialized (eager checkpoint) and `changed` consumed the old frame,
+      // so the superseded iteration's blocks are dead weight from here on — release them
+      releaseLocalCheckpoint(labels)
+      releaseLocalCheckpoint(minNb)
+      labels = next
+      iter += 1
+    }
+    // an unconverged fixpoint means WRONG cluster labels — fail loudly rather than
+    // surfacing as a confusing oracle hash mismatch downstream
+    require(changed == 0, s"component labeling did not converge after $iter rounds")
+    edges.unpersist(blocking = false)
+    pairs.unpersist(blocking = false)
+    sig.unpersist(blocking = false)
+    labels
+  }
+
   private def lshPairsWithSig(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val sig = withBands(signatures(doubledDocs(s, dir))).cache()
@@ -146,49 +197,26 @@ object Dedup {
     // Oracle: DuckDB recursive-CTE transitive closure + min-per-node.
     "dedup_components" -> { (s, dir) =>
       import s.implicits._
-      val (rawPairs, sig) = lshPairsWithSig(s, dir)
-      val pairs = rawPairs.cache()
-      val edges = pairs
-        .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
-        .cache()
-      val nodes = edges.select($"doc_a".as("id")).distinct()
-      // localCheckpoint (eager): materializes each iteration's frame AND cuts lineage, so
-      // no later action can re-trigger the LSH pair pipeline through a cache re-plan
-      var labels = nodes.withColumn("label", $"id").localCheckpoint()
-      var changed = 1L
-      var iter = 0
-      while (changed > 0 && iter < 20) {
-        val prop = edges.join(labels, edges("doc_a") === labels("id"))
-          .select(edges("doc_b").as("id"), labels("label"))
-        // checkpointed: minNb feeds BOTH sides of the pointer-jump self-join below
-        val minNb = labels.select($"id", $"label").union(prop)
-          .groupBy($"id").agg(min($"label").as("label")).localCheckpoint()
-        // pointer jump (path halving): adopt the label's own label, so chains contract
-        // geometrically and the loop converges in O(log diameter) rounds, not O(diameter)
-        val next = minNb.as("x")
-          .join(minNb.select($"id".as("jid"), $"label".as("jlabel")).as("m"),
-            col("x.label") === col("m.jid"), "left")
-          .select(col("x.id").as("id"),
-            least(col("x.label"), coalesce(col("m.jlabel"), col("x.label"))).as("label"))
-          .localCheckpoint()
-        changed = next.as("n").join(labels.as("o"), "id")
-          .filter(col("n.label") =!= col("o.label")).count()
-        // `next` is materialized (eager checkpoint) and `changed` consumed the old frame,
-        // so the superseded iteration's blocks are dead weight from here on — release them
-        releaseLocalCheckpoint(labels)
-        releaseLocalCheckpoint(minNb)
-        labels = next
-        iter += 1
-      }
-      // an unconverged fixpoint means WRONG cluster labels — fail loudly rather than
-      // surfacing as a confusing oracle hash mismatch downstream
-      require(changed == 0, s"dedup_components did not converge after $iter rounds")
-      // the final checkpoint severed lineage from the LSH pipeline, so its caches can go
-      edges.unpersist(blocking = false)
-      pairs.unpersist(blocking = false)
-      sig.unpersist(blocking = false)
-      labels.groupBy($"label")
+      clusterLabels(s, dir).groupBy($"label")
         .agg(count(lit(1)).as("member_cnt"), max($"id").as("max_member"))
+        .orderBy($"label")
+    },
+    // CANONICAL SELECTION — the stage AFTER clustering in a real dedup pipeline: each
+    // near-dup cluster keeps exactly ONE representative. Heuristic here: the member with
+    // the most tokens (keep the longest variant), smallest doc_id on ties — an arg-max
+    // per cluster, deterministic on both engines. Rides the same labeled graph as
+    // dedup_components ([[clusterLabels]]) plus one broadcast-sized join of per-doc token
+    // counts; at 100 TB the arg-max is a map-side-combined max_by on the cluster key.
+    "dedup_canonical" -> { (s, dir) =>
+      import s.implicits._
+      val labels = clusterLabels(s, dir)
+      val toks = doubledDocs(s, dir)
+        .select($"doc_id", size(TextOps.tokens($"text")).cast("long").as("n_toks"))
+      labels.join(toks, labels("id") === toks("doc_id"))
+        .groupBy($"label").agg(
+          count(lit(1)).as("member_cnt"),
+          max_by($"doc_id", struct($"n_toks", -$"doc_id")).as("canon_doc"),
+          max($"n_toks").as("canon_toks"))
         .orderBy($"label")
     },
     // 16-bit simhash fingerprint per document. ONE shuffle, on doc_id, carrying 16
@@ -423,6 +451,32 @@ object Dedup {
          |labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
          |SELECT label, cast(count(*) AS BIGINT) AS member_cnt, max(id) AS max_member
          |FROM labels GROUP BY label ORDER BY label""".stripMargin,
+    // same labeled graph as dedup_components, plus per-cluster arg-max representative
+    "dedup_canonical" ->
+      s"""WITH RECURSIVE src AS ($doubledSql),
+         |${sigSql("src")},
+         |bands AS (${(0 until NumBands).map(b => s"SELECT doc_id, $b AS bi, band_$b AS bv FROM banded").mkString(" UNION ALL ")}),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT s AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+         |labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
+         |toks AS (SELECT doc_id,
+         |  cast(len(list_filter(string_split_regex(trim(text),'\\s+'), x -> x <> '')) AS BIGINT) AS n_toks
+         |  FROM src),
+         |j AS (SELECT l.label, t.doc_id, t.n_toks FROM labels l JOIN toks t ON l.id = t.doc_id),
+         |ranked AS (SELECT label, doc_id, n_toks,
+         |  row_number() OVER (PARTITION BY label ORDER BY n_toks DESC, doc_id ASC) AS rn FROM j),
+         |agg AS (SELECT label, cast(count(*) AS BIGINT) AS member_cnt,
+         |  max(n_toks) AS canon_toks FROM j GROUP BY label)
+         |SELECT a.label, a.member_cnt, r.doc_id AS canon_doc, a.canon_toks
+         |FROM agg a JOIN ranked r ON a.label = r.label AND r.rn = 1
+         |ORDER BY a.label""".stripMargin,
     "dedup_simhash" ->
       s"""WITH toks AS (SELECT doc_id, unnest(list_distinct($tokSql)) AS tok FROM documents),
          |hashed AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM toks),
