@@ -140,6 +140,49 @@ object Similarity {
     // (exact top-k truncated to IVF's k; IVF nprobe=1) and reduces the overlap to integer
     // basis points. Plan shape: both sides end (n_queries × k) rows, so the semi-join and
     // aggregate are driver-trivial at any corpus size — the cost IS the two searches.
+    // K-MEANS LLOYD ITERATION — the training primitive behind the IVF index: one full
+    // assign → update-centroids → reassign round, seeded from the IVF centroid vectors.
+    // All arithmetic runs over INTEGER milli-quantized embeddings: sums, centroid means
+    // (explicit floor division) and inertia are exact 64-bit math in ANY aggregation
+    // order — the property double means cannot give across engines (a double mean is
+    // order-dependent; Spark's partial aggregation and DuckDB's serial fold would drift
+    // in the last bits and break the hash gate). 100 TB shape: both assignment passes
+    // are broadcast crossJoins against K=8 centroids (vectors never shuffle, only their
+    // K-row scored expansion aggregates back per vec_id with map-side combine), and the
+    // centroid update is a (cid, dim) aggregate whose output is K×64 rows.
+    "simsearch_kmeans_iter" -> { (s, dir) =>
+      import s.implicits._
+      val dotL = (a: Column, b: Column) =>
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+      val q = graft.engine.Tables(s, dir, "embeddings")
+        .select($"vec_id",
+          transform($"embedding", x => (x.cast("double") * 1000).cast("long")).as("qv"))
+        .withColumn("vv", dotL($"qv", $"qv"))
+        .cache()
+      def assign(cent: DataFrame): DataFrame =
+        q.crossJoin(broadcast(cent))
+          .withColumn("dot", dotL($"qv", $"cvec"))
+          .withColumn("cc", dotL($"cvec", $"cvec"))
+          .groupBy($"vec_id")
+          .agg(max_by(struct($"cid", $"dot", $"cc"), struct($"dot", -$"cid")).as("w"),
+            first($"qv").as("qv"), first($"vv").as("vv"))
+          .select($"vec_id", $"qv", $"vv",
+            $"w.cid".as("cid"), $"w.dot".as("dot"), $"w.cc".as("cc"))
+      val cent0 = q.filter($"vec_id".isin(CentroidIds: _*))
+        .select($"vec_id".as("cid"), $"qv".as("cvec"))
+      val cent1 = assign(cent0)
+        .select($"cid", posexplode($"qv").as(Seq("pos", "v")))
+        .groupBy($"cid", $"pos")
+        .agg(floor(sum($"v").cast("double") / count(lit(1))).cast("long").as("cd"))
+        .groupBy($"cid")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"cd"))),
+          x => x.getField("cd")).as("cvec"))
+      assign(cent1).groupBy($"cid").agg(
+          count(lit(1)).as("member_cnt"),
+          min($"cc").as("centroid_cc"),
+          sum($"vv" - lit(2L) * $"dot" + $"cc").as("inertia"))
+        .orderBy($"cid")
+    },
     "simsearch_recall" -> { (s, dir) =>
       import s.implicits._
       val exact = queries("simsearch_topk")(s, dir)
@@ -185,6 +228,36 @@ object Similarity {
   private val dupPlaneSetSql = DupPlaneIds.mkString("(", ", ", ")")
 
   val oracle: Map[String, String] = Map(
+    // exact-integer Lloyd round: trunc(x*1000) quantization matches Spark's
+    // double->long cast (both truncate toward zero); list_dot_product over the BIGINT
+    // lists is exact below 2^53; floor division matches Spark's floor(cast/cnt)
+    "simsearch_kmeans_iter" ->
+      s"""WITH q AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(trunc(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |qq AS (SELECT vec_id, qv, CAST(list_dot_product(qv, qv) AS BIGINT) AS vv FROM q),
+         |c0 AS (SELECT vec_id AS cid, qv AS cvec FROM q
+         |  WHERE vec_id IN ${CentroidIds.mkString("(", ", ", ")")}),
+         |s1 AS (SELECT qq.vec_id, qq.qv, c0.cid,
+         |  CAST(list_dot_product(qq.qv, c0.cvec) AS BIGINT) AS dot FROM qq CROSS JOIN c0),
+         |a1 AS (SELECT vec_id, qv, cid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) AS rn
+         |  FROM s1) WHERE rn = 1),
+         |u AS (SELECT cid, unnest(qv) AS v, generate_subscripts(qv, 1) AS pos FROM a1),
+         |cd AS (SELECT cid, pos,
+         |  CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS cd
+         |  FROM u GROUP BY cid, pos),
+         |c1 AS (SELECT cid, list(cd ORDER BY pos) AS cvec FROM cd GROUP BY cid),
+         |s2 AS (SELECT qq.vec_id, qq.vv, c1.cid,
+         |  CAST(list_dot_product(qq.qv, c1.cvec) AS BIGINT) AS dot,
+         |  CAST(list_dot_product(c1.cvec, c1.cvec) AS BIGINT) AS cc
+         |  FROM qq CROSS JOIN c1),
+         |a2 AS (SELECT vec_id, vv, cid, dot, cc FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) AS rn
+         |  FROM s2) WHERE rn = 1)
+         |SELECT cid, cast(count(*) AS BIGINT) AS member_cnt, min(cc) AS centroid_cc,
+         |  cast(sum(vv - 2 * dot + cc) AS BIGINT) AS inertia
+         |FROM a2 GROUP BY cid ORDER BY cid""".stripMargin,
     "simsearch_topk" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
          |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE $qSetSql),
