@@ -107,6 +107,27 @@ object Relational {
         .agg(sum(cents($"l_extendedprice" * $"l_discount")).as("revenue_cents"),
           count(lit(1)).as("cnt"))
     },
+    // CO-LOCATED (bucketed) fact-fact join — the shuffle-free join story for 100 TB:
+    // both fact tables are written ONCE bucketed (and sorted) on their join key into a
+    // session warehouse; a sort-merge join over the bucketed scans then needs NO exchange
+    // on either side — at production scale that deletes the two largest shuffles of the
+    // pipeline (re-materializing TBs over the network per run) in exchange for one
+    // organize-on-write. The write happens on first use per (session, sf dir) and is
+    // reused by every later call (exactly how a lake lays out fact tables once and joins
+    // them forever); the hint("merge") pins SMJ so the plan proves colocation instead of
+    // degenerating to a broadcast at test scale. PlanAuditSpec pins exchanges <= 2 (the
+    // post-join aggregate + the final ORDER BY — NONE before the join).
+    "q_bucketed_join" -> { (s, dir) =>
+      import s.implicits._
+      val oT = BucketedTables.ensure(s, dir, "orders", "o_orderkey")
+      val lT = BucketedTables.ensure(s, dir, "lineitem", "l_orderkey")
+      s.table(lT).hint("merge")
+        .join(s.table(oT), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("line_cnt"),
+          sum(cents($"l_extendedprice")).as("revenue_cents"))
+        .orderBy($"o_orderstatus")
+    },
     // q4-style LEFT SEMI join: orders having at least one returned lineitem — the EXISTS
     // shape; semi joins ship only the join key of the probe side (no fan-out, no payload)
     "q4_semi_join" -> { (s, dir) =>
@@ -475,6 +496,12 @@ object Relational {
         | cast(count(*) AS BIGINT) AS cnt
         |FROM lineitem
         |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0""".stripMargin,
+    // the bucketed layout changes the PLAN, never the relation: the oracle is the plain join
+    "q_bucketed_join" ->
+      """SELECT o_orderstatus, cast(count(*) AS BIGINT) AS line_cnt,
+        | cast(sum(cast(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q4_semi_join" ->
       """SELECT o_orderpriority, cast(count(*) AS BIGINT) AS order_cnt
         |FROM orders

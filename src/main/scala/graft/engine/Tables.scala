@@ -23,3 +23,32 @@ object Tables {
   def cents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.round(c * 100).cast("long")
 }
+
+/** Bucketed-table layout for the co-located join demo (`q_bucketed_join`): writes a
+  * testdata table ONCE per (session, sf dir) bucketed + sorted on its join key into a
+  * tmpdir warehouse, registers it in the session catalog, and reuses it on every later
+  * call — the organize-on-write that lets fact-fact joins run with zero exchanges.
+  *
+  * 8 buckets matches the suite's shuffle parallelism at test scale; a production layout
+  * picks bucket count from target file size (~SF × rows/8 per bucket file). The write is
+  * serialized JVM-wide: parallel test suites share one SparkSession, and two racing
+  * saveAsTable calls to the same path would corrupt the layout.
+  */
+object BucketedTables {
+  private val lock = new Object
+  private val NumBuckets = 8
+
+  def ensure(spark: SparkSession, sfDir: String, table: String, key: String): String =
+    lock.synchronized {
+      val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+      val name = s"graft_${table}_b$tag"
+      if (!spark.catalog.tableExists(name)) {
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_buckets_$tag/$name"
+        Tables(spark, sfDir, table).write
+          .bucketBy(NumBuckets, key).sortBy(key)
+          .option("path", path).mode("overwrite")
+          .format("parquet").saveAsTable(name)
+      }
+      name
+    }
+}

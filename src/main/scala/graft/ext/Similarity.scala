@@ -36,6 +36,12 @@ object Similarity {
   // IVF: fixed "centroid" set (base vectors 20..27), nprobe = 1
   private val CentroidIds = (20L to 27L).toSeq
   private val IvfTopK = 5
+  // PQ: M subspaces x SubDim dims (= the 64-dim embedding), K codewords per subspace
+  // drawn from fixed base vectors (code = seed vec_id - PqSeedBase)
+  private val PqM = 8
+  private val PqSubDim = 8
+  private val PqK = 4
+  private val PqSeedBase = 30L
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // brute-force cosine top-k for a fixed query set (vec_id < NumQueries).
@@ -197,6 +203,63 @@ object Similarity {
           expr("coalesce(hits, 0) * 10000 div k").as("recall_bp"))
         .orderBy($"q_id")
     },
+    // PRODUCT-QUANTIZATION ANN (ADC scan) — the compressed-index scale path next to IVF:
+    // vectors are encoded as PqM one-byte codes (nearest codeword per contiguous
+    // subspace), queries precompute a per-subspace lookup table of exact distances to
+    // every codeword, and the scan scores a candidate with M map probes over the
+    // broadcast LUT — no per-candidate dot product, and the 100 TB corpus is read as
+    // M bytes/vector instead of 256 bytes of floats (the memory-bandwidth win that makes
+    // PQ the standard billion-vector layout). All arithmetic is exact 64-bit integer L2
+    // over milli-quantized vectors (the simsearch_kmeans_iter discipline), so encoding,
+    // LUTs and ADC distances reproduce bit-identically in the oracle. Plan shape: the
+    // codebook (M×K = 32 rows) and per-query LUTs broadcast; the only full-corpus
+    // shuffles are the per-(vec,sub) argmin and per-vec code assembly (both map-side
+    // combined); the final top-k is the same per-query window as every search here.
+    "simsearch_pq" -> { (s, dir) =>
+      import s.implicits._
+      val dotL = (a: Column, b: Column) =>
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+      val q = graft.engine.Tables(s, dir, "embeddings")
+        .select($"vec_id",
+          transform($"embedding", x => (x.cast("double") * 1000).cast("long")).as("qv"))
+      // one row per (vector, subspace): sv = the contiguous PqSubDim-slice, svv = |sv|^2
+      val subs = q.select($"vec_id", posexplode(
+          transform(sequence(lit(0), lit(PqM - 1)),
+            i => slice($"qv", i * PqSubDim + 1, lit(PqSubDim)))).as(Seq("sub", "sv")))
+        .withColumn("svv", dotL($"sv", $"sv"))
+      val cb = subs.filter($"vec_id".between(PqSeedBase, PqSeedBase + PqK - 1))
+        .select($"sub", ($"vec_id" - PqSeedBase).cast("int").as("code"),
+          $"sv".as("cw"), $"svv".as("cc"))
+      // encode: nearest codeword per (vector, subspace) by exact L2^2 = svv - 2·sv·cw + cc,
+      // tie-break lowest code; codes assemble into one array per vector (subspace order)
+      val codes = subs.join(broadcast(cb), Seq("sub"))
+        .withColumn("d", $"svv" - lit(2L) * dotL($"sv", $"cw") + $"cc")
+        .groupBy($"vec_id", $"sub")
+        .agg(min_by($"code", struct($"d", $"code")).as("code"))
+        .groupBy($"vec_id")
+        .agg(transform(array_sort(collect_list(struct($"sub", $"code"))),
+          x => x.getField("code")).as("codes"))
+      // ADC lookup tables: per query ONE flat map (sub*K + code -> exact contribution),
+      // so scoring a candidate is M map probes instead of a join or a dot product
+      val lut = subs.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("q_id"), $"sub", $"sv", $"svv")
+        .join(broadcast(cb), Seq("sub"))
+        .withColumn("d", $"svv" - lit(2L) * dotL($"sv", $"cw") + $"cc")
+        .groupBy($"q_id")
+        .agg(map_from_entries(collect_list(
+          struct(($"sub" * PqK + $"code").cast("int"), $"d"))).as("lut"))
+      val w = Window.partitionBy($"q_id").orderBy($"adist".asc, $"vec_id")
+      codes.crossJoin(broadcast(lut))
+        .filter($"vec_id" =!= $"q_id")
+        .withColumn("adist", aggregate(
+          zip_with($"codes", sequence(lit(0), lit(PqM - 1)),
+            (c, sIdx) => element_at($"lut", (sIdx * PqK + c).cast("int"))),
+          lit(0L), (acc, x) => acc + x))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= TopK)
+        .select($"q_id", $"rnk".cast("long").as("rnk"), $"vec_id", $"adist")
+        .orderBy($"q_id", $"rnk")
+    },
     // embedding-cosine near-dup: double the corpus with identical copies, bucket by
     // 10 sign-projections (identical vectors land together by construction), verify by
     // exact cosine within buckets only — never an all-pairs crossJoin. Norms precomputed
@@ -333,6 +396,31 @@ object Similarity {
          |  coalesce(h.hits, 0) * 10000 // kx.k AS recall_bp
          |FROM kx LEFT JOIN h ON kx.q_id = h.q_id
          |ORDER BY kx.q_id""".stripMargin,
+    // same milli-quantization + exact integer L2 as the kmeans oracle; list_slice is
+    // end-INCLUSIVE (Spark's slice takes a LENGTH) — both cut the same PqSubDim window
+    "simsearch_pq" ->
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(trunc(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |sub AS (SELECT vec_id, s, list_slice(qv, s*$PqSubDim + 1, s*$PqSubDim + $PqSubDim) AS sv
+         |  FROM e, (SELECT unnest(range($PqM)) AS s) ss),
+         |svv AS (SELECT vec_id, s, sv, CAST(list_dot_product(sv, sv) AS BIGINT) AS svv FROM sub),
+         |cb AS (SELECT s, CAST(vec_id - $PqSeedBase AS INT) AS code, sv AS cw, svv AS cc
+         |  FROM svv WHERE vec_id BETWEEN $PqSeedBase AND ${PqSeedBase + PqK - 1}),
+         |enc0 AS (SELECT v.vec_id, v.s, cb.code,
+         |  v.svv - 2 * CAST(list_dot_product(v.sv, cb.cw) AS BIGINT) + cb.cc AS d
+         |  FROM svv v JOIN cb ON v.s = cb.s),
+         |enc AS (SELECT vec_id, s, code FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
+         |  FROM enc0) WHERE rn = 1),
+         |lut AS (SELECT vec_id AS q_id, s, code, d FROM enc0 WHERE vec_id < $NumQueries),
+         |adist AS (SELECT lut.q_id, enc.vec_id, CAST(sum(lut.d) AS BIGINT) AS adist
+         |  FROM enc JOIN lut ON enc.s = lut.s AND enc.code = lut.code
+         |  WHERE enc.vec_id <> lut.q_id
+         |  GROUP BY lut.q_id, enc.vec_id),
+         |ranked AS (SELECT q_id, vec_id, adist,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rnk FROM adist)
+         |SELECT q_id, rnk, vec_id, adist FROM ranked WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin,
     "dedup_embedding_cosine" ->
       s"""WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
          |e AS (SELECT vec_id, v FROM e0 UNION ALL SELECT vec_id + $DupIdOffset AS vec_id, v FROM e0),

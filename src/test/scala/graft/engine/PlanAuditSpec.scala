@@ -179,6 +179,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin LeftAnti"), s"anti-join must not shuffle the seg key:\n$p")
   }
 
+  test("q_bucketed_join: bucketed scans feed the SMJ with NO exchange before the join") {
+    val p = plan("q_bucketed_join")
+    assert(p.contains("SortMergeJoin"), s"expected a sort-merge join over bucketed scans:\n$p")
+    // exchanges: post-join aggregate + final ORDER BY only — an unbucketed SMJ would add
+    // two more (one per side) before the join
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 2, s"expected <=2 exchanges (bucketing co-locates the join):\n$p")
+    assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+      s"expected bucketed file scans:\n$p")
+  }
+
+  test("simsearch_pq: codebook and LUTs broadcast; no shuffle join anywhere") {
+    val p = plan("simsearch_pq")
+    // the M×K codebook joins into both the encode and LUT passes as a broadcast, and the
+    // per-query LUT map reaches the ADC scan as a broadcast nested-loop (cross) join —
+    // the corpus never shuffles for a join (only the encode aggregates + topk window)
+    assert(p.contains("BroadcastHashJoin"), s"codebook join must broadcast:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"LUT map must broadcast into the scan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join may appear:\n$p")
+  }
+
   test("events_json_extract: props parse stays in the scan stage, projection pruned") {
     val p = plan("events_json_extract")
     val scanLine = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
