@@ -29,6 +29,7 @@ object Temporal {
   private def cents(c: Column): Column = Tables.cents(c)
 
   private val SessionGapUs = 30L * 60L * 1000000L // 30 minutes in micros
+  private val RangeBandUs = 3600L * 1000000L // banded range join: 1-hour band, in micros
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_last_click" -> { (s, dir) =>
@@ -63,6 +64,65 @@ object Temporal {
           (max($"ts_us") - min($"ts_us")).as("dur_us"),
           sum(cents($"value")).as("value_cents"))
         .orderBy($"user_id", $"session_id")
+    },
+    // BANDED RANGE JOIN (batch) — the pure time-range join with NO equi key: every
+    // purchase counts the clicks of ANY user in its preceding hour. Naively that's a
+    // cartesian/BNLJ (O(n²) comparisons, undistributable); the banding rewrite makes it
+    // an EQUI join: clicks key on their hour-bucket (ts div band), each purchase probes
+    // exactly the two buckets its window can span (range length == band), and the band
+    // predicate re-filters inside the matched bucket. At 100 TB the join shuffles on the
+    // uniform time-bucket key — parallelism = time span / band, skew bounded by the event
+    // rate per band, zero pairs outside adjacent buckets ever materialize. Each (purchase,
+    // click) pair matches exactly once (a click has ONE bucket; the two probe buckets are
+    // distinct). The left_outer re-join keeps zero-click purchases in the report.
+    // PlanAuditSpec pins the no-product shape.
+    "events_range_join" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir, "events")
+        .select($"event_id", $"event_type", expr("ts div 1000").as("ts_us"), $"value")
+      val clicks = e.filter($"event_type" === "click")
+        .select(expr(s"ts_us div $RangeBandUs").as("bucket"),
+          $"ts_us".as("c_us"), cents($"value").as("c_cents"))
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"event_id", $"ts_us")
+      val probes = purchases.select($"event_id", $"ts_us",
+        explode(array(expr(s"ts_us div $RangeBandUs - 1"),
+          expr(s"ts_us div $RangeBandUs"))).as("bucket"))
+      val counts = probes.join(clicks, Seq("bucket"))
+        .filter($"c_us" >= $"ts_us" - RangeBandUs && $"c_us" < $"ts_us")
+        .groupBy($"event_id")
+        .agg(count(lit(1)).as("click_cnt"), sum($"c_cents").as("click_cents"))
+      purchases.join(counts, Seq("event_id"), "left_outer")
+        .select($"event_id", $"ts_us",
+          coalesce($"click_cnt", lit(0L)).as("click_cnt"),
+          coalesce($"click_cents", lit(0L)).as("click_cents"))
+        .orderBy($"event_id")
+    },
+    // STREAM-STATIC broadcast enrich — the stateless dimension join every streaming
+    // pipeline starts with: each micro-batch of the event stream joins a STATIC parquet
+    // dimension (re-read per batch, broadcast — no state store, no watermark needed for
+    // the join itself). The harness cuts the stream mid-feed to prove batch independence;
+    // the collected append output then aggregates per dimension row for the hash gate.
+    // At 100 TB-of-stream the dimension stays the broadcast side and the stream never
+    // shuffles for the join — the same posture as the batch dimension joins (q3/q5/b3).
+    "events_enrich_stream" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.Encoders
+      val rows = Tables(s, dir, "events")
+        .filter($"event_id" % 4 === 0)
+        .select($"event_id", $"user_id", cents($"value").as("value_cents"))
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      val nation = Tables(s, dir, "nation").select($"n_nationkey", $"n_name")
+      val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+      val out = StreamGate.runTwoBatches(s, enc, "events_enrich_stream_sink", b1, b2) { ds =>
+        ds.toDF("event_id", "user_id", "value_cents")
+          .join(broadcast(nation), pmod($"user_id", lit(25L)) === $"n_nationkey")
+          .select($"event_id", $"n_name", $"value_cents")
+      }
+      out.groupBy($"n_name")
+        .agg(count(lit(1)).as("event_cnt"), sum($"value_cents").as("sum_cents"))
+        .orderBy($"n_name")
     },
     // Structured Streaming watermark + tumbling window, ORACLE-GATED: the same per-minute
     // aggregation as events_window_agg, but driven through MemoryStream in two
@@ -237,6 +297,23 @@ object Temporal {
   )
 
   val oracle: Map[String, String] = Map(
+    // the oracle states the RANGE JOIN directly (DuckDB plans it as an IEJoin); the
+    // engine's banding rewrite must be invisible in the result
+    "events_range_join" ->
+      s"""WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us, value FROM events),
+         |p AS (SELECT event_id, ts_us FROM e WHERE event_type = 'purchase'),
+         |c AS (SELECT ts_us AS c_us, CAST(round(value*100) AS BIGINT) AS c_cents
+         |      FROM e WHERE event_type = 'click')
+         |SELECT p.event_id, p.ts_us, cast(count(c.c_us) AS BIGINT) AS click_cnt,
+         |  cast(coalesce(sum(c.c_cents), 0) AS BIGINT) AS click_cents
+         |FROM p LEFT JOIN c ON c.c_us >= p.ts_us - $RangeBandUs AND c.c_us < p.ts_us
+         |GROUP BY p.event_id, p.ts_us ORDER BY p.event_id""".stripMargin,
+    "events_enrich_stream" ->
+      """SELECT n_name, cast(count(*) AS BIGINT) AS event_cnt,
+        | cast(sum(cast(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events JOIN nation ON user_id % 25 = n_nationkey
+        |WHERE event_id % 4 = 0
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "events_join_stream" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
         |           FROM events WHERE event_id % 8 = 0),

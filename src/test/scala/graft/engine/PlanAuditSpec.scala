@@ -200,6 +200,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"no shuffle join may appear:\n$p")
   }
 
+  test("events_range_join: the banding rewrite keeps the time-range join an equi join") {
+    val p = plan("events_range_join")
+    // a pure range predicate with no equi key would plan as a nested-loop product over
+    // every (purchase, click) pair; the bucket key must make it a hash/merge equi join
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join must not materialize a product:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"expected an equi join on the band bucket:\n$p")
+  }
+
   test("events_json_extract: props parse stays in the scan stage, projection pruned") {
     val p = plan("events_json_extract")
     val scanLine = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
