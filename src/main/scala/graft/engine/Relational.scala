@@ -165,6 +165,87 @@ object Relational {
           $"cnt", $"value_cents", $"gid")
         .orderBy($"gid", $"etype", $"bucket")
     },
+    // CUBE: all four aggregation granularities of (event_type, bucket) in ONE pass —
+    // rollup's hierarchy plus the per-bucket-across-types marginals; Spark expands the
+    // grouping sets map-side so the fact is still scanned once and shuffled once
+    "events_cube" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "events")
+        .select($"event_type", ($"user_id" % 10).as("bucket"), $"value")
+        .cube($"event_type", $"bucket")
+        .agg(count(lit(1)).as("cnt"), sum(cents($"value")).as("value_cents"),
+          grouping_id().as("gid"))
+        .select(coalesce($"event_type", lit("(all)")).as("etype"),
+          coalesce($"bucket", lit(-1L)).as("bucket"),
+          $"cnt", $"value_cents", $"gid")
+        .orderBy($"gid", $"etype", $"bucket")
+    },
+    // WINDOW-FUNCTION breadth in one partition pass: lag/lead (neighbor access), ntile
+    // (equi-depth banding), percent_rank/cume_dist (relative position). All six share ONE
+    // window definition → Catalyst evaluates them in a single sort+window stage, one
+    // shuffle on the partition key. Rank ratios are emitted in integer basis points: the
+    // formulas ((rank-1)/(n-1), rank/n) are exact IEEE doubles from integer inputs, so
+    // round(x*10000) is bit-identical across engines.
+    "q_window_suite" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      Tables(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate", cents($"o_totalprice").as("vc"))
+        .select($"o_custkey", $"o_orderkey",
+          row_number().over(w).as("rn"),
+          coalesce(lag($"vc", 1).over(w), lit(-1L)).as("prev_cents"),
+          coalesce(lead($"vc", 1).over(w), lit(-1L)).as("next_cents"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w) * 10000).cast("long").as("pr_bp"),
+          round(cume_dist().over(w) * 10000).cast("long").as("cd_bp"))
+        .orderBy($"o_custkey", $"rn")
+    },
+    // INCREMENTAL AGGREGATE MAINTENANCE — the materialized-view refresh shape: a BASE
+    // partial aggregate (the view, computed once over the historical fact) merges with a
+    // small DELTA partial via unionAll + re-aggregate, because count/sum are algebraic
+    // (mergeable partial states). At 100 TB this is THE pattern that turns a daily
+    // full-fact rescan into a delta-sized one: the base partial is a few rows per group,
+    // the delta shuffle is sized by the new data only. The oracle recomputes the full
+    // aggregate flat — merge(base, delta) must equal it exactly (integer cents).
+    "q_incremental_agg" -> { (s, dir) =>
+      import s.implicits._
+      def partial(df: DataFrame) = df
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum(cents($"o_totalprice")).as("total_cents"))
+      val orders = Tables(s, dir, "orders")
+      val base  = partial(orders.filter($"o_orderkey" % 7 =!= 0)) // the stored view
+      val delta = partial(orders.filter($"o_orderkey" % 7 === 0)) // today's increment
+      base.unionAll(delta)
+        .groupBy($"o_orderstatus")
+        .agg(sum($"cnt").as("cnt"), sum($"total_cents").as("total_cents"))
+        .orderBy($"o_orderstatus")
+    },
+    // EXACT per-group discrete percentile + outlier flagging: the p99 threshold is the
+    // value at ascending position ceil(0.99*n) WITHIN each event type (a value from the
+    // set — no interpolation, so it is engine-exact in integer cents), and every event is
+    // compared against its type's threshold. The full per-group sort is the exact path;
+    // the sketch path of the same shape is percentile_approx (text_len_quantiles_approx)
+    // when ±ε is acceptable at lake scale.
+    // SINGLE-PASS plan: the threshold is computed by a second window over the SAME
+    // type-partitioning (rank → pick → broadcast-within-partition via an unbounded max) —
+    // one fact scan, one shuffle; the join formulation would scan the fact twice and
+    // shuffle the threshold back in. PlanAuditSpec pins join-free + one scan.
+    "events_anomaly_p99" -> { (s, dir) =>
+      import s.implicits._
+      val wOrd = Window.partitionBy($"event_type").orderBy($"vc")
+      val wAll = Window.partitionBy($"event_type")
+      Tables(s, dir, "events")
+        .select($"event_type", cents($"value").as("vc"))
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("p99_cents",
+          max(when($"rn" === ceil($"n" * 0.99), $"vc")).over(wAll))
+        .groupBy($"event_type")
+        .agg(max($"p99_cents").as("p99_cents"),
+          count(when($"vc" > $"p99_cents", 1)).as("outlier_cnt"),
+          sum(when($"vc" > $"p99_cents", $"vc")).as("outlier_cents"))
+        .orderBy($"event_type")
+    },
     // INTERSECT: customers holding BOTH open and finished orders — the set operator b9's
     // except() leaves uncovered
     "q_intersect" -> { (s, dir) =>
@@ -513,6 +594,44 @@ object Relational {
         |FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "events_cube" ->
+      """SELECT coalesce(event_type, '(all)') AS etype,
+        | coalesce(user_id % 10, -1) AS bucket,
+        | cast(count(*) AS BIGINT) AS cnt,
+        | cast(sum(cast(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents,
+        | cast(GROUPING(event_type, user_id % 10) AS BIGINT) AS gid
+        |FROM events
+        |GROUP BY CUBE(event_type, user_id % 10)
+        |ORDER BY gid, etype, bucket""".stripMargin,
+    "q_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        | cast(row_number() OVER w AS INTEGER) AS rn,
+        | coalesce(lag(vc, 1) OVER w, -1) AS prev_cents,
+        | coalesce(lead(vc, 1) OVER w, -1) AS next_cents,
+        | cast(ntile(4) OVER w AS INTEGER) AS quartile,
+        | cast(round(percent_rank() OVER w * 10000) AS BIGINT) AS pr_bp,
+        | cast(round(cume_dist() OVER w * 10000) AS BIGINT) AS cd_bp
+        |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+        |        cast(round(o_totalprice*100) AS BIGINT) AS vc FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q_incremental_agg" ->
+      """SELECT o_orderstatus, cast(count(*) AS BIGINT) AS cnt,
+        | cast(sum(cast(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "events_anomaly_p99" ->
+      """WITH ev AS (SELECT event_type, cast(round(value*100) AS BIGINT) AS vc FROM events),
+        |ranked AS (SELECT event_type, vc,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY vc) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM ev),
+        |thresholds AS (SELECT event_type, vc AS p99_cents FROM ranked
+        |  WHERE rn = cast(ceil(n * 0.99) AS BIGINT))
+        |SELECT ev.event_type, max(p99_cents) AS p99_cents,
+        |  cast(count(CASE WHEN vc > p99_cents THEN 1 END) AS BIGINT) AS outlier_cnt,
+        |  cast(sum(CASE WHEN vc > p99_cents THEN vc END) AS BIGINT) AS outlier_cents
+        |FROM ev JOIN thresholds USING (event_type)
+        |GROUP BY ev.event_type ORDER BY event_type""".stripMargin,
     "events_rollup" ->
       """SELECT coalesce(event_type, '(all)') AS etype,
         | coalesce(user_id % 10, -1) AS bucket,

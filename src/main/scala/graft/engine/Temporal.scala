@@ -98,6 +98,40 @@ object Temporal {
           coalesce($"click_cents", lit(0L)).as("click_cents"))
         .orderBy($"event_id")
     },
+    // TIME-SERIES GAP-FILL / RESAMPLE — sparse events densified onto a regular minute
+    // grid per series, missing points carried forward (the dashboard/feature-store
+    // resample every metrics pipeline needs). Shape: ONE per-(series, minute) aggregate
+    // shuffle; the grid is generated from each series' own [min, max] span with
+    // sequence+explode (linear, no join against a calendar table); the left join that
+    // aligns grid to observations broadcasts the AGGREGATED observations only if small —
+    // here both sides key on (series, minute) so it stays an equi join; the carry-forward
+    // is one `last(ignoreNulls)` running window per series. SCALE: the dense grid is
+    // bounded by #series × span/granularity — INDEPENDENT of input row count (100 TB of
+    // raw events over the same month fills the same 216k-cell grid); for multi-year spans
+    // the window partition grows with span, and the two-level variant (per-day last +
+    // within-day carry) re-bounds it — noted, not needed at a 30-day span.
+    "events_gapfill" -> { (s, dir) =>
+      import s.implicits._
+      // cached: perMin feeds BOTH the span derivation and the grid join's right side —
+      // uncached, the raw-event scan+aggregate would run twice; the cached table is
+      // grid-sized (series × minutes), tiny next to the input
+      val perMin = Tables(s, dir, "events")
+        .select($"event_type", expr("ts div 60000000000").as("minute"), $"value")
+        .groupBy($"event_type", $"minute")
+        .agg(count(lit(1)).as("cnt"), sum(cents($"value")).as("obs_cents"))
+        .cache()
+      val grid = perMin
+        .groupBy($"event_type")
+        .agg(min($"minute").as("lo"), max($"minute").as("hi"))
+        .select($"event_type", explode(sequence($"lo", $"hi")).as("minute"))
+      val carry = Window.partitionBy($"event_type").orderBy($"minute")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(perMin, Seq("event_type", "minute"), "left_outer")
+        .select($"event_type", $"minute",
+          coalesce($"cnt", lit(0L)).as("cnt"),
+          last($"obs_cents", ignoreNulls = true).over(carry).as("filled_cents"))
+        .orderBy($"event_type", $"minute")
+    },
     // STREAM-STATIC broadcast enrich — the stateless dimension join every streaming
     // pipeline starts with: each micro-batch of the event stream joins a STATIC parquet
     // dimension (re-read per batch, broadcast — no state store, no watermark needed for
@@ -308,6 +342,23 @@ object Temporal {
          |  cast(coalesce(sum(c.c_cents), 0) AS BIGINT) AS click_cents
          |FROM p LEFT JOIN c ON c.c_us >= p.ts_us - $RangeBandUs AND c.c_us < p.ts_us
          |GROUP BY p.event_id, p.ts_us ORDER BY p.event_id""".stripMargin,
+    "events_gapfill" ->
+      """WITH per_min AS (
+        |  SELECT event_type, epoch_ns(ts) // 60000000000 AS minute,
+        |    cast(count(*) AS BIGINT) AS cnt,
+        |    cast(sum(cast(round(value*100) AS BIGINT)) AS BIGINT) AS obs_cents
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT event_type, unnest(generate_series(lo, hi)) AS minute
+        |  FROM (SELECT event_type, min(minute) AS lo, max(minute) AS hi
+        |        FROM per_min GROUP BY event_type))
+        |SELECT g.event_type, g.minute, coalesce(p.cnt, 0) AS cnt,
+        |  last_value(p.obs_cents IGNORE NULLS) OVER (
+        |    PARTITION BY g.event_type ORDER BY g.minute
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
+        |FROM grid g LEFT JOIN per_min p
+        |  ON g.event_type = p.event_type AND g.minute = p.minute
+        |ORDER BY g.event_type, g.minute""".stripMargin,
     "events_enrich_stream" ->
       """SELECT n_name, cast(count(*) AS BIGINT) AS event_cnt,
         | cast(sum(cast(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents

@@ -167,6 +167,35 @@ object TextOps {
         .select($"doc_id", $"tri_cnt", expr("max_cnt * 10000 div tri_cnt").as("rep_bp"))
         .orderBy($"doc_id")
     },
+    // TF-IDF TOP TERMS — the per-document salient-term extraction of search indexing and
+    // topic labeling, in PURE INTEGER math: terms rank by (tf DESC, df ASC, term ASC) —
+    // exactly the tf·idf ordering for terms within one document (idf is monotone
+    // decreasing in df) without computing a single float, so the oracle is bit-exact.
+    // 100 TB shape: one (doc, term) aggregate shuffle builds tf; df derives from tf's
+    // output (each (doc, term) appears once — no second corpus scan); the df table is
+    // VOCABULARY-sized, so it BROADCASTS back onto tf (same posture as the ngram-jaccard
+    // df table — the skewed term key never shuffles); top-3 is one row_number window
+    // partitioned by doc_id.
+    "text_tfidf_topterms" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // cached: tf feeds BOTH the df derivation and the join's left side — uncached, the
+      // tokenize+explode+aggregate pipeline (the expensive part) would run twice; the
+      // cache spills to disk if the doc-term table outgrows memory, still cheaper than a
+      // second corpus scan
+      val tf = graft.engine.Tables(s, dir, "documents")
+        .select($"doc_id", explode(tokens($"text")).as("tok"))
+        .groupBy($"doc_id", $"tok")
+        .agg(count(lit(1)).as("tf"))
+        .cache()
+      val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy($"doc_id").orderBy($"tf".desc, $"df", $"tok")
+      tf.join(broadcast(df), Seq("tok"))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 3)
+        .select($"doc_id", $"rnk", $"tok", $"tf", $"df")
+        .orderBy($"doc_id", $"rnk")
+    },
     // CORPUS-LEVEL LINE DEDUP — the CCNet/RefinedWeb boilerplate-removal step: documents
     // segment into fixed 4-token windows (this corpus's "lines"), any segment whose exact
     // text repeats LineDedupMinRepeats+ times ACROSS the corpus is dropped everywhere,
@@ -500,6 +529,20 @@ object TextOps {
         | cast(sum(tok_cnt) AS BIGINT) AS sum_regex_tokens,
         | min(tok_cnt) AS min_regex_tokens, max(tok_cnt) AS max_regex_tokens
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_tfidf_topterms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, cast(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(list_filter(string_split_regex(trim(text),'\s+'), x -> x <> '')) AS tok
+        |        FROM documents)
+        |  GROUP BY doc_id, tok),
+        |df AS (SELECT tok, cast(count(*) AS BIGINT) AS df FROM tf GROUP BY tok)
+        |SELECT doc_id, rnk, tok, tf, df FROM (
+        |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+        |    cast(row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, df.df, tf.tok) AS INTEGER) AS rnk
+        |  FROM tf JOIN df USING (tok))
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp,
         | ('0x' || substr(md5(text), 1, 8))::BIGINT AS fp32, n_chars

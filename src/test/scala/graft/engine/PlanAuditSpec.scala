@@ -210,6 +210,50 @@ class PlanAuditSpec extends AnyFunSuite {
       p.contains("ShuffledHashJoin"), s"expected an equi join on the band bucket:\n$p")
   }
 
+  test("events_anomaly_p99: exact percentile + exceedance in ONE scan, no join") {
+    val p = plan("events_anomaly_p99")
+    // the threshold is window-computed inside the type partitioning: a join formulation
+    // would scan the fact twice and ship the thresholds back through a second exchange
+    assert(!p.contains("Join"), s"threshold must be window-computed, not joined back:\n$p")
+    assert(count(p, "FileScan") == 1, s"expected ONE events scan:\n$p")
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 3, s"expected <=3 exchanges (type hash + agg + 5-row sort):\n$p")
+  }
+
+  test("q_window_suite: all six window functions share one sort+window stage") {
+    val p = plan("q_window_suite")
+    // lag/lead/row_number/ntile/percent_rank/cume_dist all declare the same (partition,
+    // order) → Catalyst must fuse them into one Window operator over one shuffle; a
+    // second Window line would mean a second sort of the fact
+    assert(p.linesIterator.count(_.contains("- Window [")) == 1,
+      s"expected ONE fused Window operator:\n$p")
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 2, s"expected <=2 exchanges (custkey hash + final sort):\n$p")
+  }
+
+  test("events_cube: grouping sets expand map-side — one shuffle, one scan") {
+    val p = plan("events_cube")
+    assert(p.contains("Expand"), s"expected the Expand-based grouping-sets plan:\n$p")
+    assert(count(p, "FileScan") == 1, s"cube must not rescan per granularity:\n$p")
+  }
+
+  test("events_gapfill: span and grid join both read the cached per-minute aggregate") {
+    val p = plan("events_gapfill")
+    // (FileScan substring counts are inflated by InMemoryRelation printing its stored
+    // materialization plan — the InMemoryTableScan count is the valid single-scan proof)
+    assert(count(p, "InMemoryTableScan") >= 2,
+      s"expected span derivation AND grid join to scan the cached perMin:\n$p")
+  }
+
+  test("text_tfidf_topterms: vocabulary df broadcasts; df and join read the cached tf") {
+    val p = plan("text_tfidf_topterms")
+    // df join on the skewed term key must broadcast (same rule as dedup_ngram_jaccard),
+    // and tf must be cached so tokenize+aggregate doesn't run twice
+    assert(p.contains("BroadcastHashJoin"), s"df annotation must be a broadcast join:\n$p")
+    assert(count(p, "InMemoryTableScan") >= 2,
+      s"expected df derivation AND the join side to scan the cached tf:\n$p")
+  }
+
   test("events_json_extract: props parse stays in the scan stage, projection pruned") {
     val p = plan("events_json_extract")
     val scanLine = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
