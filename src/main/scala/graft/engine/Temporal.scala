@@ -98,6 +98,30 @@ object Temporal {
           coalesce($"click_cents", lit(0L)).as("click_cents"))
         .orderBy($"event_id")
     },
+    // ORDERED CONVERSION FUNNEL — view → click-after-view → purchase-after-click, the
+    // product-analytics staple with STRICT event ordering (a click before the first view
+    // does not count). One shuffle: everything is window algebra inside the per-user
+    // partition — first-view time, then first-click-after-it, then
+    // first-purchase-after-that as three sequential projections over the SAME
+    // partitioning (no self-joins, no per-stage passes); the final global rollup is a
+    // 1-row aggregate. At 100 TB this scans the events once and shuffles once on
+    // user_id; the alternative 3-way self-join shuffles the fact three times.
+    "events_funnel_steps" -> { (s, dir) =>
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id")
+      Tables(s, dir, "events")
+        .select($"user_id", $"event_type", expr("ts div 1000").as("ts_us"))
+        .withColumn("tv", min(when($"event_type" === "view", $"ts_us")).over(byUser))
+        .withColumn("tc", min(when($"event_type" === "click" && $"ts_us" > $"tv", $"ts_us"))
+          .over(byUser))
+        .withColumn("tp", min(when($"event_type" === "purchase" && $"ts_us" > $"tc", $"ts_us"))
+          .over(byUser))
+        .groupBy($"user_id").agg(first($"tv").as("tv"), first($"tc").as("tc"), first($"tp").as("tp"))
+        .agg(count(when($"tv".isNotNull, 1)).as("n_view"),
+          count(when($"tc".isNotNull, 1)).as("n_view_click"),
+          count(when($"tp".isNotNull, 1)).as("n_full_funnel"),
+          sum(when($"tp".isNotNull, $"tp" - $"tv")).as("sum_conversion_us"))
+    },
     // TIME-SERIES GAP-FILL / RESAMPLE — sparse events densified onto a regular minute
     // grid per series, missing points carried forward (the dashboard/feature-store
     // resample every metrics pipeline needs). Shape: ONE per-(series, minute) aggregate
@@ -342,6 +366,21 @@ object Temporal {
          |  cast(coalesce(sum(c.c_cents), 0) AS BIGINT) AS click_cents
          |FROM p LEFT JOIN c ON c.c_us >= p.ts_us - $RangeBandUs AND c.c_us < p.ts_us
          |GROUP BY p.event_id, p.ts_us ORDER BY p.event_id""".stripMargin,
+    "events_funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s1 AS (SELECT *, min(CASE WHEN event_type='view' THEN ts_us END)
+        |         OVER (PARTITION BY user_id) AS tv FROM e),
+        |s2 AS (SELECT *, min(CASE WHEN event_type='click' AND ts_us > tv THEN ts_us END)
+        |         OVER (PARTITION BY user_id) AS tc FROM s1),
+        |s3 AS (SELECT *, min(CASE WHEN event_type='purchase' AND ts_us > tc THEN ts_us END)
+        |         OVER (PARTITION BY user_id) AS tp FROM s2),
+        |u AS (SELECT user_id, any_value(tv) AS tv, any_value(tc) AS tc, any_value(tp) AS tp
+        |      FROM s3 GROUP BY user_id)
+        |SELECT cast(count(CASE WHEN tv IS NOT NULL THEN 1 END) AS BIGINT) AS n_view,
+        |  cast(count(CASE WHEN tc IS NOT NULL THEN 1 END) AS BIGINT) AS n_view_click,
+        |  cast(count(CASE WHEN tp IS NOT NULL THEN 1 END) AS BIGINT) AS n_full_funnel,
+        |  cast(sum(CASE WHEN tp IS NOT NULL THEN tp - tv END) AS BIGINT) AS sum_conversion_us
+        |FROM u""".stripMargin,
     "events_gapfill" ->
       """WITH per_min AS (
         |  SELECT event_type, epoch_ns(ts) // 60000000000 AS minute,

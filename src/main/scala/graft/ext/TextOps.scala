@@ -167,6 +167,32 @@ object TextOps {
         .select($"doc_id", $"tri_cnt", expr("max_cnt * 10000 div tri_cnt").as("rep_bp"))
         .orderBy($"doc_id")
     },
+    // RAG CHUNKING — overlapping fixed-size token windows (64 tokens, stride 48) with
+    // stable chunk ids and a content hash per chunk: the retrieval-index preprocessing
+    // step between curation and embedding. Entirely narrow map-side work: tokenize once,
+    // derive the start offsets from the token count (sequence + explode — no join, no
+    // shuffle before the final ORDER BY), slice each window from the SAME tokenized
+    // array. Zero-token documents produce no chunks by construction (sequence over an
+    // empty span). At 100 TB chunking is embarrassingly parallel; output size is
+    // input/stride-bounded and each chunk carries provenance (doc_id, chunk_idx, start).
+    "text_chunk_windows" -> { (s, dir) =>
+      import s.implicits._
+      val W = 64; val S = 48
+      val toks = $"toks"
+      graft.engine.Tables(s, dir, "documents")
+        .select($"doc_id", tokens($"text").as("toks"))
+        .filter(size(toks) > 0)
+        .select($"doc_id", toks,
+          explode(sequence(lit(0), size(toks) - 1, lit(S))).as("start"))
+        .select($"doc_id", ($"start" / S).cast("long").as("chunk_idx"), $"start",
+          slice(toks, $"start" + 1, lit(W)).as("chunk"))
+        .select($"doc_id", $"chunk_idx", $"start",
+          size($"chunk").as("n_toks"),
+          element_at($"chunk", 1).as("first_tok"),
+          element_at($"chunk", -1).as("last_tok"),
+          hash32(concat_ws(" ", $"chunk")).as("chunk_h32"))
+        .orderBy($"doc_id", $"chunk_idx")
+    },
     // TF-IDF TOP TERMS — the per-document salient-term extraction of search indexing and
     // topic labeling, in PURE INTEGER math: terms rank by (tf DESC, df ASC, term ASC) —
     // exactly the tf·idf ordering for terms within one document (idf is monotone
@@ -529,6 +555,20 @@ object TextOps {
         | cast(sum(tok_cnt) AS BIGINT) AS sum_regex_tokens,
         | min(tok_cnt) AS min_regex_tokens, max(tok_cnt) AS max_regex_tokens
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_chunk_windows" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text),'\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |starts AS (SELECT doc_id, toks,
+        |    unnest(generate_series(0, len(toks)-1, 48)) AS start
+        |  FROM d WHERE len(toks) > 0),
+        |chunks AS (SELECT doc_id, start // 48 AS chunk_idx, start,
+        |    list_slice(toks, start+1, start+64) AS chunk
+        |  FROM starts)
+        |SELECT doc_id, chunk_idx, start, cast(len(chunk) AS INTEGER) AS n_toks,
+        |  chunk[1] AS first_tok, chunk[-1] AS last_tok,
+        |  ('0x' || substr(md5(array_to_string(chunk, ' ')), 1, 8))::BIGINT AS chunk_h32
+        |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin,
     "text_tfidf_topterms" ->
       """WITH tf AS (
         |  SELECT doc_id, tok, cast(count(*) AS BIGINT) AS tf

@@ -254,6 +254,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected df derivation AND the join side to scan the cached tf:\n$p")
   }
 
+  test("events_funnel_steps: strict-order funnel is window algebra — one scan, one shuffle, no join") {
+    val p = plan("events_funnel_steps")
+    assert(!p.contains("Join"), s"funnel stages must not self-join the fact:\n$p")
+    assert(count(p, "FileScan") == 1, s"expected ONE events scan for all three stages:\n$p")
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 2, s"expected <=2 exchanges (user_id hash + 1-row final agg):\n$p")
+  }
+
+  test("text_chunk_windows: chunking is pure map-side work — no shuffle before the final sort") {
+    val p = plan("text_chunk_windows")
+    assert(!p.contains("Join"), s"chunking must not join:\n$p")
+    // the only exchange is the final ORDER BY's range partitioning
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 1, s"expected <=1 exchange (output ORDER BY only):\n$p")
+  }
+
   test("events_json_extract: props parse stays in the scan stage, projection pruned") {
     val p = plan("events_json_extract")
     val scanLine = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
