@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
  * Similarity search over the `embeddings` table (`embedding: array<float>`, 64-dim).
  *
  *  - brute-force cosine top-k: broadcast the (small) query set, score every base vector with
- *    a codegen'd `aggregate(zip_with(...))` dot product, rank per query with a window. The
+ *    the native codegen'd `vec_dot` expression, rank per query with a window. The
  *    scan side stays partition-parallel and never shuffles the base vectors — only the
  *    (n_queries × k) winners move. This is the exact baseline;
  *  - sign-random-projection LSH bucketing: 4 hyperplanes → 16 buckets; the scale path probes
@@ -21,9 +21,14 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Sequential-fold dot product of two double-array columns (codegen'd, no UDF). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential-fold dot product of two double-array columns — the NATIVE codegen'd
+    * [[graft.functions.VecDot]] expression (the HOF `aggregate(zip_with(...))` fold
+    * evaluates interpreted; `vec_dot` emits the primitive loop into whole-stage codegen
+    * with bit-identical sequential-sum + null semantics). */
+  def dot(a: Column, b: Column): Column = {
+    graft.functions.VecDot.ensureRegistered(SparkSession.active)
+    call_function("vec_dot", a, b)
+  }
 
   private def toDouble(c: Column): Column = transform(c, _.cast("double"))
 

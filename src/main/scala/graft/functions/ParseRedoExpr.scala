@@ -116,5 +116,5 @@ object ParseRedoExpr {
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ParseRedoExpr.registrations.foreach(ext.injectFunction)
+    (ParseRedoExpr.registrations ++ VecDot.registrations).foreach(ext.injectFunction)
 }
