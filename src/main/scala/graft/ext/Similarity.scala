@@ -21,10 +21,11 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Sequential-fold dot product of two double-array columns — the NATIVE codegen'd
-    * [[graft.functions.VecDot]] expression (the HOF `aggregate(zip_with(...))` fold
-    * evaluates interpreted; `vec_dot` emits the primitive loop into whole-stage codegen
-    * with bit-identical sequential-sum + null semantics). */
+  /** Sequential-fold dot product of two double- OR long-array columns — the NATIVE
+    * codegen'd [[graft.functions.VecDot]] expression (the HOF `aggregate(zip_with(...))`
+    * fold evaluates interpreted; `vec_dot` emits the primitive loop into whole-stage
+    * codegen with bit-identical sequential-sum + null semantics; the long variant keeps
+    * overflow loud via multiplyExact/addExact like the ANSI fold). */
   def dot(a: Column, b: Column): Column = {
     graft.functions.VecDot.ensureRegistered(SparkSession.active)
     call_function("vec_dot", a, b)
@@ -163,8 +164,7 @@ object Similarity {
     // centroid update is a (cid, dim) aggregate whose output is K×64 rows.
     "simsearch_kmeans_iter" -> { (s, dir) =>
       import s.implicits._
-      val dotL = (a: Column, b: Column) =>
-        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+      val dotL = (a: Column, b: Column) => dot(a, b) // vec_dot: long-array exact path
       val q = graft.engine.Tables(s, dir, "embeddings")
         .select($"vec_id",
           transform($"embedding", x => (x.cast("double") * 1000).cast("long")).as("qv"))
@@ -222,8 +222,7 @@ object Similarity {
     // combined); the final top-k is the same per-query window as every search here.
     "simsearch_pq" -> { (s, dir) =>
       import s.implicits._
-      val dotL = (a: Column, b: Column) =>
-        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+      val dotL = (a: Column, b: Column) => dot(a, b) // vec_dot: long-array exact path
       val q = graft.engine.Tables(s, dir, "embeddings")
         .select($"vec_id",
           transform($"embedding", x => (x.cast("double") * 1000).cast("long")).as("qv"))

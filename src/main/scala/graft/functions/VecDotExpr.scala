@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /**
  * `vec_dot(a, b)` — the dot product of two `array<double>` columns as a NATIVE Catalyst
@@ -31,22 +31,31 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
  *   - length mismatch → NULL (`zip_with` pads the shorter side with null elements, which
  *     poisons the fold's accumulator);
  *   - any NULL element → NULL (null product poisons the accumulator the same way).
+ *
+ * Element-type polymorphic over `array<double>` and `array<long>`: the integer variant is
+ * the exact-arithmetic path of the milli-quantized embedding operators
+ * (`simsearch_kmeans_iter`, `simsearch_pq`) and uses `Math.multiplyExact`/`addExact` so a
+ * 64-bit overflow stays LOUD (an ArithmeticException, like the ANSI-mode HOF fold it
+ * replaces) instead of silently wrapping.
  */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
 
   // analysis-time type gate (AbstractDataType/ImplicitCastInputTypes are private[sql]):
-  // both children must already be array<double> — call sites cast (Similarity.toDouble)
+  // both children must already be array<double> or both array<long> — call sites cast
   override def checkInputDataTypes(): TypeCheckResult = {
-    def ok(t: DataType) = t match {
-      case ArrayType(DoubleType, _) => true
-      case _ => false
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<double> or two array<long> arguments, got " +
+          s"${l.simpleString} and ${r.simpleString}")
     }
-    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<double> arguments, got " +
-        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
-  override def dataType: DataType = DoubleType
+  private def isLong: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def dataType: DataType = if (isLong) LongType else DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
 
@@ -59,14 +68,24 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     val y = r.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (y.numElements() != n) return null
-    var s = 0.0
     var i = 0
-    while (i < n) {
-      if (x.isNullAt(i) || y.isNullAt(i)) return null
-      s += x.getDouble(i) * y.getDouble(i)
-      i += 1
+    if (isLong) {
+      var s = 0L
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        s = Math.addExact(s, Math.multiplyExact(x.getLong(i), y.getLong(i)))
+        i += 1
+      }
+      s
+    } else {
+      var s = 0.0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        s += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
+      s
     }
-    s
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -74,15 +93,21 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val (decl, step) =
+        if (isLong)
+          (s"long $s = 0L;",
+            s"$s = Math.addExact($s, Math.multiplyExact($x.getLong($i), $y.getLong($i)));")
+        else
+          (s"double $s = 0.0;", s"$s += $x.getDouble($i) * $y.getDouble($i);")
       s"""
          |final int $n = $x.numElements();
          |if ($y.numElements() != $n) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double $s = 0.0;
+         |  $decl
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    $s += $x.getDouble($i) * $y.getDouble($i);
+         |    $step
          |  }
          |  if (!${ev.isNull}) ${ev.value} = $s;
          |}

@@ -47,6 +47,21 @@ class VecDotSpec extends AnyFunSuite {
     }
   }
 
+  test("long-array vec_dot equals the ANSI HOF fold (exact integer path)") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    VecDot.ensureRegistered(spark)
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(200)(
+      (Array.fill(64)(rnd.nextInt(2001) - 1000L), Array.fill(64)(rnd.nextInt(2001) - 1000L)))
+    val df = rows.toDF("a", "b")
+      .select(call_function("vec_dot", $"a", $"b").as("native"),
+        aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0L), (acc, x) => acc + x).as("hof"))
+    assert(df.filter($"native" =!= $"hof").count() == 0)
+    // the long path returns LongType (not a double cast)
+    assert(df.schema("native").dataType == org.apache.spark.sql.types.LongType)
+  }
+
   test("doGenCode emits the primitive loop (no CodegenFallback eval call)") {
     val expr = VecDot(
       BoundReference(0, ArrayType(DoubleType), nullable = true),
