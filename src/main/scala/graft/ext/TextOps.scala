@@ -167,6 +167,37 @@ object TextOps {
         .select($"doc_id", $"tri_cnt", expr("max_cnt * 10000 div tri_cnt").as("rep_bp"))
         .orderBy($"doc_id")
     },
+    // SNAPSHOT DIFF — the corpus-versioning primitive: classify every document across two
+    // snapshot versions as added / removed / changed / unchanged by comparing CONTENT
+    // HASHES in a full-outer join on doc_id. The snapshots here are carved
+    // deterministically from the documents table (doc_id%10==0 absent from old = ADDED,
+    // %10==1 absent from new = REMOVED, %10==2 text-suffixed in new = CHANGED). SCALE:
+    // each side projects (doc_id, hash32(text), n_chars) BEFORE the join, so the shuffle
+    // ships 24-byte rows, never document text; at 100 TB both snapshots bucket on doc_id
+    // and the diff join is exchange-free (the q_bucketed_join layout).
+    "corpus_snapshot_diff" -> { (s, dir) =>
+      import s.implicits._
+      val docs = graft.engine.Tables(s, dir, "documents")
+      def proj(d: org.apache.spark.sql.DataFrame) =
+        d.select($"doc_id", hash32($"text").as("h"), $"n_chars")
+      val old  = proj(docs.filter($"doc_id" % 10 =!= 0))
+      val neu  = proj(docs.filter($"doc_id" % 10 =!= 1)
+        .withColumn("text", when($"doc_id" % 10 === 2, concat($"text", lit(" v2")))
+          .otherwise($"text")))
+      old.select($"doc_id", $"h".as("old_h"), $"n_chars".as("old_chars"))
+        .join(neu.select($"doc_id", $"h".as("new_h"), $"n_chars".as("new_chars")),
+          Seq("doc_id"), "full_outer")
+        .select($"doc_id",
+          when($"old_h".isNull, "added")
+            .when($"new_h".isNull, "removed")
+            .when($"old_h" =!= $"new_h", "changed")
+            .otherwise("unchanged").as("status"),
+          coalesce($"new_chars", $"old_chars").as("chars"))
+        .groupBy($"status")
+        .agg(count(lit(1)).as("doc_cnt"), sum($"chars").as("sum_chars"),
+          min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+        .orderBy($"status")
+    },
     // RAG CHUNKING — overlapping fixed-size token windows (64 tokens, stride 48) with
     // stable chunk ids and a content hash per chunk: the retrieval-index preprocessing
     // step between curation and embedding. Entirely narrow map-side work: tokenize once,
@@ -555,6 +586,25 @@ object TextOps {
         | cast(sum(tok_cnt) AS BIGINT) AS sum_regex_tokens,
         | min(tok_cnt) AS min_regex_tokens, max(tok_cnt) AS max_regex_tokens
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    "corpus_snapshot_diff" ->
+      """WITH old AS (SELECT doc_id,
+        |    ('0x' || substr(md5(text), 1, 8))::BIGINT AS h, n_chars
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |neu AS (SELECT doc_id,
+        |    ('0x' || substr(md5(CASE WHEN doc_id % 10 = 2 THEN text || ' v2'
+        |                             ELSE text END), 1, 8))::BIGINT AS h, n_chars
+        |  FROM documents WHERE doc_id % 10 <> 1),
+        |diff AS (SELECT coalesce(old.doc_id, neu.doc_id) AS doc_id,
+        |    CASE WHEN old.h IS NULL THEN 'added'
+        |         WHEN neu.h IS NULL THEN 'removed'
+        |         WHEN old.h <> neu.h THEN 'changed'
+        |         ELSE 'unchanged' END AS status,
+        |    coalesce(neu.n_chars, old.n_chars) AS chars
+        |  FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id)
+        |SELECT status, cast(count(*) AS BIGINT) AS doc_cnt,
+        |  cast(sum(chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM diff GROUP BY status ORDER BY status""".stripMargin,
     "text_chunk_windows" ->
       """WITH d AS (SELECT doc_id,
         |    list_filter(string_split_regex(trim(text),'\s+'), x -> x <> '') AS toks
