@@ -270,6 +270,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"expected <=1 exchange (output ORDER BY only):\n$p")
   }
 
+  test("top-k windows get the rank-limit pushdown (WindowGroupLimit, no full partition sort kept)") {
+    // row_number().over(w) <= k must keep Spark's WindowGroupLimit rewrite (map-side
+    // partial top-k per key before the shuffle + final) — losing it (e.g. by filtering on
+    // a derived column) would sort and retain every candidate per query at 100 TB
+    Seq("simsearch_topk", "text_tfidf_topterms").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"), s"$q: expected the rank-limit pushdown:\n$p")
+    }
+    // global top-k (orderBy+limit) has its own bounded operator — no full sort either
+    assert(plan("q3_topk_revenue").contains("TakeOrderedAndProject"),
+      s"q3: expected the global bounded top-k operator")
+  }
+
   test("events_json_extract: props parse stays in the scan stage, projection pruned") {
     val p = plan("events_json_extract")
     val scanLine = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
