@@ -26,6 +26,10 @@ object Similarity {
     * fold evaluates interpreted; `vec_dot` emits the primitive loop into whole-stage
     * codegen with bit-identical sequential-sum + null semantics; the long variant keeps
     * overflow loud via multiplyExact/addExact like the ANSI fold). */
+  // Reaches the expression through the function registry of the THREAD-ACTIVE session
+  // (same mechanism and caveat as ParseRedo.parse: Column-from-Expression constructors
+  // are private[sql]): a session built without GraftExtensions on a different thread
+  // than the one constructing the query must call VecDot.ensureRegistered itself.
   def dot(a: Column, b: Column): Column = {
     graft.functions.VecDot.ensureRegistered(SparkSession.active)
     call_function("vec_dot", a, b)
@@ -164,16 +168,15 @@ object Similarity {
     // centroid update is a (cid, dim) aggregate whose output is K×64 rows.
     "simsearch_kmeans_iter" -> { (s, dir) =>
       import s.implicits._
-      val dotL = (a: Column, b: Column) => dot(a, b) // vec_dot: long-array exact path
       val q = graft.engine.Tables(s, dir, "embeddings")
         .select($"vec_id",
           transform($"embedding", x => (x.cast("double") * 1000).cast("long")).as("qv"))
-        .withColumn("vv", dotL($"qv", $"qv"))
+        .withColumn("vv", dot($"qv", $"qv"))
         .cache()
       def assign(cent: DataFrame): DataFrame =
         q.crossJoin(broadcast(cent))
-          .withColumn("dot", dotL($"qv", $"cvec"))
-          .withColumn("cc", dotL($"cvec", $"cvec"))
+          .withColumn("dot", dot($"qv", $"cvec"))
+          .withColumn("cc", dot($"cvec", $"cvec"))
           .groupBy($"vec_id")
           .agg(max_by(struct($"cid", $"dot", $"cc"), struct($"dot", -$"cid")).as("w"),
             first($"qv").as("qv"), first($"vv").as("vv"))
@@ -222,7 +225,6 @@ object Similarity {
     // combined); the final top-k is the same per-query window as every search here.
     "simsearch_pq" -> { (s, dir) =>
       import s.implicits._
-      val dotL = (a: Column, b: Column) => dot(a, b) // vec_dot: long-array exact path
       val q = graft.engine.Tables(s, dir, "embeddings")
         .select($"vec_id",
           transform($"embedding", x => (x.cast("double") * 1000).cast("long")).as("qv"))
@@ -230,14 +232,14 @@ object Similarity {
       val subs = q.select($"vec_id", posexplode(
           transform(sequence(lit(0), lit(PqM - 1)),
             i => slice($"qv", i * PqSubDim + 1, lit(PqSubDim)))).as(Seq("sub", "sv")))
-        .withColumn("svv", dotL($"sv", $"sv"))
+        .withColumn("svv", dot($"sv", $"sv"))
       val cb = subs.filter($"vec_id".between(PqSeedBase, PqSeedBase + PqK - 1))
         .select($"sub", ($"vec_id" - PqSeedBase).cast("int").as("code"),
           $"sv".as("cw"), $"svv".as("cc"))
       // encode: nearest codeword per (vector, subspace) by exact L2^2 = svv - 2·sv·cw + cc,
       // tie-break lowest code; codes assemble into one array per vector (subspace order)
       val codes = subs.join(broadcast(cb), Seq("sub"))
-        .withColumn("d", $"svv" - lit(2L) * dotL($"sv", $"cw") + $"cc")
+        .withColumn("d", $"svv" - lit(2L) * dot($"sv", $"cw") + $"cc")
         .groupBy($"vec_id", $"sub")
         .agg(min_by($"code", struct($"d", $"code")).as("code"))
         .groupBy($"vec_id")
@@ -248,7 +250,7 @@ object Similarity {
       val lut = subs.filter($"vec_id" < NumQueries)
         .select($"vec_id".as("q_id"), $"sub", $"sv", $"svv")
         .join(broadcast(cb), Seq("sub"))
-        .withColumn("d", $"svv" - lit(2L) * dotL($"sv", $"cw") + $"cc")
+        .withColumn("d", $"svv" - lit(2L) * dot($"sv", $"cw") + $"cc")
         .groupBy($"q_id")
         .agg(map_from_entries(collect_list(
           struct(($"sub" * PqK + $"code").cast("int"), $"d"))).as("lut"))

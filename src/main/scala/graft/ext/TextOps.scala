@@ -215,7 +215,10 @@ object TextOps {
         .filter(size(toks) > 0)
         .select($"doc_id", toks,
           explode(sequence(lit(0), size(toks) - 1, lit(S))).as("start"))
-        .select($"doc_id", ($"start" / S).cast("long").as("chunk_idx"), $"start",
+        .select($"doc_id", ($"start" / S).cast("long").as("chunk_idx"),
+          // sequence() yields int; the oracle's generate_series yields BIGINT — emit long
+          // so the typed hash gate compares like with like
+          $"start".cast("long").as("start"),
           slice(toks, $"start" + 1, lit(W)).as("chunk"))
         .select($"doc_id", $"chunk_idx", $"start",
           size($"chunk").as("n_toks"),

@@ -36,7 +36,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
  * the exact-arithmetic path of the milli-quantized embedding operators
  * (`simsearch_kmeans_iter`, `simsearch_pq`) and uses `Math.multiplyExact`/`addExact` so a
  * 64-bit overflow stays LOUD (an ArithmeticException, like the ANSI-mode HOF fold it
- * replaces) instead of silently wrapping.
+ * replaces) instead of silently wrapping. One documented divergence in that corner: the
+ * loop short-circuits to NULL on a null element / length mismatch BEFORE reaching a later
+ * overflowing product, while the HOF fold materializes every pairwise product first
+ * (zip_with) and would throw. Null-or-mismatch inputs that ALSO overflow are outside any
+ * caller's contract here (quantization bounds products to ~2^40); choosing NULL keeps the
+ * null algebra primary.
  */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
 
