@@ -48,8 +48,7 @@ object Relational {
     // next to the reference's NUMBER→double parity ladder (Catalog.oracleTypeToSpark).
     // Every step is exact integer-scaled arithmetic: cast to (12,2) at the scan,
     // (1.00 - disc) at scale 2, the product at scale 4, sums at the widened scale — no
-    // float rounding anywhere, order-independent, and identical in any engine. The final
-    // casts pin the output scale both sides emit.
+    // float rounding anywhere, order-independent, and identical in any engine.
     "q1_pricing_decimal" -> { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.types.DecimalType
@@ -62,12 +61,16 @@ object Relational {
           $"l_quantity".cast(DecimalType(12, 2)).as("qty"),
           $"l_extendedprice".cast(DecimalType(12, 2)).as("price"),
           $"l_discount".cast(DecimalType(12, 2)).as("disc"))
+      // every sum is exact decimal arithmetic; the final ×100 / ×10000 re-scales the exact
+      // decimal onto a BIGINT wire type (the `cents` pattern used by every other money
+      // query) so the oracle compare is dtype-stable — DuckDB's DECIMAL→pandas float64
+      // conversion would otherwise hash-diverge on representation alone (r6 verdict #2)
       li.groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          sum($"qty").cast(DecimalType(18, 2)).as("sum_qty"),
-          sum($"price").cast(DecimalType(18, 2)).as("sum_base"),
-          sum($"price" * (lit(BigDecimal(1)).cast(DecimalType(3, 2)) - $"disc"))
-            .cast(DecimalType(22, 4)).as("sum_disc"),
+          (sum($"qty") * 100).cast("long").as("sum_qty_c2"),
+          (sum($"price") * 100).cast("long").as("sum_base_c2"),
+          (sum($"price" * (lit(BigDecimal(1)).cast(DecimalType(3, 2)) - $"disc")) * 10000)
+            .cast("long").as("sum_disc_c4"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
     },
@@ -526,9 +529,9 @@ object Relational {
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q1_pricing_decimal" ->
       """SELECT l_returnflag, l_linestatus,
-        | cast(sum(qty) AS DECIMAL(18,2)) AS sum_qty,
-        | cast(sum(price) AS DECIMAL(18,2)) AS sum_base,
-        | cast(sum(price * (1.00 - disc)) AS DECIMAL(22,4)) AS sum_disc,
+        | cast(sum(qty) * 100 AS BIGINT) AS sum_qty_c2,
+        | cast(sum(price) * 100 AS BIGINT) AS sum_base_c2,
+        | cast(sum(price * (1.00 - disc)) * 10000 AS BIGINT) AS sum_disc_c4,
         | cast(count(*) AS BIGINT) AS count_order
         |FROM (SELECT l_returnflag, l_linestatus,
         |        cast(l_quantity AS DECIMAL(12,2)) AS qty,

@@ -519,7 +519,7 @@ object TextOps {
         |c AS (SELECT doc_id, source, n_toks,
         |  sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
         |                    ROWS UNBOUNDED PRECEDING) AS cum FROM t)
-        |SELECT source, (cum - n_toks) // $PackBudget AS pack_id,
+        |SELECT source, cast((cum - n_toks) // $PackBudget AS BIGINT) AS pack_id,
         |  cast(count(*) AS BIGINT) AS doc_cnt, cast(sum(n_toks) AS BIGINT) AS pack_toks,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin,
@@ -570,7 +570,7 @@ object TextOps {
          |c AS (SELECT doc_id, source, n_toks,
          |  sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
          |                    ROWS UNBOUNDED PRECEDING) AS cum FROM ded)
-         |SELECT source, (cum - n_toks) // $PackBudget AS pack_id,
+         |SELECT source, cast((cum - n_toks) // $PackBudget AS BIGINT) AS pack_id,
          |  cast(count(*) AS BIGINT) AS doc_cnt, cast(sum(n_toks) AS BIGINT) AS pack_toks,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM c GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin
