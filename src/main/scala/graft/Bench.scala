@@ -13,7 +13,9 @@ import scala.util.control.NonFatal
   * from machine contention during the run):
   *   - each query runs K times (SPARK_GRAFT_BENCH_REPS, default 3) and the MEDIAN is
   *     recorded — one noisy-neighbor spike on a single rep no longer poisons the number;
-  *     per-query min/max land in the full-precision file (target/bench_full.json);
+  *     reps are interleaved round-robin across queries so a query's K samples are spread
+  *     over the whole run instead of sharing one contention window; per-query min/max
+  *     land in the full-precision file (target/bench_full.json);
   *   - a fixed CANARY query (orders scan + groupBy count) is re-timed at start, middle and
   *     end of the run; if its timings drift by more than 2× the whole run is stamped
   *     `"degraded":true` — a consumer must treat such a file as environment-corrupted
@@ -85,48 +87,64 @@ object Bench {
     import scala.concurrent.ExecutionContext.Implicits.global
     val perQueryTimeout = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "300").toLong
     val names = SparkEntry.queries.keys.toSeq.sorted
-    names.zipWithIndex.foreach { case (name, i) =>
-      if (i == names.size / 2) canaries += canary()
+    // reps are interleaved ROUND-ROBIN (rep 1 of every query, then rep 2, ...), not run
+    // back-to-back per query: BENCH_r06 recorded 13.89 s for a 2.6 s query because all 3
+    // of its reps landed inside one transient contention window — with ~100 queries
+    // between a query's reps, the three samples are minutes apart and a decaying load
+    // spike can no longer poison every sample of the median (r6 verdict #3)
+    val tsByName = scala.collection.mutable.LinkedHashMap(
+      names.map(n => n -> scala.collection.mutable.ArrayBuffer.empty[Double]): _*)
+    def runOnce(name: String): Unit = {
       val fn = SparkEntry.queries(name)
-      val ts = scala.collection.mutable.ArrayBuffer.empty[Double]
-      var rep = 0
-      while (rep < reps && !errors.contains(name)) {
-        val t0 = System.nanoTime()
-        try {
-          Await.result(Future {
-            // job groups are thread-local: tag the runner thread so a timeout on the main
-            // thread can actually cancel the wedged jobs instead of abandoning them to
-            // keep burning cores under the next query's timing
-            spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
-            fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          }, perQueryTimeout.seconds)
-          ts += (System.nanoTime() - t0) / 1e9
-        } catch {
-          case _: java.util.concurrent.TimeoutException =>
-            spark.sparkContext.cancelJobGroup(name)
-            spark.streams.active.foreach(q => try q.stop() catch { case NonFatal(_) => () })
-            errors(name) = s"timeout after ${perQueryTimeout}s"
-          case NonFatal(e) =>
-            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-        } finally {
-          // one rep's plan-reuse caches must not tax the next rep's timing or memory
-          spark.catalog.clearCache()
-        }
-        rep += 1
+      val t0 = System.nanoTime()
+      try {
+        Await.result(Future {
+          // job groups are thread-local: tag the runner thread so a timeout on the main
+          // thread can actually cancel the wedged jobs instead of abandoning them to
+          // keep burning cores under the next query's timing
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        }, perQueryTimeout.seconds)
+        tsByName(name) += (System.nanoTime() - t0) / 1e9
+      } catch {
+        case _: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(name)
+          spark.streams.active.foreach(q => try q.stop() catch { case NonFatal(_) => () })
+          errors(name) = s"timeout after ${perQueryTimeout}s"
+        case NonFatal(e) =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      } finally {
+        // one rep's plan-reuse caches must not tax the next rep's timing or memory (this
+        // also drops any .cache() a query builder pinned, so the next query — and this
+        // query's NEXT rep, a full pass later — re-materializes from parquet)
+        spark.catalog.clearCache()
       }
+    }
+    var rep = 0
+    while (rep < reps) {
+      names.foreach(name => if (!errors.contains(name)) runOnce(name))
+      canaries += canary() // one canary sample per pass boundary (incl. end of run)
+      rep += 1
+    }
+    names.foreach { name =>
+      val ts = tsByName(name)
       if (ts.nonEmpty && !errors.contains(name)) {
         val sorted = ts.sorted
         timings(name) = median(ts.toSeq)
         spreads(name) = (sorted.head, sorted.last)
       }
     }
-    canaries += canary()
-    // degraded = RELATIVE drift (>2x) AND a MATERIAL absolute spread (>1s): the canary is
-    // a sub-second query, so pure ratio flags 0.2s of JIT/GC jitter as "contention" (a
-    // 0.38-vs-0.18 sample tripped it on an otherwise-clean r6 run); the BENCH_r05-style
-    // corruption this flag exists for moves the canary by whole seconds
-    val degraded = canaries.nonEmpty &&
-      canaries.max > canaries.min * 2 && canaries.max - canaries.min > 1.0
+    // degraded trips on EITHER signal:
+    //  (a) canary drift: RELATIVE drift (>2x) AND a MATERIAL absolute spread (>1s) — the
+    //      canary is sub-second, so pure ratio flags 0.2s of JIT/GC jitter as
+    //      "contention" (a 0.38-vs-0.18 sample tripped it on an otherwise-clean r6 run);
+    //  (b) ambient load at START: BENCH_r06 began under load_avg 8.15 (stale JVMs from a
+    //      prior build) and the in-run canary never tripped because the load DECAYED over
+    //      the run — a start sample above cpus/4 means the early timings are untrustworthy
+    //      no matter what the canary saw later (r6 verdict #3).
+    val degraded = (canaries.nonEmpty &&
+      canaries.max > canaries.min * 2 && canaries.max - canaries.min > 1.0) ||
+      loadStart > cpus.toDouble / 4.0
     // errs stay bounded too (ADVICE r5: an unbounded error map defeats the stdout budget):
     // messages clip at 80 chars and whole entries fold into "_omitted" past the cap
     def errsJson(maxLen: Int): String = {
