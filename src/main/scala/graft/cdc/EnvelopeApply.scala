@@ -12,14 +12,15 @@ import org.apache.spark.sql.types._
  * to a replica. Envelope null rules per operation are the reference's
  * (Utils:389-415): INSERT/UPDATE carry `data`, DELETE carries only `before`.
  *
- * Spark shape (100 TB posture): ONE shuffle — events group on the PK extracted from the
- * payload maps, fold to per-key final state with a native `aggregate` over the
- * `(commit_scn, scn, seq)`-sorted event list (per-key event cardinality is bounded by
- * change volume per key, the same bound as any keyed-state CDC applier — for a
- * pathological million-update hot key, [[applyPrefolded]] bounds the buffer by column
- * count instead), then a single co-partitioned full-outer join against the snapshot on
- * the same key. No window over the whole stream, no driver-side state; every step is
- * codegen'd Column algebra.
+ * Spark shape (100 TB posture): the DEFAULT batch path is [[applyPrefolded]] — per-key
+ * aggregation state bounded by the COLUMN COUNT (boundary pass + per-(key,column) max_by
+ * winners), whole-stage-codegen'd throughout, then a single co-partitioned full-outer
+ * join against the snapshot. The single-shuffle [[applyFolded]] alternative (collect the
+ * sorted history, fold it with an `aggregate` HOF) trades two exchanges away for an
+ * unbounded per-key buffer and an interpreted (non-codegen) fold — it benches ~3× slower
+ * on the same envelope (r6 verdict #4) and is kept as the semantics-reference twin,
+ * equivalence pinned by EnvelopeApplySpec's 300-scenario property test. No window over
+ * the whole stream, no driver-side state in either path.
  */
 object EnvelopeApply {
 
@@ -37,13 +38,28 @@ object EnvelopeApply {
     pk.map(p => Catalog.castValue(rawPkValue(p), schema(p).dataType).as(p))
 
   /**
+   * DEFAULT batch apply — routes to [[applyPrefolded]] (r6 verdict #4: the prefolded
+   * plan is whole-stage-codegen'd and bounds per-key state by column count; the HOF fold
+   * it replaced as default stays available as [[applyFolded]]).
+   *
    * @param snapshot  current table state, columns = `schema` (keys unique)
    * @param enveloped [[CdcPipeline.envelope]] output for ONE table, with `commit_scn`
    *                  and `seq` passthrough columns (ordering is `(commit_scn, scn, seq)`,
    *                  the reference's commit-ordered emission, LogMinerThread2.java:158-298)
    * @param schema    table schema carrying pk flags ([[Catalog.withKeyMetadata]])
    */
-  def apply(snapshot: DataFrame, enveloped: DataFrame, schema: StructType): DataFrame = {
+  def apply(snapshot: DataFrame, enveloped: DataFrame, schema: StructType): DataFrame =
+    applyPrefolded(snapshot, enveloped, schema)
+
+  /**
+   * The single-shuffle FOLD apply (the default through r6): group events on the PK, fold
+   * the `(commit_scn, scn, seq)`-sorted per-key history with an `aggregate` HOF, join the
+   * snapshot once on the aggregate's own partitioning. Per-key buffer is the WHOLE change
+   * history (fine under normal per-key change volume, pathological for a million-update
+   * hot key) and the comparator-lambda `array_sort` + `aggregate` stay interpreted — use
+   * [[apply]]/[[applyPrefolded]] unless the two saved exchanges are known to dominate.
+   */
+  def applyFolded(snapshot: DataFrame, enveloped: DataFrame, schema: StructType): DataFrame = {
     val pk = Catalog.effectiveKeys(schema)
     require(pk.nonEmpty, "schema carries no pk/uq key metadata — see Catalog.withKeyMetadata")
 
@@ -89,10 +105,11 @@ object EnvelopeApply {
   }
 
   /**
-   * The PRE-FOLDED batch apply (VERDICT r5 #7) — semantically identical to [[apply]] but
-   * with per-key aggregation state bounded by the COLUMN COUNT, not the history length:
-   * [[apply]]'s `collect_list` holds one key's whole change history in one buffer (fine
-   * under normal per-key change volume, pathological for a million-update hot key). This
+   * The PRE-FOLDED batch apply (VERDICT r5 #7; the DEFAULT behind [[apply]] since r7) —
+   * semantically identical to [[applyFolded]] but with per-key aggregation state bounded
+   * by the COLUMN COUNT, not the history length: the fold's `collect_list` holds one
+   * key's whole change history in one buffer (fine under normal per-key change volume,
+   * pathological for a million-update hot key). This
    * variant exploits the fold's closed form — the final state only depends on
    *   - the LAST event's operation (`deleted` = it was a DELETE),
    *   - the last INSERT/DELETE "boundary" B (`replaced` = B exists; INSERT replaces the
@@ -104,9 +121,9 @@ object EnvelopeApply {
    * survive explode/max_by/map_from_entries, so SET-col-NULL semantics are preserved.
    *
    * Cost of the bound: the exploded (key, column) shuffle and two extra exchanges vs the
-   * fold's one — the classic buffer-vs-shuffle trade. Equivalence to [[apply]] is pinned
-   * by EnvelopeApplySpec's 300-scenario property test and the `cdc_apply_merge_prefold`
-   * oracle row.
+   * fold's one — the classic buffer-vs-shuffle trade. Equivalence to [[applyFolded]] is
+   * pinned by EnvelopeApplySpec's 300-scenario property test and the
+   * `cdc_apply_merge_folded` oracle row.
    */
   def applyPrefolded(snapshot: DataFrame, enveloped: DataFrame, schema: StructType): DataFrame =
     applyPrefoldedWithHandle(snapshot, enveloped, schema)._1

@@ -416,16 +416,16 @@ object CdcQueries {
       val schema = Catalog.withKeyMetadata(snapshot.schema, Set("o_orderkey"))
       EnvelopeApply(snapshot, mergeEnvelope(s, dir, lit(true)), schema).orderBy($"o_orderkey")
     },
-    // VERDICT r5 #7 — the PRE-FOLDED apply (bounded per-key aggregation state: per-column
-    // max_by winners + boundary pass instead of collect_list of the whole history) over
+    // The single-shuffle FOLD apply (the default through r6; r6 verdict #4 flipped the
+    // default to the prefolded codegen plan, which cdc_apply_merge now exercises) over
     // the SAME merge script and oracle as cdc_apply_merge: a green hash here plus the
-    // 300-scenario property spec pins applyPrefolded ≡ apply.
-    "cdc_apply_merge_prefold" -> { (s, dir) =>
+    // 300-scenario property spec pins applyFolded ≡ applyPrefolded.
+    "cdc_apply_merge_folded" -> { (s, dir) =>
       import s.implicits._
       val snapshot = Tables(s, dir, "orders")
         .select($"o_orderkey", $"o_orderstatus", $"o_orderpriority")
       val schema = Catalog.withKeyMetadata(snapshot.schema, Set("o_orderkey"))
-      EnvelopeApply.applyPrefolded(snapshot, mergeEnvelope(s, dir, lit(true)), schema)
+      EnvelopeApply.applyFolded(snapshot, mergeEnvelope(s, dir, lit(true)), schema)
         .orderBy($"o_orderkey")
     },
     // VERDICT r5 #3 — the reference's FULL dictionary chain in one gated query: dictionary
@@ -656,7 +656,7 @@ object CdcQueries {
     },
   )
 
-  /** The merge script's final state — shared by cdc_apply_merge, _prefold and _dict:
+  /** The merge script's final state — shared by cdc_apply_merge, _folded and _dict:
     * the three queries' whole premise is gating against the IDENTICAL final state, so the
     * identity is structural (one string), not three copies that can drift. */
   private val applyMergeOracleSql =
@@ -780,8 +780,8 @@ object CdcQueries {
         |    'NEW' AS o_orderpriority
         |  FROM base WHERE k % 7 = 0 AND k % 4 = 0)
         |SELECT * FROM surv UNION ALL SELECT * FROM ins ORDER BY o_orderkey""".stripMargin,
-    // same final state as cdc_apply_merge — the pre-folded plan must change nothing
-    "cdc_apply_merge_prefold" -> applyMergeOracleSql,
+    // same final state as cdc_apply_merge — the fold plan must change nothing
+    "cdc_apply_merge_folded" -> applyMergeOracleSql,
     // same final state as cdc_apply_merge — the dictionary path must change nothing
     "cdc_apply_merge_dict" -> applyMergeOracleSql,
     "cdc_apply_merge" -> applyMergeOracleSql,

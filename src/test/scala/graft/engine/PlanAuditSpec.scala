@@ -59,8 +59,8 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"expected <=2 exchanges (user_id hash + final sort):\n$p")
   }
 
-  test("cdc_apply_merge: the MERGE join reuses the fold's key partitioning (no re-shuffle)") {
-    val p = plan("cdc_apply_merge")
+  test("cdc_apply_merge_folded: the MERGE join reuses the fold's key partitioning (no re-shuffle)") {
+    val p = plan("cdc_apply_merge_folded")
     // exchanges: events-side shuffle into the fold aggregate, snapshot-side shuffle into
     // the join, final ORDER BY range exchange — the changes side of the full-outer join
     // must NOT add a fourth (the aggregate's hashpartitioning on the pk is the join's)
@@ -99,8 +99,8 @@ class PlanAuditSpec extends AnyFunSuite {
       s"scan must be pruned to the five used columns: $readLine")
   }
 
-  test("cdc_apply_merge_prefold: no history collect (array_sort-free), both passes read the cache") {
-    val p = plan("cdc_apply_merge_prefold")
+  test("cdc_apply_merge (default = prefold): no history collect (array_sort-free), both passes read the cache") {
+    val p = plan("cdc_apply_merge")
     // the bounded-buffer claim: no sorted whole-history array aggregate anywhere in the
     // plan (that is apply()'s shape); winners come from per-(key,column) max_by
     assert(!p.contains("array_sort"), s"prefold must not materialize sorted histories:\n$p")
