@@ -346,52 +346,33 @@ object CdcQueries {
     "cdc_pipeline_e2e" -> { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.Encoders
-      // config arrives as the reference's property map (A26 parse surface in the gated
-      // path, not just in its spec); NoTimeout posture for the drained-batch harness
-      val cfg = CdcConfig.fromMap(Map(
-        "db.name.alias" -> "DB1", "table.whitelist" -> "GRAFT.*",
-        // explicit: fromMap's reference-parity default is FALSE, while this pipeline has
-        // always run the unescaping posture — never flip semantics via an implicit default
-        "map.unescaped.strings" -> "true"))
-        .copy(abandonedTxnTimeout = None)
-      val script: Seq[RedoEvent] = Tables(s, dir, "orders")
-        .select($"o_orderkey", $"o_orderstatus")
-        // %8 subsample: this is the WIRING/parity gate (throughput is cdc_txn_reconstruct);
-        // MemoryStream encodes the feed on the driver, so the harness would otherwise
-        // dominate the bench
-        .filter($"o_orderkey" % 8 === 0)
-        .as[(Long, String)].collect().toSeq
-        .flatMap { case (k, st) =>
-          val redo = s"""insert into "GRAFT"."ORDERS"("O_ORDERKEY","O_ORDERSTATUS") values ($k,'$st')"""
-          def ev(off: Long, scn: Long, op: String, sql: String = "") =
-            RedoEvent(scn = scn, commitScn = 0L, xid = s"tx$k", rowId = f"R$k%012d",
-              operation = op, timestamp = new java.sql.Timestamp(0L), commitTimestamp = None,
-              segOwner = "GRAFT", tableName = "ORDERS", sqlRedo = sql, csf = false,
-              rollback = false, info = "", rbasqn = 1L, seq = k * 10 + off)
-          val insert =
-            if (k % 3 == 0) { // CSF split: fragments share (xid, scn, rowId), head csf=true
-              val cut = redo.length / 2
-              Seq(ev(1, k * 10 + 1, RedoEvent.Insert, redo.substring(0, cut)).copy(csf = true),
-                ev(2, k * 10 + 1, RedoEvent.Insert, redo.substring(cut)))
-            } else Seq(ev(1, k * 10 + 1, RedoEvent.Insert, redo))
-          val noise =
-            if (k % 7 == 0)
-              Seq(ev(3, k * 10 + 3, RedoEvent.Insert, "insert into t values (1)")
-                .copy(segOwner = "SYS", tableName = "T"))
-            else Nil
-          (ev(0, k * 10, RedoEvent.Start) +: insert) ++ noise :+ ev(6, k * 10 + 6, RedoEvent.Commit)
-        }
-      val wire = graft.sources.RedoEventSource
-        .toKafkaValue(s.createDataset(script)(Encoders.product[RedoEvent]))
-        .as[(Array[Byte], Array[Byte], Long)].collect().toSeq
-      // cut mid-transaction AND mid-CSF-run: seq%10 <= 1 is START + head/single INSERT
-      val (b1, b2) = wire.partition(_._3 % 10 <= 1)
-      // at-least-once redelivery: %5 keys' complete single INSERTs re-arrive in batch 2
-      // with their original offsets (head fragments excluded — a real redelivery replays
-      // the whole run, and duplicating only the head would corrupt run-splitting)
-      val dups = wire.filter(w => w._3 % 10 == 1 && (w._3 / 10) % 5 == 0 && (w._3 / 10) % 3 != 0)
+      val (cfg, batches) = pipelineE2eFeed(s, dir)
       val enc = Encoders.tuple(Encoders.BINARY, Encoders.BINARY, Encoders.scalaLong)
-      val out = StreamGate.runBatches(s, enc, "cdc_pipeline_e2e_sink", Seq(b1, b2 ++ dups)) { ds =>
+      val out = StreamGate.runBatches(s, enc, "cdc_pipeline_e2e_sink", batches) { ds =>
+        CdcPipeline.stream(
+          graft.sources.RedoEventSource.fromKafka(ds.toDF("key", "value", "offset")),
+          cfg, streaming = true)
+      }
+      graft.sinks.RoutedSink.dedupByIdentity(out)
+        .select(col("data").getItem("O_ORDERSTATUS").as("status"))
+        .groupBy($"status").agg(count(lit(1)).as("cnt"))
+        .orderBy($"status")
+    },
+    // A26 STOP/DRAIN/RESTART, oracle-gated (r6 verdict #3 — the last unit-only component):
+    // the restart twin of cdc_pipeline_e2e. The SAME wire feed and the SAME mid-transaction
+    // / mid-CSF-run cut, but the streaming query is gracefully STOPPED after draining batch
+    // 1 (reference Task:372-393 cancel-cursor + END_LOGMNR; Task:228 drain window) and a
+    // NEW query resumes from the file checkpoint for batch 2. Every split transaction's
+    // START+INSERT state and every carried CSF head fragment must come back from the
+    // checkpointed state store — the oracle is the SAME final state as the uninterrupted
+    // run, so a green hash proves "stop mid-stream, checkpoint intact, restart resumes
+    // exactly", not just that the query re-starts.
+    "cdc_pipeline_restart" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.Encoders
+      val (cfg, batches) = pipelineE2eFeed(s, dir)
+      val enc = Encoders.tuple(Encoders.BINARY, Encoders.BINARY, Encoders.scalaLong)
+      val out = StreamGate.runBatchesWithRestarts(s, enc, batches) { ds =>
         CdcPipeline.stream(
           graft.sources.RedoEventSource.fromKafka(ds.toDF("key", "value", "offset")),
           cfg, streaming = true)
@@ -656,6 +637,63 @@ object CdcQueries {
     },
   )
 
+  /** The e2e pipeline feed shared by cdc_pipeline_e2e and cdc_pipeline_restart — both
+    * gate against the SAME oracle (the uninterrupted run's final state), so the feed is
+    * structural (one builder), not two copies that can drift.
+    *
+    * Returns the parsed config and the wire batches: batch 1 = START + head/single INSERT
+    * of every transaction (cut mid-transaction AND mid-CSF-run), batch 2 = the rest plus
+    * at-least-once redeliveries of %5 keys' complete single INSERTs at their original
+    * offsets (head fragments excluded — a real redelivery replays the whole run, and
+    * duplicating only the head would corrupt run-splitting). */
+  private def pipelineE2eFeed(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (CdcConfig, Seq[Seq[(Array[Byte], Array[Byte], Long)]]) = {
+    import s.implicits._
+    import org.apache.spark.sql.Encoders
+    // config arrives as the reference's property map (A26 parse surface in the gated
+    // path, not just in its spec); NoTimeout posture for the drained-batch harness
+    val cfg = CdcConfig.fromMap(Map(
+      "db.name.alias" -> "DB1", "table.whitelist" -> "GRAFT.*",
+      // explicit: fromMap's reference-parity default is FALSE, while this pipeline has
+      // always run the unescaping posture — never flip semantics via an implicit default
+      "map.unescaped.strings" -> "true"))
+      .copy(abandonedTxnTimeout = None)
+    val script: Seq[RedoEvent] = Tables(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus")
+      // %8 subsample: this is the WIRING/parity gate (throughput is cdc_txn_reconstruct);
+      // MemoryStream encodes the feed on the driver, so the harness would otherwise
+      // dominate the bench
+      .filter($"o_orderkey" % 8 === 0)
+      .as[(Long, String)].collect().toSeq
+      .flatMap { case (k, st) =>
+        val redo = s"""insert into "GRAFT"."ORDERS"("O_ORDERKEY","O_ORDERSTATUS") values ($k,'$st')"""
+        def ev(off: Long, scn: Long, op: String, sql: String = "") =
+          RedoEvent(scn = scn, commitScn = 0L, xid = s"tx$k", rowId = f"R$k%012d",
+            operation = op, timestamp = new java.sql.Timestamp(0L), commitTimestamp = None,
+            segOwner = "GRAFT", tableName = "ORDERS", sqlRedo = sql, csf = false,
+            rollback = false, info = "", rbasqn = 1L, seq = k * 10 + off)
+        val insert =
+          if (k % 3 == 0) { // CSF split: fragments share (xid, scn, rowId), head csf=true
+            val cut = redo.length / 2
+            Seq(ev(1, k * 10 + 1, RedoEvent.Insert, redo.substring(0, cut)).copy(csf = true),
+              ev(2, k * 10 + 1, RedoEvent.Insert, redo.substring(cut)))
+          } else Seq(ev(1, k * 10 + 1, RedoEvent.Insert, redo))
+        val noise =
+          if (k % 7 == 0)
+            Seq(ev(3, k * 10 + 3, RedoEvent.Insert, "insert into t values (1)")
+              .copy(segOwner = "SYS", tableName = "T"))
+          else Nil
+        (ev(0, k * 10, RedoEvent.Start) +: insert) ++ noise :+ ev(6, k * 10 + 6, RedoEvent.Commit)
+      }
+    val wire = graft.sources.RedoEventSource
+      .toKafkaValue(s.createDataset(script)(Encoders.product[RedoEvent]))
+      .as[(Array[Byte], Array[Byte], Long)].collect().toSeq
+    // cut mid-transaction AND mid-CSF-run: seq%10 <= 1 is START + head/single INSERT
+    val (b1, b2) = wire.partition(_._3 % 10 <= 1)
+    val dups = wire.filter(w => w._3 % 10 == 1 && (w._3 / 10) % 5 == 0 && (w._3 / 10) % 3 != 0)
+    (cfg, Seq(b1, b2 ++ dups))
+  }
+
   /** The merge script's final state — shared by cdc_apply_merge, _folded and _dict:
     * the three queries' whole premise is gating against the IDENTICAL final state, so the
     * identity is structural (one string), not three copies that can drift. */
@@ -757,6 +795,12 @@ object CdcQueries {
     // every whitelisted transaction commits exactly one INSERT per key: noise filtered,
     // CSF fused (an unfused statement would not parse → null status), redelivery deduped
     "cdc_pipeline_e2e" ->
+      """SELECT o_orderstatus AS status, cast(count(*) AS BIGINT) AS cnt
+        |FROM orders WHERE o_orderkey % 8 = 0
+        |GROUP BY 1 ORDER BY status""".stripMargin,
+    // the stop/drain/restart run must land on the SAME final state as the uninterrupted
+    // cdc_pipeline_e2e — checkpoint recovery changes nothing observable
+    "cdc_pipeline_restart" ->
       """SELECT o_orderstatus AS status, cast(count(*) AS BIGINT) AS cnt
         |FROM orders WHERE o_orderkey % 8 = 0
         |GROUP BY 1 ORDER BY status""".stripMargin,

@@ -47,6 +47,67 @@ object StreamGate {
     spark.table(sink)
   }
 
+  /**
+   * STOP/DRAIN/RESTART variant (A26 lifecycle, reference OracleSourceTask2.java:372-393
+   * cancel-cursor + END_LOGMNR with the 20 s drain at Task:228): batch k is processed by
+   * its OWN streaming query — started from the shared file checkpoint, drained
+   * (`processAllAvailable`, the harness analogue of the reference's drain window), then
+   * gracefully `stop()`ped — so every batch boundary is also a full stop → restart
+   * boundary. Stateful operators (`flatMapGroupsWithState` transaction/CSF state) must
+   * come back from the checkpointed state store, not from memory: a transaction whose
+   * START arrived before the stop and whose COMMIT arrives after it only assembles if
+   * restart recovery is correct.
+   *
+   * The memory sink refuses checkpoint recovery in append mode, so output goes through
+   * `foreachBatch` into a driver-side buffer (harness-inherent, like the MemoryStream
+   * feed itself — exactly-once across restarts because foreachBatch replays only
+   * uncommitted batches). Each restart re-feeds blocks 0..k to a FRESH MemoryStream so
+   * the new source instance's ordinal offsets line up with the checkpoint's committed
+   * offset — only block k is uncommitted and gets processed.
+   */
+  def runBatchesWithRestarts[T](spark: SparkSession, enc: Encoder[T], batches: Seq[Seq[T]])
+                               (plan: Dataset[T] => DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-restart-ckpt")
+    val rows = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    var schema: org.apache.spark.sql.types.StructType = null
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      batches.indices.foreach { i =>
+        val input = MemoryStream[T](enc, spark)
+        (0 to i).foreach(j => input.addData(batches(j)))
+        val out = plan(input.toDS())
+        schema = out.schema
+        val query =
+          try {
+            // state-store instance count is fixed at FIRST start and checkpointed; the
+            // restarts inherit it, so the pin only matters for run 0 (see class doc)
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            out.writeStream
+              .outputMode("append")
+              .option("checkpointLocation", ckpt.toString)
+              .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], _: Long) =>
+                val batchRows = df.collect()
+                rows.synchronized { rows ++= batchRows }
+                ()
+              }
+              .start()
+          } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        try query.processAllAvailable()
+        finally query.stop() // graceful stop: drained, checkpoint consistent
+      }
+      spark.createDataFrame(rows.synchronized(rows.toList).asJava, schema)
+    } finally {
+      // best-effort temp-checkpoint cleanup; the JVM temp dir is the backstop
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).iterator().asScala.foreach(rm)
+        java.nio.file.Files.deleteIfExists(p); ()
+      }
+      try rm(ckpt) catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
   /** Two-input variant for stream-stream operators: each side gets its own MemoryStream
     * and its two batches are interleaved (left1, right1, drain, left2, right2, drain) so
     * both sides' watermarks advance together. */
