@@ -52,6 +52,39 @@ object Similarity {
   private val PqSubDim = 8
   private val PqK = 4
   private val PqSeedBase = 30L
+  // trained-IVF chain (r6 verdict #5): cells trained by one Lloyd round, 2 cells probed
+  private val IvfNProbe = 2
+
+  /** Milli-quantized integer embeddings `(vec_id, qv, vv = |qv|²)` — the exact-arithmetic
+    * domain shared by the k-means, PQ and trained-IVF chains. */
+  private def milliQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.engine.Tables(s, dir, "embeddings")
+      .select($"vec_id",
+        transform($"embedding", x => (x.cast("double") * 1000).cast("long")).as("qv"))
+      .withColumn("vv", dot($"qv", $"qv"))
+  }
+
+  /** One Lloyd update from the fixed seed set: assign every vector to its max-dot seed,
+    * then per-(cid, dim) integer floor-mean → the round-1 centroids `(cid, cvec)`.
+    * Shared by `simsearch_kmeans_iter` (which then re-assigns and reports inertia) and
+    * `simsearch_ivf_trained` (which builds the probe index from them) — one definition,
+    * so "the centroids the IVF probes" and "the centroids k-means trains" cannot drift. */
+  private def lloydOnce(s: SparkSession, q: DataFrame): DataFrame = {
+    import s.implicits._
+    val cent0 = q.filter($"vec_id".isin(CentroidIds: _*))
+      .select($"vec_id".as("cid"), $"qv".as("cvec"))
+    q.crossJoin(broadcast(cent0))
+      .withColumn("dot", dot($"qv", $"cvec"))
+      .groupBy($"vec_id")
+      .agg(max_by($"cid", struct($"dot", -$"cid")).as("cid"), first($"qv").as("qv"))
+      .select($"cid", posexplode($"qv").as(Seq("pos", "v")))
+      .groupBy($"cid", $"pos")
+      .agg(floor(sum($"v").cast("double") / count(lit(1))).cast("long").as("cd"))
+      .groupBy($"cid")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"cd"))),
+        x => x.getField("cd")).as("cvec"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // brute-force cosine top-k for a fixed query set (vec_id < NumQueries).
@@ -168,34 +201,31 @@ object Similarity {
     // centroid update is a (cid, dim) aggregate whose output is K×64 rows.
     "simsearch_kmeans_iter" -> { (s, dir) =>
       import s.implicits._
-      val q = graft.engine.Tables(s, dir, "embeddings")
-        .select($"vec_id",
-          transform($"embedding", x => (x.cast("double") * 1000).cast("long")).as("qv"))
-        .withColumn("vv", dot($"qv", $"qv"))
-        .cache()
-      def assign(cent: DataFrame): DataFrame =
-        q.crossJoin(broadcast(cent))
-          .withColumn("dot", dot($"qv", $"cvec"))
-          .withColumn("cc", dot($"cvec", $"cvec"))
-          .groupBy($"vec_id")
-          .agg(max_by(struct($"cid", $"dot", $"cc"), struct($"dot", -$"cid")).as("w"),
-            first($"qv").as("qv"), first($"vv").as("vv"))
-          .select($"vec_id", $"qv", $"vv",
-            $"w.cid".as("cid"), $"w.dot".as("dot"), $"w.cc".as("cc"))
-      val cent0 = q.filter($"vec_id".isin(CentroidIds: _*))
-        .select($"vec_id".as("cid"), $"qv".as("cvec"))
-      val cent1 = assign(cent0)
-        .select($"cid", posexplode($"qv").as(Seq("pos", "v")))
-        .groupBy($"cid", $"pos")
-        .agg(floor(sum($"v").cast("double") / count(lit(1))).cast("long").as("cd"))
-        .groupBy($"cid")
-        .agg(transform(array_sort(collect_list(struct($"pos", $"cd"))),
-          x => x.getField("cd")).as("cvec"))
-      assign(cent1).groupBy($"cid").agg(
+      val q = milliQ(s, dir).cache()
+      q.crossJoin(broadcast(lloydOnce(s, q)))
+        .withColumn("dot", dot($"qv", $"cvec"))
+        .withColumn("cc", dot($"cvec", $"cvec"))
+        .groupBy($"vec_id")
+        .agg(max_by(struct($"cid", $"dot", $"cc"), struct($"dot", -$"cid")).as("w"),
+          first($"vv").as("vv"))
+        .select($"vec_id", $"vv", $"w.cid".as("cid"), $"w.dot".as("dot"), $"w.cc".as("cc"))
+        .groupBy($"cid").agg(
           count(lit(1)).as("member_cnt"),
           min($"cc").as("centroid_cc"),
           sum($"vv" - lit(2L) * $"dot" + $"cc").as("inertia"))
         .orderBy($"cid")
+    },
+    // TRAINED-IVF chain (r6 verdict #5): the k-means round's centroids BECOME the IVF
+    // index — assignment by max integer dot against the trained centroids, queries probe
+    // their nprobe=2 nearest cells, candidates score by exact integer L2, and the output
+    // is per-query recall@k against the exact integer-L2 top-k over the whole corpus.
+    // A green hash pins the whole train → index → probe → evaluate composition; the
+    // recall floor vs the fixed-centroid simsearch_ivf is asserted in SimilarityChainSpec.
+    // 100 TB shape: centroids and probes broadcast (K=8 and 3×2 rows), vectors never
+    // shuffle except the per-vec_id assignment aggregate (map-side combined), and the
+    // recall join moves only (n_queries × k) winner rows.
+    "simsearch_ivf_trained" -> { (s, dir) =>
+      ivfRecallInteger(s, dir, trained = true, nprobe = IvfNProbe)
     },
     "simsearch_recall" -> { (s, dir) =>
       import s.implicits._
@@ -291,6 +321,57 @@ object Similarity {
         .orderBy($"vec_a", $"vec_b")
     },
   )
+
+  /** The integer-L2 IVF recall protocol behind `simsearch_ivf_trained`, parameterized so
+    * SimilarityChainSpec can hold the metric fixed and vary ONLY the index: trained
+    * centroids vs raw seeds, and how many cells each query probes. Cross-metric recall
+    * comparisons (the cosine-based `simsearch_recall` vs this chain) say nothing about
+    * what training bought. */
+  private[ext] def ivfRecallInteger(s: SparkSession, dir: String,
+                                    trained: Boolean, nprobe: Int): DataFrame = {
+    import s.implicits._
+    val q = milliQ(s, dir).cache()
+    val cents =
+      if (trained) lloydOnce(s, q)
+      else q.filter($"vec_id".isin(CentroidIds: _*))
+        .select($"vec_id".as("cid"), $"qv".as("cvec"))
+    val scoredC = q.crossJoin(broadcast(cents))
+      .withColumn("dot", dot($"qv", $"cvec"))
+    val assigned = scoredC.groupBy($"vec_id")
+      .agg(max_by($"cid", struct($"dot", -$"cid")).as("cell"),
+        first($"qv").as("qv"), first($"vv").as("vv"))
+    val wProbe = Window.partitionBy($"vec_id").orderBy($"dot".desc, $"cid")
+    val probes = scoredC.filter($"vec_id" < NumQueries)
+      .withColumn("rn", row_number().over(wProbe))
+      .filter($"rn" <= nprobe)
+      .select($"vec_id".as("q_id"), $"qv".as("pqv"), $"vv".as("pvv"), $"cid".as("p_cell"))
+    val wTop = Window.partitionBy($"q_id").orderBy($"d".asc, $"vec_id")
+    // every vector lives in exactly ONE cell, so probing distinct cells cannot produce
+    // duplicate (q_id, vec_id) candidates — no dedup stage needed
+    val approx = assigned
+      .join(broadcast(probes), $"cell" === $"p_cell" && $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        ($"vv" - lit(2L) * dot($"qv", $"pqv") + $"pvv").as("d"))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter($"rnk" <= IvfTopK)
+      .select($"q_id", $"vec_id")
+    val qs = q.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"qv".as("eqv"), $"vv".as("evv"))
+    val exact = q.join(broadcast(qs), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        ($"vv" - lit(2L) * dot($"qv", $"eqv") + $"evv").as("d"))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter($"rnk" <= IvfTopK)
+      .select($"q_id", $"vec_id")
+    val hits = exact.join(approx, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy($"q_id").agg(count(lit(1)).as("hits"))
+    exact.groupBy($"q_id").agg(count(lit(1)).as("k"))
+      .join(hits, Seq("q_id"), "left_outer")
+      .select($"q_id", $"k",
+        coalesce($"hits", lit(0L)).as("hits"),
+        expr("coalesce(hits, 0) * 10000 div k").as("recall_bp"))
+      .orderBy($"q_id")
+  }
 
   private val qSetSql = s"vec_id < $NumQueries"
   private val planeSetSql = PlaneIds.mkString("(", ", ", ")")
@@ -394,6 +475,55 @@ object Similarity {
          |ri AS (SELECT q_id, vec_id,
          |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk FROM si),
          |approx AS (SELECT q_id, vec_id FROM ri WHERE rnk <= $IvfTopK),
+         |h AS (SELECT exact.q_id, cast(count(*) AS BIGINT) AS hits FROM exact
+         |      JOIN approx ON exact.q_id = approx.q_id AND exact.vec_id = approx.vec_id
+         |      GROUP BY exact.q_id),
+         |kx AS (SELECT q_id, cast(count(*) AS BIGINT) AS k FROM exact GROUP BY q_id)
+         |SELECT kx.q_id, kx.k, coalesce(h.hits, 0) AS hits,
+         |  coalesce(h.hits, 0) * 10000 // kx.k AS recall_bp
+         |FROM kx LEFT JOIN h ON kx.q_id = h.q_id
+         |ORDER BY kx.q_id""".stripMargin,
+    // the trained-IVF chain: the SAME Lloyd-round CTEs as the kmeans oracle produce c1,
+    // which then serves as the probe index — nprobe=2 cells per query, exact integer L2
+    // candidate scoring, recall vs the exact integer-L2 top-k over the whole corpus
+    "simsearch_ivf_trained" ->
+      s"""WITH q AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(trunc(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |qq AS (SELECT vec_id, qv, CAST(list_dot_product(qv, qv) AS BIGINT) AS vv FROM q),
+         |c0 AS (SELECT vec_id AS cid, qv AS cvec FROM q
+         |  WHERE vec_id IN ${CentroidIds.mkString("(", ", ", ")")}),
+         |s1 AS (SELECT qq.vec_id, qq.qv, c0.cid,
+         |  CAST(list_dot_product(qq.qv, c0.cvec) AS BIGINT) AS dot FROM qq CROSS JOIN c0),
+         |a1 AS (SELECT vec_id, qv, cid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) AS rn
+         |  FROM s1) WHERE rn = 1),
+         |u AS (SELECT cid, unnest(qv) AS v, generate_subscripts(qv, 1) AS pos FROM a1),
+         |cd AS (SELECT cid, pos,
+         |  CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS cd
+         |  FROM u GROUP BY cid, pos),
+         |c1 AS (SELECT cid, list(cd ORDER BY pos) AS cvec FROM cd GROUP BY cid),
+         |s2 AS (SELECT qq.vec_id, qq.qv, qq.vv, c1.cid,
+         |  CAST(list_dot_product(qq.qv, c1.cvec) AS BIGINT) AS dot FROM qq CROSS JOIN c1),
+         |a2 AS (SELECT vec_id, qv, vv, cid AS cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) AS rn
+         |  FROM s2) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS q_id, qv AS pqv, vv AS pvv, cid AS p_cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) AS rn
+         |  FROM s2 WHERE vec_id < $NumQueries) WHERE rn <= $IvfNProbe),
+         |cand AS (SELECT p.q_id, a.vec_id,
+         |  a.vv - 2 * CAST(list_dot_product(a.qv, p.pqv) AS BIGINT) + p.pvv AS d
+         |  FROM a2 a JOIN probes p ON a.cell = p.p_cell AND a.vec_id <> p.q_id),
+         |approx AS (SELECT q_id, vec_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d, vec_id) AS rnk FROM cand)
+         |  WHERE rnk <= $IvfTopK),
+         |qs AS (SELECT vec_id AS q_id, qv AS eqv, vv AS evv FROM qq WHERE vec_id < $NumQueries),
+         |ex0 AS (SELECT qs.q_id, qq.vec_id,
+         |  qq.vv - 2 * CAST(list_dot_product(qq.qv, qs.eqv) AS BIGINT) + qs.evv AS d
+         |  FROM qq CROSS JOIN qs WHERE qq.vec_id <> qs.q_id),
+         |exact AS (SELECT q_id, vec_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d, vec_id) AS rnk FROM ex0)
+         |  WHERE rnk <= $IvfTopK),
          |h AS (SELECT exact.q_id, cast(count(*) AS BIGINT) AS hits FROM exact
          |      JOIN approx ON exact.q_id = approx.q_id AND exact.vec_id = approx.vec_id
          |      GROUP BY exact.q_id),
