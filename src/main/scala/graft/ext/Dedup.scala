@@ -106,8 +106,19 @@ object Dedup {
     * `dedup_canonical` — the label algebra must be identical or the cluster universes
     * diverge. */
   private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val (rawPairs, sig) = lshPairsWithSig(s, dir)
+    val labels = propagateLabels(s, rawPairs)
+    sig.unpersist(blocking = false)
+    labels
+  }
+
+  /** The min-label pointer-halving loop on an arbitrary `(doc_a, doc_b)` pair frame —
+    * factored from [[clusterLabels]] so DedupDeepChainSpec can drive it with a synthetic
+    * path graph of depth ≫ 20 and pin the O(log diameter) convergence claim the
+    * `iter < 20` guard rests on (r6 verdict #8): naive propagation on a depth-d path
+    * needs d rounds and would trip the non-convergence require; halving needs ~log₂(d). */
+  private[ext] def propagateLabels(s: SparkSession, rawPairs: DataFrame): DataFrame = {
+    import s.implicits._
     val pairs = rawPairs.cache()
     val edges = pairs
       .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
@@ -144,7 +155,6 @@ object Dedup {
     require(changed == 0, s"component labeling did not converge after $iter rounds")
     edges.unpersist(blocking = false)
     pairs.unpersist(blocking = false)
-    sig.unpersist(blocking = false)
     labels
   }
 
@@ -251,9 +261,11 @@ object Dedup {
       val docs = graft.engine.Tables(s, dir, "documents")
         .select($"doc_id", TextOps.tokens($"text").as("toks"))
       val train = docs.select($"doc_id", explode(shinglesN($"toks", 5)).as("sh"))
-      val bench = docs.filter($"doc_id" % 17 === 0)
-        .select(($"doc_id" + 9000000L).as("bench_id"),
-          explode(shinglesN(slice($"toks", 3, 9), 5)).as("sh"))
+      val bench = TextOps.guardBroadcast(
+        docs.filter($"doc_id" % 17 === 0)
+          .select(($"doc_id" + 9000000L).as("bench_id"),
+            explode(shinglesN(slice($"toks", 3, 9), 5)).as("sh")),
+        "sh", TextOps.MaxBroadcastRows, "decontamination benchmark shingle set")
       train.join(broadcast(bench), "sh")
         .groupBy($"doc_id")
         .agg(count_distinct($"bench_id").as("bench_hits"), min($"bench_id").as("first_bench"))

@@ -59,6 +59,7 @@ object Similarity {
     * domain shared by the k-means, PQ and trained-IVF chains. */
   private def milliQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.VecDot.ensureRegistered(s)
     graft.engine.Tables(s, dir, "embeddings")
       .select($"vec_id",
         transform($"embedding", x => (x.cast("double") * 1000).cast("long")).as("qv"))
@@ -94,6 +95,7 @@ object Similarity {
     // same double whether folded once or per pair.
     "simsearch_topk" -> { (s, dir) =>
       import s.implicits._
+      graft.functions.VecDot.ensureRegistered(s) // analyze against THIS session (ADVICE r6)
       val emb = graft.engine.Tables(s, dir, "embeddings")
         .select($"vec_id", toDouble($"embedding").as("v"))
         .withColumn("nrm", sqrt(dot($"v", $"v")))
@@ -111,6 +113,7 @@ object Similarity {
     // sign-random-projection LSH: 4 fixed hyperplanes -> 16 buckets
     "simsearch_lsh_buckets" -> { (s, dir) =>
       import s.implicits._
+      graft.functions.VecDot.ensureRegistered(s) // analyze against THIS session (ADVICE r6)
       val emb = graft.engine.Tables(s, dir, "embeddings")
         .select($"vec_id", toDouble($"embedding").as("v"))
       val planes = emb.filter($"vec_id".isin(PlaneIds: _*))
@@ -129,6 +132,7 @@ object Similarity {
     // next to the brute-force baseline.
     "simsearch_ivf" -> { (s, dir) =>
       import s.implicits._
+      graft.functions.VecDot.ensureRegistered(s) // analyze against THIS session (ADVICE r6)
       val base = graft.engine.Tables(s, dir, "embeddings")
         .select($"vec_id", toDouble($"embedding").as("v"))
         .withColumn("nrm", sqrt(dot($"v", $"v"))) // folded once, reused across centroids AND probes
@@ -165,6 +169,7 @@ object Similarity {
     // the metadata join co-located; the query set stays the broadcast side.
     "simsearch_filtered" -> { (s, dir) =>
       import s.implicits._
+      graft.functions.VecDot.ensureRegistered(s) // analyze against THIS session (ADVICE r6)
       val meta = graft.engine.Tables(s, dir, "documents")
         .filter($"lang".isin("en", "de") && $"n_chars" >= 200L)
         .select($"doc_id".as("vec_id"))
@@ -255,6 +260,7 @@ object Similarity {
     // combined); the final top-k is the same per-query window as every search here.
     "simsearch_pq" -> { (s, dir) =>
       import s.implicits._
+      graft.functions.VecDot.ensureRegistered(s) // analyze against THIS session (ADVICE r6)
       val q = graft.engine.Tables(s, dir, "embeddings")
         .select($"vec_id",
           transform($"embedding", x => (x.cast("double") * 1000).cast("long")).as("qv"))
@@ -302,6 +308,7 @@ object Similarity {
     // per vector so each candidate pair costs one dot product.
     "dedup_embedding_cosine" -> { (s, dir) =>
       import s.implicits._
+      graft.functions.VecDot.ensureRegistered(s) // analyze against THIS session (ADVICE r6)
       val base = graft.engine.Tables(s, dir, "embeddings")
         .select($"vec_id", toDouble($"embedding").as("v"))
       val emb = base.union(base.select(($"vec_id" + DupIdOffset).as("vec_id"), $"v"))

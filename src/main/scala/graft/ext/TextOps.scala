@@ -24,6 +24,34 @@ object TextOps {
   /** Deterministic cross-engine 32-bit hash of a string column (md5-prefix as unsigned int). */
   def hash32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** Broadcast-side cardinality ceiling for the corpus-derived small sides below
+    * (boilerplate segment set, benchmark shingle set). ~10M short strings is well inside
+    * the broadcast limit; a corpus pathological enough to exceed it must fail loudly
+    * (see [[guardBroadcast]]) instead of OOMing the driver during broadcast build. */
+  private[ext] val MaxBroadcastRows = 10000000L
+
+  /** Guard a frame that is about to BROADCAST: raise a loud executor-side error if its
+    * row count exceeds `max`, instead of letting a pathological corpus OOM the driver
+    * (r6 verdict #7). Implemented as an unbounded-window count + conditional
+    * `raise_error` over the key column, so the guard stays LAZY (builders return plans,
+    * not actions) and the guarded frame evaluates exactly once; the single-partition
+    * window costs nothing beyond what the broadcast build already pays — the same rows
+    * already funnel to one place. */
+  private[ext] def guardBroadcast(df: DataFrame, keyCol: String, max: Long,
+                                  what: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    df.withColumn("_bg_n", count(lit(1)).over(w))
+      .withColumn(keyCol,
+        when(col("_bg_n") > max, raise_error(concat(
+          lit(s"$what exceeds the $max-row broadcast bound ("),
+          col("_bg_n").cast("string"),
+          lit(" rows) — threshold or pre-aggregate the corpus instead of broadcasting"))))
+          .otherwise(col(keyCol)))
+      .drop("_bg_n")
+  }
+
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
   /** Marker tokens of the four language heuristics — the "language identified" signal
@@ -178,8 +206,12 @@ object TextOps {
     "corpus_snapshot_diff" -> { (s, dir) =>
       import s.implicits._
       val docs = graft.engine.Tables(s, dir, "documents")
+      // chars derives from the (possibly mutated) text, not the carried n_chars column:
+      // a changed doc must report the NEW snapshot's size (ADVICE r6 — the carried column
+      // silently reported the pre-change length)
       def proj(d: org.apache.spark.sql.DataFrame) =
-        d.select($"doc_id", hash32($"text").as("h"), $"n_chars")
+        d.select($"doc_id", hash32($"text").as("h"),
+          length($"text").cast("long").as("n_chars"))
       val old  = proj(docs.filter($"doc_id" % 10 =!= 0))
       val neu  = proj(docs.filter($"doc_id" % 10 =!= 1)
         .withColumn("text", when($"doc_id" % 10 === 2, concat($"text", lit(" v2")))
@@ -277,8 +309,10 @@ object TextOps {
         .select($"doc_id", tokens($"text").as("toks"))
         .select($"doc_id", posexplode(segsOf))
         .withColumnRenamed("col", "seg")
-      val boiler = segs.groupBy($"seg").agg(count(lit(1)).as("cnt"))
-        .filter($"cnt" >= LineDedupMinRepeats).select($"seg")
+      val boiler = guardBroadcast(
+        segs.groupBy($"seg").agg(count(lit(1)).as("cnt"))
+          .filter($"cnt" >= LineDedupMinRepeats).select($"seg"),
+        "seg", MaxBroadcastRows, "line-dedup boilerplate segment set")
       val rebuilt = segs.join(broadcast(boiler), Seq("seg"), "left_anti")
         .groupBy($"doc_id").agg(
           array_join(transform(array_sort(collect_list(struct($"pos", $"seg"))),
@@ -591,11 +625,12 @@ object TextOps {
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     "corpus_snapshot_diff" ->
       """WITH old AS (SELECT doc_id,
-        |    ('0x' || substr(md5(text), 1, 8))::BIGINT AS h, n_chars
+        |    ('0x' || substr(md5(text), 1, 8))::BIGINT AS h, length(text) AS n_chars
         |  FROM documents WHERE doc_id % 10 <> 0),
         |neu AS (SELECT doc_id,
         |    ('0x' || substr(md5(CASE WHEN doc_id % 10 = 2 THEN text || ' v2'
-        |                             ELSE text END), 1, 8))::BIGINT AS h, n_chars
+        |                             ELSE text END), 1, 8))::BIGINT AS h,
+        |    length(CASE WHEN doc_id % 10 = 2 THEN text || ' v2' ELSE text END) AS n_chars
         |  FROM documents WHERE doc_id % 10 <> 1),
         |diff AS (SELECT coalesce(old.doc_id, neu.doc_id) AS doc_id,
         |    CASE WHEN old.h IS NULL THEN 'added'

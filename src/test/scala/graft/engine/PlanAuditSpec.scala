@@ -175,7 +175,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin LeftAnti") || p.contains("BroadcastNestedLoopJoin LeftAnti") ||
       (p.contains("LeftAnti") && p.contains("BroadcastExchange")),
       s"expected broadcast left_anti of the boilerplate set:\n$p")
-    assert(!p.contains("Window"), s"seg spectrum must be a partial-agg groupBy, not a window:\n$p")
+    // the only window allowed is the broadcast-cardinality guard's global count over the
+    // ALREADY-AGGREGATED boiler set (its `_bg_n` column marks it) — a count-over-window
+    // on the raw segment spectrum would still fail here
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.forall(_.contains("_bg_n")),
+      s"seg spectrum must be a partial-agg groupBy, not a window:\n$p")
     assert(!p.contains("SortMergeJoin LeftAnti"), s"anti-join must not shuffle the seg key:\n$p")
   }
 
