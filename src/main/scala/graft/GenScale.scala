@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Derived-scale dataset generator: writes a K× copy of a testdata dir by unioning K
+ * key-shifted copies of each fact table (sf1 posture evidence, r6 verdict #6 — no sf1
+ * dir ships with the driver, and /root/testdata is read-only).
+ *
+ * Referential integrity holds per copy: orders/lineitem shift o_orderkey together,
+ * orders/customer shift custkey together; dimension tables (region/nation/supplier/part)
+ * and embeddings copy through unchanged, so dim joins keep their original fan-out.
+ *
+ * `documents.text` gets a PER-COPY token suffix (`tok` → `tok_i`): a verbatim copy would
+ * make every cross-copy pair an exact/near duplicate and the LSH pair graph would grow
+ * O(K²) — an input-distribution change masquerading as engine super-linearity. Suffixed
+ * tokens keep copies mutually disjoint in shingle space, so the duplicate structure (and
+ * every dedup workload) scales by exactly K. `n_chars` is recomputed from the new text.
+ *
+ * Usage: runMain graft.GenScale <srcSfDir> <outDir> <K>
+ */
+object GenScale {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: GenScale <srcSfDir> <outDir> <K>")
+    val Array(src, out, kStr) = args
+    val k = kStr.toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+
+    // dims + embeddings pass through unchanged
+    Seq("region", "nation", "supplier", "part", "embeddings").foreach(t => write(read(t), t))
+
+    def scaled(t: String)(shift: (DataFrame, Int) => DataFrame): Unit =
+      write((0 until k).map(i => shift(read(t), i)).reduce(_ union _), t)
+
+    val OrderShift = 100000000L
+    val CustShift = 10000000L
+    val DocShift = 10000000L
+    scaled("customer")((d, i) => d.withColumn("c_custkey", $"c_custkey" + i * CustShift))
+    scaled("orders")((d, i) => d
+      .withColumn("o_orderkey", $"o_orderkey" + i * OrderShift)
+      .withColumn("o_custkey", $"o_custkey" + i * CustShift))
+    scaled("lineitem")((d, i) => d.withColumn("l_orderkey", $"l_orderkey" + i * OrderShift))
+    scaled("events")((d, i) => d
+      .withColumn("event_id", $"event_id" + i * 1000000000L)
+      .withColumn("user_id", $"user_id" + i * CustShift))
+    scaled("documents") { (d, i) =>
+      if (i == 0) d
+      else d
+        .withColumn("doc_id", $"doc_id" + i * DocShift)
+        .withColumn("text", array_join(
+          transform(filter(split(trim($"text"), "\\s+"), t => t =!= ""),
+            t => concat(t, lit(s"_$i"))), " "))
+        .withColumn("n_chars", length($"text").cast("long"))
+    }
+    spark.stop()
+  }
+}
