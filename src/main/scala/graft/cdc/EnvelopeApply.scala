@@ -12,15 +12,17 @@ import org.apache.spark.sql.types._
  * to a replica. Envelope null rules per operation are the reference's
  * (Utils:389-415): INSERT/UPDATE carry `data`, DELETE carries only `before`.
  *
- * Spark shape (100 TB posture): the DEFAULT batch path is [[applyPrefolded]] — per-key
- * aggregation state bounded by the COLUMN COUNT (boundary pass + per-(key,column) max_by
- * winners), whole-stage-codegen'd throughout, then a single co-partitioned full-outer
- * join against the snapshot. The single-shuffle [[applyFolded]] alternative (collect the
- * sorted history, fold it with an `aggregate` HOF) trades two exchanges away for an
- * unbounded per-key buffer and an interpreted (non-codegen) fold — it benches ~3× slower
- * on the same envelope (r6 verdict #4) and is kept as the semantics-reference twin,
- * equivalence pinned by EnvelopeApplySpec's 300-scenario property test. No window over
- * the whole stream, no driver-side state in either path.
+ * Spark shape (100 TB posture): the DEFAULT batch path is [[applyPrefolded]] — ONE scan
+ * of the envelope, per-key aggregation state bounded by the COLUMN COUNT (exploded
+ * per-(key,column) max_by winners rolled up per key), then a single co-partitioned
+ * full-outer join against the snapshot. The single-shuffle [[applyFolded]] alternative
+ * (collect the sorted history, fold it with an `aggregate` HOF) saves one exchange and
+ * benches somewhat faster at small scale, but its per-key buffer is the WHOLE change
+ * history and the comparator-lambda sort + fold stay interpreted — a million-update hot
+ * key OOMs the buffer, which is why the bounded plan is the default at the 100 TB
+ * posture. It is kept as the semantics-reference twin, equivalence pinned by
+ * EnvelopeApplySpec's 300-scenario property test. No window over the whole stream, no
+ * driver-side state in either path.
  */
 object EnvelopeApply {
 
@@ -115,59 +117,68 @@ object EnvelopeApply {
    *   - the last INSERT/DELETE "boundary" B (`replaced` = B exists; INSERT replaces the
    *     row image wholesale, so nothing before B can contribute), and
    *   - the per-column LAST value among INSERT/UPDATE events at-or-after B
-   * — so it computes exactly those with bounded aggregates: a per-key (last_op, max
-   * boundary ord) pass, a per-(key, column) `max_by` winner pass over the exploded
-   * payload maps, and a winners-at-or-after-B reassembly. Explicit SQL-NULL entries
-   * survive explode/max_by/map_from_entries, so SET-col-NULL semantics are preserved.
+   * — so it computes exactly those with bounded aggregates, in a SINGLE SCAN of the
+   * envelope and TWO exchanges. `explode_outer` turns each event into one row per payload
+   * entry, and — because it emits exactly one null-column row for a DELETE or an
+   * empty-payload event — every event contributes at least one row, so the per-(key,
+   * column) groups collectively see every event: each group's `max_by(op, ord)` /
+   * `max(boundary ord)` roll up to the per-key `last_op` / `b_ord` in the second
+   * aggregation (the group holding the key's max ord came from the key's LAST event).
+   * The winners-at-or-after-B filter then runs as an array `filter` over the per-key
+   * winner list — bounded by the column count — instead of a bounds⟗winners self-join.
+   * Explicit SQL-NULL entries survive explode/max_by/map_from_entries, so SET-col-NULL
+   * semantics are preserved (the winner value rides in a struct so a null VALUE is
+   * distinguishable from no winner).
    *
-   * Cost of the bound: the exploded (key, column) shuffle and two extra exchanges vs the
-   * fold's one — the classic buffer-vs-shuffle trade. Equivalence to [[applyFolded]] is
-   * pinned by EnvelopeApplySpec's 300-scenario property test and the
+   * vs the r6 shape (cache + boundary pass + winner pass + two self-joins): one scan
+   * instead of two, no pinned cache, and two exchanges — (key, column) with map-side
+   * combine, then key, which the snapshot join reuses. Cost of the bound vs the fold:
+   * one extra exchange — the classic buffer-vs-shuffle trade. Equivalence to
+   * [[applyFolded]] is pinned by EnvelopeApplySpec's 300-scenario property test and the
    * `cdc_apply_merge_folded` oracle row.
    */
-  def applyPrefolded(snapshot: DataFrame, enveloped: DataFrame, schema: StructType): DataFrame =
-    applyPrefoldedWithHandle(snapshot, enveloped, schema)._1
-
-  /** [[applyPrefolded]] plus a RELEASE HANDLE for the internal cache: call the returned
-    * thunk after the terminal action to unpersist the cached event projection. A
-    * long-lived session (a service applying envelopes for many tables) that uses the
-    * no-handle overload accretes one pinned cache per call with no per-call remedy short
-    * of `spark.catalog.clearCache()` — per-query harnesses that already clear the cache
-    * between queries (Bench/Verify) don't need the handle. */
-  def applyPrefoldedWithHandle(snapshot: DataFrame, enveloped: DataFrame,
-                               schema: StructType): (DataFrame, () => Unit) = {
+  def applyPrefolded(snapshot: DataFrame, enveloped: DataFrame, schema: StructType): DataFrame = {
     val pk = Catalog.effectiveKeys(schema)
     require(pk.nonEmpty, "schema carries no pk/uq key metadata — see Catalog.withKeyMetadata")
     val keyCols = typedKeyCols(pk, schema)
     val pkc = pk.map(col)
-    // evs feeds BOTH the boundary pass and the winners pass: without the cache the
-    // upstream envelope (typically a parse-heavy projection) is computed twice — the same
-    // shared-subplan rule as b7_full_logfiles (r2 plan audit). MEMORY_AND_DISK, so at
-    // scale it spills rather than re-parses.
-    val evs = enveloped.select(keyCols ++ Seq(
-      struct(col("commit_scn"), col("scn"), col("seq")).as("ord"),
-      col("operation"), col("data")): _*).cache()
-    val bounds = evs.groupBy(pkc: _*).agg(
-      max_by(col("operation"), col("ord")).as("last_op"),
-      max(when(col("operation").isin(RedoEvent.Insert, RedoEvent.Delete), col("ord")))
-        .as("b_ord"))
-    val winners = evs
-      .filter(col("operation").isin(RedoEvent.Insert, RedoEvent.Update))
-      .select(pkc ++ Seq(col("ord"), explode(col("data")).as(Seq("c", "v"))): _*)
-      .groupBy(pkc :+ col("c"): _*)
-      .agg(max_by(struct(col("v")), col("ord")).as("w"), max(col("ord")).as("w_ord"))
     val emptyMap = map().cast(MapType(StringType, StringType, valueContainsNull = true))
-    val m = winners.join(bounds.select(pkc :+ col("b_ord"): _*), pk)
-      .filter(col("b_ord").isNull || col("w_ord") >= col("b_ord"))
-      .groupBy(pkc: _*)
-      .agg(map_from_entries(collect_list(struct(col("c"), col("w.v").as("v")))).as("m"))
-    val changes = bounds.join(m, pk, "left_outer")
-      .select(pkc :+ struct(
-        (col("last_op") === RedoEvent.Delete).as("deleted"),
-        coalesce(col("m"), emptyMap).as("m"),
-        col("b_ord").isNotNull.as("replaced")).as("f"): _*)
-    (applyChanges(snapshot, changes, schema), () => { evs.unpersist(); () })
+    // one row per (event, payload entry) for INSERT/UPDATE; exactly one (c=null) marker
+    // row for DELETE (when() yields a null map) and for an empty payload — explode_outer
+    // keeps those rows, a plain explode would drop the event entirely
+    val exploded = enveloped.select(keyCols ++ Seq(
+      struct(col("commit_scn"), col("scn"), col("seq")).as("ord"),
+      col("operation").as("op"),
+      explode_outer(when(col("operation").isin(RedoEvent.Insert, RedoEvent.Update),
+        coalesce(col("data"), emptyMap))).as(Seq("c", "v"))): _*)
+    val perCol = exploded.groupBy(pkc :+ col("c"): _*).agg(
+      max_by(struct(col("v")), col("ord")).as("w"),
+      max(col("ord")).as("w_ord"),
+      max_by(col("op"), col("ord")).as("g_op"),
+      max(when(col("op").isin(RedoEvent.Insert, RedoEvent.Delete), col("ord"))).as("g_b"))
+    val perKey = perCol.groupBy(pkc: _*).agg(
+      max_by(col("g_op"), col("w_ord")).as("last_op"),
+      max(col("g_b")).as("b_ord"),
+      // collect_list skips the null produced for marker groups, so `es` holds only real
+      // column winners — at most one entry per payload column
+      collect_list(when(col("c").isNotNull,
+        struct(col("c"), col("w.v").as("v"), col("w_ord")))).as("es"))
+    val changes = perKey.select(pkc :+ struct(
+      (col("last_op") === RedoEvent.Delete).as("deleted"),
+      map_from_entries(transform(
+        filter(col("es"), e => col("b_ord").isNull || e.getField("w_ord") >= col("b_ord")),
+        e => struct(e.getField("c").as("c"), e.getField("v").as("v")))).as("m"),
+      col("b_ord").isNotNull.as("replaced")).as("f"): _*)
+    applyChanges(snapshot, changes, schema)
   }
+
+  /** Compatibility shim from the r6 prefold, whose plan pinned an internal cache and
+    * returned a release thunk to unpersist it. The single-scan plan above holds no cache,
+    * so the handle is a no-op — kept so long-lived callers written against the r6 API
+    * still compile and release() stays safe to call. */
+  def applyPrefoldedWithHandle(snapshot: DataFrame, enveloped: DataFrame,
+                               schema: StructType): (DataFrame, () => Unit) =
+    (applyPrefolded(snapshot, enveloped, schema), () => ())
 
   /**
    * Final MERGE stage shared by the batch fold above and the streaming fold below:
