@@ -12,17 +12,18 @@ import org.apache.spark.sql.types._
  * to a replica. Envelope null rules per operation are the reference's
  * (Utils:389-415): INSERT/UPDATE carry `data`, DELETE carries only `before`.
  *
- * Spark shape (100 TB posture): the DEFAULT batch path is [[applyPrefolded]] — ONE scan
- * of the envelope, per-key aggregation state bounded by the COLUMN COUNT (exploded
- * per-(key,column) max_by winners rolled up per key), then a single co-partitioned
- * full-outer join against the snapshot. The single-shuffle [[applyFolded]] alternative
- * (collect the sorted history, fold it with an `aggregate` HOF) saves one exchange and
- * benches somewhat faster at small scale, but its per-key buffer is the WHOLE change
- * history and the comparator-lambda sort + fold stay interpreted — a million-update hot
- * key OOMs the buffer, which is why the bounded plan is the default at the 100 TB
- * posture. It is kept as the semantics-reference twin, equivalence pinned by
- * EnvelopeApplySpec's 300-scenario property test. No window over the whole stream, no
- * driver-side state in either path.
+ * Spark shape (100 TB posture): the DEFAULT batch path is [[applyNative]] — ONE scan,
+ * ONE exchange (the snapshot join reuses the aggregation's partitioning), and per-key
+ * aggregation state bounded by the COLUMN COUNT via the custom
+ * [[graft.functions.EnvelopeFold]] TypedImperativeAggregate with map-side partial
+ * aggregation. Two declarative twins stay registered as semantics references,
+ * equivalence pinned by EnvelopeApplySpec's 300-scenario property test:
+ * [[applyFolded]] (collect the sorted history, fold with an `aggregate` HOF — same
+ * one-exchange plan, but the per-key buffer is the WHOLE change history and the
+ * comparator-lambda sort + fold stay interpreted; a million-update hot key OOMs the
+ * buffer) and [[applyPrefolded]] (pure-declarative bounded state, paying one extra
+ * (key, column) exchange for it). No window over the whole stream, no driver-side
+ * state in any path.
  */
 object EnvelopeApply {
 
@@ -40,9 +41,10 @@ object EnvelopeApply {
     pk.map(p => Catalog.castValue(rawPkValue(p), schema(p).dataType).as(p))
 
   /**
-   * DEFAULT batch apply — routes to [[applyPrefolded]] (r6 verdict #4: the prefolded
-   * plan is whole-stage-codegen'd and bounds per-key state by column count; the HOF fold
-   * it replaced as default stays available as [[applyFolded]]).
+   * DEFAULT batch apply — routes to [[applyNative]] (r7): one exchange like the HOF
+   * fold, per-key state bounded by the column count like the prefold, via the custom
+   * [[graft.functions.EnvelopeFold]] Catalyst aggregate. The declarative twins stay
+   * available as [[applyFolded]] / [[applyPrefolded]], equivalence property-pinned.
    *
    * @param snapshot  current table state, columns = `schema` (keys unique)
    * @param enveloped [[CdcPipeline.envelope]] output for ONE table, with `commit_scn`
@@ -51,7 +53,34 @@ object EnvelopeApply {
    * @param schema    table schema carrying pk flags ([[Catalog.withKeyMetadata]])
    */
   def apply(snapshot: DataFrame, enveloped: DataFrame, schema: StructType): DataFrame =
-    applyPrefolded(snapshot, enveloped, schema)
+    applyNative(snapshot, enveloped, schema)
+
+  /**
+   * The NATIVE-AGGREGATE apply (the DEFAULT since r7): groups the envelope on the PK and
+   * folds each key's events with `envelope_fold` — a [[graft.functions.EnvelopeFold]]
+   * [[org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate]]
+   * maintaining (last op, INSERT/DELETE boundary, per-COLUMN winners) imperatively.
+   * Best of both declarative twins: ONE exchange (the snapshot join reuses the
+   * aggregation's hash partitioning, same plan shape as [[applyFolded]]) AND per-key
+   * state bounded by the column count with map-side partial aggregation (same bound as
+   * [[applyPrefolded]] — the shuffle carries at most one winner per (key, column), not
+   * the change history). Order-insensitive maxima under `(commit_scn, scn, seq)`, so no
+   * per-key sort exists anywhere in the plan.
+   */
+  def applyNative(snapshot: DataFrame, enveloped: DataFrame, schema: StructType): DataFrame = {
+    val pk = Catalog.effectiveKeys(schema)
+    require(pk.nonEmpty, "schema carries no pk/uq key metadata — see Catalog.withKeyMetadata")
+    // register on the session that will ANALYZE this plan (ADVICE r6), which is the
+    // session the inputs belong to
+    graft.functions.EnvelopeFold.ensureRegistered(snapshot.sparkSession)
+    val keyCols = typedKeyCols(pk, schema)
+    val keyed = enveloped.select(keyCols ++ Seq(
+      col("commit_scn"), col("scn"), col("seq"), col("operation"), col("data")): _*)
+    val changes = keyed.groupBy(pk.map(col): _*).agg(
+      call_function("envelope_fold",
+        col("commit_scn"), col("scn"), col("seq"), col("operation"), col("data")).as("f"))
+    applyChanges(snapshot, changes, schema)
+  }
 
   /**
    * The single-shuffle FOLD apply (the default through r6): group events on the PK, fold

@@ -397,16 +397,28 @@ object CdcQueries {
       val schema = Catalog.withKeyMetadata(snapshot.schema, Set("o_orderkey"))
       EnvelopeApply(snapshot, mergeEnvelope(s, dir, lit(true)), schema).orderBy($"o_orderkey")
     },
-    // The single-shuffle FOLD apply (the default through r6; r6 verdict #4 flipped the
-    // default to the prefolded codegen plan, which cdc_apply_merge now exercises) over
+    // The single-shuffle HOF-FOLD apply (the default through r6; r7 flipped the default
+    // to the native EnvelopeFold aggregate, which cdc_apply_merge now exercises) over
     // the SAME merge script and oracle as cdc_apply_merge: a green hash here plus the
-    // 300-scenario property spec pins applyFolded ≡ applyPrefolded.
+    // 300-scenario property spec pins applyFolded ≡ applyPrefolded ≡ applyNative.
     "cdc_apply_merge_folded" -> { (s, dir) =>
       import s.implicits._
       val snapshot = Tables(s, dir, "orders")
         .select($"o_orderkey", $"o_orderstatus", $"o_orderpriority")
       val schema = Catalog.withKeyMetadata(snapshot.schema, Set("o_orderkey"))
       EnvelopeApply.applyFolded(snapshot, mergeEnvelope(s, dir, lit(true)), schema)
+        .orderBy($"o_orderkey")
+    },
+    // The declarative BOUNDED-state apply (single-scan explode_outer + two-level rollup;
+    // the default for the first half of r7) over the same script and oracle — keeps the
+    // pure-Column-algebra twin oracle-gated now that the default is the imperative
+    // aggregate.
+    "cdc_apply_merge_prefold" -> { (s, dir) =>
+      import s.implicits._
+      val snapshot = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_orderpriority")
+      val schema = Catalog.withKeyMetadata(snapshot.schema, Set("o_orderkey"))
+      EnvelopeApply.applyPrefolded(snapshot, mergeEnvelope(s, dir, lit(true)), schema)
         .orderBy($"o_orderkey")
     },
     // VERDICT r5 #3 — the reference's FULL dictionary chain in one gated query: dictionary
@@ -826,6 +838,7 @@ object CdcQueries {
         |SELECT * FROM surv UNION ALL SELECT * FROM ins ORDER BY o_orderkey""".stripMargin,
     // same final state as cdc_apply_merge — the fold plan must change nothing
     "cdc_apply_merge_folded" -> applyMergeOracleSql,
+    "cdc_apply_merge_prefold" -> applyMergeOracleSql,
     // same final state as cdc_apply_merge — the dictionary path must change nothing
     "cdc_apply_merge_dict" -> applyMergeOracleSql,
     "cdc_apply_merge" -> applyMergeOracleSql,

@@ -156,7 +156,7 @@ class EnvelopeApplySpec extends AnyFunSuite {
     assert(cm.isEmpty)
   }
 
-  test("property: applyPrefolded ≡ applyFolded on 300 random per-key histories (VERDICT r5 #7)") {
+  test("property: applyNative ≡ applyPrefolded ≡ applyFolded on 300 random per-key histories") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
     val cols = Seq("NAME", "V", "W") // W exercises payload columns outside the schema
@@ -183,12 +183,15 @@ class EnvelopeApplySpec extends AnyFunSuite {
     }
     val snapshot = (1 to 150).map(k => (k.toLong, s"n$k", k * 10)).toDF("id", "name", "v")
     val schema = Catalog.withKeyMetadata(snapshot.schema, Set("id"))
-    // `apply` now delegates to applyPrefolded (r6 verdict #4), so the equivalence pin
-    // must target the fold path explicitly or it degenerates to prefold ≡ prefold
+    // `apply` delegates to applyNative (r7), so each twin is pinned explicitly against
+    // the HOF fold — the original semantics reference — or the test degenerates to x ≡ x
     val a = EnvelopeApply.applyFolded(snapshot, env(events), schema).orderBy($"id").collect().toSeq
     val b = EnvelopeApply.applyPrefolded(snapshot, env(events), schema)
       .orderBy($"id").collect().toSeq
+    val c = EnvelopeApply.applyNative(snapshot, env(events), schema)
+      .orderBy($"id").collect().toSeq
     assert(a === b)
+    assert(a === c)
   }
 
   test("apply requires pk/uq key metadata on the schema") {
