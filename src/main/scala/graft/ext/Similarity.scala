@@ -54,6 +54,11 @@ object Similarity {
   private val PqSeedBase = 30L
   // trained-IVF chain (r6 verdict #5): cells trained by one Lloyd round, 2 cells probed
   private val IvfNProbe = 2
+  /** Shortlist depth of the PQ→exact two-stage rank: 3× the final k. */
+  private val PqRerankR = 30
+  /** SemDeDup near-dup radius in integer milli² units — far below the ~1.3e8 distance of
+    * a random 64-dim pair, so only genuine copies fall inside. */
+  private val SemDedupEpsMilli = 1000000L
 
   /** Milli-quantized integer embeddings `(vec_id, qv, vv = |qv|²)` — the exact-arithmetic
     * domain shared by the k-means, PQ and trained-IVF chains. */
@@ -85,6 +90,54 @@ object Similarity {
       .groupBy($"cid")
       .agg(transform(array_sort(collect_list(struct($"pos", $"cd"))),
         x => x.getField("cd")).as("cvec"))
+  }
+
+  /** The PQ compressed-domain (ADC) ranking shared by `simsearch_pq` (top-k straight
+    * from approximate distances) and `simsearch_pq_rerank` (deeper shortlist, then exact
+    * re-rank): M×K codebook from fixed seed vectors, nearest-codeword encoding by exact
+    * integer L2, per-query flat lookup maps broadcast to the candidates, `row_number`
+    * rank over the summed per-subspace contributions. Callers filter `rnk` immediately,
+    * so Spark's rank-limit pushdown (WindowGroupLimit) still bounds the sort. */
+  private def pqAdcRanked(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.VecDot.ensureRegistered(s) // analyze against THIS session (ADVICE r6)
+    val q = graft.engine.Tables(s, dir, "embeddings")
+      .select($"vec_id",
+        transform($"embedding", x => (x.cast("double") * 1000).cast("long")).as("qv"))
+    // one row per (vector, subspace): sv = the contiguous PqSubDim-slice, svv = |sv|^2
+    val subs = q.select($"vec_id", posexplode(
+        transform(sequence(lit(0), lit(PqM - 1)),
+          i => slice($"qv", i * PqSubDim + 1, lit(PqSubDim)))).as(Seq("sub", "sv")))
+      .withColumn("svv", dot($"sv", $"sv"))
+    val cb = subs.filter($"vec_id".between(PqSeedBase, PqSeedBase + PqK - 1))
+      .select($"sub", ($"vec_id" - PqSeedBase).cast("int").as("code"),
+        $"sv".as("cw"), $"svv".as("cc"))
+    // encode: nearest codeword per (vector, subspace) by exact L2^2 = svv - 2·sv·cw + cc,
+    // tie-break lowest code; codes assemble into one array per vector (subspace order)
+    val codes = subs.join(broadcast(cb), Seq("sub"))
+      .withColumn("d", $"svv" - lit(2L) * dot($"sv", $"cw") + $"cc")
+      .groupBy($"vec_id", $"sub")
+      .agg(min_by($"code", struct($"d", $"code")).as("code"))
+      .groupBy($"vec_id")
+      .agg(transform(array_sort(collect_list(struct($"sub", $"code"))),
+        x => x.getField("code")).as("codes"))
+    // ADC lookup tables: per query ONE flat map (sub*K + code -> exact contribution),
+    // so scoring a candidate is M map probes instead of a join or a dot product
+    val lut = subs.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"sub", $"sv", $"svv")
+      .join(broadcast(cb), Seq("sub"))
+      .withColumn("d", $"svv" - lit(2L) * dot($"sv", $"cw") + $"cc")
+      .groupBy($"q_id")
+      .agg(map_from_entries(collect_list(
+        struct(($"sub" * PqK + $"code").cast("int"), $"d"))).as("lut"))
+    val w = Window.partitionBy($"q_id").orderBy($"adist".asc, $"vec_id")
+    codes.crossJoin(broadcast(lut))
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("adist", aggregate(
+        zip_with($"codes", sequence(lit(0), lit(PqM - 1)),
+          (c, sIdx) => element_at($"lut", (sIdx * PqK + c).cast("int"))),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("rnk", row_number().over(w))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -260,47 +313,64 @@ object Similarity {
     // combined); the final top-k is the same per-query window as every search here.
     "simsearch_pq" -> { (s, dir) =>
       import s.implicits._
-      graft.functions.VecDot.ensureRegistered(s) // analyze against THIS session (ADVICE r6)
-      val q = graft.engine.Tables(s, dir, "embeddings")
-        .select($"vec_id",
-          transform($"embedding", x => (x.cast("double") * 1000).cast("long")).as("qv"))
-      // one row per (vector, subspace): sv = the contiguous PqSubDim-slice, svv = |sv|^2
-      val subs = q.select($"vec_id", posexplode(
-          transform(sequence(lit(0), lit(PqM - 1)),
-            i => slice($"qv", i * PqSubDim + 1, lit(PqSubDim)))).as(Seq("sub", "sv")))
-        .withColumn("svv", dot($"sv", $"sv"))
-      val cb = subs.filter($"vec_id".between(PqSeedBase, PqSeedBase + PqK - 1))
-        .select($"sub", ($"vec_id" - PqSeedBase).cast("int").as("code"),
-          $"sv".as("cw"), $"svv".as("cc"))
-      // encode: nearest codeword per (vector, subspace) by exact L2^2 = svv - 2·sv·cw + cc,
-      // tie-break lowest code; codes assemble into one array per vector (subspace order)
-      val codes = subs.join(broadcast(cb), Seq("sub"))
-        .withColumn("d", $"svv" - lit(2L) * dot($"sv", $"cw") + $"cc")
-        .groupBy($"vec_id", $"sub")
-        .agg(min_by($"code", struct($"d", $"code")).as("code"))
-        .groupBy($"vec_id")
-        .agg(transform(array_sort(collect_list(struct($"sub", $"code"))),
-          x => x.getField("code")).as("codes"))
-      // ADC lookup tables: per query ONE flat map (sub*K + code -> exact contribution),
-      // so scoring a candidate is M map probes instead of a join or a dot product
-      val lut = subs.filter($"vec_id" < NumQueries)
-        .select($"vec_id".as("q_id"), $"sub", $"sv", $"svv")
-        .join(broadcast(cb), Seq("sub"))
-        .withColumn("d", $"svv" - lit(2L) * dot($"sv", $"cw") + $"cc")
-        .groupBy($"q_id")
-        .agg(map_from_entries(collect_list(
-          struct(($"sub" * PqK + $"code").cast("int"), $"d"))).as("lut"))
-      val w = Window.partitionBy($"q_id").orderBy($"adist".asc, $"vec_id")
-      codes.crossJoin(broadcast(lut))
-        .filter($"vec_id" =!= $"q_id")
-        .withColumn("adist", aggregate(
-          zip_with($"codes", sequence(lit(0), lit(PqM - 1)),
-            (c, sIdx) => element_at($"lut", (sIdx * PqK + c).cast("int"))),
-          lit(0L), (acc, x) => acc + x))
-        .withColumn("rnk", row_number().over(w))
+      pqAdcRanked(s, dir)
         .filter($"rnk" <= TopK)
         .select($"q_id", $"rnk".cast("long").as("rnk"), $"vec_id", $"adist")
         .orderBy($"q_id", $"rnk")
+    },
+    // PQ SHORTLIST + EXACT RE-RANK — the standard two-stage ANN serving pattern: the
+    // compressed-domain ADC scan produces a PqRerankR-deep shortlist per query (cheap:
+    // M map probes per candidate), then ONLY the shortlist rows fetch their full
+    // quantized vectors for an exact integer-L2 re-rank, and the top-k after re-ranking
+    // is emitted with both distances. 100 TB shape: the exact-scoring cost collapses
+    // from O(queries × corpus × dim) to O(queries × R × dim); the shortlist (queries × R
+    // rows) BROADCASTS into the full-vector join, so the corpus-sized side never
+    // shuffles — the re-rank reads exactly R full vectors per query, which is the whole
+    // point of PQ-then-rerank (Jégou et al.'s IVFADC-R refinement).
+    "simsearch_pq_rerank" -> { (s, dir) =>
+      import s.implicits._
+      val shortlist = pqAdcRanked(s, dir)
+        .filter($"rnk" <= PqRerankR)
+        .select($"q_id", $"vec_id", $"adist")
+      val full = milliQ(s, dir)
+      val qs = full.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("q_id"), $"qv".as("eqv"), $"vv".as("evv"))
+      val w = Window.partitionBy($"q_id").orderBy($"d".asc, $"vec_id")
+      full.join(broadcast(shortlist), Seq("vec_id"))
+        .join(broadcast(qs), Seq("q_id"))
+        .withColumn("d", $"vv" - lit(2L) * dot($"qv", $"eqv") + $"evv")
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= TopK)
+        .select($"q_id", $"rnk".cast("long").as("rnk"), $"vec_id", $"d", $"adist")
+        .orderBy($"q_id", $"rnk")
+    },
+    // SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023): cluster the corpus (one Lloyd round
+    // from the fixed seeds — the same trained centroids the IVF chain probes), then look
+    // for near-duplicates ONLY within a cluster: a vector is dropped when a same-cell
+    // neighbor with a smaller vec_id sits within integer-L2 epsilon. The corpus is
+    // doubled with id-shifted exact copies so the duplicate structure is known. 100 TB
+    // shape: clustering bounds the quadratic term — all-pairs runs per CELL (O(n²/k)
+    // total, k chosen so cells stay bounded), never across the corpus; the centroid set
+    // is constant-size and broadcasts; epsilon (1e6 milli²) sits orders of magnitude
+    // below random-pair distances (~1.3e8 at 64 dims), so only genuine copies pair up.
+    "dedup_semantic" -> { (s, dir) =>
+      import s.implicits._
+      val q0 = milliQ(s, dir)
+      val q = q0.union(q0.select(($"vec_id" + DupIdOffset).as("vec_id"), $"qv", $"vv"))
+      val cents = lloydOnce(s, q)
+      val assigned = q.crossJoin(broadcast(cents))
+        .withColumn("dot", dot($"qv", $"cvec"))
+        .groupBy($"vec_id")
+        .agg(max_by($"cid", struct($"dot", -$"cid")).as("cell"),
+          first($"qv").as("qv"), first($"vv").as("vv"))
+      val dropped = assigned.as("a").join(assigned.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") > col("b.vec_id"))
+        .filter(col("a.vv") - lit(2L) * dot(col("a.qv"), col("b.qv")) + col("b.vv")
+          <= SemDedupEpsMilli)
+        .select(col("a.vec_id").as("vec_id")).distinct()
+      assigned.join(dropped.withColumn("dropped", lit(true)), Seq("vec_id"), "left_outer")
+        .select($"vec_id", $"cell", coalesce($"dropped", lit(false)).as("dropped"))
+        .orderBy($"vec_id")
     },
     // embedding-cosine near-dup: double the corpus with identical copies, bucket by
     // 10 sign-projections (identical vectors land together by construction), verify by
@@ -564,6 +634,72 @@ object Similarity {
          |ranked AS (SELECT q_id, vec_id, adist,
          |  row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rnk FROM adist)
          |SELECT q_id, rnk, vec_id, adist FROM ranked WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin,
+    // same ADC chain as simsearch_pq, shortlist deepened to PqRerankR, then the exact
+    // integer-L2 re-rank over full quantized vectors picks the final top-k
+    "simsearch_pq_rerank" ->
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(trunc(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |sub AS (SELECT vec_id, s, list_slice(qv, s*$PqSubDim + 1, s*$PqSubDim + $PqSubDim) AS sv
+         |  FROM e, (SELECT unnest(range($PqM)) AS s) ss),
+         |svv AS (SELECT vec_id, s, sv, CAST(list_dot_product(sv, sv) AS BIGINT) AS svv FROM sub),
+         |cb AS (SELECT s, CAST(vec_id - $PqSeedBase AS INT) AS code, sv AS cw, svv AS cc
+         |  FROM svv WHERE vec_id BETWEEN $PqSeedBase AND ${PqSeedBase + PqK - 1}),
+         |enc0 AS (SELECT v.vec_id, v.s, cb.code,
+         |  v.svv - 2 * CAST(list_dot_product(v.sv, cb.cw) AS BIGINT) + cb.cc AS d
+         |  FROM svv v JOIN cb ON v.s = cb.s),
+         |enc AS (SELECT vec_id, s, code FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
+         |  FROM enc0) WHERE rn = 1),
+         |lut AS (SELECT vec_id AS q_id, s, code, d FROM enc0 WHERE vec_id < $NumQueries),
+         |adist AS (SELECT lut.q_id, enc.vec_id, CAST(sum(lut.d) AS BIGINT) AS adist
+         |  FROM enc JOIN lut ON enc.s = lut.s AND enc.code = lut.code
+         |  WHERE enc.vec_id <> lut.q_id
+         |  GROUP BY lut.q_id, enc.vec_id),
+         |shortl AS (SELECT q_id, vec_id, adist FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rnk
+         |  FROM adist) WHERE rnk <= $PqRerankR),
+         |qq AS (SELECT vec_id, qv, CAST(list_dot_product(qv, qv) AS BIGINT) AS vv FROM e),
+         |qs AS (SELECT vec_id AS q_id, qv AS eqv, vv AS evv FROM qq WHERE vec_id < $NumQueries),
+         |rr AS (SELECT sl.q_id, sl.vec_id, sl.adist,
+         |  q.vv - 2 * CAST(list_dot_product(q.qv, qs.eqv) AS BIGINT) + qs.evv AS d
+         |  FROM shortl sl JOIN qq q ON sl.vec_id = q.vec_id JOIN qs ON sl.q_id = qs.q_id)
+         |SELECT q_id, rnk, vec_id, d, adist FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d, vec_id) AS rnk FROM rr)
+         |WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin,
+    // SemDeDup: the trained-IVF oracle's Lloyd CTE chain over the DOUBLED corpus, then
+    // within-cell near-dup pairs under the integer-L2 epsilon
+    "dedup_semantic" ->
+      s"""WITH q0 AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(trunc(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |qd AS (SELECT vec_id, qv FROM q0
+         |  UNION ALL SELECT vec_id + $DupIdOffset AS vec_id, qv FROM q0),
+         |qq AS (SELECT vec_id, qv, CAST(list_dot_product(qv, qv) AS BIGINT) AS vv FROM qd),
+         |c0 AS (SELECT vec_id AS cid, qv AS cvec FROM qd
+         |  WHERE vec_id IN ${CentroidIds.mkString("(", ", ", ")")}),
+         |s1 AS (SELECT qq.vec_id, qq.qv, c0.cid,
+         |  CAST(list_dot_product(qq.qv, c0.cvec) AS BIGINT) AS dot FROM qq CROSS JOIN c0),
+         |a1 AS (SELECT vec_id, qv, cid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) AS rn
+         |  FROM s1) WHERE rn = 1),
+         |u AS (SELECT cid, unnest(qv) AS v, generate_subscripts(qv, 1) AS pos FROM a1),
+         |cd AS (SELECT cid, pos,
+         |  CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS cd
+         |  FROM u GROUP BY cid, pos),
+         |c1 AS (SELECT cid, list(cd ORDER BY pos) AS cvec FROM cd GROUP BY cid),
+         |s2 AS (SELECT qq.vec_id, qq.qv, qq.vv, c1.cid,
+         |  CAST(list_dot_product(qq.qv, c1.cvec) AS BIGINT) AS dot FROM qq CROSS JOIN c1),
+         |a2 AS (SELECT vec_id, qv, vv, cid AS cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) AS rn
+         |  FROM s2) WHERE rn = 1),
+         |pr AS (SELECT DISTINCT a.vec_id FROM a2 a JOIN a2 b
+         |  ON a.cell = b.cell AND a.vec_id > b.vec_id
+         |  AND a.vv - 2 * CAST(list_dot_product(a.qv, b.qv) AS BIGINT) + b.vv
+         |      <= $SemDedupEpsMilli)
+         |SELECT a2.vec_id, a2.cell, (pr.vec_id IS NOT NULL) AS dropped
+         |FROM a2 LEFT JOIN pr ON a2.vec_id = pr.vec_id
+         |ORDER BY a2.vec_id""".stripMargin,
     "dedup_embedding_cosine" ->
       s"""WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
          |e AS (SELECT vec_id, v FROM e0 UNION ALL SELECT vec_id + $DupIdOffset AS vec_id, v FROM e0),
