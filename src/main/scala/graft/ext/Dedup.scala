@@ -120,14 +120,28 @@ object Dedup {
   private[ext] def propagateLabels(s: SparkSession, rawPairs: DataFrame): DataFrame = {
     import s.implicits._
     val pairs = rawPairs.cache()
+    // pre-partitioned on the propagation join key: InMemoryRelation preserves the
+    // child's outputPartitioning, so every round's edges⋈labels join reuses this one
+    // exchange instead of re-shuffling the (constant) edge set per iteration
     val edges = pairs
       .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .repartition($"doc_a")
       .cache()
     val nodes = edges.select($"doc_a".as("id")).distinct()
     var labels = nodes.withColumn("label", $"id").localCheckpoint()
-    var changed = 1L
+    // convergence via the label-sum invariant: every step is per-node non-increasing
+    // (minNb is a min over a union containing the old label; the jump takes a least()
+    // with the old value), and the node set is fixed — so sum(label) strictly decreases
+    // iff ANY node changed. One single-stage aggregate per round replaces the r6 shape's
+    // join + filter + count job.
+    // decimal(38,0) so the invariant survives any node-count × id-range product — a
+    // wrapped long sum could alias "changed" to "converged" and silently mislabel
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum($"label".cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var changed = true
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    while (changed && iter < 20) {
       val prop = edges.join(labels, edges("doc_a") === labels("id"))
         .select(edges("doc_b").as("id"), labels("label"))
       // checkpointed: minNb feeds BOTH sides of the pointer-jump self-join below
@@ -141,9 +155,10 @@ object Dedup {
         .select(col("x.id").as("id"),
           least(col("x.label"), coalesce(col("m.jlabel"), col("x.label"))).as("label"))
         .localCheckpoint()
-      changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.label") =!= col("o.label")).count()
-      // `next` is materialized (eager checkpoint) and `changed` consumed the old frame,
+      val nextSum = labelSum(next)
+      changed = nextSum.compareTo(prevSum) != 0
+      prevSum = nextSum
+      // `next` is materialized (eager checkpoint) and the sum consumed the old frame,
       // so the superseded iteration's blocks are dead weight from here on — release them
       releaseLocalCheckpoint(labels)
       releaseLocalCheckpoint(minNb)
@@ -152,7 +167,7 @@ object Dedup {
     }
     // an unconverged fixpoint means WRONG cluster labels — fail loudly rather than
     // surfacing as a confusing oracle hash mismatch downstream
-    require(changed == 0, s"component labeling did not converge after $iter rounds")
+    require(!changed, s"component labeling did not converge after $iter rounds")
     edges.unpersist(blocking = false)
     pairs.unpersist(blocking = false)
     labels

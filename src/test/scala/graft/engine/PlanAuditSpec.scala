@@ -99,16 +99,44 @@ class PlanAuditSpec extends AnyFunSuite {
       s"scan must be pruned to the five used columns: $readLine")
   }
 
-  test("cdc_apply_merge (default = prefold): no history collect (array_sort-free), both passes read the cache") {
+  test("cdc_apply_merge (default = native envelope_fold): one agg exchange, partial agg, no history sort") {
     val p = plan("cdc_apply_merge")
     // the bounded-buffer claim: no sorted whole-history array aggregate anywhere in the
-    // plan (that is apply()'s shape); winners come from per-(key,column) max_by
-    assert(!p.contains("array_sort"), s"prefold must not materialize sorted histories:\n$p")
-    assert(p.contains("max_by"), s"expected per-column max_by winners:\n$p")
-    // boundary pass and winners pass both consume the shared evs projection via cache —
-    // without it the parse-heavy envelope computes twice
-    assert(count(p, "InMemoryTableScan") >= 2,
-      s"expected bounds AND winners to scan the cached event projection:\n$p")
+    // plan (that is applyFolded's shape) — the imperative fold keeps order-insensitive
+    // maxima instead
+    assert(!p.contains("array_sort"), s"native fold must not materialize sorted histories:\n$p")
+    assert(!p.contains("collect_list"), s"native fold must not collect histories:\n$p")
+    // the custom aggregate runs as ObjectHashAggregate with a MAP-SIDE partial pass:
+    // the shuffle carries column-bounded buffers, not raw events
+    assert(p.contains("partial_envelope_fold"),
+      s"expected map-side partial envelope_fold before the exchange:\n$p")
+    assert(count(p, "ObjectHashAggregate") >= 2,
+      s"expected partial+final ObjectHashAggregate pair:\n$p")
+    // ONE exchange between the envelope scan and the final agg (the snapshot join then
+    // reuses the agg's hash partitioning — only a sort, no further hashpartitioning of
+    // the fold output)
+    val aggSide = p.linesIterator.filter(_.contains("hashpartitioning")).size
+    assert(aggSide <= 2, // agg input + snapshot side; the fold output must NOT re-exchange
+      s"expected at most 2 hash exchanges (agg input, snapshot side):\n$p")
+  }
+
+  test("dedup_semantic: within-cell pairs are an equi-join on the cell key, never cartesian") {
+    val p = plan("dedup_semantic")
+    // the SemDeDup point: the quadratic term is bounded per cell — the pair join must
+    // key on `cell` (shuffled or broadcast EQUI-join); a CartesianProduct would be the
+    // all-pairs plan clustering exists to avoid
+    assert(!p.contains("CartesianProduct"), s"semantic dedup must never go all-pairs:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"constant-size centroid set should broadcast:\n$p")
+  }
+
+  test("simsearch_pq_rerank: the shortlist broadcasts into the full-vector join") {
+    val p = plan("simsearch_pq_rerank")
+    // two-stage serving claim: the corpus-sized full-vector side never shuffles — the
+    // queries×R shortlist (and the per-query vectors) broadcast into it
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the R-deep shortlist to broadcast against the full vectors:\n$p")
+    assert(!p.contains("CartesianProduct"), s"re-rank must not be all-pairs:\n$p")
   }
 
   test("cdc_txn_overflow: survivor histogram and dropped-count both read the cached assembly") {
