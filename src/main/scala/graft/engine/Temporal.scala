@@ -352,9 +352,41 @@ object Temporal {
       }
       out.orderBy($"purchase_id", $"click_id")
     },
+    // COHORT RETENTION — the product-analytics staple: users cohorted by their first
+    // active epoch-week, activity bucketed by whole weeks since that cohort week,
+    // distinct actives per (cohort, offset) cell. Integer epoch-week math (`epoch_day
+    // div 7`) keeps the oracle bit-exact with no calendar/locale semantics in play.
+    // 100 TB shape: one shuffle on user_id builds the first-week table AND co-partitions
+    // the activity join (the join reuses the aggregation's partitioning — no second
+    // user-side exchange); the final distinct-count aggregates partially (per-partition
+    // (cohort, offset, user) dedup before the cell shuffle). Cohort keys are
+    // time-uniform, so no skew salting is needed.
+    "events_retention" -> { (s, dir) =>
+      import s.implicits._
+      val weeks = Tables(s, dir, "events")
+        .select($"user_id", expr("ts div 1000").as("ts_us"))
+        .select($"user_id",
+          (datediff(to_date(timestamp_micros($"ts_us")), lit("1970-01-01")).cast("long"))
+            .as("ep"))
+        .select($"user_id", expr("ep div 7").as("wk"))
+      val firsts = weeks.groupBy($"user_id").agg(min($"wk").as("cohort_week"))
+      weeks.join(firsts, "user_id")
+        .select($"cohort_week", ($"wk" - $"cohort_week").as("weeks_since"), $"user_id")
+        .groupBy($"cohort_week", $"weeks_since")
+        .agg(countDistinct($"user_id").as("active_users"))
+        .orderBy($"cohort_week", $"weeks_since")
+    },
   )
 
   val oracle: Map[String, String] = Map(
+    "events_retention" ->
+      s"""WITH w AS (SELECT user_id,
+         |  datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS wk FROM events),
+         |f AS (SELECT user_id, min(wk) AS cohort_week FROM w GROUP BY user_id)
+         |SELECT f.cohort_week, w.wk - f.cohort_week AS weeks_since,
+         |  cast(count(DISTINCT w.user_id) AS BIGINT) AS active_users
+         |FROM w JOIN f ON w.user_id = f.user_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the oracle states the RANGE JOIN directly (DuckDB plans it as an IEJoin); the
     // engine's banding rewrite must be invisible in the result
     "events_range_join" ->

@@ -335,6 +335,29 @@ object TextOps {
     // by `source` (the shard key), so packing is embarrassingly parallel per shard and no
     // global single-partition sort exists; budget 256 tokens keeps multiple docs per pack
     // at this corpus size.
+    // WEIGHTED CORPUS MIXING — the data-mixing step of LLM training: each source gets a
+    // deterministic weight (here (suffix mod 3)+1, standing in for a tuned mixture), and
+    // the global training order interleaves sources in weighted round-robin — a weight-w
+    // source contributes w documents per round, so the realized ratio IS the weight
+    // ratio at every prefix of the stream (what curriculum/mixture schedules need; a
+    // global shuffle only gets the ratio in expectation). The order key is fully
+    // declarative: (round, source, rank) with round = (rank-1) div weight. 100 TB shape:
+    // the per-source rank is the same per-source running-order window text_pack uses
+    // (one shuffle on source; at petabyte scale the rank derives from per-shard count
+    // offsets instead — documented trade, same keys); the final orderBy is the point of
+    // the operator (a training order is a total order).
+    "text_mix_weighted" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+      graft.engine.Tables(s, dir, "documents")
+        .select($"doc_id", $"source")
+        .withColumn("wgt", regexp_extract($"source", "(\\d+)$", 1).cast("long") % 3 + 1)
+        .withColumn("src_rank", row_number().over(w).cast("long"))
+        .withColumn("round", expr("(src_rank - 1) div wgt"))
+        .select($"round", $"source", $"src_rank", $"doc_id", $"wgt")
+        .orderBy($"round", $"source", $"src_rank")
+    },
     "text_pack_sequences" -> { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -557,6 +580,13 @@ object TextOps {
         |  cast(count(*) AS BIGINT) AS doc_cnt, cast(sum(n_toks) AS BIGINT) AS pack_toks,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin,
+    "text_mix_weighted" ->
+      """WITH r AS (SELECT doc_id, source,
+        |  (CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT) % 3) + 1 AS wgt,
+        |  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS src_rank
+        |  FROM documents)
+        |SELECT (src_rank - 1) // wgt AS round, source, src_rank, doc_id, wgt
+        |FROM r ORDER BY round, source, src_rank""".stripMargin,
     "text_sample_stratified" ->
       """WITH r AS (SELECT * FROM (VALUES ('en', 300), ('de', 150), ('fr', 100),
         |                                 ('es', 50), ('zh', 500)) AS t(lang, permille))
