@@ -108,13 +108,15 @@ object ParseRedoExpr {
 }
 
 /**
- * SparkSessionExtensions entry point: registers `parse_redo` (+ `_noescape`) in the session
- * function registry, so both SQL (`SELECT parse_redo(sql_redo).data FROM ...`) and the
- * DataFrame API (`call_function("parse_redo", col)`) reach the native expression. Activate
- * with `.withExtensions(new GraftExtensions)` or
+ * SparkSessionExtensions entry point: registers `parse_redo` (+ `_noescape`), `vec_dot`,
+ * and the `envelope_fold` aggregate in the session function registry, so both SQL
+ * (`SELECT parse_redo(sql_redo).data FROM ...`, `SELECT k, envelope_fold(...) GROUP BY
+ * k`) and the DataFrame API (`call_function("parse_redo", col)`) reach the native
+ * expressions. Activate with `.withExtensions(new GraftExtensions)` or
  * `spark.sql.extensions=graft.functions.GraftExtensions`.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    (ParseRedoExpr.registrations ++ VecDot.registrations).foreach(ext.injectFunction)
+    (ParseRedoExpr.registrations ++ VecDot.registrations ++ EnvelopeFold.registrations)
+      .foreach(ext.injectFunction)
 }

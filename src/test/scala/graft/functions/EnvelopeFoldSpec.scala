@@ -101,6 +101,24 @@ class EnvelopeFoldSpec extends AnyFunSuite {
     assert(entries(ab) == entries(evalRow(mk(evs1 ++ evs2))))
   }
 
+  test("envelope_fold is reachable from pure SQL via GraftExtensions") {
+    val spark = graft.SparkTestSession.spark // built .withExtensions(new GraftExtensions)
+    import spark.implicits._
+    Seq(
+      (1L, 1L, 1L, 1L, RedoEvent.Insert, Map("A" -> "x")),
+      (1L, 1L, 2L, 1L, RedoEvent.Update, Map("A" -> "y")),
+      (2L, 1L, 1L, 1L, RedoEvent.Delete, null.asInstanceOf[Map[String, String]]))
+      .toDF("k", "commit_scn", "scn", "seq", "operation", "data")
+      .createOrReplaceTempView("env_sql_test")
+    val rows = spark.sql(
+      """SELECT k, envelope_fold(commit_scn, scn, seq, operation, data) AS f
+        |FROM env_sql_test GROUP BY k ORDER BY k""".stripMargin)
+      .selectExpr("k", "f.deleted", "f.m['A']", "f.replaced").collect()
+    assert(rows(0).getBoolean(1) == false && rows(0).getString(2) == "y"
+      && rows(0).getBoolean(3) == true) // the INSERT is the boundary => replaced
+    assert(rows(1).getBoolean(1) == true)
+  }
+
   test("non-DML op codes and null ord components are ignored, not folded") {
     var b = new EnvelopeFoldBuffer
     b = upd(b, 1, 1, 1, RedoEvent.Insert, Map("A" -> "1"))
