@@ -73,12 +73,17 @@ object Dedup {
   private def signatures(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    // n_toks rides along from the one tokenize this pipeline already pays: the
+    // canonical-representative pick needs each clustered doc's token count, and reading
+    // it off the (cached) signature frame saves a second documents scan + re-tokenize
     val hashed = docs
       .select($"doc_id", TextOps.tokens($"text").as("toks"))
-      .select($"doc_id", explode(shingles($"toks")).as("shingle"))
-      .select($"doc_id", TextOps.hash32($"shingle").as("hv"))
+      .select($"doc_id", size($"toks").cast("long").as("n_toks"),
+        explode(shingles($"toks")).as("shingle"))
+      .select($"doc_id", $"n_toks", TextOps.hash32($"shingle").as("hv"))
     val mins = (0 until NumHashes).map(i => min((lit(A(i)) * $"hv" + lit(B(i))) % lit(P)).as(s"s$i"))
-    hashed.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+    val aggs = max($"n_toks").as("n_toks") +: mins
+    hashed.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** Add band_0..band_{NumBands-1} md5-bucket columns to a signature frame. */
@@ -109,7 +114,21 @@ object Dedup {
     val (rawPairs, sig) = lshPairsWithSig(s, dir)
     val labels = propagateLabels(s, rawPairs)
     sig.unpersist(blocking = false)
-    labels
+    labels // deliberately NOT the WithTokens variant: callers that don't need token
+           // counts must not leave a second pinned RDD (DedupLifecycleSpec)
+  }
+
+  /** [[clusterLabels]] plus each doc's `(doc_id, n_toks)` — read off the cached
+    * signature frame (one tokenize for the whole pipeline) and pinned via
+    * localCheckpoint so the signature cache can still be released before the caller's
+    * terminal action. */
+  private def clusterLabelsWithTokens(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val (rawPairs, sig) = lshPairsWithSig(s, dir)
+    val labels = propagateLabels(s, rawPairs)
+    val nToks = sig.select($"doc_id", $"n_toks").localCheckpoint()
+    sig.unpersist(blocking = false)
+    (labels, nToks)
   }
 
   /** The min-label pointer-halving loop on an arbitrary `(doc_a, doc_b)` pair frame —
@@ -234,9 +253,7 @@ object Dedup {
     // counts; at 100 TB the arg-max is a map-side-combined max_by on the cluster key.
     "dedup_canonical" -> { (s, dir) =>
       import s.implicits._
-      val labels = clusterLabels(s, dir)
-      val toks = doubledDocs(s, dir)
-        .select($"doc_id", size(TextOps.tokens($"text")).cast("long").as("n_toks"))
+      val (labels, toks) = clusterLabelsWithTokens(s, dir)
       labels.join(toks, labels("id") === toks("doc_id"))
         .groupBy($"label").agg(
           count(lit(1)).as("member_cnt"),
