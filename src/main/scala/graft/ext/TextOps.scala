@@ -66,6 +66,8 @@ object TextOps {
   private val MinToks = 30
   private val DiversityBp = 3000
   private val PackBudget = 256
+  /** Merge rules emitted per BPE pair-count round. */
+  private val BpeTopPairs = 20
   // line-dedup segmentation: 4-token windows are this corpus's "lines" (the flat synthetic
   // text has no newlines); a segment seen 2+ times anywhere in the corpus is boilerplate
   private val LineDedupWindow = 4
@@ -335,6 +337,26 @@ object TextOps {
     // by `source` (the shard key), so packing is embarrassingly parallel per shard and no
     // global single-partition sort exists; budget 256 tokens keeps multiple docs per pack
     // at this corpus size.
+    // BPE PAIR COUNTING — the inner loop of tokenizer TRAINING: the merge rule each BPE
+    // round adds is the corpus's most frequent adjacent symbol pair. The scalable shape
+    // is the whole point: first collapse the corpus to its word-frequency SPECTRUM (one
+    // shuffle; the working set becomes vocabulary-sized, the classic BPE-training trick),
+    // then count character pairs over DISTINCT words weighted by word frequency — the
+    // pair explode runs |vocab|·|word| wide, not corpus-wide. Top pairs by (count desc,
+    // pair asc) are the next merges. 100 TB shape: corpus-sized work is exactly one
+    // map-side-combined word count; everything after is vocabulary-scale.
+    "text_bpe_pair_counts" -> { (s, dir) =>
+      import s.implicits._
+      val words = graft.engine.Tables(s, dir, "documents")
+        .select(explode(tokens($"text")).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("freq"))
+      words.filter(length($"w") >= 2)
+        .select($"freq", explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+        .groupBy($"pair").agg(sum($"freq").as("pair_cnt"))
+        .orderBy($"pair_cnt".desc, $"pair")
+        .limit(BpeTopPairs)
+    },
     // WEIGHTED CORPUS MIXING — the data-mixing step of LLM training: each source gets a
     // deterministic weight (here (suffix mod 3)+1, standing in for a tuned mixture), and
     // the global training order interleaves sources in weighted round-robin — a weight-w
@@ -580,6 +602,14 @@ object TextOps {
         |  cast(count(*) AS BIGINT) AS doc_cnt, cast(sum(n_toks) AS BIGINT) AS pack_toks,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin,
+    "text_bpe_pair_counts" ->
+      s"""WITH w0 AS (SELECT unnest(list_filter(string_split_regex(trim(text),'\\s+'),
+         |  x -> x <> '')) AS w FROM documents),
+         |f AS (SELECT w, count(*) AS freq FROM w0 GROUP BY w),
+         |p AS (SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+         |  i -> w[i:i+1])) AS pair, freq FROM f WHERE length(w) >= 2)
+         |SELECT pair, cast(sum(freq) AS BIGINT) AS pair_cnt FROM p
+         |GROUP BY pair ORDER BY pair_cnt DESC, pair LIMIT $BpeTopPairs""".stripMargin,
     "text_mix_weighted" ->
       """WITH r AS (SELECT doc_id, source,
         |  (CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT) % 3) + 1 AS wgt,
