@@ -56,6 +56,10 @@ object Similarity {
   private val IvfNProbe = 2
   /** Shortlist depth of the PQ→exact two-stage rank: 3× the final k. */
   private val PqRerankR = 30
+  /** RRF constant (the standard k=60) and the integer scale that keeps 1/(k+rank)
+    * exact under `div`. */
+  private val RrfK = 60
+  private val RrfScale = 1000000000L
   /** SemDeDup near-dup radius in integer milli² units — far below the ~1.3e8 distance of
     * a random 64-dim pair, so only genuine copies fall inside. */
   private val SemDedupEpsMilli = 1000000L
@@ -342,6 +346,29 @@ object Similarity {
         .withColumn("rnk", row_number().over(w))
         .filter($"rnk" <= TopK)
         .select($"q_id", $"rnk".cast("long").as("rnk"), $"vec_id", $"d", $"adist")
+        .orderBy($"q_id", $"rnk")
+    },
+    // HYBRID RANK FUSION (reciprocal-rank fusion, Cormack et al.): ensemble the two
+    // heterogeneous rankers — exact cosine top-k and compressed-domain PQ L2 — by
+    // summing scaled-integer 1/(60+rank) contributions over their truncated lists, the
+    // standard trick for fusing rankers whose raw scores are incomparable (here: cosine
+    // in [-1,1] vs integer L2 distances). Integer `div` keeps the oracle bit-exact.
+    // 100 TB shape: fusion touches only the two queries×k rank lists (a bounded
+    // full-outer join), never the corpus — the heavy lifting stays in the underlying
+    // index scans, which is the point of fusing ranks instead of scores.
+    "simsearch_rrf_fusion" -> { (s, dir) =>
+      import s.implicits._
+      val a = queries("simsearch_topk")(s, dir).select($"q_id", $"vec_id", $"rnk".as("rnk_cos"))
+      val b = queries("simsearch_pq")(s, dir).select($"q_id", $"vec_id", $"rnk".as("rnk_pq"))
+      val w = Window.partitionBy($"q_id").orderBy($"score".desc, $"vec_id")
+      a.join(b, Seq("q_id", "vec_id"), "full_outer")
+        .withColumn("score",
+          coalesce(expr(s"${RrfScale}L div ($RrfK + rnk_cos)"), lit(0L)) +
+            coalesce(expr(s"${RrfScale}L div ($RrfK + rnk_pq)"), lit(0L)))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= TopK)
+        .select($"q_id", $"rnk".cast("long").as("rnk"), $"vec_id", $"score",
+          $"rnk_cos", $"rnk_pq")
         .orderBy($"q_id", $"rnk")
     },
     // SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023): cluster the corpus (one Lloyd round
@@ -667,6 +694,49 @@ object Similarity {
          |SELECT q_id, rnk, vec_id, d, adist FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d, vec_id) AS rnk FROM rr)
          |WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin,
+    // both ranker chains restated (cosine with c-prefixed CTEs, PQ-ADC with the pq
+    // oracle's CTEs), fused by scaled-integer reciprocal ranks over a full outer join
+    "simsearch_rrf_fusion" ->
+      s"""WITH ce AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |cq AS (SELECT vec_id AS q_id, v AS qv FROM ce WHERE $qSetSql),
+         |cs AS (SELECT q_id, vec_id,
+         |  round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS sim
+         |  FROM ce, cq WHERE vec_id <> q_id),
+         |ca AS (SELECT q_id, vec_id, rnk_cos FROM (
+         |  SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk_cos
+         |  FROM cs) WHERE rnk_cos <= $TopK),
+         |e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(trunc(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |sub AS (SELECT vec_id, s, list_slice(qv, s*$PqSubDim + 1, s*$PqSubDim + $PqSubDim) AS sv
+         |  FROM e, (SELECT unnest(range($PqM)) AS s) ss),
+         |svv AS (SELECT vec_id, s, sv, CAST(list_dot_product(sv, sv) AS BIGINT) AS svv FROM sub),
+         |cb AS (SELECT s, CAST(vec_id - $PqSeedBase AS INT) AS code, sv AS cw, svv AS cc
+         |  FROM svv WHERE vec_id BETWEEN $PqSeedBase AND ${PqSeedBase + PqK - 1}),
+         |enc0 AS (SELECT v.vec_id, v.s, cb.code,
+         |  v.svv - 2 * CAST(list_dot_product(v.sv, cb.cw) AS BIGINT) + cb.cc AS d
+         |  FROM svv v JOIN cb ON v.s = cb.s),
+         |enc AS (SELECT vec_id, s, code FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
+         |  FROM enc0) WHERE rn = 1),
+         |lut AS (SELECT vec_id AS q_id, s, code, d FROM enc0 WHERE vec_id < $NumQueries),
+         |adist AS (SELECT lut.q_id, enc.vec_id, CAST(sum(lut.d) AS BIGINT) AS adist
+         |  FROM enc JOIN lut ON enc.s = lut.s AND enc.code = lut.code
+         |  WHERE enc.vec_id <> lut.q_id
+         |  GROUP BY lut.q_id, enc.vec_id),
+         |pa AS (SELECT q_id, vec_id, rnk_pq FROM (
+         |  SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rnk_pq
+         |  FROM adist) WHERE rnk_pq <= $TopK),
+         |fused AS (SELECT coalesce(ca.q_id, pa.q_id) AS q_id,
+         |  coalesce(ca.vec_id, pa.vec_id) AS vec_id, ca.rnk_cos, pa.rnk_pq,
+         |  coalesce($RrfScale // ($RrfK + ca.rnk_cos), 0)
+         |    + coalesce($RrfScale // ($RrfK + pa.rnk_pq), 0) AS score
+         |  FROM ca FULL JOIN pa ON ca.q_id = pa.q_id AND ca.vec_id = pa.vec_id)
+         |SELECT q_id, rnk, vec_id, cast(score AS BIGINT) AS score, rnk_cos, rnk_pq FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rnk
+         |  FROM fused) WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin,
     // SemDeDup: the trained-IVF oracle's Lloyd CTE chain over the DOUBLED corpus, then
     // within-cell near-dup pairs under the integer-L2 epsilon
     "dedup_semantic" ->
