@@ -62,7 +62,15 @@ object CdcQueries {
    * commit_scn is constant so the apply operators' scn/seq ordering fallback is exercised.
    */
   private def mergeEnvelope(s: SparkSession, dir: String,
-                            keyFilter: Column): org.apache.spark.sql.DataFrame = {
+                            keyFilter: Column): org.apache.spark.sql.DataFrame =
+    CdcPipeline.envelope(
+      mergeScript(s, dir, keyFilter).withColumn("parsed", ParseRedo.parse(col("sql_redo"))),
+      "DB1", extra = Seq(col("commit_scn"), col("seq")))
+
+  /** The raw (pre-parse, pre-envelope) orders merge script — factored so the
+    * multi-table gate can union it with [[customerScript]] into ONE wire stream. */
+  private def mergeScript(s: SparkSession, dir: String,
+                          keyFilter: Column): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val base = Tables(s, dir, "orders").select($"o_orderkey".cast("long").as("k")).filter(keyFilter)
     // ONE orders scan: every key derives all its script ops in a single explode (a
@@ -90,9 +98,32 @@ object CdcQueries {
         ($"k" * 10 + $"o.off").as("seq"), lit("x").as("xid"), lit("r").as("row_id"),
         lit("GRAFT").as("seg_owner"), lit("ORDERS").as("table_name"),
         $"o.operation".as("operation"), $"o.sql_redo".as("sql_redo"), lit("").as("info"))
-    CdcPipeline.envelope(
-      script.withColumn("parsed", ParseRedo.parse($"sql_redo")), "DB1",
-      extra = Seq($"commit_scn", $"seq"))
+    script
+  }
+
+  /** A deterministic customer-table script (same wire shape as [[mergeScript]]): segment
+    * update for %5 keys, delete for %7 (the delete ord sits AFTER the update, so a
+    * %35 key is gone), insert of a fresh key for %11. */
+  private def customerScript(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val base = Tables(s, dir, "customer").select($"c_custkey".cast("long").as("k"))
+    def op(flt: Column, scnOff: Int, op: String, redo: Column) =
+      when(flt, struct(lit(scnOff).as("off"), lit(op).as("operation"), redo.as("sql_redo")))
+    val ops = array(
+      op($"k" % 5 === 0, 0, RedoEvent.Update,
+        concat(lit("update \"GRAFT\".\"CUSTOMER\" set \"C_MKTSEGMENT\" = 'LLMSEG' where \"C_CUSTKEY\" = "), $"k")),
+      op($"k" % 7 === 0, 1, RedoEvent.Delete,
+        concat(lit("delete from \"GRAFT\".\"CUSTOMER\" where \"C_CUSTKEY\" = "), $"k")),
+      op($"k" % 11 === 0, 2, RedoEvent.Insert,
+        concat(lit("insert into \"GRAFT\".\"CUSTOMER\"(\"C_CUSTKEY\",\"C_MKTSEGMENT\") values ("),
+          $"k" + 20000000L, lit(",'NEWSEG')"))))
+    base
+      .select($"k", explode(filter(ops, _.isNotNull)).as("o"))
+      .select(
+        ($"k" * 10 + $"o.off").as("scn"), lit(1L).as("commit_scn"),
+        ($"k" * 10 + $"o.off").as("seq"), lit("x").as("xid"), lit("r").as("row_id"),
+        lit("GRAFT").as("seg_owner"), lit("CUSTOMER").as("table_name"),
+        $"o.operation".as("operation"), $"o.sql_redo".as("sql_redo"), lit("").as("info"))
   }
 
   /** Committed envelopes -> final per-key state -> count by final status (shared reducer
@@ -408,6 +439,37 @@ object CdcQueries {
       val schema = Catalog.withKeyMetadata(snapshot.schema, Set("o_orderkey"))
       EnvelopeApply.applyFolded(snapshot, mergeEnvelope(s, dir, lit(true)), schema)
         .orderBy($"o_orderkey")
+    },
+    // MULTI-TABLE ROUTING -> APPLY — the realistic consumer in one pass: ONE mixed wire
+    // stream (orders + customer scripts unioned pre-parse), parsed and enveloped ONCE,
+    // split by the A22 topic column, each branch applied onto its own snapshot with its
+    // own pk metadata, summaries unioned. Proves the generic (schema-dynamic) envelope
+    // carries every table through the same plumbing and only the table boundary is
+    // typed. The envelope caches because both branches consume it (the parse is the
+    // expensive part); at 100 TB the split is a partition-pruned write per topic.
+    "cdc_apply_merge_multitable" -> { (s, dir) =>
+      import s.implicits._
+      val raw = mergeScript(s, dir, lit(true)).unionByName(customerScript(s, dir))
+      val env = CdcPipeline.envelope(
+        raw.withColumn("parsed", ParseRedo.parse($"sql_redo")), "DB1",
+        extra = Seq($"commit_scn", $"seq")).cache()
+      val oSnap = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_orderpriority")
+      val cSnap = Tables(s, dir, "customer").select($"c_custkey", $"c_mktsegment")
+      val oFin = EnvelopeApply(oSnap, env.filter($"topic" === "DB1.GRAFT.ORDERS"),
+        Catalog.withKeyMetadata(oSnap.schema, Set("o_orderkey")))
+      val cFin = EnvelopeApply(cSnap, env.filter($"topic" === "DB1.GRAFT.CUSTOMER"),
+        Catalog.withKeyMetadata(cSnap.schema, Set("c_custkey")))
+      oFin.agg(count(lit(1)).as("n_rows"), min($"o_orderkey").as("min_key"),
+          max($"o_orderkey").as("max_key"),
+          countDistinct($"o_orderstatus").as("n_vals"))
+        .select(lit("ORDERS").as("tbl"), $"n_rows", $"min_key", $"max_key", $"n_vals")
+        .unionByName(
+          cFin.agg(count(lit(1)).as("n_rows"), min($"c_custkey").as("min_key"),
+              max($"c_custkey").as("max_key"),
+              countDistinct($"c_mktsegment").as("n_vals"))
+            .select(lit("CUSTOMER").as("tbl"), $"n_rows", $"min_key", $"max_key", $"n_vals"))
+        .orderBy($"tbl")
     },
     // The declarative BOUNDED-state apply (single-scan explode_outer + two-level rollup;
     // the default for the first half of r7) over the same script and oracle — keeps the
@@ -839,6 +901,34 @@ object CdcQueries {
     // same final state as cdc_apply_merge — the fold plan must change nothing
     "cdc_apply_merge_folded" -> applyMergeOracleSql,
     "cdc_apply_merge_prefold" -> applyMergeOracleSql,
+    "cdc_apply_merge_multitable" ->
+      """WITH base AS (SELECT cast(o_orderkey AS BIGINT) AS k, o_orderstatus, o_orderpriority
+        |              FROM orders),
+        |surv AS (
+        |  SELECT k AS o_orderkey,
+        |    CASE WHEN k % 9 = 0 THEN 'Y' WHEN k % 3 = 0 THEN 'Z'
+        |         ELSE o_orderstatus END AS o_orderstatus
+        |  FROM base WHERE k % 10 <> 0),
+        |ins AS (
+        |  SELECT k + 10000000 AS o_orderkey,
+        |    CASE WHEN k % 8 = 0 THEN 'M' ELSE 'N' END AS o_orderstatus
+        |  FROM base WHERE k % 4 = 0),
+        |ofin AS (SELECT * FROM surv UNION ALL SELECT * FROM ins),
+        |cbase AS (SELECT cast(c_custkey AS BIGINT) AS k, c_mktsegment FROM customer),
+        |csurv AS (SELECT k AS c_custkey,
+        |    CASE WHEN k % 5 = 0 THEN 'LLMSEG' ELSE c_mktsegment END AS c_mktsegment
+        |  FROM cbase WHERE k % 7 <> 0),
+        |cins AS (SELECT k + 20000000 AS c_custkey, 'NEWSEG' AS c_mktsegment
+        |  FROM cbase WHERE k % 11 = 0),
+        |cfin AS (SELECT * FROM csurv UNION ALL SELECT * FROM cins)
+        |SELECT 'CUSTOMER' AS tbl, cast(count(*) AS BIGINT) AS n_rows,
+        |  min(c_custkey) AS min_key, max(c_custkey) AS max_key,
+        |  cast(count(DISTINCT c_mktsegment) AS BIGINT) AS n_vals FROM cfin
+        |UNION ALL
+        |SELECT 'ORDERS' AS tbl, cast(count(*) AS BIGINT) AS n_rows,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  cast(count(DISTINCT o_orderstatus) AS BIGINT) AS n_vals FROM ofin
+        |ORDER BY tbl""".stripMargin,
     // same final state as cdc_apply_merge — the dictionary path must change nothing
     "cdc_apply_merge_dict" -> applyMergeOracleSql,
     "cdc_apply_merge" -> applyMergeOracleSql,
