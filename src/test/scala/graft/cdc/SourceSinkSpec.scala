@@ -155,6 +155,26 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(topics.toList == List("topic=DB1.APP.T1", "topic=DB1.APP.T2"))
   }
 
+  test("topic-partitioned lake reads PRUNE to the requested topic's partition") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-prune-out").toString
+    RoutedSink.writeBatch(
+      Seq((1L, "INSERT", "DB1.APP.T1"), (2L, "INSERT", "DB1.APP.T2"),
+        (3L, "INSERT", "DB1.APP.T3")).toDF("scn", "operation", "topic"), out)
+    val one = spark.read.parquet(out).filter($"topic" === "DB1.APP.T2")
+    assert(one.count() == 1)
+    // the consumer-side scale claim of the topic layout: a per-table reader touches ONE
+    // partition directory, not the whole lake — the filter must land in PartitionFilters
+    // (directory-level pruning), not PushedFilters (row-group level, all files listed)
+    val scanLine = one.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("topic"),
+      s"topic filter must prune at the partition level: $scanLine")
+    assert(scanLine.matches(".*PartitionFilters: \\[[^\\]]*topic[^\\]]*\\].*"),
+      s"expected topic inside PartitionFilters: $scanLine")
+  }
+
   test("writeBatchIdempotent: a replayed batch rewrites its partition, new batches append") {
     val spark = graft.SparkTestSession.spark
     import spark.implicits._
