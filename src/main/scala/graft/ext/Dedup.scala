@@ -232,6 +232,33 @@ object Dedup {
       import s.implicits._
       lshPairs(s, dir).orderBy($"doc_a", $"doc_b")
     },
+    // MINHASH-AS-ESTIMATOR gate — the theory the banded index rests on: for every LSH
+    // candidate pair, the fraction of agreeing minhash components estimates the shingle
+    // Jaccard (E[agree] = J). Emitting estimated vs EXACT Jaccard side by side (basis
+    // points, integer div) turns that claim into an oracle row instead of folklore.
+    // 100 TB shape: the estimate is free (signatures are in hand, zip of two 16-long
+    // arrays per pair); the exact side joins shingle sets ONLY for candidate pairs —
+    // the same verify-only-candidates posture as dedup_ngram_jaccard.
+    "dedup_minhash_estimate" -> { (s, dir) =>
+      import s.implicits._
+      val (rawPairs, sig) = lshPairsWithSig(s, dir)
+      val sigArr = sig.select($"doc_id", array((0 until NumHashes).map(i => col(s"s$i")): _*).as("sg"))
+      val sh = doubledDocs(s, dir)
+        .select($"doc_id", shingles(TextOps.tokens($"text")).as("sh"))
+      val side = sigArr.join(sh, "doc_id")
+      rawPairs
+        .join(side.select($"doc_id".as("doc_a"), $"sg".as("sga"), $"sh".as("sha")), "doc_a")
+        .join(side.select($"doc_id".as("doc_b"), $"sg".as("sgb"), $"sh".as("shb")), "doc_b")
+        .withColumn("est_bp", expr(
+          s"aggregate(zip_with(sga, sgb, (x, y) -> if(x = y, 1, 0)), 0, (a, x) -> a + x)" +
+            s" * 10000 div $NumHashes"))
+        .withColumn("inter", size(array_intersect($"sha", $"shb")))
+        .withColumn("exact_bp", expr(
+          "cast(inter as bigint) * 10000 div (size(sha) + size(shb) - inter)"))
+        .select($"doc_a", $"doc_b", $"est_bp".cast("long").as("est_bp"),
+          $"exact_bp", abs($"est_bp" - $"exact_bp").cast("long").as("err_bp"))
+        .orderBy($"doc_a", $"doc_b")
+    },
     // connected components over the LSH pair graph — the dedup pipeline's LAST stage:
     // near-dup PAIRS become CLUSTERS, each keeping one canonical doc (the min id = the
     // cluster label). Iterative min-label propagation to a fixpoint, the driver checking
@@ -462,6 +489,30 @@ object Dedup {
        |banded$sfx AS (SELECT doc_id, $bandExprs FROM sig$sfx)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup_minhash_estimate" -> {
+      val agree = (0 until NumHashes)
+        .map(i => s"CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH src AS ($doubledSql),
+         |${sigSql("src")},
+         |bands AS (${(0 until NumBands).map(b => s"SELECT doc_id, $b AS bi, band_$b AS bv FROM banded").mkString(" UNION ALL ")}),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |est AS (SELECT p.doc_a, p.doc_b, ($agree) * 10000 // $NumHashes AS est_bp
+         |  FROM pairs p JOIN sig sa ON sa.doc_id = p.doc_a JOIN sig sb ON sb.doc_id = p.doc_b),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM shingled GROUP BY doc_id),
+         |intr AS (SELECT p.doc_a, p.doc_b, count(*) AS inter
+         |  FROM pairs p JOIN shingled sa ON sa.doc_id = p.doc_a
+         |  JOIN shingled sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+         |  GROUP BY p.doc_a, p.doc_b),
+         |fin AS (SELECT e.doc_a, e.doc_b, e.est_bp,
+         |  coalesce(i.inter, 0) * 10000 // (ca.n + cb.n - coalesce(i.inter, 0)) AS exact_bp
+         |  FROM est e JOIN cnt ca ON ca.doc_id = e.doc_a JOIN cnt cb ON cb.doc_id = e.doc_b
+         |  LEFT JOIN intr i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b)
+         |SELECT doc_a, doc_b, cast(est_bp AS BIGINT) AS est_bp,
+         |  cast(exact_bp AS BIGINT) AS exact_bp,
+         |  cast(abs(est_bp - exact_bp) AS BIGINT) AS err_bp
+         |FROM fin ORDER BY doc_a, doc_b""".stripMargin
+    },
     "dedup_exact" ->
       s"""SELECT md5(text) AS fp, min(doc_id) AS keep_id, cast(count(*) AS BIGINT) AS dup_cnt
          |FROM (SELECT doc_id, text FROM documents
