@@ -70,12 +70,17 @@ object EnvelopeApply {
   def applyNative(snapshot: DataFrame, enveloped: DataFrame, schema: StructType): DataFrame = {
     val pk = Catalog.effectiveKeys(schema)
     require(pk.nonEmpty, "schema carries no pk/uq key metadata — see Catalog.withKeyMetadata")
-    // register on the session that will ANALYZE this plan (ADVICE r6), which is the
-    // session the inputs belong to
-    graft.functions.EnvelopeFold.ensureRegistered(snapshot.sparkSession)
+    // register on the session that will ANALYZE this plan (ADVICE r6): Dataset ops
+    // analyze against their OWN session, and the agg below is built on `enveloped` —
+    // snapshot's session only analyzes the final join, which needs no function lookup
+    graft.functions.EnvelopeFold.ensureRegistered(enveloped.sparkSession)
     val keyCols = typedKeyCols(pk, schema)
+    // explicit casts keep the declarative defaults' coercion behavior: the aggregate's
+    // type gate is exact (bigint ordering columns), while a JSON/JDBC-sourced envelope
+    // may carry int/decimal ordering columns
     val keyed = enveloped.select(keyCols ++ Seq(
-      col("commit_scn"), col("scn"), col("seq"), col("operation"), col("data")): _*)
+      col("commit_scn").cast("long").as("commit_scn"), col("scn").cast("long").as("scn"),
+      col("seq").cast("long").as("seq"), col("operation"), col("data")): _*)
     val changes = keyed.groupBy(pk.map(col): _*).agg(
       call_function("envelope_fold",
         col("commit_scn"), col("scn"), col("seq"), col("operation"), col("data")).as("f"))

@@ -95,11 +95,15 @@ case class EnvelopeFold(
     val code: Byte =
       if (opV.equals(InsU)) OpIns else if (opV.equals(UpdU)) OpUpd
       else if (opV.equals(DelU)) OpDel else 0
-    if (code == 0) return b // non-DML op: outside the envelope contract, contributes nothing
-
+    // a non-DML op (code 0) still counts as the key's LAST event — both declarative
+    // twins treat a trailing unknown op as not-a-DELETE (the fold's otherwise branch, the
+    // prefold's marker row), so `deleted` must clear here too or the three paths diverge
+    // on envelopes that carry DDL rows (the default dmlTypes admits them). It contributes
+    // no winners and no boundary.
     if (!b.hasLast || lt(b.lcs, b.lscn, b.lseq, cs, scn, seq)) {
       b.hasLast = true; b.lcs = cs; b.lscn = scn; b.lseq = seq; b.lastOp = code
     }
+    if (code == 0) return b
     if (code == OpIns || code == OpDel) advanceBoundary(b, cs, scn, seq)
     if (code == OpIns || code == OpUpd) {
       val data = dataE.eval(input).asInstanceOf[MapData]
@@ -257,11 +261,6 @@ object EnvelopeFold {
   /** Idempotent session-registry registration — same mechanism as
     * [[VecDot.ensureRegistered]]; callers pass the session that will ANALYZE the plan
     * (ADVICE r6: never rely on the thread-local active session). */
-  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-    registrations.foreach { case (ident, info, builder) =>
-      if (!registry.functionExists(ident)) registry.registerFunction(ident, info, builder)
-    }
-  }
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
+    Registrations.ensure(spark, registrations)
 }

@@ -98,13 +98,8 @@ object ParseRedoExpr {
    * driver's own session). Session-local (not the global UDF registry), same target
    * `injectFunction` writes to.
    */
-  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-    registrations.foreach { case (ident, info, builder) =>
-      if (!registry.functionExists(ident)) registry.registerFunction(ident, info, builder)
-    }
-  }
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
+    Registrations.ensure(spark, registrations)
 }
 
 /**

@@ -145,11 +145,6 @@ object VecDot {
 
   /** Idempotent session-registry registration — same mechanism as
     * [[ParseRedoExpr.ensureRegistered]]. */
-  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-    registrations.foreach { case (ident, info, builder) =>
-      if (!registry.functionExists(ident)) registry.registerFunction(ident, info, builder)
-    }
-  }
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
+    Registrations.ensure(spark, registrations)
 }

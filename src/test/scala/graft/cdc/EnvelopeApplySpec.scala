@@ -163,13 +163,16 @@ class EnvelopeApplySpec extends AnyFunSuite {
     val events = (1 to 300).flatMap { k =>
       val n = rnd.nextInt(9)
       val evs = (1 to n).map { i =>
-        val op = rnd.nextInt(10) match {
+        val op = rnd.nextInt(12) match {
           case 0 | 1 => RedoEvent.Delete
           case 2 | 3 => RedoEvent.Insert
+          case 4     => "DDL" // non-DML rider (default dmlTypes admits DDL): all three
+                              // paths must agree it clears `deleted` as the last event
+                              // and contributes no winners and no boundary
           case _     => RedoEvent.Update
         }
         val data: Map[String, String] =
-          if (op == RedoEvent.Delete) null
+          if (op == RedoEvent.Delete || op == "DDL") null
           else Map("ID" -> k.toString) ++ cols.filter(_ => rnd.nextBoolean())
             .map(c => c -> (if (rnd.nextInt(4) == 0) null
                             else if (c == "V") (k * 100 + i).toString // int-typed column

@@ -119,12 +119,20 @@ class EnvelopeFoldSpec extends AnyFunSuite {
     assert(rows(1).getBoolean(1) == true)
   }
 
-  test("non-DML op codes and null ord components are ignored, not folded") {
+  test("non-DML ops count as the last event (twin alignment) but fold no data") {
     var b = new EnvelopeFoldBuffer
     b = upd(b, 1, 1, 1, RedoEvent.Insert, Map("A" -> "1"))
     b = upd(b, 9, 9, 9, "COMMIT", Map("A" -> "evil"))
     val row = evalRow(b)
-    assert(!row.getBoolean(0), "a COMMIT marker must not register as the last DML")
-    assert(row.getMap(1).valueArray().getUTF8String(0).toString == "1")
+    assert(!row.getBoolean(0))
+    assert(row.getMap(1).valueArray().getUTF8String(0).toString == "1",
+      "a non-DML op's payload must not become a winner")
+    // the declarative twins treat a trailing unknown op as not-a-DELETE; the native
+    // fold must agree or `deleted` diverges on envelopes carrying DDL rows
+    var d = new EnvelopeFoldBuffer
+    d = upd(d, 1, 1, 1, RedoEvent.Delete, null)
+    d = upd(d, 1, 2, 1, "DDL", null)
+    assert(!evalRow(d).getBoolean(0), "trailing non-DML clears deleted, matching the twins")
+    assert(evalRow(d).getBoolean(2), "the DELETE boundary itself is unaffected")
   }
 }
