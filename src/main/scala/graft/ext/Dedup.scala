@@ -330,6 +330,28 @@ object Dedup {
         .agg(count_distinct($"bench_id").as("bench_hits"), min($"bench_id").as("first_bench"))
         .orderBy($"doc_id")
     },
+    // CONTAMINATION MATRIX — decontam_ngram's reporting view: which training SOURCES
+    // leak which benchmark content, per (source, benchmark-doc) cell with distinct
+    // contaminated-doc counts. This is the report a data-governance review reads (is the
+    // leak concentrated in one crawl source or endemic?). Same broadcast-benchmark
+    // posture as decontam_ngram: the corpus-sized side never shuffles for the probe; the
+    // matrix aggregate is benchmark×source-sized (tiny).
+    "decontam_matrix" -> { (s, dir) =>
+      import s.implicits._
+      val docs = graft.engine.Tables(s, dir, "documents")
+        .select($"doc_id", $"source", TextOps.tokens($"text").as("toks"))
+      val train = docs.select($"doc_id", $"source", explode(shinglesN($"toks", 5)).as("sh"))
+      val bench = TextOps.guardBroadcast(
+        docs.filter($"doc_id" % 17 === 0)
+          .select(($"doc_id" + 9000000L).as("bench_id"),
+            explode(shinglesN(slice($"toks", 3, 9), 5)).as("sh")),
+        "sh", TextOps.MaxBroadcastRows, "decontamination benchmark shingle set")
+      train.join(broadcast(bench), "sh")
+        .groupBy($"source", $"bench_id")
+        .agg(count_distinct($"doc_id").as("contaminated_docs"),
+          min($"doc_id").as("first_doc"))
+        .orderBy($"source", $"bench_id")
+    },
     // INCREMENTAL (cross-snapshot) dedup — the production posture at 100 TB: a corpus is
     // never re-deduped whole; each new crawl batch is admitted against the EXISTING
     // corpus's persisted indexes. Stage 1: exact — the batch's content hashes anti-join
@@ -592,6 +614,20 @@ object Dedup {
          |  min(be.bench_id) AS first_bench
          |FROM tr JOIN be ON tr.sh = be.sh
          |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
+    },
+    "decontam_matrix" -> {
+      def sh5(x: String) =
+        s"""list_distinct(list_transform(generate_series(1, greatest(len($x) - 4, 0)),
+           | i -> $x[i] || ' ' || $x[i+1] || ' ' || $x[i+2] || ' ' || $x[i+3] || ' ' || $x[i+4]))""".stripMargin
+      s"""WITH d AS (SELECT doc_id, source, $tokSql AS toks FROM documents),
+         |tr AS (SELECT doc_id, source, unnest(${sh5("toks")}) AS sh FROM d),
+         |be AS (SELECT doc_id + 9000000 AS bench_id, unnest(${sh5("(toks[3:11])")}) AS sh
+         |       FROM d WHERE doc_id % 17 = 0)
+         |SELECT tr.source, be.bench_id,
+         |  cast(count(DISTINCT tr.doc_id) AS BIGINT) AS contaminated_docs,
+         |  min(tr.doc_id) AS first_doc
+         |FROM tr JOIN be ON tr.sh = be.sh
+         |GROUP BY tr.source, be.bench_id ORDER BY tr.source, be.bench_id""".stripMargin
     },
     "dedup_incremental" -> {
       val inter = "len(list_filter(a.toks, x -> list_contains(b.toks, x)))"
