@@ -241,11 +241,29 @@ object Dedup {
     // the same verify-only-candidates posture as dedup_ngram_jaccard.
     "dedup_minhash_estimate" -> { (s, dir) =>
       import s.implicits._
-      val (rawPairs, sig) = lshPairsWithSig(s, dir)
+      val (rawPairs0, sig) = lshPairsWithSig(s, dir)
+      // cached: the pair list feeds candIds (side's semi-join, materialized with the
+      // cache below) AND the outer pair join — uncached, the bands self-join + distinct
+      // (the chain's most expensive stage) executes twice
+      val rawPairs = rawPairs0.cache()
       val sigArr = sig.select($"doc_id", array((0 until NumHashes).map(i => col(s"s$i")): _*).as("sg"))
+      // exact side runs in 32-bit HASHED shingle space: long arrays intersect ~an order
+      // of magnitude cheaper than ~30-byte shingle strings, and both engines hash with
+      // the same md5-prefix, so even a collision perturbs both identically (P ~ |set|²/2³²
+      // per doc — negligible, and in any case bit-identical across engines). Tokens
+      // materialize as a COLUMN in their own projection before the shingle lambda — the
+      // same once-per-row barrier signatures() uses; inlined, the split/filter tree
+      // re-evaluates per try_element_at reference inside the lambda (measured ~6×)
       val sh = doubledDocs(s, dir)
-        .select($"doc_id", shingles(TextOps.tokens($"text")).as("sh"))
-      val side = sigArr.join(sh, "doc_id")
+        .select($"doc_id", TextOps.tokens($"text").as("toks"))
+        .select($"doc_id", array_distinct(
+          transform(shingles($"toks"), x => TextOps.hash32(x))).as("sh"))
+      // candidate-only and CACHED: the frame feeds both sides of the pair join — uncached
+      // it would re-tokenize and re-shingle the whole corpus once per side (measured 3×
+      // slower), and the semi-join drops every doc that no candidate pair references
+      val candIds = rawPairs.select($"doc_a".as("doc_id"))
+        .union(rawPairs.select($"doc_b".as("doc_id"))).distinct()
+      val side = sigArr.join(sh, "doc_id").join(candIds, Seq("doc_id"), "left_semi").cache()
       rawPairs
         .join(side.select($"doc_id".as("doc_a"), $"sg".as("sga"), $"sh".as("sha")), "doc_a")
         .join(side.select($"doc_id".as("doc_b"), $"sg".as("sgb"), $"sh".as("shb")), "doc_b")
@@ -521,10 +539,10 @@ object Dedup {
          |  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id),
          |est AS (SELECT p.doc_a, p.doc_b, ($agree) * 10000 // $NumHashes AS est_bp
          |  FROM pairs p JOIN sig sa ON sa.doc_id = p.doc_a JOIN sig sb ON sb.doc_id = p.doc_b),
-         |cnt AS (SELECT doc_id, count(*) AS n FROM shingled GROUP BY doc_id),
-         |intr AS (SELECT p.doc_a, p.doc_b, count(*) AS inter
-         |  FROM pairs p JOIN shingled sa ON sa.doc_id = p.doc_a
-         |  JOIN shingled sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+         |cnt AS (SELECT doc_id, count(DISTINCT hv) AS n FROM hashed GROUP BY doc_id),
+         |intr AS (SELECT p.doc_a, p.doc_b, count(DISTINCT sa.hv) AS inter
+         |  FROM pairs p JOIN hashed sa ON sa.doc_id = p.doc_a
+         |  JOIN hashed sb ON sb.doc_id = p.doc_b AND sb.hv = sa.hv
          |  GROUP BY p.doc_a, p.doc_b),
          |fin AS (SELECT e.doc_a, e.doc_b, e.est_bp,
          |  coalesce(i.inter, 0) * 10000 // (ca.n + cb.n - coalesce(i.inter, 0)) AS exact_bp
