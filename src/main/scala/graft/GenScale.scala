@@ -46,7 +46,10 @@ object GenScale {
       write((0 until k).map(i => shift(read(t), i)).reduce(_ union _), t)
 
     val OrderShift = 100000000L
-    val CustShift = 10000000L
+    // >= the ceiling of any CDC-script insert-key offset (CdcQueries.customerScript
+    // inserts at custkey+20M): a 10M shift made copy-0's inserted key collide with
+    // copy-2's existing custkey, and the apply-vs-oracle gate hash-diverged (ADVICE r7)
+    val CustShift = 100000000L
     val DocShift = 10000000L
     scaled("customer")((d, i) => d.withColumn("c_custkey", $"c_custkey" + i * CustShift))
     scaled("orders")((d, i) => d

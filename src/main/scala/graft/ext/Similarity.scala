@@ -26,14 +26,13 @@ object Similarity {
     * fold evaluates interpreted; `vec_dot` emits the primitive loop into whole-stage
     * codegen with bit-identical sequential-sum + null semantics; the long variant keeps
     * overflow loud via multiplyExact/addExact like the ANSI fold). */
-  // Reaches the expression through the function registry of the THREAD-ACTIVE session
-  // (same mechanism and caveat as ParseRedo.parse: Column-from-Expression constructors
-  // are private[sql]): a session built without GraftExtensions on a different thread
-  // than the one constructing the query must call VecDot.ensureRegistered itself.
-  def dot(a: Column, b: Column): Column = {
-    graft.functions.VecDot.ensureRegistered(SparkSession.active)
-    call_function("vec_dot", a, b)
-  }
+  // Pure Column combinator: `call_function` resolves by NAME at analysis time, so the
+  // session that will analyze the plan must have `vec_dot` registered — every builder in
+  // this file calls `VecDot.ensureRegistered(s)` on its explicit session (directly or via
+  // `milliQ`/`pqAdcRanked`) before constructing Columns. Registration deliberately does
+  // NOT happen here: `SparkSession.active` is the thread-active session, which is not
+  // necessarily the session the caller will run the query on (ADVICE r7).
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
   private def toDouble(c: Column): Column = transform(c, _.cast("double"))
 

@@ -374,7 +374,12 @@ object TextOps {
       val w = Window.partitionBy($"source").orderBy($"doc_id")
       graft.engine.Tables(s, dir, "documents")
         .select($"doc_id", $"source")
-        .withColumn("wgt", regexp_extract($"source", "(\\d+)$", 1).cast("long") % 3 + 1)
+        // a source without a trailing digit suffix gets the DEFAULT weight 1 on BOTH
+        // sides (ADVICE r7): Spark's regexp_extract yields "" → cast NULL on no match,
+        // while DuckDB's CAST('') errors — coalesce(…, 0) + TRY_CAST make the two
+        // engines agree (and fail neither) on malformed source names
+        .withColumn("wgt",
+          coalesce(regexp_extract($"source", "(\\d+)$", 1).cast("long"), lit(0L)) % 3 + 1)
         .withColumn("src_rank", row_number().over(w).cast("long"))
         .withColumn("round", expr("(src_rank - 1) div wgt"))
         .select($"round", $"source", $"src_rank", $"doc_id", $"wgt")
@@ -612,7 +617,7 @@ object TextOps {
          |GROUP BY pair ORDER BY pair_cnt DESC, pair LIMIT $BpeTopPairs""".stripMargin,
     "text_mix_weighted" ->
       """WITH r AS (SELECT doc_id, source,
-        |  (CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT) % 3) + 1 AS wgt,
+        |  (coalesce(TRY_CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT), 0) % 3) + 1 AS wgt,
         |  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS src_rank
         |  FROM documents)
         |SELECT (src_rank - 1) // wgt AS round, source, src_rank, doc_id, wgt

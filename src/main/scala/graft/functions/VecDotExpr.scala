@@ -35,11 +35,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
  * Element-type polymorphic over `array<double>` and `array<long>`: the integer variant is
  * the exact-arithmetic path of the milli-quantized embedding operators
  * (`simsearch_kmeans_iter`, `simsearch_pq`) and uses `Math.multiplyExact`/`addExact` so a
- * 64-bit overflow stays LOUD (an ArithmeticException) instead of silently wrapping. This
- * is STRICTER than the non-ANSI `aggregate(lit(0L))` fold it replaced, which wraps
- * silently under the default mode (it matches what that fold would do under ANSI mode) —
+ * 64-bit overflow stays LOUD (an ArithmeticException). The fold this replaced ran under
+ * the engine's default NON-ANSI mode and would have wrapped silently on overflow, so this
+ * is a deliberate behavior CHANGE toward strictness, not a preserved semantic —
  * unreachable today, but if quantization scale ever grows, overflow surfaces as an error
- * here where the old fold would have corrupted results (ADVICE r6). One documented
+ * here where the old fold would have corrupted results (ADVICE r6/r7). One documented
  * divergence in that corner: the
  * loop short-circuits to NULL on a null element / length mismatch BEFORE reaching a later
  * overflowing product, while the HOF fold materializes every pairwise product first

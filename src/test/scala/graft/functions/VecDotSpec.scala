@@ -76,6 +76,7 @@ class VecDotSpec extends AnyFunSuite {
   test("integer-cast embeddings: simsearch scores unchanged by the native path (spot)") {
     val spark = graft.SparkTestSession.spark
     import spark.implicits._
+    VecDot.ensureRegistered(spark) // Similarity.dot is a pure combinator; callers register
     // end-to-end spot-check against the HOF formulation on real embedding data
     val emb = graft.engine.Tables(spark, "/root/testdata/sf0.001", "embeddings")
       .select($"vec_id", org.apache.spark.sql.functions.transform($"embedding",
