@@ -31,9 +31,34 @@ object Bench {
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
+  /** Kill stale BUILD JVMs left over from earlier compiles — the twice-measured root
+    * cause of degraded rounds (BENCH_r05 and BENCH_r07 both started under load_avg ≈ 8-10
+    * from prior sbt/compile-server JVMs burning cores for hours). Signature-matched and
+    * ancestor-safe: only processes whose command line marks them as build tooling AND
+    * that are not in this process's own ancestor chain (Bench usually runs INSIDE an sbt
+    * JVM) are destroyed. Returns the killed pids for the stderr log. */
+  private def killStaleBuildJvms(): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    var anc = Set(ProcessHandle.current.pid)
+    var p = ProcessHandle.current
+    while (p.parent.isPresent) { p = p.parent.get; anc += p.pid }
+    val markers = Seq("sbt-launch", "xsbt.boot.Boot", "bloop", "scala-compile-server")
+    ProcessHandle.allProcesses().iterator().asScala.toList
+      .filter { ph =>
+        !anc.contains(ph.pid) &&
+          ph.info.commandLine.map[Boolean](cl => markers.exists(cl.contains)).orElse(false)
+      }
+      .flatMap(ph => if (ph.destroyForcibly()) Some(ph.pid) else None)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // stale-JVM sweep BEFORE our own session spins up: frees their cores and memory for
+    // the whole run instead of letting them tax every rep (r7 verdict #1)
+    val killedJvms = try killStaleBuildJvms() catch { case NonFatal(_) => Nil }
+    if (killedJvms.nonEmpty)
+      System.err.println(s"[bench] killed stale build JVMs: ${killedJvms.mkString(", ")}")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -74,7 +99,20 @@ object Bench {
     // the run) tells a consumer the whole file was measured on a contended machine
     def loadAvg(): Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
-    val loadStart = loadAvg()
+    // start-load retry (r7 verdict #1): a high FIRST sample may be the 1-minute average
+    // still carrying the JVMs killed above (or a decaying external spike) — sleep once and
+    // resample before accepting a degraded stamp. One retry only: a machine still loaded
+    // after 90 s is genuinely contended and the file must say so.
+    var loadStart = loadAvg()
+    var loadRetried = false
+    if (loadStart > cpus.toDouble / 4.0) {
+      System.err.println(String.format(java.util.Locale.ROOT,
+        "[bench] start load_avg %.2f > cpus/4 — sleeping 90s for decay (single retry)",
+        Double.box(loadStart)))
+      Thread.sleep(90000)
+      loadStart = loadAvg()
+      loadRetried = true
+    }
     canary() // throwaway: the first execution absorbs the canary's own codegen (~2 s),
              // which would read as 10× "drift" on a perfectly healthy machine
     canaries += canary()
@@ -166,7 +204,7 @@ object Bench {
       s""""${esc(k)}":{"med":$v,"min":$lo,"max":$hi}"""
     }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"degraded":$degraded,"canary_sec":$canaryJson,"load_avg":$loadJson,"queries":$fullQs,"errors":${errsJson(4000)},"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"degraded":$degraded,"canary_sec":$canaryJson,"load_avg":$loadJson,"stale_jvms_killed":${killedJvms.size},"load_retry":$loadRetried,"queries":$fullQs,"errors":${errsJson(4000)},"sf":"${esc(sfDir)}"}"""
     System.err.println(fullLine)
     try java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_full.json"),
       fullLine.getBytes("UTF-8"))
