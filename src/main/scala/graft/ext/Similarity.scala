@@ -53,6 +53,8 @@ object Similarity {
   private val PqSeedBase = 30L
   // trained-IVF chain (r6 verdict #5): cells trained by one Lloyd round, 2 cells probed
   private val IvfNProbe = 2
+  // recall-vs-nprobe sweep points (r7 verdict #5): the quality/cost curve of the index
+  private val RecallCurveNProbes = Seq(1, 2, 4)
   /** Shortlist depth of the PQ→exact two-stage rank: 3× the final k. */
   private val PqRerankR = 30
   /** RRF constant (the standard k=60) and the integer scale that keeps 1/(k+rank)
@@ -286,7 +288,19 @@ object Similarity {
     // shuffle except the per-vec_id assignment aggregate (map-side combined), and the
     // recall join moves only (n_queries × k) winner rows.
     "simsearch_ivf_trained" -> { (s, dir) =>
-      ivfRecallInteger(s, dir, trained = true, nprobe = IvfNProbe)
+      ivfRecallInteger(s, dir, trained = true, nprobe = IvfNProbe, k = IvfTopK)
+    },
+    // RECALL-vs-NPROBE CURVE (r7 verdict #5): the trained index's quality/cost trade
+    // documented as data instead of one operating point — the SAME train → index → probe
+    // → evaluate chain as simsearch_ivf_trained, swept over nprobe ∈ {1, 2, 4} in ONE
+    // plan: centroid scoring, cell assignment and the exact baseline run once; each probe
+    // row fans out only to the sweep points it serves (rn <= nprobe), and candidate
+    // ranking re-partitions by (nprobe, q_id). Monotone recall in nprobe (more cells
+    // probed can only add candidates) is pinned by SimilarityChainSpec. 100 TB shape
+    // identical to the single-point chain: the sweep multiplies only the probe rows
+    // (queries × |sweep|), never the corpus side.
+    "simsearch_recall_curve" -> { (s, dir) =>
+      ivfRecallCurve(s, dir, RecallCurveNProbes, IvfTopK)
     },
     "simsearch_recall" -> { (s, dir) =>
       import s.implicits._
@@ -431,7 +445,8 @@ object Similarity {
     * comparisons (the cosine-based `simsearch_recall` vs this chain) say nothing about
     * what training bought. */
   private[ext] def ivfRecallInteger(s: SparkSession, dir: String,
-                                    trained: Boolean, nprobe: Int): DataFrame = {
+                                    trained: Boolean, nprobe: Int,
+                                    k: Int = IvfTopK): DataFrame = {
     import s.implicits._
     val q = milliQ(s, dir).cache()
     val cents =
@@ -456,7 +471,7 @@ object Similarity {
       .select($"q_id", $"vec_id",
         ($"vv" - lit(2L) * dot($"qv", $"pqv") + $"pvv").as("d"))
       .withColumn("rnk", row_number().over(wTop))
-      .filter($"rnk" <= IvfTopK)
+      .filter($"rnk" <= k)
       .select($"q_id", $"vec_id")
     val qs = q.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("q_id"), $"qv".as("eqv"), $"vv".as("evv"))
@@ -464,7 +479,7 @@ object Similarity {
       .select($"q_id", $"vec_id",
         ($"vv" - lit(2L) * dot($"qv", $"eqv") + $"evv").as("d"))
       .withColumn("rnk", row_number().over(wTop))
-      .filter($"rnk" <= IvfTopK)
+      .filter($"rnk" <= k)
       .select($"q_id", $"vec_id")
     val hits = exact.join(approx, Seq("q_id", "vec_id"), "left_semi")
       .groupBy($"q_id").agg(count(lit(1)).as("hits"))
@@ -476,9 +491,95 @@ object Similarity {
       .orderBy($"q_id")
   }
 
+  /** The nprobe SWEEP of [[ivfRecallInteger]] (trained index), one plan for the whole
+    * curve: train, assignment and the exact baseline are computed once; a probe row at
+    * probe-rank `rn` serves every sweep point with `nprobe >= rn` (the fan-out is a
+    * constant-size `explode` over the sweep literals, applied to the queries×nprobe_max
+    * probe rows only), and candidate ranking/recall partition by `(nprobe, q_id)`. */
+  private[ext] def ivfRecallCurve(s: SparkSession, dir: String,
+                                  nprobes: Seq[Int], k: Int): DataFrame = {
+    import s.implicits._
+    val q = milliQ(s, dir).cache()
+    val scoredC = q.crossJoin(broadcast(lloydOnce(s, q)))
+      .withColumn("dot", dot($"qv", $"cvec"))
+    val assigned = scoredC.groupBy($"vec_id")
+      .agg(max_by($"cid", struct($"dot", -$"cid")).as("cell"),
+        first($"qv").as("qv"), first($"vv").as("vv"))
+    val wProbe = Window.partitionBy($"vec_id").orderBy($"dot".desc, $"cid")
+    val sweep = array(nprobes.map(n => lit(n.toLong)): _*)
+    val probes = scoredC.filter($"vec_id" < NumQueries)
+      .withColumn("rn", row_number().over(wProbe))
+      .filter($"rn" <= nprobes.max)
+      .select($"vec_id".as("q_id"), $"qv".as("pqv"), $"vv".as("pvv"), $"cid".as("p_cell"),
+        explode(filter(sweep, np => np >= $"rn")).as("nprobe"))
+    val wTop = Window.partitionBy($"nprobe", $"q_id").orderBy($"d".asc, $"vec_id")
+    val approx = assigned
+      .join(broadcast(probes), $"cell" === $"p_cell" && $"vec_id" =!= $"q_id")
+      .select($"nprobe", $"q_id", $"vec_id",
+        ($"vv" - lit(2L) * dot($"qv", $"pqv") + $"pvv").as("d"))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter($"rnk" <= k)
+      .select($"nprobe", $"q_id", $"vec_id")
+    val qs = q.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"qv".as("eqv"), $"vv".as("evv"))
+    val wExact = Window.partitionBy($"q_id").orderBy($"d".asc, $"vec_id")
+    val exact = q.join(broadcast(qs), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        ($"vv" - lit(2L) * dot($"qv", $"eqv") + $"evv").as("d"))
+      .withColumn("rnk", row_number().over(wExact))
+      .filter($"rnk" <= k)
+      .select($"q_id", $"vec_id")
+    val hits = exact.join(approx, Seq("q_id", "vec_id"))
+      .groupBy($"nprobe", $"q_id").agg(count(lit(1)).as("hits"))
+    // the (nprobe × q_id) grid keeps zero-hit sweep points visible in the curve
+    val grid = exact.groupBy($"q_id").agg(count(lit(1)).as("k"))
+      .crossJoin(nprobes.map(_.toLong).toDF("nprobe"))
+    grid.join(hits, Seq("nprobe", "q_id"), "left_outer")
+      .select($"nprobe", $"q_id", $"k",
+        coalesce($"hits", lit(0L)).as("hits"),
+        expr("coalesce(hits, 0) * 10000 div k").as("recall_bp"))
+      .orderBy($"nprobe", $"q_id")
+  }
+
   private val qSetSql = s"vec_id < $NumQueries"
   private val planeSetSql = PlaneIds.mkString("(", ", ", ")")
   private val dupPlaneSetSql = DupPlaneIds.mkString("(", ", ", ")")
+
+  /** Shared CTE prefix of the trained-IVF oracles (`simsearch_ivf_trained` and the
+    * nprobe sweep): milli-quantize → one Lloyd round from the fixed seeds (c1) →
+    * re-score/assign every vector against the trained centroids (s2, a2). */
+  private val trainedChainPrefixSql: String =
+    s"""WITH q AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(trunc(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |qq AS (SELECT vec_id, qv, CAST(list_dot_product(qv, qv) AS BIGINT) AS vv FROM q),
+       |c0 AS (SELECT vec_id AS cid, qv AS cvec FROM q
+       |  WHERE vec_id IN ${CentroidIds.mkString("(", ", ", ")")}),
+       |s1 AS (SELECT qq.vec_id, qq.qv, c0.cid,
+       |  CAST(list_dot_product(qq.qv, c0.cvec) AS BIGINT) AS dot FROM qq CROSS JOIN c0),
+       |a1 AS (SELECT vec_id, qv, cid FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) AS rn
+       |  FROM s1) WHERE rn = 1),
+       |u AS (SELECT cid, unnest(qv) AS v, generate_subscripts(qv, 1) AS pos FROM a1),
+       |cd AS (SELECT cid, pos,
+       |  CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS cd
+       |  FROM u GROUP BY cid, pos),
+       |c1 AS (SELECT cid, list(cd ORDER BY pos) AS cvec FROM cd GROUP BY cid),
+       |s2 AS (SELECT qq.vec_id, qq.qv, qq.vv, c1.cid,
+       |  CAST(list_dot_product(qq.qv, c1.cvec) AS BIGINT) AS dot FROM qq CROSS JOIN c1),
+       |a2 AS (SELECT vec_id, qv, vv, cid AS cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) AS rn
+       |  FROM s2) WHERE rn = 1)""".stripMargin
+
+  /** Shared CTE suffix: the exact integer-L2 top-k ground truth (`exact`). */
+  private val exactIntegerTopKSql: String =
+    s"""qs AS (SELECT vec_id AS q_id, qv AS eqv, vv AS evv FROM qq WHERE vec_id < $NumQueries),
+       |ex0 AS (SELECT qs.q_id, qq.vec_id,
+       |  qq.vv - 2 * CAST(list_dot_product(qq.qv, qs.eqv) AS BIGINT) + qs.evv AS d
+       |  FROM qq CROSS JOIN qs WHERE qq.vec_id <> qs.q_id),
+       |exact AS (SELECT q_id, vec_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d, vec_id) AS rnk FROM ex0)
+       |  WHERE rnk <= $IvfTopK)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // exact-integer Lloyd round: trunc(x*1000) quantization matches Spark's
@@ -590,27 +691,7 @@ object Similarity {
     // which then serves as the probe index — nprobe=2 cells per query, exact integer L2
     // candidate scoring, recall vs the exact integer-L2 top-k over the whole corpus
     "simsearch_ivf_trained" ->
-      s"""WITH q AS (SELECT vec_id,
-         |  list_transform(embedding, x -> CAST(trunc(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-         |  FROM embeddings),
-         |qq AS (SELECT vec_id, qv, CAST(list_dot_product(qv, qv) AS BIGINT) AS vv FROM q),
-         |c0 AS (SELECT vec_id AS cid, qv AS cvec FROM q
-         |  WHERE vec_id IN ${CentroidIds.mkString("(", ", ", ")")}),
-         |s1 AS (SELECT qq.vec_id, qq.qv, c0.cid,
-         |  CAST(list_dot_product(qq.qv, c0.cvec) AS BIGINT) AS dot FROM qq CROSS JOIN c0),
-         |a1 AS (SELECT vec_id, qv, cid FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) AS rn
-         |  FROM s1) WHERE rn = 1),
-         |u AS (SELECT cid, unnest(qv) AS v, generate_subscripts(qv, 1) AS pos FROM a1),
-         |cd AS (SELECT cid, pos,
-         |  CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS cd
-         |  FROM u GROUP BY cid, pos),
-         |c1 AS (SELECT cid, list(cd ORDER BY pos) AS cvec FROM cd GROUP BY cid),
-         |s2 AS (SELECT qq.vec_id, qq.qv, qq.vv, c1.cid,
-         |  CAST(list_dot_product(qq.qv, c1.cvec) AS BIGINT) AS dot FROM qq CROSS JOIN c1),
-         |a2 AS (SELECT vec_id, qv, vv, cid AS cell FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) AS rn
-         |  FROM s2) WHERE rn = 1),
+      s"""$trainedChainPrefixSql,
          |probes AS (SELECT vec_id AS q_id, qv AS pqv, vv AS pvv, cid AS p_cell FROM (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) AS rn
          |  FROM s2 WHERE vec_id < $NumQueries) WHERE rn <= $IvfNProbe),
@@ -620,13 +701,7 @@ object Similarity {
          |approx AS (SELECT q_id, vec_id FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d, vec_id) AS rnk FROM cand)
          |  WHERE rnk <= $IvfTopK),
-         |qs AS (SELECT vec_id AS q_id, qv AS eqv, vv AS evv FROM qq WHERE vec_id < $NumQueries),
-         |ex0 AS (SELECT qs.q_id, qq.vec_id,
-         |  qq.vv - 2 * CAST(list_dot_product(qq.qv, qs.eqv) AS BIGINT) + qs.evv AS d
-         |  FROM qq CROSS JOIN qs WHERE qq.vec_id <> qs.q_id),
-         |exact AS (SELECT q_id, vec_id FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d, vec_id) AS rnk FROM ex0)
-         |  WHERE rnk <= $IvfTopK),
+         |$exactIntegerTopKSql,
          |h AS (SELECT exact.q_id, cast(count(*) AS BIGINT) AS hits FROM exact
          |      JOIN approx ON exact.q_id = approx.q_id AND exact.vec_id = approx.vec_id
          |      GROUP BY exact.q_id),
@@ -635,6 +710,32 @@ object Similarity {
          |  coalesce(h.hits, 0) * 10000 // kx.k AS recall_bp
          |FROM kx LEFT JOIN h ON kx.q_id = h.q_id
          |ORDER BY kx.q_id""".stripMargin,
+    // the nprobe sweep of the trained chain: same prefix CTEs, probe rows fan out to
+    // every sweep point with nprobe >= probe-rank, ranking partitions by (nprobe, q_id)
+    "simsearch_recall_curve" ->
+      s"""$trainedChainPrefixSql,
+         |np AS (SELECT CAST(n AS BIGINT) AS nprobe FROM (VALUES ${RecallCurveNProbes.map(n => s"($n)").mkString(", ")}) t(n)),
+         |pr AS (SELECT vec_id AS q_id, qv AS pqv, vv AS pvv, cid AS p_cell, rn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) AS rn
+         |  FROM s2 WHERE vec_id < $NumQueries) WHERE rn <= ${RecallCurveNProbes.max}),
+         |probes AS (SELECT np.nprobe, pr.q_id, pr.pqv, pr.pvv, pr.p_cell
+         |  FROM np JOIN pr ON pr.rn <= np.nprobe),
+         |cand AS (SELECT p.nprobe, p.q_id, a.vec_id,
+         |  a.vv - 2 * CAST(list_dot_product(a.qv, p.pqv) AS BIGINT) + p.pvv AS d
+         |  FROM a2 a JOIN probes p ON a.cell = p.p_cell AND a.vec_id <> p.q_id),
+         |approx AS (SELECT nprobe, q_id, vec_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY nprobe, q_id ORDER BY d, vec_id) AS rnk
+         |  FROM cand) WHERE rnk <= $IvfTopK),
+         |$exactIntegerTopKSql,
+         |h AS (SELECT approx.nprobe, exact.q_id, cast(count(*) AS BIGINT) AS hits FROM exact
+         |      JOIN approx ON exact.q_id = approx.q_id AND exact.vec_id = approx.vec_id
+         |      GROUP BY approx.nprobe, exact.q_id),
+         |kx AS (SELECT q_id, cast(count(*) AS BIGINT) AS k FROM exact GROUP BY q_id),
+         |grid AS (SELECT np.nprobe, kx.q_id, kx.k FROM np CROSS JOIN kx)
+         |SELECT grid.nprobe, grid.q_id, grid.k, coalesce(h.hits, 0) AS hits,
+         |  coalesce(h.hits, 0) * 10000 // grid.k AS recall_bp
+         |FROM grid LEFT JOIN h ON grid.nprobe = h.nprobe AND grid.q_id = h.q_id
+         |ORDER BY grid.nprobe, grid.q_id""".stripMargin,
     // same milli-quantization + exact integer L2 as the kmeans oracle; list_slice is
     // end-INCLUSIVE (Spark's slice takes a LENGTH) — both cut the same PqSubDim window
     "simsearch_pq" ->
