@@ -12,6 +12,9 @@ object BenchOne {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Spark 4 defaults AQE ON and every gate/bench runs that way; the off-switch exists
+      // to measure what adaptive re-planning buys/costs (BASELINE.md AQE note, r7 #6)
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")

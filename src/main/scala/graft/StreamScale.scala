@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.cdc.{Catalog, EnvelopeApply, RedoEvent, TxnAssembler}
+import graft.engine.{CdcQueries, Tables}
+
+/**
+ * STREAMING-STATE scale harness (r7 verdict #2): drives the three stateful streaming
+ * operators — the envelope apply (`flatMapGroupsWithState` replica maintenance,
+ * EnvelopeApply.applyStreaming), transaction assembly (TxnAssembler.assembleStreaming)
+ * and native session windows — through MemoryStream feeds at event volumes derived from
+ * `sfDir`, recording the STATE-STORE metrics Spark reports per micro-batch
+ * (`StateOperatorProgress.numRowsTotal` / `memoryUsedBytes`). The claim under test is the
+ * boundedness argument the 100 TB posture rests on:
+ *
+ *   - apply state is bounded by LIVE KEYS × COLUMNS, not by history length — the
+ *     `--hist H` knob appends H extra updates per key and must leave final state rows
+ *     unchanged while events grow ~(1+H)×;
+ *   - transaction-assembly state is bounded by OPEN transactions and drains to ZERO at
+ *     COMMIT — the reference's `trnCollection` (LogMinerThread2.java:81) never drains,
+ *     which is exactly the failure mode this records immunity to;
+ *   - session-window state is bounded by open sessions and evicted by the watermark.
+ *
+ * Usage: runMain graft.StreamScale <sfDir> [histMult]
+ * Prints one JSON line per workload:
+ *   {"workload":…,"sf":…,"hist":H,"events":N,"sec":S,"out_rows":R,
+ *    "state_rows_peak":P,"state_rows_final":F,"state_mem_peak_mb":M}
+ */
+object StreamScale {
+
+  private final case class Metrics(events: Long, sec: Double, outRows: Long,
+                                   peakRows: Long, finalRows: Long, peakMemMb: Double)
+
+  /** StreamGate.runBatches with state-metrics capture: after each drain, fold the query's
+    * recentProgress into (peak, final) state-row counts and peak state memory. */
+  private def runMeasured[T](spark: SparkSession, enc: Encoder[T], sink: String,
+                             batches: Seq[Seq[T]])(plan: Dataset[T] => DataFrame): Metrics = {
+    val input = MemoryStream[T](enc, spark)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val t0 = System.nanoTime()
+    val query =
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        plan(input.toDS()).writeStream
+          .format("memory").queryName(sink).outputMode("append").start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    var peakRows = 0L
+    var finalRows = 0L
+    var peakMem = 0L
+    try {
+      batches.foreach { b =>
+        input.addData(b)
+        query.processAllAvailable()
+        // progresses since the last drain; no-data ticks report the same state totals
+        query.recentProgress.foreach { p =>
+          val rows = p.stateOperators.map(_.numRowsTotal).sum
+          val mem = p.stateOperators.map(_.memoryUsedBytes).sum
+          peakRows = math.max(peakRows, rows)
+          peakMem = math.max(peakMem, mem)
+          finalRows = rows
+        }
+      }
+    } finally query.stop()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val outRows = spark.table(sink).count()
+    Metrics(batches.map(_.size.toLong).sum, sec, outRows, peakRows, finalRows, peakMem / 1e6)
+  }
+
+  /** Cut a seq into `n` contiguous micro-batches. */
+  private def cut[T](rows: Seq[T], n: Int): Seq[Seq[T]] = {
+    val sz = math.max(1, (rows.size + n - 1) / n)
+    rows.grouped(sz).toSeq
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: StreamScale <sfDir> [histMult]")
+    val sfDir = args(0)
+    val hist = if (args.length > 1) args(1).toInt else 0
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def emit(workload: String, m: Metrics): Unit =
+      println(String.format(java.util.Locale.ROOT,
+        """{"workload":"%s","sf":"%s","hist":%d,"events":%d,"sec":%.2f,"out_rows":%d,"state_rows_peak":%d,"state_rows_final":%d,"state_mem_peak_mb":%.1f}""",
+        workload, sfDir, Int.box(hist), Long.box(m.events), Double.box(m.sec),
+        Long.box(m.outRows), Long.box(m.peakRows), Long.box(m.finalRows),
+        Double.box(m.peakMemMb)))
+
+    // ---- 1. streaming envelope apply (replica maintenance) -----------------
+    // the cdc_apply_merge_stream feed at FULL key volume, plus `hist` extra updates per
+    // key: events scale with history, live keys (and so state rows) do not
+    locally {
+      val snapshot = Tables(spark, sfDir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_orderpriority")
+      val schema = Catalog.withKeyMetadata(snapshot.schema, Set("o_orderkey"))
+      val base = CdcQueries.mergeEnvelope(spark, sfDir, lit(true))
+        .select($"commit_scn", $"scn", $"seq", $"operation", $"data", $"before")
+      val extras =
+        if (hist == 0) base.limit(0)
+        else Tables(spark, sfDir, "orders")
+          .select($"o_orderkey".cast("long").as("k"))
+          // only keys the base script already touches (%3) and does NOT delete (%10): the
+          // knob must grow HISTORY on live keys, not the live-key set itself (an update
+          // after the tombstone would re-create evicted state) — state rows must stay
+          // identical to the hist=0 run
+          .filter($"k" % 3 === 0 && $"k" % 10 =!= 0)
+          .select($"k", explode(sequence(lit(1), lit(hist))).as("j"))
+          .select(lit(1L).as("commit_scn"),
+            ($"k" * 10 + 6).as("scn"), ($"k" * 1000 + $"j").cast("long").as("seq"),
+            lit(RedoEvent.Update).as("operation"),
+            map(lit("O_ORDERKEY"), $"k".cast("string"),
+                lit("O_ORDERSTATUS"), concat(lit("H"), $"j")).as("data"),
+            map().cast("map<string,string>").as("before"))
+      val rows = base.unionByName(extras).as[CdcQueries.MergeEnvRow]
+        .collect().sortBy(r => (r.scn, r.seq)).toSeq
+      val m = runMeasured(spark, Encoders.product[CdcQueries.MergeEnvRow],
+          s"ss_apply_$hist", cut(rows, 4)) { ds =>
+        EnvelopeApply.applyStreaming(ds.toDF(), schema).toDF()
+      }
+      emit("apply_stream", m)
+    }
+    spark.catalog.clearCache()
+
+    // ---- 2. streaming transaction assembly ---------------------------------
+    // one transaction per sampled key (START + INSERT + UPDATE + COMMIT), batches cut so
+    // EVERY transaction straddles the boundary: peak state = all open buffers, final
+    // state = 0 (commit drains) — immunity to the reference's unbounded trnCollection
+    locally {
+      val keys = Tables(spark, sfDir, "orders")
+        .filter($"o_orderkey" % 5 === 0)
+        .select($"o_orderkey".cast("long").as("k")).as[Long].collect().toSeq
+      def ev(k: Long, off: Long, op: String, sql: String) =
+        RedoEvent(k * 10 + off, 0L, s"T$k", s"R$k-$off", op,
+          new java.sql.Timestamp(k * 10 + off), None, "GRAFT", "ORDERS", sql,
+          csf = false, rollback = false, info = "", rbasqn = 1L, seq = k * 10 + off)
+      def open(k: Long) = Seq(
+        ev(k, 0, RedoEvent.Start, ""),
+        ev(k, 1, RedoEvent.Insert,
+          s"""insert into "GRAFT"."ORDERS"("O_ORDERKEY","O_ORDERSTATUS") values (${k + 50000000L},'N')"""))
+      def close(k: Long) = Seq(
+        ev(k, 2, RedoEvent.Update,
+          s"""update "GRAFT"."ORDERS" set "O_ORDERSTATUS" = 'M' where "O_ORDERKEY" = ${k + 50000000L}"""),
+        ev(k, 3, RedoEvent.Commit, ""))
+      val batch1 = keys.flatMap(open)
+      val batch2 = keys.flatMap(close)
+      val m = runMeasured(spark, Encoders.product[RedoEvent],
+          "ss_txn", Seq(batch1, batch2)) { ds =>
+        TxnAssembler.assembleStreaming(ds, abandonedTxnTimeout = None).toDF()
+      }
+      emit("txn_stream", m)
+    }
+    spark.catalog.clearCache()
+
+    // ---- 3. native streaming session windows -------------------------------
+    // the events_session_stream shape at full %4 volume; the far-future sentinel closes
+    // every session, so final state shows watermark eviction, not accumulation
+    locally {
+      val rows = Tables(spark, sfDir, "events")
+        .filter($"event_id" % 4 === 0)
+        .select($"user_id", expr("ts div 1000").as("ts_us"), $"value")
+        .as[(Long, Long, Double)].collect().sortBy(_._2).toSeq
+      val sentinel = (-1L, rows.last._2 + 30L * 24 * 3600 * 1000000L, 0.0)
+      val batches = cut(rows, 3) match {
+        case init :+ last => init :+ (last :+ sentinel)
+        case _            => Seq(Seq(sentinel))
+      }
+      val m = runMeasured(spark,
+          Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble),
+          "ss_session", batches) { ds =>
+        ds.toDF("user_id", "ts_us", "value")
+          .withColumn("ts", timestamp_micros($"ts_us"))
+          .withWatermark("ts", "1 minute")
+          .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+          .agg(count(lit(1)).as("event_cnt"), sum(Tables.cents($"value")).as("value_cents"))
+      }
+      emit("session_stream", m)
+    }
+    spark.stop()
+  }
+}

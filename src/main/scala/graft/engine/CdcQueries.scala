@@ -61,7 +61,8 @@ object CdcQueries {
    * rendered to real redo SQL, parsed, and enveloped with (commit_scn, seq) extras.
    * commit_scn is constant so the apply operators' scn/seq ordering fallback is exercised.
    */
-  private def mergeEnvelope(s: SparkSession, dir: String,
+  // private[graft]: StreamScale drives the same envelope feed at derived scales (r7 #2)
+  private[graft] def mergeEnvelope(s: SparkSession, dir: String,
                             keyFilter: Column): org.apache.spark.sql.DataFrame =
     CdcPipeline.envelope(
       mergeScript(s, dir, keyFilter).withColumn("parsed", ParseRedo.parse(col("sql_redo"))),

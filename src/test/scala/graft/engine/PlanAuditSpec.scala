@@ -325,4 +325,44 @@ class PlanAuditSpec extends AnyFunSuite {
       s"unused columns must be pruned from the scan: $scanLine")
     assert(p.contains("from_json"), s"expected the codegen'd from_json path:\n$p")
   }
+
+  // ---- AQE posture (r7 verdict #6) -----------------------------------------------------
+  // Spark 4 defaults spark.sql.adaptive.enabled=true, so EVERY gate, test and bench in
+  // this repo already executes under AQE (runtime partition coalescing + skew-join
+  // splitting). These pin that posture explicitly: the plans are adaptive, and no
+  // registered query's RESULT depends on whether AQE re-planned it — at 1000 executors
+  // AQE's skew handling takes over from the manual salting in engine/Skew.scala, and that
+  // substitution is only safe if results are plan-choice-invariant.
+
+  test("AQE posture: the session runs adaptive execution, and shuffle queries plan adaptively") {
+    val spark = graft.SparkTestSession.spark
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true",
+      "the engine's documented posture is AQE ON (Spark 4 default) — something turned it off")
+    Seq("q5_region_orders", "cdc_apply_merge", "dedup_canonical").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("AdaptiveSparkPlan"), s"$q: expected an adaptive plan root:\n$p")
+    }
+  }
+
+  test("AQE on/off result identity across representative join/agg/window/skew queries") {
+    val spark = graft.SparkTestSession.spark
+    // one query per plan family: broadcast join chain, native-aggregate MERGE, connected
+    // components loop, fused window suite, manually-salted skew join, set-op stack
+    val qs = Seq("q5_region_orders", "cdc_apply_merge", "dedup_canonical",
+      "q_window_suite", "skew_salted_join", "b6_union_distinct_min")
+    def rows(q: String, enabled: Boolean): Seq[String] = {
+      spark.conf.set("spark.sql.adaptive.enabled", enabled.toString)
+      try graft.SparkEntry.queries(q)(spark, dir).collect().map(_.toString).sorted.toSeq
+      finally {
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.catalog.clearCache()
+      }
+    }
+    qs.foreach { q =>
+      val on = rows(q, enabled = true)
+      val off = rows(q, enabled = false)
+      assert(on == off,
+        s"$q: results diverge between AQE on (${on.size} rows) and off (${off.size} rows)")
+    }
+  }
 }
