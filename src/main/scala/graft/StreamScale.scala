@@ -31,8 +31,8 @@ import graft.engine.{CdcQueries, Tables}
  */
 object StreamScale {
 
-  private final case class Metrics(events: Long, sec: Double, outRows: Long,
-                                   peakRows: Long, finalRows: Long, peakMemMb: Double)
+  final case class Metrics(events: Long, sec: Double, outRows: Long,
+                           peakRows: Long, finalRows: Long, peakMemMb: Double)
 
   /** StreamGate.runBatches with state-metrics capture: after each drain, fold the query's
     * recentProgress into (peak, final) state-row counts and peak state memory. */
@@ -50,17 +50,29 @@ object StreamScale {
     var peakRows = 0L
     var finalRows = 0L
     var peakMem = 0L
+    var fed = 0L
     try {
       batches.foreach { b =>
         input.addData(b)
         query.processAllAvailable()
-        // progresses since the last drain; no-data ticks report the same state totals
-        query.recentProgress.foreach { p =>
-          val rows = p.stateOperators.map(_.numRowsTotal).sum
-          val mem = p.stateOperators.map(_.memoryUsedBytes).sum
-          peakRows = math.max(peakRows, rows)
-          peakMem = math.max(peakMem, mem)
-          finalRows = rows
+        fed += b.size
+        // progress events are posted ASYNCHRONOUSLY after processAllAvailable returns —
+        // reading recentProgress immediately races the listener and records a stale
+        // batch's state totals (measured: sf0.001 runs wobbled ±150 rows run-to-run).
+        // Settle deterministically: wait until the recorded input rows account for
+        // everything fed so far, so the last data batch's progress has landed.
+        val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+        while (query.recentProgress.map(_.numInputRows).sum < fed &&
+               System.nanoTime() < deadline) Thread.sleep(25)
+        // fold ALL recorded progresses in batch order; final = newest with state metrics
+        query.recentProgress.sortBy(_.batchId).foreach { p =>
+          if (p.stateOperators.nonEmpty) {
+            val rows = p.stateOperators.map(_.numRowsTotal).sum
+            val mem = p.stateOperators.map(_.memoryUsedBytes).sum
+            peakRows = math.max(peakRows, rows)
+            peakMem = math.max(peakMem, mem)
+            finalRows = rows
+          }
         }
       }
     } finally query.stop()
@@ -73,6 +85,92 @@ object StreamScale {
   private def cut[T](rows: Seq[T], n: Int): Seq[Seq[T]] = {
     val sz = math.max(1, (rows.size + n - 1) / n)
     rows.grouped(sz).toSeq
+  }
+
+  // ---- 1. streaming envelope apply (replica maintenance) -------------------
+  // the cdc_apply_merge_stream feed at FULL key volume, plus `hist` extra updates per
+  // key: events scale with history, live keys (and so state rows) do not
+  def applyWorkload(spark: SparkSession, sfDir: String, hist: Int): Metrics = {
+    import spark.implicits._
+    val snapshot = Tables(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_orderpriority")
+    val schema = Catalog.withKeyMetadata(snapshot.schema, Set("o_orderkey"))
+    val base = CdcQueries.mergeEnvelope(spark, sfDir, lit(true))
+      .select($"commit_scn", $"scn", $"seq", $"operation", $"data", $"before")
+    val extras =
+      if (hist == 0) base.limit(0)
+      else Tables(spark, sfDir, "orders")
+        .select($"o_orderkey".cast("long").as("k"))
+        // only keys the base script already touches (%3) and does NOT delete (%10): the
+        // knob must grow HISTORY on live keys, not the live-key set itself (an update
+        // after the tombstone would re-create evicted state) — state rows must stay
+        // identical to the hist=0 run
+        .filter($"k" % 3 === 0 && $"k" % 10 =!= 0)
+        .select($"k", explode(sequence(lit(1), lit(hist))).as("j"))
+        .select(lit(1L).as("commit_scn"),
+          ($"k" * 10 + 6).as("scn"), ($"k" * 1000 + $"j").cast("long").as("seq"),
+          lit(RedoEvent.Update).as("operation"),
+          map(lit("O_ORDERKEY"), $"k".cast("string"),
+              lit("O_ORDERSTATUS"), concat(lit("H"), $"j")).as("data"),
+          map().cast("map<string,string>").as("before"))
+    val rows = base.unionByName(extras).as[CdcQueries.MergeEnvRow]
+      .collect().sortBy(r => (r.scn, r.seq)).toSeq
+    runMeasured(spark, Encoders.product[CdcQueries.MergeEnvRow],
+        s"ss_apply_$hist", cut(rows, 4)) { ds =>
+      EnvelopeApply.applyStreaming(ds.toDF(), schema).toDF()
+    }
+  }
+
+  // ---- 2. streaming transaction assembly -----------------------------------
+  // one transaction per sampled key (START + INSERT + UPDATE + COMMIT), batches cut so
+  // EVERY transaction straddles the boundary: peak state = all open buffers, final
+  // state = 0 (commit drains) — immunity to the reference's unbounded trnCollection
+  def txnWorkload(spark: SparkSession, sfDir: String): Metrics = {
+    import spark.implicits._
+    val keys = Tables(spark, sfDir, "orders")
+      .filter($"o_orderkey" % 5 === 0)
+      .select($"o_orderkey".cast("long").as("k")).as[Long].collect().toSeq
+    def ev(k: Long, off: Long, op: String, sql: String) =
+      RedoEvent(k * 10 + off, 0L, s"T$k", s"R$k-$off", op,
+        new java.sql.Timestamp(k * 10 + off), None, "GRAFT", "ORDERS", sql,
+        csf = false, rollback = false, info = "", rbasqn = 1L, seq = k * 10 + off)
+    def open(k: Long) = Seq(
+      ev(k, 0, RedoEvent.Start, ""),
+      ev(k, 1, RedoEvent.Insert,
+        s"""insert into "GRAFT"."ORDERS"("O_ORDERKEY","O_ORDERSTATUS") values (${k + 50000000L},'N')"""))
+    def close(k: Long) = Seq(
+      ev(k, 2, RedoEvent.Update,
+        s"""update "GRAFT"."ORDERS" set "O_ORDERSTATUS" = 'M' where "O_ORDERKEY" = ${k + 50000000L}"""),
+      ev(k, 3, RedoEvent.Commit, ""))
+    runMeasured(spark, Encoders.product[RedoEvent],
+        "ss_txn", Seq(keys.flatMap(open), keys.flatMap(close))) { ds =>
+      TxnAssembler.assembleStreaming(ds, abandonedTxnTimeout = None).toDF()
+    }
+  }
+
+  // ---- 3. native streaming session windows ---------------------------------
+  // the events_session_stream shape at full %4 volume; the far-future sentinel closes
+  // every session, so final state shows watermark eviction, not accumulation
+  def sessionWorkload(spark: SparkSession, sfDir: String): Metrics = {
+    import spark.implicits._
+    val rows = Tables(spark, sfDir, "events")
+      .filter($"event_id" % 4 === 0)
+      .select($"user_id", expr("ts div 1000").as("ts_us"), $"value")
+      .as[(Long, Long, Double)].collect().sortBy(_._2).toSeq
+    val sentinel = (-1L, rows.last._2 + 30L * 24 * 3600 * 1000000L, 0.0)
+    val batches = cut(rows, 3) match {
+      case init :+ last => init :+ (last :+ sentinel)
+      case _            => Seq(Seq(sentinel))
+    }
+    runMeasured(spark,
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble),
+        "ss_session", batches) { ds =>
+      ds.toDF("user_id", "ts_us", "value")
+        .withColumn("ts", timestamp_micros($"ts_us"))
+        .withWatermark("ts", "1 minute")
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("event_cnt"), sum(Tables.cents($"value")).as("value_cents"))
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -89,7 +187,6 @@ object StreamScale {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
 
     def emit(workload: String, m: Metrics): Unit =
       println(String.format(java.util.Locale.ROOT,
@@ -98,95 +195,11 @@ object StreamScale {
         Long.box(m.outRows), Long.box(m.peakRows), Long.box(m.finalRows),
         Double.box(m.peakMemMb)))
 
-    // ---- 1. streaming envelope apply (replica maintenance) -----------------
-    // the cdc_apply_merge_stream feed at FULL key volume, plus `hist` extra updates per
-    // key: events scale with history, live keys (and so state rows) do not
-    locally {
-      val snapshot = Tables(spark, sfDir, "orders")
-        .select($"o_orderkey", $"o_orderstatus", $"o_orderpriority")
-      val schema = Catalog.withKeyMetadata(snapshot.schema, Set("o_orderkey"))
-      val base = CdcQueries.mergeEnvelope(spark, sfDir, lit(true))
-        .select($"commit_scn", $"scn", $"seq", $"operation", $"data", $"before")
-      val extras =
-        if (hist == 0) base.limit(0)
-        else Tables(spark, sfDir, "orders")
-          .select($"o_orderkey".cast("long").as("k"))
-          // only keys the base script already touches (%3) and does NOT delete (%10): the
-          // knob must grow HISTORY on live keys, not the live-key set itself (an update
-          // after the tombstone would re-create evicted state) — state rows must stay
-          // identical to the hist=0 run
-          .filter($"k" % 3 === 0 && $"k" % 10 =!= 0)
-          .select($"k", explode(sequence(lit(1), lit(hist))).as("j"))
-          .select(lit(1L).as("commit_scn"),
-            ($"k" * 10 + 6).as("scn"), ($"k" * 1000 + $"j").cast("long").as("seq"),
-            lit(RedoEvent.Update).as("operation"),
-            map(lit("O_ORDERKEY"), $"k".cast("string"),
-                lit("O_ORDERSTATUS"), concat(lit("H"), $"j")).as("data"),
-            map().cast("map<string,string>").as("before"))
-      val rows = base.unionByName(extras).as[CdcQueries.MergeEnvRow]
-        .collect().sortBy(r => (r.scn, r.seq)).toSeq
-      val m = runMeasured(spark, Encoders.product[CdcQueries.MergeEnvRow],
-          s"ss_apply_$hist", cut(rows, 4)) { ds =>
-        EnvelopeApply.applyStreaming(ds.toDF(), schema).toDF()
-      }
-      emit("apply_stream", m)
-    }
+    emit("apply_stream", applyWorkload(spark, sfDir, hist))
     spark.catalog.clearCache()
-
-    // ---- 2. streaming transaction assembly ---------------------------------
-    // one transaction per sampled key (START + INSERT + UPDATE + COMMIT), batches cut so
-    // EVERY transaction straddles the boundary: peak state = all open buffers, final
-    // state = 0 (commit drains) — immunity to the reference's unbounded trnCollection
-    locally {
-      val keys = Tables(spark, sfDir, "orders")
-        .filter($"o_orderkey" % 5 === 0)
-        .select($"o_orderkey".cast("long").as("k")).as[Long].collect().toSeq
-      def ev(k: Long, off: Long, op: String, sql: String) =
-        RedoEvent(k * 10 + off, 0L, s"T$k", s"R$k-$off", op,
-          new java.sql.Timestamp(k * 10 + off), None, "GRAFT", "ORDERS", sql,
-          csf = false, rollback = false, info = "", rbasqn = 1L, seq = k * 10 + off)
-      def open(k: Long) = Seq(
-        ev(k, 0, RedoEvent.Start, ""),
-        ev(k, 1, RedoEvent.Insert,
-          s"""insert into "GRAFT"."ORDERS"("O_ORDERKEY","O_ORDERSTATUS") values (${k + 50000000L},'N')"""))
-      def close(k: Long) = Seq(
-        ev(k, 2, RedoEvent.Update,
-          s"""update "GRAFT"."ORDERS" set "O_ORDERSTATUS" = 'M' where "O_ORDERKEY" = ${k + 50000000L}"""),
-        ev(k, 3, RedoEvent.Commit, ""))
-      val batch1 = keys.flatMap(open)
-      val batch2 = keys.flatMap(close)
-      val m = runMeasured(spark, Encoders.product[RedoEvent],
-          "ss_txn", Seq(batch1, batch2)) { ds =>
-        TxnAssembler.assembleStreaming(ds, abandonedTxnTimeout = None).toDF()
-      }
-      emit("txn_stream", m)
-    }
+    emit("txn_stream", txnWorkload(spark, sfDir))
     spark.catalog.clearCache()
-
-    // ---- 3. native streaming session windows -------------------------------
-    // the events_session_stream shape at full %4 volume; the far-future sentinel closes
-    // every session, so final state shows watermark eviction, not accumulation
-    locally {
-      val rows = Tables(spark, sfDir, "events")
-        .filter($"event_id" % 4 === 0)
-        .select($"user_id", expr("ts div 1000").as("ts_us"), $"value")
-        .as[(Long, Long, Double)].collect().sortBy(_._2).toSeq
-      val sentinel = (-1L, rows.last._2 + 30L * 24 * 3600 * 1000000L, 0.0)
-      val batches = cut(rows, 3) match {
-        case init :+ last => init :+ (last :+ sentinel)
-        case _            => Seq(Seq(sentinel))
-      }
-      val m = runMeasured(spark,
-          Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble),
-          "ss_session", batches) { ds =>
-        ds.toDF("user_id", "ts_us", "value")
-          .withColumn("ts", timestamp_micros($"ts_us"))
-          .withWatermark("ts", "1 minute")
-          .groupBy(session_window($"ts", "30 minutes"), $"user_id")
-          .agg(count(lit(1)).as("event_cnt"), sum(Tables.cents($"value")).as("value_cents"))
-      }
-      emit("session_stream", m)
-    }
+    emit("session_stream", sessionWorkload(spark, sfDir))
     spark.stop()
   }
 }
