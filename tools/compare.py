@@ -12,7 +12,10 @@ oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
 
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    p = f"{sfdir}/{t}.parquet"
+    # GenScale-derived dirs write each table as a DIRECTORY of part files
+    src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
 
 results = {}
 # a query that crashed or timed out in Verify writes NO output dir — report it as FAIL
