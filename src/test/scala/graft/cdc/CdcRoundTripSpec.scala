@@ -225,35 +225,26 @@ class CdcRoundTripSpec extends AnyFunSuite {
 
   // ---- the round trip ----------------------------------------------------
 
-  test(s"$Scenarios random DML programs round-trip through parse+assemble+fold to the model state") {
+  private val schema = Catalog.withKeyMetadata(StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("sal", DoubleType), StructField("cnt", IntegerType),
+    StructField("hired", TimestampType), StructField("note", StringType))), Set("id"))
+
+  // snapshot hired goes through to_timestamp INSIDE the session (UTC) — never through
+  // JVM-default-timezone Timestamp.valueOf, which would skew on a non-UTC machine
+  private def snapshotOf(scenarios: List[Scenario]): DataFrame = {
     val spark = graft.SparkTestSession.spark
     import spark.implicits._
-    val seedLong = sys.env.get("GRAFT_ROUNDTRIP_SEED").map(_.toLong)
-      .getOrElse(new java.util.Random().nextLong())
-    info(s"round-trip seed = $seedLong (set GRAFT_ROUNDTRIP_SEED to reproduce)")
-    val scenarios = genAll.pureApply(Gen.Parameters.default, rng.Seed(seedLong))
-
-    val schema = Catalog.withKeyMetadata(StructType(Seq(
-      StructField("id", LongType), StructField("name", StringType),
-      StructField("sal", DoubleType), StructField("cnt", IntegerType),
-      StructField("hired", TimestampType), StructField("note", StringType))), Set("id"))
-
-    // snapshot hired goes through to_timestamp INSIDE the session (UTC) — never through
-    // JVM-default-timezone Timestamp.valueOf, which would skew on a non-UTC machine
-    val snapshot: DataFrame = scenarios.flatMap(sc => sc.initial.toSeq.map { case (id, r) =>
+    scenarios.flatMap(sc => sc.initial.toSeq.map { case (id, r) =>
         (id, r.name, java.math.BigDecimal.valueOf(r.salCents, 2).doubleValue, r.cnt,
           r.hired, r.note.orNull)
       }).toDF("id", "name", "sal", "cnt", "hired_s", "note")
       .withColumn("hired", to_timestamp(col("hired_s")))
       .select("id", "name", "sal", "cnt", "hired", "note")
+  }
 
-    val events = scenarios.flatMap(eventsOf)
-    info(s"generated ${events.size} redo events over ${scenarios.map(_.txns.size).sum} transactions")
-    val config = CdcConfig("GRAFTDB", Seq(("GRAFT", "PROP")))
-    val enveloped = CdcPipeline.stream(spark.createDataset(events), config, streaming = false)
-      .filter(col("seg_owner") === "GRAFT" && col("table_name") === "PROP")
-    val replica = EnvelopeApply(snapshot, enveloped, schema)
-
+  private def compareToModel(replica: DataFrame, scenarios: List[Scenario],
+                             seedLong: Long): Unit = {
     val got = replica.select(col("id"), col("name"), col("sal"), col("cnt"),
         date_format(col("hired"), "yyyy-MM-dd HH:mm:ss").as("hired"), col("note"))
       .collect()
@@ -264,7 +255,6 @@ class CdcRoundTripSpec extends AnyFunSuite {
         (id, r.name, java.math.BigDecimal.valueOf(r.salCents, 2).doubleValue, r.cnt,
           r.hired, r.note.orNull)
       }).sortBy(_._1)
-
     val gotM = got.toVector.groupBy(_._1); val expM = expected.toVector.groupBy(_._1)
     val badIds = (gotM.keySet ++ expM.keySet).filter(id => gotM.get(id) != expM.get(id))
     assert(badIds.isEmpty, {
@@ -274,5 +264,48 @@ class CdcRoundTripSpec extends AnyFunSuite {
       s"replica diverged from model on ${badIds.size} keys (seed $seedLong):\n$sample"
     })
     assert(got.length == expected.size)
+  }
+
+  private def generate(n: Int): (List[Scenario], Long) = {
+    val seedLong = sys.env.get("GRAFT_ROUNDTRIP_SEED").map(_.toLong)
+      .getOrElse(new java.util.Random().nextLong())
+    val gen = (0 until n).foldRight(Gen.const(List.empty[Scenario])) { (sid, acc) =>
+      for { s <- genScenario(sid); rest <- acc } yield s :: rest
+    }
+    (gen.pureApply(Gen.Parameters.default, rng.Seed(seedLong)), seedLong)
+  }
+
+  test(s"$Scenarios random DML programs round-trip through parse+assemble+fold to the model state") {
+    val spark = graft.SparkTestSession.spark
+    val (scenarios, seedLong) = generate(Scenarios)
+    info(s"round-trip seed = $seedLong (set GRAFT_ROUNDTRIP_SEED to reproduce)")
+    val events = scenarios.flatMap(eventsOf)
+    info(s"generated ${events.size} redo events over ${scenarios.map(_.txns.size).sum} transactions")
+    val config = CdcConfig("GRAFTDB", Seq(("GRAFT", "PROP")))
+    val enveloped = CdcPipeline.stream(spark.createDataset(events)(
+        org.apache.spark.sql.Encoders.product[RedoEvent]), config, streaming = false)
+      .filter(col("seg_owner") === "GRAFT" && col("table_name") === "PROP")
+    compareToModel(EnvelopeApply(snapshotOf(scenarios), enveloped, schema), scenarios, seedLong)
+  }
+
+  test("the STREAMING path round-trips too: transactions straddle micro-batch cuts") {
+    val spark = graft.SparkTestSession.spark
+    val n = 120 // streaming harness per-batch overhead; still >100 joint scenarios
+    val (scenarios, seedLong) = generate(n)
+    info(s"streaming round-trip seed = $seedLong (set GRAFT_ROUNDTRIP_SEED to reproduce)")
+    val events = scenarios.flatMap(eventsOf)
+    // three arbitrary cuts over the (scenario-banded) event order: transactions WILL
+    // straddle them, so assembly state (and any open CSF run) must carry across batches
+    val cutSize = math.max(1, (events.size + 2) / 3)
+    val batches = events.grouped(cutSize).toSeq
+    // NoTimeout: a processing-time timeout never lets processAllAvailable settle
+    val config = CdcConfig("GRAFTDB", Seq(("GRAFT", "PROP")), abandonedTxnTimeout = None)
+    val out = graft.engine.StreamGate.runBatches(spark,
+        org.apache.spark.sql.Encoders.product[RedoEvent], "roundtrip_stream_sink",
+        batches) { ds =>
+      CdcPipeline.stream(ds, config, streaming = true)
+        .filter(col("seg_owner") === "GRAFT" && col("table_name") === "PROP")
+    }
+    compareToModel(EnvelopeApply(snapshotOf(scenarios), out, schema), scenarios, seedLong)
   }
 }
