@@ -232,6 +232,49 @@ object TextOps {
           min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
         .orderBy($"status")
     },
+    // EXACT-SUBSTRING DUPLICATION SPANS (the ExactSubstr shape of Lee et al. 2022,
+    // "Deduplicating Training Data Makes Language Models Better"): find token windows of
+    // length K=16 repeated across ≥2 DOCUMENTS, merge overlapping windows into maximal
+    // duplicated spans per document, and report per-doc span counts / duplicated-token
+    // totals / ratio — the memorization-risk measurement and the cut list substring-level
+    // dedup operates on (line-dedup catches boilerplate lines; this catches arbitrary
+    // repeated passages that cross line structure). 100 TB shape: windows shuffle ONCE on
+    // the 32-bit window hash (the distinct-doc count partial-aggregates map-side; the
+    // window frame is cached so the dup-hash semi-join re-reads it instead of
+    // re-tokenizing the corpus), only windows whose hash is cross-doc duplicated flow to
+    // the span merge (bounded by the duplicate structure, not the corpus), and span-merge
+    // is one per-doc window sort. At petabyte scale the O(K) slice hash becomes a rolling
+    // hash (see text_fingerprint) — same plan shape.
+    "text_dup_spans" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val K = 16
+      val wins = graft.engine.Tables(s, dir, "documents")
+        .select($"doc_id", tokens($"text").as("toks"))
+        .withColumn("n_toks", size($"toks").cast("long"))
+        .filter(size($"toks") >= K)
+        .select($"doc_id", $"n_toks", explode(sequence(lit(0), size($"toks") - K)).as("start"), $"toks")
+        .select($"doc_id", $"n_toks", $"start",
+          hash32(concat_ws("\u0001", slice($"toks", $"start" + 1, lit(K)))).as("h"))
+        .cache()
+      val dupH = wins.groupBy($"h").agg(count_distinct($"doc_id").as("nd"))
+        .filter($"nd" >= 2).select($"h")
+      val w = Window.partitionBy($"doc_id").orderBy($"start")
+      val spans = wins.join(dupH, "h")
+        .withColumn("end", $"start" + K)
+        .withColumn("prev_max_end",
+          max($"end").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("new_span",
+          ($"prev_max_end".isNull || $"start" > $"prev_max_end").cast("long"))
+        .withColumn("span_id", sum($"new_span").over(w))
+        .groupBy($"doc_id", $"n_toks", $"span_id")
+        .agg(min($"start").as("s"), max($"end").as("e"))
+      spans.groupBy($"doc_id", $"n_toks")
+        .agg(count(lit(1)).as("dup_span_cnt"), sum($"e" - $"s").as("dup_tokens"))
+        .select($"doc_id", $"n_toks", $"dup_span_cnt", $"dup_tokens",
+          expr("dup_tokens * 10000 div n_toks").as("dup_ratio_bp"))
+        .orderBy($"doc_id")
+    },
     // RAG CHUNKING — overlapping fixed-size token windows (64 tokens, stride 48) with
     // stable chunk ids and a content hash per chunk: the retrieval-index preprocessing
     // step between curation and embedding. Entirely narrow map-side work: tokenize once,
@@ -708,6 +751,32 @@ object TextOps {
         |  cast(sum(chars) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM diff GROUP BY status ORDER BY status""".stripMargin,
+    "text_dup_spans" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text),'\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |dd AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_toks
+        |  FROM d WHERE len(toks) >= 16),
+        |w AS (SELECT doc_id, n_toks, u.start,
+        |    ('0x' || substr(md5(array_to_string(list_slice(toks, u.start+1, u.start+16), chr(1))), 1, 8))::BIGINT AS h
+        |  FROM dd, LATERAL (SELECT unnest(generate_series(0, len(toks)-16)) AS start) u),
+        |dup AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM w GROUP BY h)
+        |  WHERE nd >= 2),
+        |m AS (SELECT w.doc_id, w.n_toks, w.start, w.start + 16 AS e FROM w JOIN dup USING (h)),
+        |sp AS (SELECT doc_id, n_toks, start, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY start
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+        |  FROM m),
+        |sp2 AS (SELECT *, CASE WHEN prev_max_end IS NULL OR start > prev_max_end
+        |                       THEN 1 ELSE 0 END AS new_span FROM sp),
+        |sp3 AS (SELECT *, sum(new_span) OVER (PARTITION BY doc_id ORDER BY start
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id FROM sp2),
+        |spans AS (SELECT doc_id, n_toks, span_id, min(start) AS s, max(e) AS e
+        |  FROM sp3 GROUP BY doc_id, n_toks, span_id)
+        |SELECT doc_id, n_toks, cast(count(*) AS BIGINT) AS dup_span_cnt,
+        |  cast(sum(e - s) AS BIGINT) AS dup_tokens,
+        |  cast(sum(e - s) AS BIGINT) * 10000 // n_toks AS dup_ratio_bp
+        |FROM spans GROUP BY doc_id, n_toks ORDER BY doc_id""".stripMargin,
     "text_chunk_windows" ->
       """WITH d AS (SELECT doc_id,
         |    list_filter(string_split_regex(trim(text),'\s+'), x -> x <> '') AS toks

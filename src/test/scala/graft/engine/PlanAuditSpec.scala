@@ -326,6 +326,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("from_json"), s"expected the codegen'd from_json path:\n$p")
   }
 
+  test("text_dup_spans: both consumers read the cached window frame — one tokenize pass") {
+    val p = plan("text_dup_spans")
+    // the window frame feeds the dup-hash aggregate AND the span-merge join; uncached,
+    // the corpus would tokenize + slice-hash twice
+    assert(count(p, "InMemoryTableScan") >= 2,
+      s"expected the dup-hash agg and the span join to scan the cached windows:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product joins in the span pipeline:\n$p")
+  }
+
   // ---- AQE posture (r7 verdict #6) -----------------------------------------------------
   // Spark 4 defaults spark.sql.adaptive.enabled=true, so EVERY gate, test and bench in
   // this repo already executes under AQE (runtime partition coalescing + skew-join
