@@ -99,6 +99,18 @@ object Bench {
     // the run) tells a consumer the whole file was measured on a contended machine
     def loadAvg(): Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    // hypervisor STEAL time ((steal, total) jiffies from /proc/stat): load_avg and the
+    // canary only see THIS VM — a co-tenant host stalls every rep uniformly and the
+    // existing signals stay green while all timings inflate (observed r8: reps of one
+    // query spanning 2.2-11.5 s under load_avg 0.3). The steal fraction over the run is
+    // the direct measurement of that failure mode.
+    def cpuSteal(): (Long, Long) =
+      try {
+        val l = scala.io.Source.fromFile("/proc/stat").getLines().next()
+        val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+        (if (f.length > 7) f(7) else 0L, f.sum)
+      } catch { case NonFatal(_) => (0L, 0L) }
+    val stealStart = cpuSteal()
     // start-load retry (r7 verdict #1): a high FIRST sample may be the 1-minute average
     // still carrying the JVMs killed above (or a decaying external spike) — sleep once and
     // resample before accepting a degraded stamp. One retry only: a machine still loaded
@@ -180,9 +192,17 @@ object Bench {
     //      prior build) and the in-run canary never tripped because the load DECAYED over
     //      the run — a start sample above cpus/4 means the early timings are untrustworthy
     //      no matter what the canary saw later (r6 verdict #3).
+    val stealEnd = cpuSteal()
+    val stealPct =
+      if (stealEnd._2 > stealStart._2)
+        (stealEnd._1 - stealStart._1) * 100.0 / (stealEnd._2 - stealStart._2)
+      else 0.0
+    // (c) hypervisor steal: >10% of this run's cpu time stolen by co-tenants means every
+    //     rep was uniformly inflated in a way neither the canary nor load_avg can see
     val degraded = (canaries.nonEmpty &&
       canaries.max > canaries.min * 2 && canaries.max - canaries.min > 1.0) ||
-      loadStart > cpus.toDouble / 4.0
+      loadStart > cpus.toDouble / 4.0 ||
+      stealPct > 10.0
     // errs stay bounded too (ADVICE r5: an unbounded error map defeats the stdout budget):
     // messages clip at 80 chars and whole entries fold into "_omitted" past the cap
     def errsJson(maxLen: Int): String = {
@@ -204,7 +224,7 @@ object Bench {
       s""""${esc(k)}":{"med":$v,"min":$lo,"max":$hi}"""
     }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"degraded":$degraded,"canary_sec":$canaryJson,"load_avg":$loadJson,"stale_jvms_killed":${killedJvms.size},"load_retry":$loadRetried,"queries":$fullQs,"errors":${errsJson(4000)},"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"degraded":$degraded,"canary_sec":$canaryJson,"load_avg":$loadJson,"steal_pct":${num(stealPct)},"stale_jvms_killed":${killedJvms.size},"load_retry":$loadRetried,"queries":$fullQs,"errors":${errsJson(4000)},"sf":"${esc(sfDir)}"}"""
     System.err.println(fullLine)
     try java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_full.json"),
       fullLine.getBytes("UTF-8"))
