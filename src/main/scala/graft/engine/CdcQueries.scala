@@ -276,6 +276,10 @@ object CdcQueries {
         .filter(CdcPipeline.internalDdlFilter())
         .filter(CdcPipeline.validTableName())
         .filter(CdcPipeline.whitelist(Seq("APP" -> "T0", "APP" -> "T1", "APP" -> "T2", "OTHER" -> "*")))
+        // A11's OTHER half: the blacklist carves an exception out of the wildcard grant
+        // (Utils:147-151's appended `and not (...)`) — this is the predicate's only
+        // DATA-path gate (PipelineSpec covers only its config parse)
+        .filter(CdcPipeline.blacklist(Seq("OTHER" -> "T3")))
         .filter(CdcPipeline.operationFilter(Seq("INSERT", "UPDATE", "DDL")))
         .withColumn("topic", CdcPipeline.topic("DB1"))
         .groupBy($"operation", $"topic").agg(count(lit(1)).as("cnt"))
@@ -865,6 +869,7 @@ object CdcQueries {
         |  AND NOT (operation = 'DDL' AND info LIKE 'INTERNAL DDL%')
         |  AND regexp_full_match(table_name, '[\w.-]+')
         |  AND ((seg_owner = 'APP' AND table_name IN ('T0','T1','T2')) OR seg_owner = 'OTHER')
+        |  AND NOT (seg_owner = 'OTHER' AND table_name = 'T3')
         |  AND operation IN ('INSERT','UPDATE','DDL')
         |GROUP BY 1, 2 ORDER BY operation, topic""".stripMargin,
     // every whitelisted transaction commits exactly one INSERT per key: noise filtered,
