@@ -19,7 +19,12 @@ import scala.util.control.NonFatal
   *   - a fixed CANARY query (orders scan + groupBy count) is re-timed at start, middle and
   *     end of the run; if its timings drift by more than 2× the whole run is stamped
   *     `"degraded":true` — a consumer must treat such a file as environment-corrupted
-  *     rather than as a regression signal.
+  *     rather than as a regression signal;
+  *   - a fixed-work CALIBRATION SPIN (~200 ms single-thread hashing) runs before EVERY
+  *     query rep (r8: a sustained uniform host-co-tenancy burst inflated all medians 3-4×
+  *     while load_avg/canary/steal_pct stayed green); any spin >2× the run's fastest trips
+  *     `degraded`, and the stdout summary carries per-query `[min,med]` because the MINIMUM
+  *     is the trustworthy basis when the spin series shows contention.
   */
 object Bench {
   /** True median: odd count → middle; even count → mean of the two middles.
@@ -33,23 +38,65 @@ object Bench {
 
   /** Kill stale BUILD JVMs left over from earlier compiles — the twice-measured root
     * cause of degraded rounds (BENCH_r05 and BENCH_r07 both started under load_avg ≈ 8-10
-    * from prior sbt/compile-server JVMs burning cores for hours). Signature-matched and
-    * ancestor-safe: only processes whose command line marks them as build tooling AND
-    * that are not in this process's own ancestor chain (Bench usually runs INSIDE an sbt
-    * JVM) are destroyed. Returns the killed pids for the stderr log. */
+    * from prior sbt/compile-server JVMs burning cores for hours). The sweep now requires
+    * EVIDENCE of staleness before touching a process (ADVICE r8): marker-matched command
+    * line AND not an ancestor AND started ≥10 minutes ago AND actively burning CPU right
+    * now (>0.25 cores over a 500 ms sample) — a concurrent fresh `sbt test`, an idle
+    * Metals/bloop server, or anything merely name-matching is spared. Victims get a
+    * graceful destroy() with a 2 s grace window before destroyForcibly(). Disable
+    * entirely with SPARK_GRAFT_KILL_STALE=0. Returns the killed pids for the stderr log. */
   private def killStaleBuildJvms(): Seq[Long] = {
+    if (sys.env.getOrElse("SPARK_GRAFT_KILL_STALE", "1") == "0") return Nil
     import scala.jdk.CollectionConverters._
     var anc = Set(ProcessHandle.current.pid)
     var p = ProcessHandle.current
     while (p.parent.isPresent) { p = p.parent.get; anc += p.pid }
-    val markers = Seq("sbt-launch", "xsbt.boot.Boot", "bloop", "scala-compile-server")
-    ProcessHandle.allProcesses().iterator().asScala.toList
-      .filter { ph =>
-        !anc.contains(ph.pid) &&
-          ph.info.commandLine.map[Boolean](cl => markers.exists(cl.contains)).orElse(false)
-      }
-      .flatMap(ph => if (ph.destroyForcibly()) Some(ph.pid) else None)
+    // anchored to build-tool artifact names, not bare substrings like "bloop" that could
+    // match an unrelated process's arguments (ADVICE r8)
+    val markers = Seq("sbt-launch", "xsbt.boot.Boot", "bloop.Server", "scala-compile-server")
+    val now = java.time.Instant.now()
+    def cpuSec(ph: ProcessHandle): Double =
+      ph.info.totalCpuDuration.map[Double](d => d.toNanos / 1e9).orElse(0.0)
+    val candidates = ProcessHandle.allProcesses().iterator().asScala.toList.filter { ph =>
+      !anc.contains(ph.pid) &&
+        ph.info.commandLine.map[Boolean](cl => markers.exists(cl.contains)).orElse(false) &&
+        ph.info.startInstant.map[Boolean](si =>
+          java.time.Duration.between(si, now).toMinutes >= 10).orElse(false)
+    }
+    if (candidates.isEmpty) return Nil
+    val before = candidates.map(ph => ph.pid -> cpuSec(ph)).toMap
+    Thread.sleep(500)
+    val burning = candidates.filter(ph => ph.isAlive && cpuSec(ph) - before(ph.pid) > 0.125)
+    burning.foreach(ph => ph.destroy())
+    val deadline = System.nanoTime() + 2000000000L
+    while (System.nanoTime() < deadline && burning.exists(_.isAlive)) Thread.sleep(100)
+    burning.flatMap(ph => if (!ph.isAlive || ph.destroyForcibly()) Some(ph.pid) else None)
   }
+
+  /** JIT sink for [[calibrationSpin]] — a result the optimizer can't prove dead. */
+  @volatile private var spinSink: Long = 0L
+
+  /** Fixed-work, single-thread CPU spin (~200 ms on an idle host at the default iteration
+    * count): pure register arithmetic, no allocation, no I/O. Because the WORK is fixed,
+    * its wall time is a direct probe of how much CPU this thread is actually getting —
+    * a uniform 3-4× host-co-tenancy slowdown (the r8 failure mode that load_avg, the
+    * 3-point canary, and steal_pct all missed) shows up as a 3-4× spin time. One spin runs
+    * immediately before EVERY query rep, so each rep carries a contemporaneous probe. */
+  private[graft] def calibrationSpin(iters: Long): Double = {
+    val t0 = System.nanoTime()
+    var h = 0x9E3779B97F4A7C15L
+    var i = 0L
+    while (i < iters) { h = java.lang.Long.rotateLeft(h * 0x100000001b3L, 31) ^ i; i += 1 }
+    spinSink = h
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Degraded trip over the per-rep spin series: any rep's probe >2× the run's fastest
+    * AND a material absolute gap (a pure spin has no JIT/alloc noise after warmup, but a
+    * stray GC-of-other-threads pause can stretch one window by ~0.1 s — ratio alone would
+    * flag that on a healthy machine, mirroring the canary's absolute guard). */
+  private[graft] def spinTripped(spins: Seq[Double]): Boolean =
+    spins.size >= 2 && spins.max > spins.min * 2 && spins.max - spins.min > 0.2
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -104,11 +151,16 @@ object Bench {
     // existing signals stay green while all timings inflate (observed r8: reps of one
     // query spanning 2.2-11.5 s under load_avg 0.3). The steal fraction over the run is
     // the direct measurement of that failure mode.
+    // denominator is fields 0-7 (user..steal) ONLY: guest/guest_nice are already folded
+    // into user/nice by the kernel, so summing them double-counts guest time and biases
+    // steal_pct low right at the 10% threshold on nested-virt hosts (ADVICE r8)
     def cpuSteal(): (Long, Long) =
       try {
-        val l = scala.io.Source.fromFile("/proc/stat").getLines().next()
-        val f = l.trim.split("\\s+").drop(1).map(_.toLong)
-        (if (f.length > 7) f(7) else 0L, f.sum)
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try {
+          val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+          (if (f.length > 7) f(7) else 0L, f.take(8).sum)
+        } finally src.close()
       } catch { case NonFatal(_) => (0L, 0L) }
     val stealStart = cpuSteal()
     // start-load retry (r7 verdict #1): a high FIRST sample may be the 1-minute average
@@ -128,6 +180,11 @@ object Bench {
     canary() // throwaway: the first execution absorbs the canary's own codegen (~2 s),
              // which would read as 10× "drift" on a perfectly healthy machine
     canaries += canary()
+    // per-rep CPU probe (r8 verdict #1): fixed-work spin before every query rep; the
+    // series is the direct detector for sustained uniform host slowdown
+    val spinIters = sys.env.getOrElse("SPARK_GRAFT_SPIN_ITERS", "100000000").toLong
+    calibrationSpin(spinIters) // throwaway: absorbs the spin loop's own JIT compile
+    val spins = scala.collection.mutable.ArrayBuffer.empty[Double]
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double] // median
     val spreads = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)] // (min, max)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -172,7 +229,12 @@ object Bench {
     }
     var rep = 0
     while (rep < reps) {
-      names.foreach(name => if (!errors.contains(name)) runOnce(name))
+      names.foreach { name =>
+        if (!errors.contains(name)) {
+          spins += calibrationSpin(spinIters)
+          runOnce(name)
+        }
+      }
       canaries += canary() // one canary sample per pass boundary (incl. end of run)
       rep += 1
     }
@@ -199,10 +261,14 @@ object Bench {
       else 0.0
     // (c) hypervisor steal: >10% of this run's cpu time stolen by co-tenants means every
     //     rep was uniformly inflated in a way neither the canary nor load_avg can see
+    // (d) per-rep calibration spin (r8 verdict #1): the fixed-work probe that runs before
+    //     EVERY rep — catches the sustained uniform burst mode that (a)-(c) all missed
+    //     in BENCH_r08 (cdc_apply_merge_dict min 2.14 s / med 37.68 s, degraded:false)
     val degraded = (canaries.nonEmpty &&
       canaries.max > canaries.min * 2 && canaries.max - canaries.min > 1.0) ||
       loadStart > cpus.toDouble / 4.0 ||
-      stealPct > 10.0
+      stealPct > 10.0 ||
+      spinTripped(spins.toSeq)
     // errs stay bounded too (ADVICE r5: an unbounded error map defeats the stdout budget):
     // messages clip at 80 chars and whole entries fold into "_omitted" past the cap
     def errsJson(maxLen: Int): String = {
@@ -223,21 +289,47 @@ object Bench {
       val (lo, hi) = spreads(k)
       s""""${esc(k)}":{"med":$v,"min":$lo,"max":$hi}"""
     }.mkString("{", ",", "}")
+    val spinJson =
+      if (spins.isEmpty) """{"n":0}"""
+      else s"""{"n":${spins.size},"min":${num(spins.min)},"med":${num(median(spins.toSeq))},"max":${num(spins.max)},"tripped":${spinTripped(spins.toSeq)}}"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"degraded":$degraded,"canary_sec":$canaryJson,"load_avg":$loadJson,"steal_pct":${num(stealPct)},"stale_jvms_killed":${killedJvms.size},"load_retry":$loadRetried,"queries":$fullQs,"errors":${errsJson(4000)},"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"degraded":$degraded,"canary_sec":$canaryJson,"spin_sec":$spinJson,"load_avg":$loadJson,"steal_pct":${num(stealPct)},"stale_jvms_killed":${killedJvms.size},"load_retry":$loadRetried,"queries":$fullQs,"errors":${errsJson(4000)},"sf":"${esc(sfDir)}"}"""
     System.err.println(fullLine)
     try java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_full.json"),
       fullLine.getBytes("UTF-8"))
     catch { case NonFatal(_) => () }
+    // round-stamped snapshot (r8 verdict #1c): target/bench_full.json is overwritten by
+    // every local run, so the per-round min/med/max history only survives if each round's
+    // full-precision record lands in a BENCH_full_rN.json beside the driver's BENCH_rN.
+    // N = (highest committed BENCH_rNN) + 1 — the round currently being measured.
+    try {
+      val rx = """BENCH_r(\d+)\.json""".r
+      val here = java.nio.file.Paths.get(".")
+      val prev = java.nio.file.Files.list(here).iterator()
+      val nums = scala.collection.mutable.ArrayBuffer.empty[Int]
+      while (prev.hasNext) prev.next().getFileName.toString match {
+        case rx(n) => nums += n.toInt
+        case _ => ()
+      }
+      val round = (if (nums.isEmpty) 0 else nums.max) + 1
+      java.nio.file.Files.write(
+        here.resolve(f"BENCH_full_r$round%02d.json"), fullLine.getBytes("UTF-8"))
+    } catch { case NonFatal(_) => () }
     // stdout line: the harness that collects this keeps only a ~2000-char tail of stdout,
     // and the full-precision line has outgrown it every round (BENCH_r1..r4 all record
     // parsed:null with the line's head clipped). Emit a COMPACT line — 2-decimal medians,
     // queries ordered fastest-first so a clip would eat the least-informative entries
     // first — and, if the surface outgrows the window, FOLD the fastest queries into an
     // "omitted_fastest" summary instead of letting the JSON get truncated mid-object.
+    // each query is "name":[min,med] (r8 verdict #1b): under bursty co-tenancy the MEDIAN
+    // of interleaved reps can be 10× the minimum on untouched code — the minimum is the
+    // trustworthy cross-round comparison basis and must survive in the round artifact,
+    // not just the local full-precision file
     def fmt(v: Double): String = num(v)
     def line(qSeq: Seq[(String, Double)], omitted: Seq[(String, Double)]): String = {
-      val qs = qSeq.map { case (k, v) => s""""${esc(k)}":${fmt(v)}""" }.mkString("{", ",", "}")
+      val qs = qSeq.map { case (k, v) =>
+        s""""${esc(k)}":[${fmt(spreads(k)._1)},${fmt(v)}]"""
+      }.mkString("{", ",", "}")
       val om = if (omitted.isEmpty) ""
         else s""","omitted_fastest":{"n":${omitted.size},"sum_sec":${fmt(omitted.map(_._2).sum)}}"""
       s"""{"metric":"total","unit":"sec","sf":"${esc(sfDir)}","reps":$reps,"degraded":$degraded,"load_avg":$loadJson,"queries":$qs$om,"errors":${errsJson(400)},"value":${fmt(total)}}"""

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the per-rep calibration-spin contention detector (r8 verdict #1): BENCH_r08 was
+  * stamped degraded:false while a sustained uniform host slowdown inflated medians 3-4×
+  * past their minimums (cdc_apply_merge_dict min 2.14 s / med 37.68 s in one run). The
+  * spin is a fixed-work probe, so its wall time IS the slowdown factor — these tests pin
+  * the trip logic and prove the probe actually detects an injected busy co-process.
+  */
+class BenchSpinSpec extends AnyFunSuite {
+
+  test("spinTripped: flat series and sub-threshold jitter do not trip") {
+    assert(!Bench.spinTripped(Nil))
+    assert(!Bench.spinTripped(Seq(0.2)))
+    assert(!Bench.spinTripped(Seq(0.20, 0.21, 0.19, 0.22)))
+    // ratio >2x but absolute gap below the 0.2s GC-noise guard: no trip
+    assert(!Bench.spinTripped(Seq(0.05, 0.12)))
+  }
+
+  test("spinTripped: a burst rep >2x the fastest with material gap trips") {
+    // the r8 failure shape: most reps healthy, a sustained window 3-4x slower
+    assert(Bench.spinTripped(Seq(0.20, 0.21, 0.75, 0.68, 0.20)))
+    // uniform-from-the-start slowdown still trips as soon as one healthy rep exists
+    assert(Bench.spinTripped(Seq(0.21, 0.80, 0.80, 0.80)))
+  }
+
+  test("calibrationSpin detects an injected busy co-process (degraded provably fires)") {
+    // half the production work (~100 ms idle): fast enough for a test, big enough that a
+    // >2x contention slowdown also clears spinTripped's 0.2 s absolute-gap guard
+    val iters = 50000000L
+    Bench.calibrationSpin(iters) // JIT warmup, same as Bench.main's throwaway
+    val baseline = (1 to 5).map(_ => Bench.calibrationSpin(iters)).min
+
+    // saturate the box at ~4x oversubscription: with 4N runnable spinners per core the
+    // probe thread's CPU share drops to ~1/4, so its fixed work takes ~4x wall time —
+    // comfortably past the 2x trip with margin for scheduler variance
+    val cores = Runtime.getRuntime.availableProcessors()
+    @volatile var stop = false
+    val burners = (1 to cores * 4).map { _ =>
+      val t = new Thread(() => {
+        var h = 1L
+        while (!stop) h = h * 6364136223846793005L + 1442695040888963407L
+        if (h == 0L) println("") // keep the loop live
+      })
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    val loaded =
+      try (1 to 3).map(_ => Bench.calibrationSpin(iters)).min
+      finally { stop = true; burners.foreach(_.join(2000)) }
+
+    info(f"baseline=${baseline}%.3fs loaded=${loaded}%.3fs ratio=${loaded / baseline}%.1fx")
+    assert(loaded > baseline, "probe must slow under contention")
+    // the EXACT degraded condition Bench.main applies to the per-rep spin series: a run
+    // whose series contains both healthy and contended reps must stamp degraded:true
+    assert(Bench.spinTripped(Seq(baseline, loaded)),
+      f"injected 4x oversubscription must trip spinTripped (got ${loaded / baseline}%.1fx, gap ${loaded - baseline}%.3fs)")
+  }
+}
