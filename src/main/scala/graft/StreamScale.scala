@@ -8,10 +8,12 @@ import graft.cdc.{Catalog, EnvelopeApply, RedoEvent, TxnAssembler}
 import graft.engine.{CdcQueries, Tables}
 
 /**
- * STREAMING-STATE scale harness (r7 verdict #2): drives the three stateful streaming
- * operators — the envelope apply (`flatMapGroupsWithState` replica maintenance,
- * EnvelopeApply.applyStreaming), transaction assembly (TxnAssembler.assembleStreaming)
- * and native session windows — through MemoryStream feeds at event volumes derived from
+ * STREAMING-STATE scale harness (r7 verdict #2, extended r9 to all five stateful
+ * streaming operators): drives the envelope apply (`flatMapGroupsWithState` replica
+ * maintenance, EnvelopeApply.applyStreaming), transaction assembly
+ * (TxnAssembler.assembleStreaming), native session windows, bounded dedup
+ * (`dropDuplicatesWithinWatermark`) and the stream-stream interval join — through
+ * MemoryStream feeds at event volumes derived from
  * `sfDir`, recording the STATE-STORE metrics Spark reports per micro-batch
  * (`StateOperatorProgress.numRowsTotal` / `memoryUsedBytes`). The claim under test is the
  * boundedness argument the 100 TB posture rests on:
@@ -22,7 +24,11 @@ import graft.engine.{CdcQueries, Tables}
  *   - transaction-assembly state is bounded by OPEN transactions and drains to ZERO at
  *     COMMIT — the reference's `trnCollection` (LogMinerThread2.java:81) never drains,
  *     which is exactly the failure mode this records immunity to;
- *   - session-window state is bounded by open sessions and evicted by the watermark.
+ *   - session-window state is bounded by open sessions and evicted by the watermark;
+ *   - dedup-within-watermark state is bounded by LIVE KEYS in the delay window — replay
+ *     volume (`--hist`) grows events, never state — and the expiry sweep drains it;
+ *   - stream-stream join state is bounded by the rows inside both watermark horizons and
+ *     is evicted once the time-range condition excludes them.
  *
  * Usage: runMain graft.StreamScale <sfDir> [histMult]
  * Prints one JSON line per workload:
@@ -34,12 +40,70 @@ object StreamScale {
   final case class Metrics(events: Long, sec: Double, outRows: Long,
                            peakRows: Long, finalRows: Long, peakMemMb: Double)
 
-  /** StreamGate.runBatches with state-metrics capture: after each drain, fold the query's
-    * recentProgress into (peak, final) state-row counts and peak state memory. */
+  /** Per-batch progress accumulator backed by a StreamingQueryListener (ADVICE r8:
+    * `query.recentProgress` retains only `numRecentProgressUpdates` (default 100) entries,
+    * so a workload feeding more micro-batches than the retention would (a) never satisfy
+    * the settle condition — sum(numInputRows) < fed forever — and (b) silently drop
+    * evicted early batches from the peak fold). The listener sees EVERY progress event
+    * exactly once; entries are keyed by batchId so a re-posted progress overwrites rather
+    * than double-counts. Scoped to one query id; remove() in a finally. */
+  private final class ProgressCapture(spark: SparkSession) {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    private val byBatch =
+      new java.util.concurrent.ConcurrentHashMap[
+        java.lang.Long, org.apache.spark.sql.streaming.StreamingQueryProgress]()
+    // set right after start(); a progress posted before attach can only be the initial
+    // no-data batch (the feed hasn't been added yet), which carries no input rows
+    @volatile private var queryId: java.util.UUID = null
+    private val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val qid = queryId
+        if (qid != null && e.progress.id == qid) byBatch.put(e.progress.batchId, e.progress)
+      }
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+
+    def attach(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = queryId = q.id
+
+    /** Progress events post ASYNCHRONOUSLY after processAllAvailable returns — reading
+      * metrics immediately races the listener bus and records a stale batch's state
+      * totals (measured: sf0.001 runs wobbled ±150 rows run-to-run). Settle
+      * deterministically: wait until the recorded input rows account for everything fed. */
+    def settle(fed: Long): Unit = {
+      import scala.jdk.CollectionConverters._
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (byBatch.values.asScala.map(_.numInputRows).sum < fed &&
+             System.nanoTime() < deadline) Thread.sleep(25)
+    }
+
+    /** (peakRows, peakMemBytes, finalRows) over ALL captured batches in batch order. */
+    def fold(): (Long, Long, Long) = {
+      import scala.jdk.CollectionConverters._
+      var peakRows = 0L; var peakMem = 0L; var finalRows = 0L
+      byBatch.values.asScala.toSeq.sortBy(_.batchId).foreach { p =>
+        if (p.stateOperators.nonEmpty) {
+          val rows = p.stateOperators.map(_.numRowsTotal).sum
+          peakRows = math.max(peakRows, rows)
+          peakMem = math.max(peakMem, p.stateOperators.map(_.memoryUsedBytes).sum)
+          finalRows = rows
+        }
+      }
+      (peakRows, peakMem, finalRows)
+    }
+
+    def close(): Unit = spark.streams.removeListener(listener)
+  }
+
+  /** StreamGate.runBatches with state-metrics capture: after each drain, settle on the
+    * fed-row count, then fold every captured batch into (peak, final) state-row counts
+    * and peak state memory. */
   private def runMeasured[T](spark: SparkSession, enc: Encoder[T], sink: String,
                              batches: Seq[Seq[T]])(plan: Dataset[T] => DataFrame): Metrics = {
     val input = MemoryStream[T](enc, spark)
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val capture = new ProgressCapture(spark)
     val t0 = System.nanoTime()
     val query =
       try {
@@ -47,38 +111,56 @@ object StreamScale {
         plan(input.toDS()).writeStream
           .format("memory").queryName(sink).outputMode("append").start()
       } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    var peakRows = 0L
-    var finalRows = 0L
-    var peakMem = 0L
+    capture.attach(query)
     var fed = 0L
     try {
       batches.foreach { b =>
         input.addData(b)
         query.processAllAvailable()
         fed += b.size
-        // progress events are posted ASYNCHRONOUSLY after processAllAvailable returns —
-        // reading recentProgress immediately races the listener and records a stale
-        // batch's state totals (measured: sf0.001 runs wobbled ±150 rows run-to-run).
-        // Settle deterministically: wait until the recorded input rows account for
-        // everything fed so far, so the last data batch's progress has landed.
-        val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
-        while (query.recentProgress.map(_.numInputRows).sum < fed &&
-               System.nanoTime() < deadline) Thread.sleep(25)
-        // fold ALL recorded progresses in batch order; final = newest with state metrics
-        query.recentProgress.sortBy(_.batchId).foreach { p =>
-          if (p.stateOperators.nonEmpty) {
-            val rows = p.stateOperators.map(_.numRowsTotal).sum
-            val mem = p.stateOperators.map(_.memoryUsedBytes).sum
-            peakRows = math.max(peakRows, rows)
-            peakMem = math.max(peakMem, mem)
-            finalRows = rows
-          }
-        }
+        capture.settle(fed)
       }
-    } finally query.stop()
+    } finally { query.stop(); capture.close() }
     val sec = (System.nanoTime() - t0) / 1e9
+    val (peakRows, peakMem, finalRows) = capture.fold()
     val outRows = spark.table(sink).count()
     Metrics(batches.map(_.size.toLong).sum, sec, outRows, peakRows, finalRows, peakMem / 1e6)
+  }
+
+  /** Two-input variant (stream-stream join): both sides get their own MemoryStream; batch
+    * pairs are fed together so the two watermarks advance in lockstep, mirroring
+    * StreamGate.runTwoInputs. */
+  private def runMeasuredTwo[L, R](spark: SparkSession, encL: Encoder[L], encR: Encoder[R],
+                                   sink: String, batches: Seq[(Seq[L], Seq[R])],
+                                   statePartitions: Int = 8)
+                                  (plan: (Dataset[L], Dataset[R]) => DataFrame): Metrics = {
+    val leftIn = MemoryStream[L](encL, spark)
+    val rightIn = MemoryStream[R](encR, spark)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val capture = new ProgressCapture(spark)
+    val t0 = System.nanoTime()
+    val query =
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+        plan(leftIn.toDS(), rightIn.toDS()).writeStream
+          .format("memory").queryName(sink).outputMode("append").start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    capture.attach(query)
+    var fed = 0L
+    try {
+      batches.foreach { case (l, r) =>
+        leftIn.addData(l)
+        rightIn.addData(r)
+        query.processAllAvailable()
+        fed += l.size + r.size
+        capture.settle(fed)
+      }
+    } finally { query.stop(); capture.close() }
+    val sec = (System.nanoTime() - t0) / 1e9
+    val (peakRows, peakMem, finalRows) = capture.fold()
+    val outRows = spark.table(sink).count()
+    Metrics(batches.map(b => b._1.size.toLong + b._2.size).sum, sec, outRows,
+      peakRows, finalRows, peakMem / 1e6)
   }
 
   /** Cut a seq into `n` contiguous micro-batches. */
@@ -157,7 +239,10 @@ object StreamScale {
       .filter($"event_id" % 4 === 0)
       .select($"user_id", expr("ts div 1000").as("ts_us"), $"value")
       .as[(Long, Long, Double)].collect().sortBy(_._2).toSeq
-    val sentinel = (-1L, rows.last._2 + 30L * 24 * 3600 * 1000000L, 0.0)
+    // lastOption (ADVICE r8): an empty feed must reach the sentinel-only fallback below,
+    // not throw NoSuchElementException computing the sentinel timestamp
+    val sentinel =
+      (-1L, rows.lastOption.map(_._2).getOrElse(0L) + 30L * 24 * 3600 * 1000000L, 0.0)
     val batches = cut(rows, 3) match {
       case init :+ last => init :+ (last :+ sentinel)
       case _            => Seq(Seq(sentinel))
@@ -170,6 +255,77 @@ object StreamScale {
         .withWatermark("ts", "1 minute")
         .groupBy(session_window($"ts", "30 minutes"), $"user_id")
         .agg(count(lit(1)).as("event_cnt"), sum(Tables.cents($"value")).as("value_cents"))
+    }
+  }
+
+  // ---- 4. bounded streaming dedup (dropDuplicatesWithinWatermark) ----------
+  // the events_dedup_stream_wm shape (Temporal.scala) re-cut for the boundedness claim:
+  // batch 1 feeds every original key, batch 2 feeds `hist` replay rounds of a third of
+  // the keys (events grow with hist, the KEY SET does not — per-key state must stay
+  // flat), batch 3 is a lone far-future watermark pusher whose expiry sweep evicts every
+  // original key. peak ≈ live keys regardless of replay volume; final ≈ the pusher alone.
+  def dedupWmWorkload(spark: SparkSession, sfDir: String, hist: Int): Metrics = {
+    import spark.implicits._
+    val rows = Tables(spark, sfDir, "events")
+      .filter($"event_id" % 4 === 0)
+      .select($"event_id", expr("ts div 1000").as("ts_us"))
+      .as[(Long, Long)].collect().sortBy(_._2).toSeq
+    val (minUs, maxUs) = (rows.head._2, rows.last._2)
+    val delayUs = maxUs - minUs + 3600L * 1000000L
+    // hist replay rounds, each shifted by a distinct sub-delay offset: all suppressed by
+    // held state, none late against the watermark
+    val replays = (1 to math.max(1, hist)).flatMap { j =>
+      rows.filter(_._1 % 3 == 0).map { case (id, ts) => (id, ts + j * 30L * 1000000L) }
+    }
+    val pusher = Seq((-1L, maxUs + 2 * delayUs + 3600L * 1000000L))
+    runMeasured(spark, Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+        s"ss_dedup_wm_$hist", Seq(rows, replays, pusher)) { ds =>
+      ds.toDF("event_id", "ts_us")
+        .withColumn("ts", timestamp_micros($"ts_us"))
+        .withWatermark("ts", s"$delayUs microseconds")
+        .dropDuplicatesWithinWatermark("event_id")
+    }
+  }
+
+  // ---- 5. stream-stream interval join ---------------------------------------
+  // the events_join_stream shape (Temporal.scala): purchases×clicks within 24 h per user,
+  // both sides watermarked, cut mid-timeline so each side's buffer carries across the
+  // boundary; the far-future sentinels (distinct users, can never join) advance both
+  // watermarks so the time-range condition evicts every real row — final state is the
+  // sentinels, peak is the buffered sides.
+  def joinWorkload(spark: SparkSession, sfDir: String): Metrics = {
+    import spark.implicits._
+    val base = Tables(spark, sfDir, "events")
+      .filter($"event_id" % 8 === 0)
+      .select($"event_id", $"user_id", $"event_type", expr("ts div 1000").as("ts_us"))
+    def side(tpe: String): Seq[(Long, Long, Long)] = base
+      .filter($"event_type" === tpe)
+      .select($"event_id", $"user_id", $"ts_us")
+      .as[(Long, Long, Long)].collect().sortBy(_._3).toSeq
+    val clicks = side("click")
+    val purchases = side("purchase")
+    val sentinelUs =
+      (clicks.lastOption.map(_._3).getOrElse(0L)
+        max purchases.lastOption.map(_._3).getOrElse(0L)) + 30L * 24 * 3600 * 1000000L
+    val (c1, c2) = clicks.splitAt(clicks.length / 2)
+    val (p1, p2) = purchases.splitAt(purchases.length / 2)
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    runMeasuredTwo(spark, enc, enc, "ss_join",
+        Seq((c1, p1),
+            (c2 :+ ((-1L, -1L, sentinelUs)), p2 :+ ((-2L, -2L, sentinelUs))),
+            // empty final pair: the post-sentinel no-data batch commits the eviction sweep
+            (Nil, Nil)),
+        statePartitions = 2) { (l, r) =>
+      val lc = l.toDF("click_id", "c_user", "c_us")
+        .withColumn("c_ts", timestamp_micros($"c_us"))
+        .withWatermark("c_ts", "1 minute")
+      val rp = r.toDF("purchase_id", "p_user", "p_us")
+        .withColumn("p_ts", timestamp_micros($"p_us"))
+        .withWatermark("p_ts", "1 minute")
+      rp.join(lc,
+        $"p_user" === $"c_user" &&
+          $"c_ts" >= $"p_ts" - expr("INTERVAL 24 HOURS") && $"c_ts" <= $"p_ts")
+        .select($"purchase_id", $"click_id")
     }
   }
 
@@ -200,6 +356,10 @@ object StreamScale {
     emit("txn_stream", txnWorkload(spark, sfDir))
     spark.catalog.clearCache()
     emit("session_stream", sessionWorkload(spark, sfDir))
+    spark.catalog.clearCache()
+    emit("dedup_wm_stream", dedupWmWorkload(spark, sfDir, hist))
+    spark.catalog.clearCache()
+    emit("join_stream", joinWorkload(spark, sfDir))
     spark.stop()
   }
 }

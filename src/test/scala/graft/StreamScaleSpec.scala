@@ -54,4 +54,36 @@ class StreamScaleSpec extends AnyFunSuite {
       s"${m.finalRows} sessions retained after the far-future sentinel — eviction regressed")
     assert(m.peakRows > 1L, "the harness should have held open sessions mid-run")
   }
+
+  test("dedup-within-watermark state is bounded by live keys and drained by expiry") {
+    val spark = graft.SparkTestSession.spark
+    val h1 = StreamScale.dedupWmWorkload(spark, dir, hist = 1)
+    spark.catalog.clearCache()
+    val h4 = StreamScale.dedupWmWorkload(spark, dir, hist = 4)
+    spark.catalog.clearCache()
+    assert(h4.events > h1.events,
+      s"the replay knob must grow the event count: ${h1.events} -> ${h4.events}")
+    // 4x the replay volume, identical peak: state rows track the KEY SET, not the feed
+    assert(h4.peakRows == h1.peakRows,
+      s"dedup state grew with REPLAY VOLUME (${h1.peakRows} -> ${h4.peakRows}) — the " +
+        "bounded-by-live-keys claim is broken")
+    // the pusher's expiry sweep must drain every original key; only the pusher survives
+    assert(h1.finalRows <= 1L && h4.finalRows <= 1L,
+      s"state retained after the expiry sweep (${h1.finalRows}/${h4.finalRows}) — " +
+        "dropDuplicatesWithinWatermark eviction regressed")
+    // replays were suppressed: emissions are the originals plus the pusher only
+    assert(h4.outRows == h1.outRows,
+      s"replay rounds changed the emission count (${h1.outRows} -> ${h4.outRows})")
+  }
+
+  test("stream-stream join buffers both sides then watermark-evicts all real rows") {
+    val spark = graft.SparkTestSession.spark
+    val m = StreamScale.joinWorkload(spark, dir)
+    assert(m.peakRows > 2L, "the harness should have buffered both sides mid-run")
+    // after the sentinels advance both watermarks, the 24h interval excludes every real
+    // row; only the two sentinels (and nothing proportional to the feed) may remain
+    assert(m.finalRows <= 2L,
+      s"${m.finalRows} join-state rows survived the far-future sentinels — the " +
+        "time-range eviction the 100 TB posture rests on regressed")
+  }
 }
