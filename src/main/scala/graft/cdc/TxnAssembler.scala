@@ -20,8 +20,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  *
  * Deliberate deviation from the reference: open transactions never expire there
  * (`trnCollection` grows unboundedly). At 100 TB scale that is a state leak, so the streaming
- * wrapper installs a [[GroupStateTimeout]]; timed-out buffers are dropped (documented in
- * SURVEY.md §7 hard-part 2).
+ * wrappers install a [[GroupStateTimeout]] (documented in SURVEY.md §7 hard-part 2):
+ * [[assembleStreaming]] uses a wall-clock (processing-time) timeout and DROPS the buffer;
+ * [[assembleStreamingEvicting]] uses the deterministic watermark clock (event time) and
+ * EMITS the loss as an [[TxnAssembler.AbandonedTxn]] DLQ record (oracle gate
+ * `cdc_txn_timeout`).
  */
 object TxnAssembler {
 
@@ -170,6 +173,95 @@ object TxnAssembler {
    * @param droppedTxns         optional accumulator counting transactions lost to timeout
    *                            eviction or buffer-cap overflow (surface in monitoring).
    */
+  /** DLQ record for an abandoned transaction: emitted (not silently dropped) when the
+    * watermark passes the transaction's last event time plus the abandon timeout. */
+  final case class AbandonedTxn(xid: String, bufferedRows: Int, reason: String)
+
+  /** Union output of [[assembleStreamingEvicting]]: exactly one side is set. A caller
+    * splits with `filter($"committed".isNotNull)` / `filter($"abandoned".isNotNull)` —
+    * the committed feed routes to topics, the abandoned feed to the DLQ. */
+  final case class TxnOut(committed: Option[CommittedDml], abandoned: Option[AbandonedTxn])
+
+  /**
+   * Streaming assembly with DETERMINISTIC abandoned-transaction eviction (r8 verdict #3):
+   * like [[assembleStreaming]], but the timeout clock is the stream's WATERMARK
+   * ([[GroupStateTimeout.EventTimeTimeout]]) instead of wall time, and a timed-out buffer
+   * is EMITTED as an [[AbandonedTxn]] DLQ record instead of silently dropped.
+   *
+   * Why event time: a wall-clock (processing-time) timeout is non-deterministic — the
+   * same feed evicts different transactions depending on scheduler pauses — and it spins
+   * `processAllAvailable`-style harnesses forever (every micro-batch "requires another
+   * batch"). The watermark is a pure function of the DATA, so "open longer than
+   * `abandonTimeout` of event time with no COMMIT" is a replayable, oracle-gateable
+   * property. This is the deliberate fix for the reference's unbounded `trnCollection`
+   * leak (LogMinerThread2.java:81; SURVEY §7 hard-part 2) with the loss made observable.
+   *
+   * LATE-DATA CONTRACT: an event-time-timeout `flatMapGroupsWithState` DROPS input rows
+   * older than the current watermark before they reach the state function. A COMMIT that
+   * arrives more than `watermarkDelay` of event time behind the newest record therefore
+   * never reaches its buffer, and the transaction ages out to the DLQ — the loss is
+   * observable (the AbandonedTxn record + `droppedTxns`), not silent, but
+   * `watermarkDelay` must be sized to the transport's true out-of-orderness bound
+   * (for the Kafka deployment: the max commit-vs-tip lag across partitions).
+   *
+   * @param watermarkDelay  out-of-orderness bound for `withWatermark` on the event
+   *                        timestamp (the redo record's change time)
+   * @param abandonTimeout  how much EVENT TIME may pass beyond a transaction's last seen
+   *                        event before its buffer is evicted to the DLQ side
+   */
+  def assembleStreamingEvicting(events: Dataset[RedoEvent],
+                                watermarkDelay: String,
+                                abandonTimeout: String,
+                                maxBufferedRows: Int = Int.MaxValue,
+                                droppedTxns: Option[org.apache.spark.util.LongAccumulator] = None,
+                                headFilter: RedoEvent => Boolean = _ => true)
+      : Dataset[TxnOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    implicit val bufEnc: Encoder[TxnBuffer] = Encoders.product[TxnBuffer]
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(abandonTimeout))
+    require(iv.months == 0, s"month-based abandon timeouts are ambiguous: $abandonTimeout")
+    val timeoutMsTotal = iv.days * 86400000L + iv.microseconds / 1000L
+    events
+      .withWatermark("timestamp", watermarkDelay)
+      .groupByKey(_.xid)
+      .flatMapGroupsWithState[TxnBuffer, TxnOut](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (xid: String, it: Iterator[RedoEvent], state: GroupState[TxnBuffer]) =>
+          if (state.hasTimedOut) {
+            val buf = state.getOption.getOrElse(TxnBuffer.empty)
+            droppedTxns.foreach(_.add(1))
+            state.remove()
+            Iterator.single(TxnOut(None,
+              Some(AbandonedTxn(xid, buf.n + buf.frags.size, "abandon_timeout"))))
+          } else {
+            val sorted = it.toVector.sortBy(e => (e.scn, e.seq, e.rowId))
+            val prev = state.getOption.getOrElse(TxnBuffer.empty)
+            val (fusedEvs, carry) = Csf.fuseAdjacent(sorted.iterator, prev.frags, headFilter)
+            val (emitted, remaining) = step(prev.copy(frags = Nil),
+              fusedEvs.iterator, maxBufferedRows, () => droppedTxns.foreach(_.add(1)))
+            val next = remaining match {
+              case Some(buf)              => Some(buf.copy(frags = carry.toList))
+              case None if carry.nonEmpty => Some(TxnBuffer.empty.copy(frags = carry.toList))
+              case None                   => None
+            }
+            next match {
+              case Some(buf) =>
+                state.update(buf)
+                // expire when the WATERMARK passes this txn's newest event + timeout; the
+                // max() keeps the arm legal (it must exceed the current watermark) for a
+                // buffer whose events are already close behind it
+                val lastEventMs = sorted.lastOption.map(_.timestamp.getTime).getOrElse(0L)
+                state.setTimeoutTimestamp(
+                  math.max(lastEventMs + timeoutMsTotal, state.getCurrentWatermarkMs() + 1))
+              case None => if (state.exists) state.remove()
+            }
+            emitted.iterator.map(d => TxnOut(Some(d), None))
+          }
+      }
+  }
+
   def assembleStreaming(events: Dataset[RedoEvent],
                         abandonedTxnTimeout: Option[String] = Some("1 hour"),
                         maxBufferedRows: Int = Int.MaxValue,

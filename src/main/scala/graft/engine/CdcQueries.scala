@@ -256,6 +256,57 @@ object CdcQueries {
         .agg(lit(-1L).as("txn_rows"), count(lit(1)).as("txn_cnt"))
       sizes.union(dropped).orderBy($"txn_rows")
     },
+    // A19's ABANDONED-TRANSACTION eviction, oracle-gated (r8 verdict #3; the deliberate
+    // deviation from the reference's unbounded trnCollection, LogMinerThread2.java:81):
+    // one txn per %4 order key opens (START + 2 DML) in batch 1 at event time t0(k); only
+    // %3 keys COMMIT in batch 2; a far-future commit in batch 3 pushes the WATERMARK past
+    // every open txn's t0 + 1 h, so the event-time timeout sweeps each surviving buffer to
+    // the DLQ side as an AbandonedTxn record. The clock is the watermark — a pure function
+    // of the feed — so the evicted set is deterministic and the oracle can count it from
+    // the key table: committed = %3 keys (2 DML rows each), abandoned = the rest (2
+    // buffered rows each). Drop-vs-DLQ semantics: README §CDC.
+    "cdc_txn_timeout" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.Encoders
+      def mk(k: Long, off: Long, op: String, tsMs: Long, redo: String = "") =
+        RedoEvent(scn = k * 100 + off, commitScn = 0L, xid = s"tx$k", rowId = f"R$k%09d$off%02d",
+          operation = op, timestamp = new java.sql.Timestamp(tsMs), commitTimestamp = None,
+          segOwner = "GRAFT", tableName = "ORDERS", sqlRedo = redo, csf = false,
+          rollback = false, info = "", rbasqn = 1L, seq = k * 100 + off)
+      val keys = Tables(s, dir, "orders").filter($"o_orderkey" % 4 === 0)
+        .select($"o_orderkey".cast("long")).as[Long].collect().toSeq // MemoryStream feed
+      // event times fold into a <17 min window so no txn's t0 + 1 h timeout can fall
+      // behind the batch-1 watermark (premature eviction would race the batch-2 COMMITs);
+      // the +1 s floor keeps every event strictly above the INITIAL watermark (0) — a row
+      // at exactly the watermark is filtered as late and its txn silently never opens
+      def t0(k: Long) = (k % 997 + 1) * 1000L
+      val opens = keys.flatMap { k =>
+        Seq(mk(k, 0, RedoEvent.Start, t0(k)),
+          mk(k, 1, RedoEvent.Insert, t0(k),
+            s"""insert into "GRAFT"."ORDERS"("O_ORDERKEY") values ($k)"""),
+          mk(k, 2, RedoEvent.Update, t0(k),
+            s"""update "GRAFT"."ORDERS" set "O_ORDERSTATUS" = 'X' where "O_ORDERKEY" = $k"""))
+      }
+      // COMMIT event times sit ABOVE the batch-1 watermark (max t0): with delay 0 an
+      // event-time-timeout fMGWS drops late input, so a commit behind the watermark would
+      // never reach its buffer and the txn would (correctly, but unintendedly here) age out
+      val commits = keys.filter(_ % 3 == 0).map(k => mk(k, 99, RedoEvent.Commit, 1057000L))
+      // COMMIT for an unseen xid: advances the watermark, opens no buffer, emits nothing
+      val pusher = Seq(mk(-1L, 0, RedoEvent.Commit, 997000L + 3600000L + 86400000L))
+      val out = StreamGate.runBatches(s, Encoders.product[RedoEvent],
+          "cdc_txn_timeout_sink", Seq(opens, commits, pusher)) { ds =>
+        TxnAssembler.assembleStreamingEvicting(ds,
+          watermarkDelay = "0 seconds", abandonTimeout = "1 hour").toDF()
+      }
+      val committed = out.filter($"committed".isNotNull)
+        .agg(count(lit(1)).as("dml_rows"), countDistinct($"committed.xid").as("txns"))
+        .select(lit("committed").as("kind"), $"dml_rows", $"txns")
+      val abandoned = out.filter($"abandoned".isNotNull)
+        .agg(sum($"abandoned.bufferedRows").cast("long").as("dml_rows"),
+          count(lit(1)).as("txns"))
+        .select(lit("abandoned").as("kind"), $"dml_rows", $"txns")
+      abandoned.unionByName(committed).orderBy($"kind")
+    },
     // A8+A9+A10+A11+A15+A22: the filter/routing stack over a stream synthesized from events.
     "cdc_filters_routing" -> { (s, dir) =>
       import s.implicits._
@@ -839,6 +890,17 @@ object CdcQueries {
         |drp AS (SELECT cast(-1 AS BIGINT) AS txn_rows, cast(count(*) AS BIGINT) AS txn_cnt
         |        FROM k WHERE k % 13 >= 8)
         |SELECT * FROM drp UNION ALL SELECT * FROM surv ORDER BY txn_rows""".stripMargin,
+    // committed = %3 keys of the %4 universe (2 surviving DML each); abandoned = the rest,
+    // evicted by the watermark-clock timeout with their 2 buffered rows reported
+    "cdc_txn_timeout" ->
+      """WITH keys AS (SELECT cast(o_orderkey AS BIGINT) AS k FROM orders
+        |              WHERE o_orderkey % 4 = 0)
+        |SELECT 'abandoned' AS kind, cast(2 * count(*) AS BIGINT) AS dml_rows,
+        |       cast(count(*) AS BIGINT) AS txns FROM keys WHERE k % 3 <> 0
+        |UNION ALL
+        |SELECT 'committed' AS kind, cast(2 * count(*) AS BIGINT) AS dml_rows,
+        |       cast(count(*) AS BIGINT) AS txns FROM keys WHERE k % 3 = 0
+        |ORDER BY kind""".stripMargin,
     "cdc_seq_gaps" ->
       """WITH s AS (SELECT DISTINCT event_id AS rbasqn FROM events
         |           WHERE event_id % 7 <> 0 AND event_id % 11 <> 0),

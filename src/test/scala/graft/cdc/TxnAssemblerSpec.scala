@@ -154,6 +154,36 @@ class TxnAssemblerSpec extends AnyFunSuite {
     assert(out2.isEmpty && carry2.isEmpty && drops == 1)
   }
 
+  test("event-time eviction: abandoned buffers emit DLQ records when the watermark passes") {
+    val spark = graft.SparkTestSession.spark
+    import org.apache.spark.sql.Encoders
+    def at(scn: Long, xid: String, op: String, tsMs: Long, redo: String = "") =
+      RedoEvent.simple(scn, xid, op, sqlRedo = redo, rowId = s"R$scn")
+        .copy(timestamp = new java.sql.Timestamp(tsMs), seq = scn)
+    // x1 commits; x2 (2 DML) and x3 (1 DML) never see a terminal — the far-future COMMIT
+    // for the unseen xid "wm" only advances the watermark past t0 + 1h
+    val batch1 = Seq(
+      at(1, "x1", RedoEvent.Start, 1000L), at(2, "x1", RedoEvent.Insert, 1000L, "a"),
+      at(3, "x2", RedoEvent.Start, 2000L), at(4, "x2", RedoEvent.Insert, 2000L, "b"),
+      at(5, "x2", RedoEvent.Update, 2000L, "c"),
+      at(6, "x3", RedoEvent.Insert, 3000L, "d"))
+    val batch2 = Seq(at(7, "x1", RedoEvent.Commit, 60000L))
+    val batch3 = Seq(at(8, "wm", RedoEvent.Commit, 3600000L + 86400000L))
+    val acc = spark.sparkContext.longAccumulator("abandoned")
+    val out = graft.engine.StreamGate.runBatches(spark, Encoders.product[RedoEvent],
+        "txn_evict_spec_sink", Seq(batch1, batch2, batch3)) { ds =>
+      TxnAssembler.assembleStreamingEvicting(ds, watermarkDelay = "0 seconds",
+        abandonTimeout = "1 hour", droppedTxns = Some(acc)).toDF()
+    }.collect()
+    val committed = out.filter(!_.isNullAt(0)).map(_.getStruct(0))
+    val abandoned = out.filter(!_.isNullAt(1)).map(_.getStruct(1))
+    assert(committed.map(_.getString(0)).toSet == Set("x1"), "only x1 committed")
+    assert(abandoned.map(r => r.getString(0) -> r.getInt(1)).toSet ==
+      Set("x2" -> 2, "x3" -> 1),
+      "open buffers must surface as DLQ records with their buffered-row counts")
+    assert(acc.value == 2L, "the monitoring accumulator counts each eviction once")
+  }
+
   test("assembleBatch: multiple transactions, rollback txn dropped") {
     val spark = graft.SparkTestSession.spark
     import spark.implicits._
