@@ -58,7 +58,14 @@ object GenScale {
     scaled("lineitem")((d, i) => d.withColumn("l_orderkey", $"l_orderkey" + i * OrderShift))
     scaled("events")((d, i) => d
       .withColumn("event_id", $"event_id" + i * 1000000000L)
-      .withColumn("user_id", $"user_id" + i * CustShift))
+      .withColumn("user_id", $"user_id" + i * CustShift)
+      // restore TIMESTAMP fidelity (r8 verdict #4): the source column is TIMESTAMP(NANOS),
+      // read here as nanos-long under nanosAsLong; writing that long back verbatim
+      // degraded the derived file to plain BIGINT, which no time-typed oracle (e.g.
+      // events_retention's CAST(ts AS DATE)) can read. Spark cannot EMIT nanos, so the
+      // derived file carries TIMESTAMP micros — engine.Tables normalizes both physical
+      // forms back to the canonical nanos-long on read.
+      .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
     scaled("documents") { (d, i) =>
       if (i == 0) d
       else d

@@ -11,8 +11,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * session state as a read side effect is action-at-a-distance, so it does not happen here.
   */
 object Tables {
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // Canonical `ts` representation is nanos-since-epoch LongType (the driver's
+    // TIMESTAMP(NANOS) under the nanosAsLong read). GenScale-derived dirs instead carry
+    // TIMESTAMP micros — Spark cannot emit nanos — so normalize on read: every query
+    // (and every `ts div 1000` in the suite) sees ONE type at every scale. withColumn
+    // keeps the column's position, so schema order is unchanged.
+    df.schema.find(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.TimestampType) match {
+      case Some(_) =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.unix_micros(df("ts")) * 1000L)
+      case None => df
+    }
+  }
 
   /** Money as integer cents — THE cross-engine determinism invariant for currency math
     * (see the Relational/Temporal file headers): summing doubles is order-dependent, so
