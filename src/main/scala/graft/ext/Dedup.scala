@@ -39,6 +39,31 @@ object Dedup {
 
   private val DupIdOffset = 1000000L
 
+  /** False-positive rate of the [[dedup_bloom_admit]] seen-set sketch. 3% keeps the
+    * sketch at ~6 bits/item (≈7 GiB for 10^10 fingerprints — broadcastable) while
+    * pruning ~97% of genuinely-new rows off the exact-confirm join. */
+  private[ext] val BloomFpp = 0.03
+
+  /** Shared inputs of the bloom-admission query and its spec: the synthesized incoming
+    * batch, the exact (fp -> min doc_id) confirm index, and the Bloom sketch of the
+    * existing corpus's fingerprints. The sketch build is `DataFrameStatFunctions
+    * .bloomFilter` — per-partition Bloom partials OR-merged on the driver, one narrow
+    * pass over the fingerprint column. Sizing uses a corpus count here; production
+    * passes the index's known cardinality instead of re-counting. */
+  private[ext] def bloomAdmitParts(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, org.apache.spark.util.sketch.BloomFilter) = {
+    import s.implicits._
+    val docs = graft.engine.Tables(s, dir, "documents").select($"doc_id", $"text")
+    val existing = docs.filter($"doc_id" % 5 =!= 0)
+    val incoming = docs.filter($"doc_id" % 5 === 0)
+      .union(existing.filter($"doc_id" % 7 === 1)
+        .select(($"doc_id" + 2000000L).as("doc_id"), $"text"))
+    val exFp = existing.select(md5($"text").as("fp"))
+    val bloom = exFp.stat.bloomFilter("fp", math.max(exFp.count(), 1000L), BloomFpp)
+    val exIdx = existing.groupBy(md5($"text").as("fp")).agg(min($"doc_id").as("ex_id"))
+    (incoming, exIdx, bloom)
+  }
+
   /** Free the block-manager storage behind a localCheckpoint()ed frame once it is
     * superseded. `Dataset.unpersist` cannot reach these blocks — localCheckpoint persists
     * the underlying RDD directly, bypassing the shared cache manager — so without this the
@@ -454,6 +479,38 @@ object Dedup {
       }
       out.orderBy($"doc_id")
     },
+    // BLOOM-PREFILTERED admission — the form [[dedup_incremental]]'s exact stage takes
+    // when the seen-set is too large even for its (fp -> id) INDEX to broadcast as rows:
+    // at 100 TB the corpus holds ~10^10 fingerprints (hundreds of GB as exact rows), but
+    // their Bloom sketch at 3% fpp is ~7 GiB — broadcastable to every executor. The
+    // incoming batch probes the broadcast sketch IN PLACE on its scan: a bloom MISS is a
+    // membership proof (no false negatives), so those rows are admitted with NO join at
+    // all; only bloom HITS — true dups plus the fpp sliver — reach the exact-confirm
+    // shuffle join, which also discards the false positives. The emitted decisions are
+    // therefore EXACT (the sketch only prunes, never decides), which is what lets a
+    // probabilistic structure sit inside a hash-gated query. The sketch build itself is
+    // distributed: per-partition Bloom partials OR-merged on the driver (one pass, no
+    // shuffle). The probe is a broadcast-closure scalar function — the one shape a
+    // Catalyst expression cannot express better, since the sketch is opaque runtime
+    // state, not a column; it costs codegen locally but saves the index shuffle/build
+    // for every provably-unseen row, the dominant term at scale.
+    "dedup_bloom_admit" -> { (s, dir) =>
+      import s.implicits._
+      val (incoming, exIdx, bloom) = bloomAdmitParts(s, dir)
+      val bloomBc = s.sparkContext.broadcast(bloom)
+      val mightContain = udf((fp: String) => bloomBc.value.mightContainString(fp))
+      val inFp = incoming.select($"doc_id", md5($"text").as("fp"))
+        .withColumn("candidate", mightContain($"fp"))
+        .cache() // feeds both branches; one scan + one probe pass
+      val fresh = inFp.filter(!$"candidate")
+        .select($"doc_id", lit("admitted").as("status"), lit(null).cast("long").as("match_id"))
+      val confirmed = inFp.filter($"candidate")
+        .join(exIdx, Seq("fp"), "left_outer") // exact confirm: kills false positives
+        .select($"doc_id",
+          when($"ex_id".isNotNull, "exact_dup").otherwise("admitted").as("status"),
+          $"ex_id".as("match_id"))
+      fresh.union(confirmed).orderBy($"doc_id")
+    },
     // token-set Jaccard verification within (lang, source) blocks, integer basis points.
     // PREFIX-FILTERED set-similarity join (PPJoin-style, cf. PAPERS.md): tokens get a
     // global canonical rare-first order (document frequency asc, token asc); for J >= t a
@@ -680,6 +737,18 @@ object Dedup {
          |ORDER BY i.doc_id""".stripMargin
     },
     "dedup_incremental_stream" ->
+      """WITH ex AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+        |inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |        UNION ALL SELECT doc_id + 2000000, text FROM ex WHERE doc_id % 7 = 1),
+        |exidx AS (SELECT md5(text) AS fp, min(doc_id) AS ex_id FROM ex GROUP BY 1)
+        |SELECT i.doc_id,
+        |  CASE WHEN x.ex_id IS NOT NULL THEN 'exact_dup' ELSE 'admitted' END AS status,
+        |  x.ex_id AS match_id
+        |FROM inc i LEFT JOIN exidx x ON md5(i.text) = x.fp
+        |ORDER BY i.doc_id""".stripMargin,
+    // exact semantics on purpose: the bloom only PRUNES (no false negatives; false
+    // positives die in the confirm join), so the oracle is the plain exact left join
+    "dedup_bloom_admit" ->
       """WITH ex AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
         |inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
         |        UNION ALL SELECT doc_id + 2000000, text FROM ex WHERE doc_id % 7 = 1),

@@ -76,6 +76,21 @@ object TextOps {
   private def stopwordCount(toks: Column): Column =
     size(filter(toks, t => stopwords.map(w => t === w).reduce(_ || _)))
 
+  /** Fixed weights of the [[text_quality_model]] linear scorer, in integer milli-logit
+    * units so Spark and the oracle compute bit-identical scores. Signs encode the usual
+    * curation priors: length and stopword density (naturalness) reward; symbol soup,
+    * digit load, and word-shape distance from ~5.5 chars/word penalize. The threshold
+    * (keep = logit >= 0) is folded into the bias. */
+  private[ext] object QualityWeights {
+    val bias = -3000L
+    val wTok = 25L      // per token, capped at tokCap (diminishing returns past a page)
+    val tokCap = 200
+    val wStop = 2L      // per basis point of stopword density
+    val wPunct = -40L   // per non-alphanumeric character
+    val wDigit = -15L   // per digit character
+    val wlenCenter = 550L // |avg word length - 5.5 chars| in centichars, weight -1
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // token counting + length stats per language partition
     "text_stats" -> { (s, dir) =>
@@ -107,6 +122,40 @@ object TextOps {
           sum($"stopword_heavy").cast("long").as("stopword_heavy_cnt"),
           sum($"has_punct").cast("long").as("punct_cnt"))
         .orderBy($"lang")
+    },
+    // LINEAR QUALITY MODEL — the fasttext-style document scorer every curation pipeline
+    // runs after the boolean gates: a fixed-weight linear model over cheap surface
+    // features (length, stopword density, symbol/digit load, word-shape), thresholded to
+    // a keep/drop decision. Weights live in [[QualityWeights]] (one definition, shared
+    // with the oracle); the score is INTEGER milli-logits — classifier semantics with
+    // none of the float-drift that would break a cross-engine hash gate. The plan is a
+    // single narrow projection over the scan (codegen'd Column algebra, no UDF, no
+    // shuffle before the per-doc emit): at 100 TB this is a pure map stage that rides
+    // the same pass as tokenization — the model upgrade path (real learned weights,
+    // more features) keeps this exact plan shape.
+    "text_quality_model" -> { (s, dir) =>
+      import s.implicits._
+      val toksC = tokens($"text")
+      graft.engine.Tables(s, dir, "documents")
+        .select($"doc_id", $"n_chars", $"text",
+          size(toksC).as("n_toks"),
+          stopwordCount(toksC).as("stop_cnt"),
+          length(regexp_replace($"text", "[a-z0-9\\s]", "")).as("punct_cnt"),
+          length(regexp_replace($"text", "[^0-9]", "")).as("digit_cnt"))
+        .select($"doc_id",
+          expr("cast(stop_cnt as bigint) * 10000 div greatest(n_toks, 1)").as("stop_bp"),
+          expr("cast(n_chars as bigint) * 100 div greatest(n_toks, 1)").as("wlen_c"),
+          $"n_toks", $"punct_cnt", $"digit_cnt")
+        .select($"doc_id",
+          (lit(QualityWeights.bias) +
+            lit(QualityWeights.wTok) * least($"n_toks", lit(QualityWeights.tokCap)) +
+            lit(QualityWeights.wStop) * $"stop_bp" +
+            lit(QualityWeights.wPunct) * $"punct_cnt" +
+            lit(QualityWeights.wDigit) * $"digit_cnt" -
+            abs($"wlen_c" - lit(QualityWeights.wlenCenter))).cast("long").as("logit_milli"))
+        .select($"doc_id", $"logit_milli",
+          ($"logit_milli" >= 0L).cast("int").as("keep"))
+        .orderBy($"doc_id")
     },
     // language ID by marker-token voting with deterministic tie-break (en > de > fr > es)
     "text_langid" -> { (s, dir) =>
@@ -590,6 +639,25 @@ object TextOps {
          | cast(sum(CASE WHEN len(list_filter(toks, x -> $stopwordSql)) * 10 >= len(toks) THEN 1 ELSE 0 END) AS BIGINT) AS stopword_heavy_cnt,
          | cast(sum(CASE WHEN length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS punct_cnt
          |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_quality_model" -> {
+      import QualityWeights._
+      val tokSql = """list_filter(string_split_regex(trim(text),'\s+'), x -> x <> '')"""
+      s"""WITH f AS (SELECT doc_id, n_chars,
+         |  len($tokSql) AS n_toks,
+         |  len(list_filter($tokSql, x -> $stopwordSql)) AS stop_cnt,
+         |  length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS punct_cnt,
+         |  length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit_cnt FROM documents),
+         |g AS (SELECT doc_id, n_toks, punct_cnt, digit_cnt,
+         |  stop_cnt * 10000 // greatest(n_toks, 1) AS stop_bp,
+         |  n_chars * 100 // greatest(n_toks, 1) AS wlen_c FROM f),
+         |sc AS (SELECT doc_id,
+         |  $bias + $wTok * least(n_toks, $tokCap) + $wStop * stop_bp
+         |    + ($wPunct) * punct_cnt + ($wDigit) * digit_cnt
+         |    - abs(wlen_c - $wlenCenter) AS logit FROM g)
+         |SELECT doc_id, cast(logit AS BIGINT) AS logit_milli,
+         |  cast(CASE WHEN logit >= 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
     "text_langid" ->
       """WITH d AS (SELECT doc_id, lang,
         |  list_filter(string_split_regex(trim(text),'\s+'), x -> x <> '') AS toks FROM documents),
