@@ -183,6 +183,22 @@ object Relational {
           $"cnt", $"value_cents", $"gid")
         .orderBy($"gid", $"etype", $"bucket")
     },
+    // EQUI-WIDTH HISTOGRAM: the profiling primitive behind range-partition planning and
+    // data-quality dashboards — 10 fixed 50-unit bins (last bin open-ended) per event
+    // type, with per-bin min/max as the bin-boundary evidence. Values go through the
+    // shared integer-cents bridge so binning is pure integer division (bit-identical
+    // cross-engine, no IEEE reliance). ONE hash-aggregate shuffle on (type, bin) — at
+    // 100 TB the map-side partials collapse each partition to ≤ types×bins rows, so the
+    // shuffle is constant-size regardless of input volume.
+    "events_histogram" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "events")
+        .select($"event_type", cents($"value").as("vc"))
+        .select($"event_type", least(expr("vc div 5000"), lit(9L)).cast("long").as("bucket"), $"vc")
+        .groupBy($"event_type", $"bucket")
+        .agg(count(lit(1)).as("cnt"), min($"vc").as("min_cents"), max($"vc").as("max_cents"))
+        .orderBy($"event_type", $"bucket")
+    },
     // WINDOW-FUNCTION breadth in one partition pass: lag/lead (neighbor access), ntile
     // (equi-depth banding), percent_rank/cume_dist (relative position). All six share ONE
     // window definition → Catalyst evaluates them in a single sort+window stage, one
@@ -606,6 +622,11 @@ object Relational {
         |FROM events
         |GROUP BY CUBE(event_type, user_id % 10)
         |ORDER BY gid, etype, bucket""".stripMargin,
+    "events_histogram" ->
+      """WITH v AS (SELECT event_type, cast(round(value*100) AS BIGINT) AS vc FROM events)
+        |SELECT event_type, cast(least(vc // 5000, 9) AS BIGINT) AS bucket,
+        |  cast(count(*) AS BIGINT) AS cnt, min(vc) AS min_cents, max(vc) AS max_cents
+        |FROM v GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
     "q_window_suite" ->
       """SELECT o_custkey, o_orderkey,
         | cast(row_number() OVER w AS INTEGER) AS rn,

@@ -511,6 +511,63 @@ object Dedup {
           $"ex_id".as("match_id"))
       fresh.union(confirmed).orderBy($"doc_id")
     },
+    // URL-CANONICALIZATION dedup — the crawl-pipeline step BEFORE any content dedup:
+    // most web duplicates are the same page fetched under trivially different URLs
+    // (scheme/host case, default port, www. prefix, tracker params, param order,
+    // fragment, trailing slash), and collapsing them by canonical URL is pure string
+    // algebra on the URL column — no content read at all. Messy URLs are synthesized
+    // deterministically from doc_id (doc_id % 400 is the true page identity, so ~100
+    // canonical URLs carry 2 variants); the OPERATOR only ever sees the url string and
+    // must parse it back: drop fragment, lowercase scheme+host, strip default port and
+    // www., strip trailing slash, drop utm_* params, sort the rest. One shuffle on the
+    // canonical key (same plan as dedup_exact); every canonicalization step is a
+    // codegen'd split/filter/sort Column expression, so at 100 TB this rides the scan.
+    "dedup_url_canonical" -> { (s, dir) =>
+      import s.implicits._
+      val messy = graft.engine.Tables(s, dir, "documents")
+        .select($"doc_id",
+          concat(
+            when($"doc_id" % 3 === 0, "https").when($"doc_id" % 3 === 1, "HTTPS").otherwise("Https"),
+            lit("://"),
+            when($"doc_id" % 5 === 0, "www.").otherwise(""),
+            when($"doc_id" % 2 === 0, "Example.COM").otherwise("example.com"),
+            when($"doc_id" % 4 === 0, ":443").otherwise(""),
+            lit("/p/"), ($"doc_id" % 400).cast("string"),
+            when($"doc_id" % 7 === 0, "/").otherwise(""),
+            lit("?"),
+            when($"doc_id" % 3 === 0, "utm_source=feed&").otherwise(""),
+            when($"doc_id" % 2 === 0, "a=1&b=2").otherwise("b=2&a=1"),
+            when($"doc_id" % 6 === 0, "#sec").otherwise("")).as("url"))
+      messy
+        .withColumn("u0", element_at(split($"url", "#"), 1)) // fragment is client-side
+        .withColumn("scheme", lower(element_at(split($"u0", "://"), 1)))
+        .withColumn("rest", element_at(split($"u0", "://"), 2))
+        .withColumn("hostport", element_at(split($"rest", "/"), 1))
+        .withColumn("pathq", expr("substr(rest, length(hostport) + 1)"))
+        .withColumn("host0", lower(element_at(split($"hostport", ":"), 1)))
+        .withColumn("port", try_element_at(split($"hostport", ":"), lit(2)))
+        .withColumn("host",
+          when(substring($"host0", 1, 4) === "www.", expr("substr(host0, 5)")).otherwise($"host0"))
+        .withColumn("keep_port", // default ports are noise; a real nonstandard port is identity
+          $"port".isNotNull &&
+            !(($"scheme" === "https" && $"port" === "443") ||
+              ($"scheme" === "http" && $"port" === "80")))
+        .withColumn("path0", element_at(split($"pathq", "\\?"), 1))
+        .withColumn("path",
+          when(length($"path0") > 1 && substring($"path0", -1, 1) === "/",
+            expr("substr(path0, 1, length(path0) - 1)")).otherwise($"path0"))
+        .withColumn("params",
+          array_join(array_sort(filter(split(coalesce(try_element_at(split($"pathq", "\\?"), lit(2)), lit("")), "&"),
+            x => substring(x, 1, 4) =!= "utm_" && x =!= "")), "&"))
+        .withColumn("canon_url", concat(
+          $"scheme", lit("://"), $"host",
+          when($"keep_port", concat(lit(":"), $"port")).otherwise(""),
+          $"path",
+          when($"params" =!= "", concat(lit("?"), $"params")).otherwise("")))
+        .groupBy($"canon_url")
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("dup_cnt"))
+        .orderBy($"canon_url")
+    },
     // token-set Jaccard verification within (lang, source) blocks, integer basis points.
     // PREFIX-FILTERED set-similarity join (PPJoin-style, cf. PAPERS.md): tokens get a
     // global canonical rare-first order (document frequency asc, token asc); for J >= t a
@@ -758,6 +815,41 @@ object Dedup {
         |  x.ex_id AS match_id
         |FROM inc i LEFT JOIN exidx x ON md5(i.text) = x.fp
         |ORDER BY i.doc_id""".stripMargin,
+    "dedup_url_canonical" ->
+      """WITH m AS (SELECT doc_id,
+        |  (CASE doc_id % 3 WHEN 0 THEN 'https' WHEN 1 THEN 'HTTPS' ELSE 'Https' END) || '://' ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'Example.COM' ELSE 'example.com' END) ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) ||
+        |  '/p/' || (doc_id % 400) ||
+        |  (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END) || '?' ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'utm_source=feed&' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'a=1&b=2' ELSE 'b=2&a=1' END) ||
+        |  (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url
+        |  FROM documents),
+        |p1 AS (SELECT doc_id, string_split(url, '#')[1] AS u0 FROM m),
+        |p2 AS (SELECT doc_id, lower(string_split(u0, '://')[1]) AS scheme,
+        |  string_split(u0, '://')[2] AS rest FROM p1),
+        |p3 AS (SELECT doc_id, scheme, rest, string_split(rest, '/')[1] AS hostport FROM p2),
+        |p4 AS (SELECT doc_id, scheme, substr(rest, length(hostport) + 1) AS pathq,
+        |  lower(string_split(hostport, ':')[1]) AS host0,
+        |  string_split(hostport, ':')[2] AS port FROM p3),
+        |p5 AS (SELECT doc_id, scheme, pathq, port,
+        |  CASE WHEN substr(host0, 1, 4) = 'www.' THEN substr(host0, 5) ELSE host0 END AS host,
+        |  (port IS NOT NULL AND NOT ((scheme = 'https' AND port = '443')
+        |     OR (scheme = 'http' AND port = '80'))) AS keep_port FROM p4),
+        |p6 AS (SELECT doc_id, scheme, host, port, keep_port,
+        |  string_split(pathq, '?')[1] AS path0,
+        |  array_to_string(list_sort(list_filter(
+        |    string_split(coalesce(string_split(pathq, '?')[2], ''), '&'),
+        |    x -> substr(x, 1, 4) <> 'utm_' AND x <> '')), '&') AS params FROM p5),
+        |p7 AS (SELECT doc_id, scheme || '://' || host ||
+        |  (CASE WHEN keep_port THEN ':' || port ELSE '' END) ||
+        |  (CASE WHEN length(path0) > 1 AND ends_with(path0, '/')
+        |     THEN substr(path0, 1, length(path0) - 1) ELSE path0 END) ||
+        |  (CASE WHEN params <> '' THEN '?' || params ELSE '' END) AS canon_url FROM p6)
+        |SELECT canon_url, min(doc_id) AS keep_id, cast(count(*) AS BIGINT) AS dup_cnt
+        |FROM p7 GROUP BY canon_url ORDER BY canon_url""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH d AS (SELECT doc_id, lang, source, list_distinct($tokSql) AS toks FROM documents)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
