@@ -75,6 +75,40 @@ object Dedup {
       case _ => ()
     }
 
+  /** Canonical form of a URL string column — the [[dedup_url_canonical]] kernel, exposed
+    * so the spec can pin its semantics on adversarial inputs independent of the
+    * synthesized corpus: drop the fragment, lowercase scheme and host, strip a default
+    * port (443 for https, 80 for http — a NONstandard port is identity and survives),
+    * strip a leading `www.`, strip a trailing slash from a non-root path, drop `utm_*`
+    * tracker params, and sort the surviving params. Canonicalization is IDEMPOTENT
+    * (canonical input passes through unchanged) — spec-pinned, since an unstable
+    * canonical form would split identical pages across dedup keys. Pure codegen'd
+    * split/filter/sort Column algebra; assumes scheme://host[:port]/path[?q][#f] shape
+    * (crawler-normalized input, path present). */
+  private[ext] def canonicalizeUrl(url: Column): Column = {
+    val u0 = element_at(split(url, "#"), 1) // fragment is client-side state
+    val scheme = lower(element_at(split(u0, "://"), 1))
+    val rest = element_at(split(u0, "://"), 2)
+    val hostport = element_at(split(rest, "/"), 1)
+    val pathq = rest.substr(length(hostport) + 1, length(rest))
+    val host0 = lower(element_at(split(hostport, ":"), 1))
+    val port = try_element_at(split(hostport, ":"), lit(2))
+    val host = when(substring(host0, 1, 4) === "www.", host0.substr(lit(5), length(host0)))
+      .otherwise(host0)
+    val keepPort = port.isNotNull &&
+      !((scheme === "https" && port === "443") || (scheme === "http" && port === "80"))
+    val path0 = element_at(split(pathq, "\\?"), 1)
+    val path = when(length(path0) > 1 && substring(path0, -1, 1) === "/",
+      path0.substr(lit(1), length(path0) - 1)).otherwise(path0)
+    val params = array_join(array_sort(
+      filter(split(coalesce(try_element_at(split(pathq, "\\?"), lit(2)), lit("")), "&"),
+        x => substring(x, 1, 4) =!= "utm_" && x =!= "")), "&")
+    concat(scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(""),
+      path,
+      when(params =!= "", concat(lit("?"), params)).otherwise(""))
+  }
+
   /** n-token shingles of a token array column (empty when fewer than n tokens). */
   private def shinglesN(toks: Column, n: Int): Column = {
     val all = transform(toks, (t, i) =>
@@ -539,31 +573,7 @@ object Dedup {
             when($"doc_id" % 2 === 0, "a=1&b=2").otherwise("b=2&a=1"),
             when($"doc_id" % 6 === 0, "#sec").otherwise("")).as("url"))
       messy
-        .withColumn("u0", element_at(split($"url", "#"), 1)) // fragment is client-side
-        .withColumn("scheme", lower(element_at(split($"u0", "://"), 1)))
-        .withColumn("rest", element_at(split($"u0", "://"), 2))
-        .withColumn("hostport", element_at(split($"rest", "/"), 1))
-        .withColumn("pathq", expr("substr(rest, length(hostport) + 1)"))
-        .withColumn("host0", lower(element_at(split($"hostport", ":"), 1)))
-        .withColumn("port", try_element_at(split($"hostport", ":"), lit(2)))
-        .withColumn("host",
-          when(substring($"host0", 1, 4) === "www.", expr("substr(host0, 5)")).otherwise($"host0"))
-        .withColumn("keep_port", // default ports are noise; a real nonstandard port is identity
-          $"port".isNotNull &&
-            !(($"scheme" === "https" && $"port" === "443") ||
-              ($"scheme" === "http" && $"port" === "80")))
-        .withColumn("path0", element_at(split($"pathq", "\\?"), 1))
-        .withColumn("path",
-          when(length($"path0") > 1 && substring($"path0", -1, 1) === "/",
-            expr("substr(path0, 1, length(path0) - 1)")).otherwise($"path0"))
-        .withColumn("params",
-          array_join(array_sort(filter(split(coalesce(try_element_at(split($"pathq", "\\?"), lit(2)), lit("")), "&"),
-            x => substring(x, 1, 4) =!= "utm_" && x =!= "")), "&"))
-        .withColumn("canon_url", concat(
-          $"scheme", lit("://"), $"host",
-          when($"keep_port", concat(lit(":"), $"port")).otherwise(""),
-          $"path",
-          when($"params" =!= "", concat(lit("?"), $"params")).otherwise("")))
+        .withColumn("canon_url", canonicalizeUrl($"url"))
         .groupBy($"canon_url")
         .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("dup_cnt"))
         .orderBy($"canon_url")
