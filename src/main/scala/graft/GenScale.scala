@@ -35,7 +35,9 @@ object GenScale {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    // via Tables: `ts` arrives as the canonical nanos-long whatever the source dir's
+    // physical form (nanos, micros-LTZ, or the round-10 driver dirs' micros-NTZ)
+    def read(t: String) = graft.engine.Tables(spark, src, t)
     def write(df: DataFrame, t: String): Unit =
       df.write.mode("overwrite").parquet(s"$out/$t.parquet")
 

@@ -765,6 +765,53 @@ object CdcQueries {
           sum($"before".isNull.cast("int")).cast("long").as("null_before_cnt"))
         .orderBy($"operation")
     },
+    // SCD2 HISTORY — the dimension-table consumer the apply family's FINAL-state queries
+    // deliberately collapse: instead of folding the envelope to one row per key, keep
+    // EVERY committed version as a validity interval. The reference connector's users
+    // build exactly this downstream of the topic (type-2 slowly-changing dimensions);
+    // here it runs over the same mergeEnvelope script the apply gates use, so the oracle
+    // can reconstruct it with plain arithmetic. Spark shape: base snapshot rows become
+    // version 0, envelope rows version N; per-column state is a running
+    // last(..., ignoreNulls) over the (key, scn) window with a struct wrap so an explicit
+    // SET NULL (the %6 update) is a real overlay, not a skipped null; valid_to comes from
+    // lead() over the SAME sorted frame WITH delete markers still present (a DELETE
+    // closes the last version but emits no row). One shuffle on the key — the per-key
+    // sort window is the canonical SCD2 build and survives 100× (history depth per key is
+    // bounded by that key's change count, not corpus size).
+    "cdc_scd2_history" -> { (s, dir) =>
+      import s.implicits._
+      val env = mergeEnvelope(s, dir, lit(true))
+        .select(
+          coalesce($"data".getItem("O_ORDERKEY"), $"before".getItem("O_ORDERKEY"))
+            .cast("long").as("o_orderkey"),
+          $"scn".cast("long").as("scn"), $"operation", $"data")
+      // base scn = -1: key 0 exists in orders, so a 0 base would TIE with its %6
+      // update's scn (0*10+0) and make the window order nondeterministic
+      val base = Tables(s, dir, "orders")
+        .select($"o_orderkey".cast("long").as("o_orderkey"),
+          lit(-1L).as("scn"), lit("BASE").as("operation"),
+          map(lit("O_ORDERSTATUS"), $"o_orderstatus",
+            lit("O_ORDERPRIORITY"), $"o_orderpriority").as("data"))
+      import org.apache.spark.sql.expressions.Window
+      val wState = Window.partitionBy($"o_orderkey").orderBy($"scn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wLead = Window.partitionBy($"o_orderkey").orderBy($"scn")
+      // struct wrap: last(ignoreNulls) must treat "column set to NULL" as a present
+      // overlay (struct is non-null, field is null) and "column untouched" as absent
+      def stateOf(c: String): Column =
+        last(when(map_contains_key($"data", c), struct($"data".getItem(c).as("v"))),
+          ignoreNulls = true).over(wState).getField("v")
+      base.unionByName(env)
+        .withColumn("o_orderstatus", stateOf("O_ORDERSTATUS"))
+        .withColumn("o_orderpriority", stateOf("O_ORDERPRIORITY"))
+        .withColumn("valid_to_scn", lead($"scn", 1).over(wLead))
+        .filter($"operation" =!= RedoEvent.Delete)
+        .select($"o_orderkey", $"scn".as("valid_from_scn"), $"valid_to_scn",
+          row_number().over(wLead).cast("long").as("ver"),
+          $"o_orderstatus", $"o_orderpriority",
+          $"valid_to_scn".isNull.cast("int").as("is_current"))
+        .orderBy($"o_orderkey", $"valid_from_scn")
+    },
   )
 
   /** The e2e pipeline feed shared by cdc_pipeline_e2e and cdc_pipeline_restart — both
@@ -1048,5 +1095,37 @@ object CdcQueries {
         |  cast(sum(CASE WHEN operation IN ('DELETE','DDL') THEN 1 ELSE 0 END) AS BIGINT) AS null_data_cnt,
         |  cast(sum(CASE WHEN operation IN ('INSERT','DDL') THEN 1 ELSE 0 END) AS BIGINT) AS null_before_cnt
         |FROM c GROUP BY 1, 2 ORDER BY operation""".stripMargin,
+    // the merge script's FULL version history: base version + one row per surviving
+    // envelope op, with analytic per-version state (the %6 NULL carries into the %3 'Z'
+    // version; the %9 double-update resets both columns) and lead-closed intervals
+    // (delete markers close the last version, then vanish)
+    "cdc_scd2_history" ->
+      """WITH base AS (SELECT cast(o_orderkey AS BIGINT) AS k, o_orderstatus AS st0,
+        |                     o_orderpriority AS pr0 FROM orders),
+        |v AS (
+        |  SELECT k AS key, cast(-1 AS BIGINT) AS scn, 'V' AS kind, st0 AS st, pr0 AS pr FROM base
+        |  UNION ALL
+        |  SELECT k, k*10+0, 'V', st0, NULL FROM base WHERE k % 6 = 0
+        |  UNION ALL
+        |  SELECT k, k*10+1, 'V', 'Z', CASE WHEN k % 6 = 0 THEN NULL ELSE pr0 END
+        |  FROM base WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT k, k*10+3, 'V', 'Y', '9-PRIO' FROM base WHERE k % 9 = 0
+        |  UNION ALL
+        |  SELECT k, k*10+5, 'D', NULL, NULL FROM base WHERE k % 10 = 0
+        |  UNION ALL
+        |  SELECT k+10000000, k*10+2, 'V', 'N', 'NEW' FROM base WHERE k % 4 = 0
+        |  UNION ALL
+        |  SELECT k+10000000, k*10+4, 'V', 'M', 'NEW' FROM base WHERE k % 8 = 0
+        |),
+        |w AS (SELECT key, scn, kind, st, pr,
+        |        lead(scn) OVER (PARTITION BY key ORDER BY scn) AS valid_to
+        |      FROM v)
+        |SELECT key AS o_orderkey, scn AS valid_from_scn, valid_to AS valid_to_scn,
+        |  row_number() OVER (PARTITION BY key ORDER BY scn) AS ver,
+        |  st AS o_orderstatus, pr AS o_orderpriority,
+        |  CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM w WHERE kind = 'V'
+        |ORDER BY o_orderkey, valid_from_scn""".stripMargin,
   )
 }

@@ -13,16 +13,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // Canonical `ts` representation is nanos-since-epoch LongType (the driver's
-    // TIMESTAMP(NANOS) under the nanosAsLong read). GenScale-derived dirs instead carry
-    // TIMESTAMP micros — Spark cannot emit nanos — so normalize on read: every query
-    // (and every `ts div 1000` in the suite) sees ONE type at every scale. withColumn
-    // keeps the column's position, so schema order is unchanged.
+    // Canonical `ts` representation is nanos-since-epoch LongType (historical driver dirs
+    // wrote TIMESTAMP(NANOS), read as LongType under nanosAsLong). Micros dirs appear two
+    // ways — GenScale-derived dirs as TIMESTAMP (LTZ), and the round-10 driver testdata as
+    // TIMESTAMP_NTZ (pyarrow timestamp[us], isAdjustedToUTC=false) — so normalize BOTH on
+    // read: every query (and every `ts div 1000` in the suite) sees ONE type at every
+    // scale. The NTZ wall-clock is reinterpreted in the session zone (every entry point
+    // pins UTC), which is the instant the driver wrote. withColumn keeps the column's
+    // position, so schema order is unchanged.
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
     df.schema.find(f => f.name == "ts" &&
-        f.dataType == org.apache.spark.sql.types.TimestampType) match {
+        (f.dataType == TimestampType || f.dataType == TimestampNTZType)) match {
       case Some(_) =>
         df.withColumn("ts",
-          org.apache.spark.sql.functions.unix_micros(df("ts")) * 1000L)
+          org.apache.spark.sql.functions.unix_micros(df("ts").cast(TimestampType)) * 1000L)
       case None => df
     }
   }

@@ -1,0 +1,70 @@
+package graft.cdc
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Structural invariants of the `cdc_scd2_history` query (CdcQueries) that the value-hash
+ * oracle can't state directly: interval chaining, current-row uniqueness, and the
+ * explicit-SET-NULL overlay. Runs on the sf0.001 driver testdata like the other e2e specs.
+ */
+class Scd2Spec extends AnyFunSuite {
+
+  private lazy val spark = graft.SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val hist =
+    graft.SparkEntry.queries("cdc_scd2_history")(spark, dir).cache()
+
+  test("intervals chain per key: each valid_to equals the next version's valid_from") {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_orderkey").orderBy($"valid_from_scn")
+    val broken = hist
+      .withColumn("next_from", lead($"valid_from_scn", 1).over(w))
+      // non-final versions must close exactly at the next version's start; the FINAL
+      // version may stay open (null) or be closed by a delete marker (> its own start)
+      .filter(($"next_from".isNotNull && ($"valid_to_scn".isNull || $"valid_to_scn" =!= $"next_from")) ||
+        ($"next_from".isNull && $"valid_to_scn".isNotNull && $"valid_to_scn" <= $"valid_from_scn"))
+      .count()
+    assert(broken === 0L)
+  }
+
+  test("at most one current version per key; deleted keys have zero") {
+    import spark.implicits._
+    val perKey = hist.groupBy($"o_orderkey")
+      .agg(sum($"is_current").as("cur"), max($"o_orderkey").as("k"))
+    assert(perKey.filter($"cur" > 1).count() === 0L)
+    // %10 keys are deleted by the script (and no other op resurrects an original key)
+    val deleted = perKey.filter($"k" % 10 === 0 && $"k" < 10000000L)
+    assert(deleted.count() > 0L, "the sf dir should contain %10 keys")
+    assert(deleted.filter($"cur" =!= 0).count() === 0L)
+  }
+
+  test("explicit SET NULL overlays and survives until re-set (%6 vs %9 keys)") {
+    import spark.implicits._
+    // a %6 key that is NOT %9 and NOT deleted: its current version carries NULL priority
+    val nulled = hist.filter($"is_current" === 1 &&
+      $"o_orderkey" % 6 === 0 && $"o_orderkey" % 9 =!= 0 &&
+      $"o_orderkey" % 10 =!= 0 && $"o_orderkey" < 10000000L)
+    assert(nulled.count() > 0L)
+    assert(nulled.filter($"o_orderpriority".isNotNull).count() === 0L)
+    // a %18 key (both %6 and %9, not deleted): the later %9 update re-sets it to 9-PRIO
+    val reset = hist.filter($"is_current" === 1 &&
+      $"o_orderkey" % 18 === 0 && $"o_orderkey" % 10 =!= 0 && $"o_orderkey" < 10000000L)
+    assert(reset.count() > 0L)
+    assert(reset.filter($"o_orderpriority" =!= "9-PRIO" || $"o_orderpriority".isNull).count() === 0L)
+  }
+
+  test("version counts match the script arithmetic for a spot key") {
+    import spark.implicits._
+    // key 12: %6 (prio NULL), %3 ('Z'), %4 (spawns 10000012) — base + 2 updates = 3 rows
+    val k12 = hist.filter($"o_orderkey" === 12L).orderBy($"valid_from_scn").collect()
+    assert(k12.map(_.getAs[Long]("valid_from_scn")).toSeq === Seq(-1L, 120L, 121L))
+    assert(k12.last.getAs[String]("o_orderstatus") === "Z")
+    assert(k12.last.getAs[String]("o_orderpriority") == null)
+    // its spawned key: insert at 122, no %8 update (12 % 8 != 0) — one current row
+    val spawned = hist.filter($"o_orderkey" === 10000012L).collect()
+    assert(spawned.length === 1 && spawned.head.getAs[Int]("is_current") === 1)
+  }
+}
