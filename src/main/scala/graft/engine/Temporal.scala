@@ -376,9 +376,46 @@ object Temporal {
         .agg(countDistinct($"user_id").as("active_users"))
         .orderBy($"cohort_week", $"weeks_since")
     },
+    // HEAVY HITTERS — exact φ-frequent keys (count·k > N, φ = 1/k) via the two-pass
+    // sketch-then-verify shape that survives unbounded key cardinality: pass 1 runs a
+    // per-partition Misra–Gries summary ([[MisraGries.candidates]], capacity k counters
+    // per partition, O(k) state) whose union is a GUARANTEED superset of every global
+    // φ-heavy key (pigeonhole: a key with global count > N/k exceeds n_p/k in ≥1
+    // partition); pass 2 broadcast-semi-joins the tiny candidate set back onto the scan
+    // and recounts EXACTLY, so the emitted counts are exact, not estimates. Nothing
+    // full-cardinality ever shuffles — at 100 TB the only exchange is the candidate
+    // recount (map-side partial aggs over ≤ k×partitions keys) vs the naive
+    // groupBy-everything whose exchange carries every distinct key in the corpus. The
+    // scalar N rides a 1-row broadcast (the one allowlisted product join in this plan).
+    "events_heavy_hitters" -> { (s, dir) =>
+      import s.implicits._
+      val events = Tables(s, dir, "events").select($"user_id")
+      val cands = MisraGries.candidates(events.as[Long], HeavyHitterK).toDF("user_id")
+      val total = events.agg(count(lit(1)).as("n_total"))
+      events.join(broadcast(cands.distinct()), Seq("user_id"))
+        .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+        // 1-row scalar side: the only product join, allowlisted in PlanSweepSpec
+        .crossJoin(broadcast(total))
+        .filter($"cnt" * HeavyHitterK > $"n_total")
+        .select($"user_id", $"cnt", $"n_total")
+        .orderBy($"user_id")
+    },
   )
 
+  /** Heavy-hitter frequency threshold: φ = 1/1100 of the stream (count·1100 > N).
+    * Also the per-partition Misra–Gries capacity — C = k is exactly what the superset
+    * guarantee needs. Shared with the oracle SQL so the gates cannot drift. */
+  private[engine] val HeavyHitterK = 1100L
+
   val oracle: Map[String, String] = Map(
+    // the naive exact answer — the two-pass sketch+verify must be indistinguishable
+    "events_heavy_hitters" ->
+      s"""WITH t AS (SELECT cast(count(*) AS BIGINT) AS n_total FROM events)
+         |SELECT user_id, cast(count(*) AS BIGINT) AS cnt,
+         |  (SELECT n_total FROM t) AS n_total
+         |FROM events GROUP BY user_id
+         |HAVING cast(count(*) AS BIGINT) * $HeavyHitterK > (SELECT n_total FROM t)
+         |ORDER BY user_id""".stripMargin,
     "events_retention" ->
       s"""WITH w AS (SELECT user_id,
          |  datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS wk FROM events),

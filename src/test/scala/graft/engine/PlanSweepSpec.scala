@@ -42,6 +42,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "simsearch_filtered"     -> "query-vector constant on the filtered scan (Similarity.scala:88)",
     "dedup_semantic"         -> "one-round Lloyd centroids (Similarity.scala:401)",
     "dedup_embedding_cosine" -> "sign-projection hyperplanes (Similarity.scala:427)",
+    "events_heavy_hitters"   -> "1-row global-count scalar crossJoin (Temporal.scala, heavy hitters)",
   )
 
   test("no query plan contains CartesianProduct; BNLJ only where allowlisted") {
