@@ -437,6 +437,41 @@ object Similarity {
         .filter($"sim" >= 0.999)
         .orderBy($"vec_a", $"vec_b")
     },
+    // INT8 SCALAR QUANTIZATION — the storage-scale path PQ doesn't cover: per-DIMENSION
+    // global [min,max] ranges train the codec (the classic symmetric scalar quantizer
+    // every vector store ships), every milli-quantized vector compresses 8→1 bytes/dim,
+    // and the gate pins BOTH the exact codes (an index-weighted checksum) and the
+    // reconstruction error, all in integer arithmetic so the hash holds cross-engine.
+    // Plan: one posexplode pass → 64-row per-dim stats → folded to ONE broadcast row of
+    // [mins, maxs] arrays (the trained codec artifact) → a single narrow map stage
+    // quantizes/reconstructs inside codegen'd array lambdas. At 100 TB the stats pass is
+    // a map-side-combined agg over 64 keys and the encode is embarrassingly parallel;
+    // the only product join is the 1-row codec broadcast (allowlisted).
+    "simsearch_quantize_int8" -> { (s, dir) =>
+      import s.implicits._
+      val q = milliQ(s, dir).select($"vec_id", $"qv")
+      val codec = q.select(posexplode($"qv").as(Seq("pos", "v")))
+        .groupBy($"pos").agg(min($"v").as("mn"), max($"v").as("mx"))
+        .agg(
+          transform(array_sort(collect_list(struct($"pos", $"mn"))),
+            x => x.getField("mn")).as("mins"),
+          transform(array_sort(collect_list(struct($"pos", $"mx"))),
+            x => x.getField("mx")).as("maxs"))
+        .select($"mins", $"maxs",
+          expr("transform(maxs, (m, i) -> greatest(m - element_at(mins, i + 1), 1L))")
+            .as("rng"))
+      q.crossJoin(broadcast(codec))
+        .withColumn("codes", expr(
+          "transform(qv, (x, i) -> ((x - element_at(mins, i + 1)) * 255) div element_at(rng, i + 1))"))
+        .withColumn("recon", expr(
+          "transform(codes, (c, i) -> element_at(mins, i + 1) + ((c * element_at(rng, i + 1)) div 255))"))
+        .select($"vec_id",
+          expr("aggregate(zip_with(qv, recon, (a, b) -> abs(a - b)), 0L, (acc, e) -> acc + e)")
+            .as("err_sum"),
+          expr("aggregate(transform(codes, (c, i) -> c * (cast(i as bigint) + 1)), 0L, (acc, e) -> acc + e)")
+            .as("code_checksum"))
+        .orderBy($"vec_id")
+    },
   )
 
   /** The integer-L2 IVF recall protocol behind `simsearch_ivf_trained`, parameterized so
@@ -582,6 +617,22 @@ object Similarity {
        |  WHERE rnk <= $IvfTopK)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // per-dim [min,max] codec over the same trunc(x*1000) integer domain; // matches
+    // Spark's div on the non-negative numerators; pos is 1-based like Spark's i+1 weight
+    "simsearch_quantize_int8" ->
+      """WITH q AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(trunc(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |d AS (SELECT vec_id, unnest(qv) AS v, generate_subscripts(qv, 1) AS pos FROM q),
+        |st AS (SELECT pos, min(v) AS mn, greatest(max(v) - min(v), 1) AS rng
+        |       FROM d GROUP BY pos),
+        |c AS (SELECT d.vec_id, d.pos, d.v, st.mn, st.rng,
+        |        ((d.v - st.mn) * 255) // st.rng AS code
+        |      FROM d JOIN st USING (pos))
+        |SELECT vec_id,
+        |  cast(sum(abs(v - (mn + (code * rng) // 255))) AS BIGINT) AS err_sum,
+        |  cast(sum(code * pos) AS BIGINT) AS code_checksum
+        |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     // exact-integer Lloyd round: trunc(x*1000) quantization matches Spark's
     // double->long cast (both truncate toward zero); list_dot_product over the BIGINT
     // lists is exact below 2^53; floor division matches Spark's floor(cast/cnt)

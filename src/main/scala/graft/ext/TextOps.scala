@@ -619,11 +619,70 @@ object TextOps {
         .select($"lang", $"n", $"p"(0).as("p50"), $"p"(1).as("p90"), $"p"(2).as("p99"))
         .orderBy($"lang")
     },
+    // BIGRAM-LM SCORE — the CCNet-style fluency filter: train bigram statistics on the
+    // corpus itself, then score every document by how well the corpus model predicts it
+    // (a cheap perplexity proxy; real pipelines swap in a held-out KenLM, same plan
+    // shape). Per-bigram credit is the conditional frequency C(a b)/C(a ·) in integer
+    // basis points — INTEGER math end to end, so the per-doc sum is order-independent
+    // and the cross-engine hash gate holds. Plan: ONE explode of the tokenized scan into
+    // bigrams (zip_with over two slices — no self-join), a partial-aggregated model
+    // build (distinct-bigram cardinality, not corpus cardinality), the model closed
+    // under its prefix marginals, then one equi shuffle join of doc-bigrams to the model
+    // and a per-doc sum. At 100 TB every stage is a hash shuffle on a uniform-ish token
+    // key with map-side combine; nothing driver-side, nothing quadratic.
+    "text_lm_score" -> { (s, dir) =>
+      import s.implicits._
+      val docs = graft.engine.Tables(s, dir, "documents")
+        .select($"doc_id", tokens($"text").as("toks"))
+        .filter(size($"toks") >= 2)
+      val bigrams = docs.select($"doc_id",
+        explode(zip_with(
+          slice($"toks", lit(1), size($"toks") - 1),
+          slice($"toks", lit(2), size($"toks") - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+      val bgCounts = bigrams.groupBy($"bg").agg(count(lit(1)).as("c_bg"))
+      // prefix marginal C(a ·) from the bigram counts themselves (sum, not a re-scan)
+      val model = bgCounts
+        .withColumn("pref", split($"bg", " ").getItem(0))
+        .withColumn("c_pref",
+          sum($"c_bg").over(org.apache.spark.sql.expressions.Window.partitionBy($"pref")))
+        .select($"bg", $"c_bg", $"c_pref")
+      bigrams.join(model, Seq("bg"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(expr(s"c_bg * $LmScaleBp div c_pref")).as("lm_bp_sum"))
+        .select($"doc_id", $"n_bigrams", $"lm_bp_sum",
+          expr("lm_bp_sum div n_bigrams").as("lm_bp_avg"))
+        .orderBy($"doc_id")
+    },
   )
+
+  /** Integer basis-point scale of the [[text_lm_score]] conditional frequencies —
+    * shared with the oracle so the gates cannot drift. */
+  private val LmScaleBp = 10000L
 
   private val stopwordSql = stopwords.map(w => s"x = '$w'").mkString(" OR ")
 
   val oracle: Map[String, String] = Map(
+    // the same bigram model stated with unnest + window marginals
+    "text_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |    list_filter(string_split_regex(trim(text),'\\s+'), x -> x <> '') AS l
+         |  FROM documents),
+         |t AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+         |      FROM toks WHERE len(l) >= 2),
+         |b0 AS (SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+         |       FROM t),
+         |b AS (SELECT doc_id, bg FROM b0 WHERE bg IS NOT NULL),
+         |cb AS (SELECT bg, cast(count(*) AS BIGINT) AS c_bg FROM b GROUP BY bg),
+         |m AS (SELECT bg, c_bg,
+         |        cast(sum(c_bg) OVER (PARTITION BY split_part(bg, ' ', 1)) AS BIGINT) AS c_pref
+         |      FROM cb)
+         |SELECT b.doc_id, cast(count(*) AS BIGINT) AS n_bigrams,
+         |  cast(sum(m.c_bg * $LmScaleBp // m.c_pref) AS BIGINT) AS lm_bp_sum,
+         |  cast(sum(m.c_bg * $LmScaleBp // m.c_pref) // count(*) AS BIGINT) AS lm_bp_avg
+         |FROM b JOIN m USING (bg)
+         |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
     "text_stats" ->
       """SELECT lang, cast(count(*) AS BIGINT) AS doc_cnt,
         | cast(sum(n_chars) AS BIGINT) AS sum_chars,

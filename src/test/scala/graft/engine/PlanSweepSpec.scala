@@ -43,6 +43,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "dedup_semantic"         -> "one-round Lloyd centroids (Similarity.scala:401)",
     "dedup_embedding_cosine" -> "sign-projection hyperplanes (Similarity.scala:427)",
     "events_heavy_hitters"   -> "1-row global-count scalar crossJoin (Temporal.scala, heavy hitters)",
+    "simsearch_quantize_int8" -> "1-row trained-codec broadcast: [mins,maxs,rng] arrays (Similarity.scala)",
   )
 
   test("no query plan contains CartesianProduct; BNLJ only where allowlisted") {
