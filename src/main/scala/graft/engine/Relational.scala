@@ -531,9 +531,74 @@ object Relational {
         .orderBy($"o_orderkey")
         .limit(100)
     },
+    // PAGERANK (3 unrolled iterations, damping 85/100, INTEGER-scaled so the hash gate
+    // holds) over the bipartite user↔topic graph distilled from events (`props.k` is the
+    // topic a user touched). This is the OTHER iterative-graph shape beyond the
+    // components' label propagation: per-round rank mass flows along edges
+    // (join → div by out-degree → sum by destination), then the damped update. Integer
+    // division floors identically in both engines and the per-destination sum is
+    // order-independent, so three rounds stay bit-exact. Scale posture: each round is
+    // one equi shuffle join (edges ⋈ ranks on the node key) + one partial-aggregated
+    // sum — the standard distributed PageRank step; edges carry their out-degree from a
+    // cached one-pass build, and the loop depth is a fixed constant (plan unrolls, no
+    // driver-side data movement).
+    "graph_pagerank" -> { (s, dir) =>
+      import s.implicits._
+      val raw = Tables(s, dir, "events")
+        .select($"user_id",
+          from_json($"props", org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k").as("k"))
+        .filter($"k".isNotNull)
+        .select($"user_id".as("u"), $"k").distinct()
+      val edges = raw
+        .select(lit("u").as("sk"), $"u".as("sid"), lit("k").as("dk"), $"k".as("did"))
+        .unionByName(raw
+          .select(lit("k").as("sk"), $"k".as("sid"), lit("u").as("dk"), $"u".as("did")))
+      val deg = edges.groupBy($"sk", $"sid").agg(count(lit(1)).as("deg"))
+      val ed = edges.join(deg, Seq("sk", "sid")).cache()
+      val nodes = deg.select($"sk".as("kind"), $"sid".as("id"))
+      var ranks = nodes.select($"kind", $"id", lit(PrScale).as("r"))
+      for (_ <- 1 to 3) {
+        val contrib = ed
+          .join(ranks, ed("sk") === ranks("kind") && ed("sid") === ranks("id"))
+          .select($"dk".as("kind"), $"did".as("id"), expr("r div deg").as("c"))
+          .groupBy($"kind", $"id").agg(sum($"c").as("c"))
+        ranks = nodes.join(contrib, Seq("kind", "id"), "left_outer")
+          .select($"kind", $"id",
+            (lit(PrScale * 15L / 100L) + expr("(85 * coalesce(c, 0L)) div 100")).as("r"))
+      }
+      ranks.select($"kind", $"id", $"r".as("rank")).orderBy($"kind", $"id")
+    },
   )
 
+  /** Integer rank scale of `graph_pagerank` (1 unit of PageRank mass = 1e12) —
+    * shared with the oracle so the gates cannot drift. */
+  private val PrScale = 1000000000000L
+
   val oracle: Map[String, String] = Map(
+    // the same three damped rounds unrolled as CTEs; // floors like Spark's div on the
+    // non-negative rank mass
+    "graph_pagerank" -> {
+      val base = PrScale * 15L / 100L
+      def round(prev: String, cur: String) =
+        s"""c$cur AS (SELECT dk AS kind, did AS id, cast(sum(r.r // ed.deg) AS BIGINT) AS c
+           |  FROM ed JOIN r$prev r ON r.kind = ed.sk AND r.id = ed.sid GROUP BY dk, did),
+           |r$cur AS (SELECT n.kind, n.id,
+           |    cast($base + (85 * coalesce(c$cur.c, 0)) // 100 AS BIGINT) AS r
+           |  FROM n LEFT JOIN c$cur ON n.kind = c$cur.kind AND n.id = c$cur.id)""".stripMargin
+      s"""WITH raw AS (SELECT DISTINCT user_id AS u, (props->>'k')::BIGINT AS k
+         |  FROM events WHERE (props->>'k') IS NOT NULL),
+         |e AS (SELECT 'u' AS sk, u AS sid, 'k' AS dk, k AS did FROM raw
+         |      UNION ALL SELECT 'k', k, 'u', u FROM raw),
+         |deg AS (SELECT sk, sid, cast(count(*) AS BIGINT) AS deg FROM e GROUP BY sk, sid),
+         |ed AS (SELECT e.sk, e.sid, e.dk, e.did, deg.deg FROM e JOIN deg USING (sk, sid)),
+         |n AS (SELECT sk AS kind, sid AS id FROM deg),
+         |r0 AS (SELECT kind, id, cast($PrScale AS BIGINT) AS r FROM n),
+         |${round("0", "1")},
+         |${round("1", "2")},
+         |${round("2", "3")}
+         |SELECT kind, id, r AS rank FROM r3 ORDER BY kind, id""".stripMargin
+    },
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,

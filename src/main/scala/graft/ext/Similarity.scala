@@ -61,6 +61,9 @@ object Similarity {
     * exact under `div`. */
   private val RrfK = 60
   private val RrfScale = 1000000000L
+  /** Context-window token budget of the `rag_context_pack` greedy prefix pack —
+    * shared with the oracle so the gates cannot drift. */
+  private val RagPackBudget = 256L
   /** SemDeDup near-dup radius in integer milli² units — far below the ~1.3e8 distance of
     * a random 64-dim pair, so only genuine copies fall inside. */
   private val SemDedupEpsMilli = 1000000L
@@ -437,6 +440,39 @@ object Similarity {
         .filter($"sim" >= 0.999)
         .orderBy($"vec_a", $"vec_b")
     },
+    // RAG CONTEXT PACKING — the retrieval SERVING shape end to end: brute-force cosine
+    // shortlist per query (the exact baseline every ANN variant here approximates), the
+    // bounded rank list BROADCAST into the documents scan (the big side never shuffles;
+    // a 100 TB corpus is probed by a hash join against 3×k rows), per-doc token counts
+    // on the same split used corpus-wide, then the greedy prefix pack: a running token
+    // cumsum over the rank order, cut at the context budget — retrieved docs fill the
+    // window best-first until it is full. Monotone cumsum ⇒ the filter keeps a PREFIX,
+    // which is exactly the packing a serving stack performs.
+    "rag_context_pack" -> { (s, dir) =>
+      import s.implicits._
+      graft.functions.VecDot.ensureRegistered(s) // analyze against THIS session
+      val emb = graft.engine.Tables(s, dir, "embeddings")
+        .select($"vec_id", toDouble($"embedding").as("v"))
+        .withColumn("nrm", sqrt(dot($"v", $"v")))
+      val q = emb.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+      val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
+      val shortlist = emb.join(broadcast(q), $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id",
+          round(dot($"v", $"qv") / ($"nrm" * $"qnrm"), 6).as("sim"))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= TopK)
+      val docs = graft.engine.Tables(s, dir, "documents")
+        .select($"doc_id", size(TextOps.tokens($"text")).cast("long").as("tok_cnt"))
+      val wPack = Window.partitionBy($"q_id").orderBy($"rnk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.join(broadcast(shortlist), $"vec_id" === $"doc_id")
+        .withColumn("cum_tokens", sum($"tok_cnt").over(wPack))
+        .filter($"cum_tokens" <= RagPackBudget)
+        .select($"q_id", $"rnk".cast("long").as("rnk"), $"doc_id", $"tok_cnt",
+          $"cum_tokens", $"sim")
+        .orderBy($"q_id", $"rnk")
+    },
     // INT8 SCALAR QUANTIZATION — the storage-scale path PQ doesn't cover: per-DIMENSION
     // global [min,max] ranges train the codec (the classic symmetric scalar quantizer
     // every vector store ships), every milli-quantized vector compresses 8→1 bytes/dim,
@@ -617,6 +653,24 @@ object Similarity {
        |  WHERE rnk <= $IvfTopK)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same exact-cosine shortlist as simsearch_topk, joined to per-doc token counts and
+    // prefix-packed by a rank-ordered running sum cut at the budget
+    "rag_context_pack" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE $qSetSql),
+         |scored AS (SELECT q_id, vec_id,
+         |  round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS sim
+         |  FROM e, q WHERE vec_id <> q_id),
+         |ranked AS (SELECT q_id, vec_id, sim,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk FROM scored),
+         |d AS (SELECT doc_id,
+         |  cast(len(list_filter(string_split_regex(trim(text),'\\s+'), x -> x <> '')) AS BIGINT) AS tok_cnt
+         |  FROM documents),
+         |j AS (SELECT r.q_id, r.rnk, d.doc_id, d.tok_cnt, r.sim,
+         |  cast(sum(d.tok_cnt) OVER (PARTITION BY r.q_id ORDER BY r.rnk) AS BIGINT) AS cum_tokens
+         |  FROM ranked r JOIN d ON r.vec_id = d.doc_id WHERE r.rnk <= $TopK)
+         |SELECT q_id, rnk, doc_id, tok_cnt, cum_tokens, sim FROM j
+         |WHERE cum_tokens <= $RagPackBudget ORDER BY q_id, rnk""".stripMargin,
     // per-dim [min,max] codec over the same trunc(x*1000) integer domain; // matches
     // Spark's div on the non-negative numerators; pos is 1-based like Spark's i+1 weight
     "simsearch_quantize_int8" ->

@@ -44,6 +44,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "dedup_embedding_cosine" -> "sign-projection hyperplanes (Similarity.scala:427)",
     "events_heavy_hitters"   -> "1-row global-count scalar crossJoin (Temporal.scala, heavy hitters)",
     "simsearch_quantize_int8" -> "1-row trained-codec broadcast: [mins,maxs,rng] arrays (Similarity.scala)",
+    "rag_context_pack"       -> "query-vector constant shortlist scoring (Similarity.scala, same as simsearch_topk)",
   )
 
   test("no query plan contains CartesianProduct; BNLJ only where allowlisted") {
