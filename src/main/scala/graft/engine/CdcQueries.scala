@@ -780,39 +780,72 @@ object CdcQueries {
     // bounded by that key's change count, not corpus size).
     "cdc_scd2_history" -> { (s, dir) =>
       import s.implicits._
-      val env = mergeEnvelope(s, dir, lit(true))
-        .select(
-          coalesce($"data".getItem("O_ORDERKEY"), $"before".getItem("O_ORDERKEY"))
-            .cast("long").as("o_orderkey"),
-          $"scn".cast("long").as("scn"), $"operation", $"data")
-      // base scn = -1: key 0 exists in orders, so a 0 base would TIE with its %6
-      // update's scn (0*10+0) and make the window order nondeterministic
-      val base = Tables(s, dir, "orders")
-        .select($"o_orderkey".cast("long").as("o_orderkey"),
-          lit(-1L).as("scn"), lit("BASE").as("operation"),
-          map(lit("O_ORDERSTATUS"), $"o_orderstatus",
-            lit("O_ORDERPRIORITY"), $"o_orderpriority").as("data"))
-      import org.apache.spark.sql.expressions.Window
-      val wState = Window.partitionBy($"o_orderkey").orderBy($"scn")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wLead = Window.partitionBy($"o_orderkey").orderBy($"scn")
-      // struct wrap: last(ignoreNulls) must treat "column set to NULL" as a present
-      // overlay (struct is non-null, field is null) and "column untouched" as absent
-      def stateOf(c: String): Column =
-        last(when(map_contains_key($"data", c), struct($"data".getItem(c).as("v"))),
-          ignoreNulls = true).over(wState).getField("v")
-      base.unionByName(env)
-        .withColumn("o_orderstatus", stateOf("O_ORDERSTATUS"))
-        .withColumn("o_orderpriority", stateOf("O_ORDERPRIORITY"))
-        .withColumn("valid_to_scn", lead($"scn", 1).over(wLead))
+      scd2Versions(s, dir)
         .filter($"operation" =!= RedoEvent.Delete)
         .select($"o_orderkey", $"scn".as("valid_from_scn"), $"valid_to_scn",
-          row_number().over(wLead).cast("long").as("ver"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy($"o_orderkey").orderBy($"scn")).cast("long").as("ver"),
           $"o_orderstatus", $"o_orderpriority",
           $"valid_to_scn".isNull.cast("int").as("is_current"))
         .orderBy($"o_orderkey", $"valid_from_scn")
     },
+    // TIME-TRAVEL READ — the table AS OF a fixed SCN, the query the SCD2 history exists
+    // to answer: keep only versions at or before the cut, take the newest per key, drop
+    // keys whose newest record is the delete marker. A mid-stream cut is a CONSISTENT
+    // point in time: low keys (scn = key*10+off) show fully-applied state, high keys
+    // still show the base snapshot — exactly what a replica looked like mid-apply.
+    "cdc_asof_snapshot" -> { (s, dir) =>
+      import s.implicits._
+      val wDesc = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_orderkey").orderBy($"scn".desc)
+      scd2Versions(s, dir)
+        .filter($"scn" <= AsOfScn)
+        .withColumn("rn", row_number().over(wDesc))
+        .filter($"rn" === 1 && $"operation" =!= RedoEvent.Delete)
+        .select($"o_orderkey", $"o_orderstatus", $"o_orderpriority")
+        .orderBy($"o_orderkey")
+    },
   )
+
+  /** SCN cut of `cdc_asof_snapshot` — mid-stream at sf0.01 (orders keys 0..14999 emit
+    * script scns up to ~150005, so keys below 7500 are fully applied and the rest still
+    * read as the base snapshot). Shared with the oracle so the gates cannot drift. */
+  private val AsOfScn = 75000L
+
+  /** The shared SCD2 version frame behind `cdc_scd2_history` and `cdc_asof_snapshot`:
+    * base snapshot rows (version 0) unioned with the committed mergeEnvelope ops, each
+    * row carrying the FULL overlaid state at that point (running struct-wrapped
+    * last(ignoreNulls) per column, so an explicit SET NULL — the %6 update — is a real
+    * overlay) plus the lead-closed interval end. Delete markers are still present:
+    * callers decide whether they close intervals (history) or kill keys (as-of). */
+  private def scd2Versions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val env = mergeEnvelope(s, dir, lit(true))
+      .select(
+        coalesce($"data".getItem("O_ORDERKEY"), $"before".getItem("O_ORDERKEY"))
+          .cast("long").as("o_orderkey"),
+        $"scn".cast("long").as("scn"), $"operation", $"data")
+    // base scn = -1: key 0 exists in orders, so a 0 base would TIE with its %6
+    // update's scn (0*10+0) and make the window order nondeterministic
+    val base = Tables(s, dir, "orders")
+      .select($"o_orderkey".cast("long").as("o_orderkey"),
+        lit(-1L).as("scn"), lit("BASE").as("operation"),
+        map(lit("O_ORDERSTATUS"), $"o_orderstatus",
+          lit("O_ORDERPRIORITY"), $"o_orderpriority").as("data"))
+    import org.apache.spark.sql.expressions.Window
+    val wState = Window.partitionBy($"o_orderkey").orderBy($"scn")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLead = Window.partitionBy($"o_orderkey").orderBy($"scn")
+    // struct wrap: last(ignoreNulls) must treat "column set to NULL" as a present
+    // overlay (struct is non-null, field is null) and "column untouched" as absent
+    def stateOf(c: String): Column =
+      last(when(map_contains_key($"data", c), struct($"data".getItem(c).as("v"))),
+        ignoreNulls = true).over(wState).getField("v")
+    base.unionByName(env)
+      .withColumn("o_orderstatus", stateOf("O_ORDERSTATUS"))
+      .withColumn("o_orderpriority", stateOf("O_ORDERPRIORITY"))
+      .withColumn("valid_to_scn", lead($"scn", 1).over(wLead))
+  }
 
   /** The e2e pipeline feed shared by cdc_pipeline_e2e and cdc_pipeline_restart — both
     * gate against the SAME oracle (the uninterrupted run's final state), so the feed is
@@ -1127,5 +1160,32 @@ object CdcQueries {
         |  CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
         |FROM w WHERE kind = 'V'
         |ORDER BY o_orderkey, valid_from_scn""".stripMargin,
+    // the same version list cut at the as-of scn; newest surviving record per key wins,
+    // keys whose newest record is the delete marker vanish
+    "cdc_asof_snapshot" ->
+      s"""WITH base AS (SELECT cast(o_orderkey AS BIGINT) AS k, o_orderstatus AS st0,
+         |                     o_orderpriority AS pr0 FROM orders),
+         |v AS (
+         |  SELECT k AS key, cast(-1 AS BIGINT) AS scn, 'V' AS kind, st0 AS st, pr0 AS pr FROM base
+         |  UNION ALL
+         |  SELECT k, k*10+0, 'V', st0, NULL FROM base WHERE k % 6 = 0
+         |  UNION ALL
+         |  SELECT k, k*10+1, 'V', 'Z', CASE WHEN k % 6 = 0 THEN NULL ELSE pr0 END
+         |  FROM base WHERE k % 3 = 0
+         |  UNION ALL
+         |  SELECT k, k*10+3, 'V', 'Y', '9-PRIO' FROM base WHERE k % 9 = 0
+         |  UNION ALL
+         |  SELECT k, k*10+5, 'D', NULL, NULL FROM base WHERE k % 10 = 0
+         |  UNION ALL
+         |  SELECT k+10000000, k*10+2, 'V', 'N', 'NEW' FROM base WHERE k % 4 = 0
+         |  UNION ALL
+         |  SELECT k+10000000, k*10+4, 'V', 'M', 'NEW' FROM base WHERE k % 8 = 0
+         |),
+         |sel AS (SELECT key, scn, kind, st, pr,
+         |          row_number() OVER (PARTITION BY key ORDER BY scn DESC) AS rn
+         |        FROM v WHERE scn <= 75000)
+         |SELECT key AS o_orderkey, st AS o_orderstatus, pr AS o_orderpriority
+         |FROM sel WHERE rn = 1 AND kind = 'V'
+         |ORDER BY o_orderkey""".stripMargin,
   )
 }

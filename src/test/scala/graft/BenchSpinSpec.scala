@@ -50,12 +50,18 @@ class BenchSpinSpec extends AnyFunSuite {
     val loaded =
       try (1 to 3).map(_ => Bench.calibrationSpin(iters)).min
       finally { stop = true; burners.foreach(_.join(2000)) }
+    // re-sample after the burners stop and keep the overall min: under `sbt test` other
+    // suites can spike the machine during the FIRST baseline window, inflating it enough
+    // to mask the injected 4x — a healthy rep on either side of the burst restores the
+    // exact shape spinTripped is specified against (one healthy + one contended rep)
+    val baselineAfter = (1 to 3).map(_ => Bench.calibrationSpin(iters)).min
+    val healthy = math.min(baseline, baselineAfter)
 
-    info(f"baseline=${baseline}%.3fs loaded=${loaded}%.3fs ratio=${loaded / baseline}%.1fx")
-    assert(loaded > baseline, "probe must slow under contention")
+    info(f"baseline=${healthy}%.3fs loaded=${loaded}%.3fs ratio=${loaded / healthy}%.1fx")
+    assert(loaded > healthy, "probe must slow under contention")
     // the EXACT degraded condition Bench.main applies to the per-rep spin series: a run
     // whose series contains both healthy and contended reps must stamp degraded:true
-    assert(Bench.spinTripped(Seq(baseline, loaded)),
-      f"injected 4x oversubscription must trip spinTripped (got ${loaded / baseline}%.1fx, gap ${loaded - baseline}%.3fs)")
+    assert(Bench.spinTripped(Seq(healthy, loaded)),
+      f"injected 4x oversubscription must trip spinTripped (got ${loaded / healthy}%.1fx, gap ${loaded - healthy}%.3fs)")
   }
 }

@@ -56,6 +56,21 @@ class Scd2Spec extends AnyFunSuite {
     assert(reset.filter($"o_orderpriority" =!= "9-PRIO" || $"o_orderpriority".isNull).count() === 0L)
   }
 
+  test("as-of snapshot: applied below the cut, base above it, deleted keys absent") {
+    import spark.implicits._
+    // sf0.001 keys are 0..1499, so every script scn (key*10+off <= 15005) is below the
+    // 75000 cut: the as-of read must equal the fully-applied final state
+    val asof = graft.SparkEntry.queries("cdc_asof_snapshot")(spark, dir).cache()
+    // %10 keys were deleted before the cut
+    assert(asof.filter($"o_orderkey" % 10 === 0 && $"o_orderkey" < 10000000L).count() === 0L)
+    // a %3-not-%9-not-deleted key reads its 'Z' update
+    val z = asof.filter($"o_orderkey" === 3L).collect()
+    assert(z.length === 1 && z.head.getAs[String]("o_orderstatus") === "Z")
+    // an inserted key (%4 source) exists with its insert state
+    val ins = asof.filter($"o_orderkey" === 10000004L).collect()
+    assert(ins.length === 1 && ins.head.getAs[String]("o_orderstatus") === "N")
+  }
+
   test("version counts match the script arithmetic for a spot key") {
     import spark.implicits._
     // key 12: %6 (prio NULL), %3 ('Z'), %4 (spawns 10000012) — base + 2 updates = 3 rows
