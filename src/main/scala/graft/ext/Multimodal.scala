@@ -71,6 +71,20 @@ object Multimodal {
   }
 
   private[graft] def decodeWavOne(docId: Long, bytes: Array[Byte]): WavDecoded = {
+    val (format, channels, rate, bits, samples) = parseWav(docId, bytes)
+    var sum = 0L; var f0 = 0L; var i = 0
+    while (i < samples.length) {
+      val v = samples(i) & 0xff
+      sum += v
+      if (i % 8 == 0) f0 += v
+      i += 1
+    }
+    WavDecoded(docId, format, channels, rate, bits, samples.length, sum, f0.toDouble)
+  }
+
+  /** The chunk-walking RIFF/WAVE parse shared by [[decodeWavOne]] and [[audioFeatures]]:
+    * (format, channels, rate, bits, samples). */
+  private def parseWav(docId: Long, bytes: Array[Byte]): (Int, Int, Int, Int, Array[Byte]) = {
     val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def fourcc(): String = {
       val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
@@ -102,14 +116,48 @@ object Multimodal {
       buf.position(next.toInt)
     }
     require(samples != null && format >= 0, s"doc $docId: missing fmt or data chunk")
-    var sum = 0L; var f0 = 0L; var i = 0
-    while (i < samples.length) {
-      val v = samples(i) & 0xff
-      sum += v
-      if (i % 8 == 0) f0 += v
-      i += 1
+    (format, channels, rate, bits, samples)
+  }
+
+  final case class AudioWindow(doc_id: Long, win: Long, n_samples: Long, energy: Long,
+                               crossings: Long)
+
+  /**
+   * Windowed signal features over REAL decoded PCM — the audio analogue of the
+   * scene-cut pass: per fixed-size sample window, the energy (sum of squared deviation
+   * from the 8-bit unsigned midpoint 128 — the RMS numerator, kept integer so the gate
+   * hashes) and the midline zero-crossing count (a crossing between i and i+1 counts in
+   * i's window only when both samples sit in it). Same partition-parallel mapPartitions
+   * batch shape as every codec stage: per-row work is O(samples), state is one window
+   * accumulator row.
+   */
+  def audioFeatures(media: Dataset[MediaRow], win: Int): Dataset[AudioWindow] = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.mapPartitions { batch =>
+      batch.flatMap { m =>
+        val samples = parseWav(m.doc_id, m.payload)._5
+        val n = samples.length
+        val nw = (n + win - 1) / win
+        val cnt = new Array[Long](nw)
+        val energy = new Array[Long](nw)
+        val crossings = new Array[Long](nw)
+        var i = 0
+        while (i < n) {
+          val w = i / win
+          val v = samples(i) & 0xff
+          cnt(w) += 1
+          energy(w) += (v - 128L) * (v - 128L)
+          if (i + 1 < n && (i + 1) / win == w) {
+            val nx = samples(i + 1) & 0xff
+            if ((v < 128) != (nx < 128)) crossings(w) += 1
+          }
+          i += 1
+        }
+        (0 until nw).iterator.map(w =>
+          AudioWindow(m.doc_id, w.toLong, cnt(w), energy(w), crossings(w)))
+      }
     }
-    WavDecoded(docId, format, channels, rate, bits, samples.length, sum, f0.toDouble)
   }
 
   /**
@@ -414,6 +462,16 @@ object Multimodal {
         .toDF()
         .orderBy($"doc_id")
     },
+    // windowed PCM signal features over the real WAV decode — integer RMS numerator +
+    // midline zero-crossing rate per 64-sample window, the standard cheap audio-quality
+    // signals (silence/clipping/noisiness gates) a speech curation pipeline runs first
+    "multimodal_audio_features" -> { (s, dir) =>
+      import s.implicits._
+      audioFeatures(encodeWav(mediaFrame(s, dir), id => 8000 + (id % 8).toInt * 1000),
+        win = 64)
+        .toDF()
+        .orderBy($"doc_id", $"win")
+    },
     // decode stage: a GENUINE WAV codec round-trip through the mapPartitions batch
     // surface — text bytes wrapped as real RIFF/WAVE (8-bit PCM mono, doc-derived sample
     // rate, even-padding) then re-decoded by the chunk-walking parser; every header field
@@ -427,6 +485,18 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    // the same windows recomputed from the payload hex dump byte by byte
+    "multimodal_audio_features" ->
+      """WITH b AS (SELECT doc_id, encode(text) AS p FROM documents),
+        |ix AS (SELECT doc_id, p, unnest(range(0, octet_length(p))) AS i FROM b),
+        |v AS (SELECT doc_id, i, ('0x' || substr(hex(p), 2*i + 1, 2))::BIGINT AS s FROM ix),
+        |w AS (SELECT doc_id, i, s, i // 64 AS win,
+        |        lead(s) OVER (PARTITION BY doc_id ORDER BY i) AS nx FROM v)
+        |SELECT doc_id, win, cast(count(*) AS BIGINT) AS n_samples,
+        |  cast(sum((s - 128) * (s - 128)) AS BIGINT) AS energy,
+        |  cast(sum(CASE WHEN nx IS NOT NULL AND (i + 1) // 64 = win
+        |                 AND ((s < 128) <> (nx < 128)) THEN 1 ELSE 0 END) AS BIGINT) AS crossings
+        |FROM w GROUP BY doc_id, win ORDER BY doc_id, win""".stripMargin,
     "multimodal_frames" ->
       """WITH b AS (SELECT doc_id, encode(text) AS p, octet_length(encode(text)) AS len FROM documents),
         |c AS (SELECT doc_id, p, len, greatest(len // 10, 1) AS chunk FROM b),
