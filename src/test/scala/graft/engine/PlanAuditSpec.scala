@@ -353,6 +353,49 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("events_heavy_hitters: candidates broadcast into the recount; counts partial-agg") {
+    val p = plan("events_heavy_hitters")
+    // pass 2's semi filter must be a broadcast hash join of the tiny candidate set —
+    // a shuffled join here would move the full scan
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast candidate join:\n$p")
+    assert(p.contains("partial_count"), s"recount must map-side combine:\n$p")
+    // exactly one product join: the 1-row global-count scalar
+    assert(count(p, "BroadcastNestedLoopJoin") == 1, s"only the scalar BNLJ allowed:\n$p")
+  }
+
+  test("cdc_scd2_history: all version windows share ONE key exchange") {
+    val p = plan("cdc_scd2_history")
+    // state fold, lead-close and row_number all partition by o_orderkey: one hash
+    // exchange feeds every window stage (the final orderBy is the only other exchange)
+    assert(count(p, "hashpartitioning(o_orderkey") == 1,
+      s"expected exactly one o_orderkey exchange:\n$p")
+  }
+
+  test("rag_context_pack: the rank shortlist broadcasts into the documents scan") {
+    val p = plan("rag_context_pack")
+    assert(p.contains("BroadcastHashJoin"),
+      s"docs must be probed by a broadcast of the bounded shortlist:\n$p")
+  }
+
+  test("graph_pagerank: every unrolled round reads the cached degree-annotated edges") {
+    val p = plan("graph_pagerank")
+    // 3 contribution joins, each consuming the cache — nothing recomputes the edge build
+    assert(count(p, "InMemoryTableScan") >= 3, s"rounds must reuse the cached edges:\n$p")
+  }
+
+  test("lm score + int8 quantize: model/codec stats passes map-side combine") {
+    assert(plan("text_lm_score").contains("partial_count"))
+    val q8 = plan("simsearch_quantize_int8")
+    assert(q8.contains("partial_min") && q8.contains("partial_max"))
+    // encode stage: one product join only — the 1-row codec broadcast
+    assert(count(q8, "BroadcastNestedLoopJoin") == 1)
+  }
+
+  test("multimodal_audio_features: pure map-side decode, no shuffle before the final sort") {
+    val p = plan("multimodal_audio_features")
+    assert(count(p, "hashpartitioning") == 0, s"decode must not shuffle:\n$p")
+  }
+
   test("AQE on/off result identity across representative join/agg/window/skew queries") {
     val spark = graft.SparkTestSession.spark
     // one query per plan family: broadcast join chain, native-aggregate MERGE, connected
