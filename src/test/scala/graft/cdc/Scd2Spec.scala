@@ -71,6 +71,19 @@ class Scd2Spec extends AnyFunSuite {
     assert(ins.length === 1 && ins.head.getAs[String]("o_orderstatus") === "N")
   }
 
+  test("as-of at a post-stream scn EQUALS the envelope-apply final state (cross-operator)") {
+    import spark.implicits._
+    // sf0.001's largest script scn is 14,995 < the 75,000 cut, so the time-travel read
+    // covers the whole stream — it must land on EXACTLY the state the independent
+    // apply-merge fold (native TypedImperativeAggregate) computes from the same envelope
+    val asof = graft.SparkEntry.queries("cdc_asof_snapshot")(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val fold = graft.SparkEntry.queries("cdc_apply_merge")(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(asof === fold,
+      s"as-of(∞) and apply-merge diverge: ${asof.size} vs ${fold.size} rows")
+  }
+
   test("version counts match the script arithmetic for a spot key") {
     import spark.implicits._
     // key 12: %6 (prio NULL), %3 ('Z'), %4 (spawns 10000012) — base + 2 updates = 3 rows
