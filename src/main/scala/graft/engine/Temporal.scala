@@ -376,6 +376,30 @@ object Temporal {
         .agg(countDistinct($"user_id").as("active_users"))
         .orderBy($"cohort_week", $"weeks_since")
     },
+    // BEHAVIORAL SEQUENCES — the events table rendered as per-user action sequences,
+    // the input shape of sequence-model training (and of sessionized feature stores):
+    // each user's events in deterministic (ts, event_id) order become a space-joined
+    // token string truncated at the sequence cap. ONE shuffle: the rank window and the
+    // per-user aggregate share the user_id partitioning (same fusion the sessionizer
+    // uses); collect_list order is restored by sorting the (rn, token) structs inside
+    // the row, so the plan never relies on collect_list's arrival order. Per-user state
+    // is capped by the sequence limit, not history (the window rank prunes before the
+    // aggregate at any scale).
+    "events_user_sequences" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      Tables(s, dir, "events")
+        .select($"user_id", $"event_id", $"event_type", expr("ts div 1000").as("ts_us"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(when($"rn" <= SeqMaxLen,
+              struct($"rn", $"event_type")))),
+            x => x.getField("event_type"))).as("seq"),
+          least(count(lit(1)), lit(SeqMaxLen.toLong)).as("seq_len"))
+        .orderBy($"user_id")
+    },
     // HEAVY HITTERS — exact φ-frequent keys (count·k > N, φ = 1/k) via the two-pass
     // sketch-then-verify shape that survives unbounded key cardinality: pass 1 runs a
     // per-partition Misra–Gries summary ([[MisraGries.candidates]], capacity k counters
@@ -407,7 +431,17 @@ object Temporal {
     * guarantee needs. Shared with the oracle SQL so the gates cannot drift. */
   private[engine] val HeavyHitterK = 1100L
 
+  /** Sequence cap of `events_user_sequences` (tokens kept per user, first-N by event
+    * time) — shared with the oracle so the gates cannot drift. */
+  private val SeqMaxLen = 32
+
   val oracle: Map[String, String] = Map(
+    "events_user_sequences" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events)
+         |SELECT user_id, cast(count(*) AS BIGINT) AS n_events,
+         |  array_to_string(list_slice(list(event_type ORDER BY ts_us, event_id), 1, $SeqMaxLen), ' ') AS seq,
+         |  cast(least(count(*), $SeqMaxLen) AS BIGINT) AS seq_len
+         |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the naive exact answer — the two-pass sketch+verify must be indistinguishable
     "events_heavy_hitters" ->
       s"""WITH t AS (SELECT cast(count(*) AS BIGINT) AS n_total FROM events)

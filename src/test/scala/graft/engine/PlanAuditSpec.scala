@@ -396,6 +396,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(count(p, "hashpartitioning") == 0, s"decode must not shuffle:\n$p")
   }
 
+  test("events_user_sequences: rank window and sequence aggregate share ONE user shuffle") {
+    val p = plan("events_user_sequences")
+    assert(count(p, "hashpartitioning(user_id") == 1,
+      s"expected exactly one user_id exchange:\n$p")
+  }
+
   test("AQE on/off result identity across representative join/agg/window/skew queries") {
     val spark = graft.SparkTestSession.spark
     // one query per plan family: broadcast join chain, native-aggregate MERGE, connected
