@@ -789,6 +789,26 @@ object CdcQueries {
           $"valid_to_scn".isNull.cast("int").as("is_current"))
         .orderBy($"o_orderkey", $"valid_from_scn")
     },
+    // STREAMING SCD2 — the dimension history maintained CONTINUOUSLY by keyed state
+    // (cdc/Scd2Stream): per-key open version in the store (state bounded by column
+    // count, closures emitted and evicted), fed the %7 slice of the same merge script
+    // across a mid-key batch cut, changelog-only semantics (no base snapshot: columns
+    // are NULL until an op sets them). Oracle: the script's version intervals with
+    // NULL-until-set states, computed per key with plain arithmetic.
+    "cdc_scd2_stream" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.Encoders
+      val rows = mergeEnvelope(s, dir, $"k" % 7 === 0)
+        .select($"commit_scn", $"scn", $"seq", $"operation", $"data", $"before")
+        .as[MergeEnvRow].collect().toSeq // driver-side feed is inherent to MemoryStream
+      val (b1, b2) = rows.partition(_.scn % 10 <= 2)
+      val out = StreamGate.runBatches(s, Encoders.product[MergeEnvRow],
+          "cdc_scd2_stream_sink", Seq(b1, b2)) { ds =>
+        Scd2Stream.versions(ds).toDF()
+      }
+      Scd2Stream.latestVersions(out)
+        .orderBy($"o_orderkey", $"valid_from_scn")
+    },
     // TIME-TRAVEL READ — the table AS OF a fixed SCN, the query the SCD2 history exists
     // to answer: keep only versions at or before the cut, take the newest per key, drop
     // keys whose newest record is the delete marker. A mid-stream cut is a CONSISTENT
@@ -1158,6 +1178,35 @@ object CdcQueries {
         |  row_number() OVER (PARTITION BY key ORDER BY scn) AS ver,
         |  st AS o_orderstatus, pr AS o_orderpriority,
         |  CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM w WHERE kind = 'V'
+        |ORDER BY o_orderkey, valid_from_scn""".stripMargin,
+    // the %7 slice's version intervals with NULL-until-set changelog states: status is
+    // set by off1 ('Z') and off3 ('Y'); priority ONLY by off3 ('9-PRIO') or the insert
+    // ('NEW'); the off0 explicit-NULL and never-seen both read as NULL
+    "cdc_scd2_stream" ->
+      """WITH base AS (SELECT cast(o_orderkey AS BIGINT) AS k FROM orders
+        |              WHERE o_orderkey % 7 = 0),
+        |v AS (
+        |  SELECT k AS key, k*10+0 AS scn, 'V' AS kind,
+        |         CAST(NULL AS VARCHAR) AS st, CAST(NULL AS VARCHAR) AS pr
+        |  FROM base WHERE k % 6 = 0
+        |  UNION ALL
+        |  SELECT k, k*10+1, 'V', 'Z', NULL FROM base WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT k, k*10+3, 'V', 'Y', '9-PRIO' FROM base WHERE k % 9 = 0
+        |  UNION ALL
+        |  SELECT k, k*10+5, 'D', NULL, NULL FROM base WHERE k % 10 = 0
+        |  UNION ALL
+        |  SELECT k+10000000, k*10+2, 'V', 'N', 'NEW' FROM base WHERE k % 4 = 0
+        |  UNION ALL
+        |  SELECT k+10000000, k*10+4, 'V', 'M', 'NEW' FROM base WHERE k % 8 = 0
+        |),
+        |w AS (SELECT key, scn, kind, st, pr,
+        |        lead(scn) OVER (PARTITION BY key ORDER BY scn) AS valid_to
+        |      FROM v)
+        |SELECT key AS o_orderkey, scn AS valid_from_scn, valid_to AS valid_to_scn,
+        |  st AS o_orderstatus, pr AS o_orderpriority,
+        |  CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current
         |FROM w WHERE kind = 'V'
         |ORDER BY o_orderkey, valid_from_scn""".stripMargin,
     // the same version list cut at the as-of scn; newest surviving record per key wins,

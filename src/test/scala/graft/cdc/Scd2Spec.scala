@@ -84,6 +84,22 @@ class Scd2Spec extends AnyFunSuite {
       s"as-of(∞) and apply-merge diverge: ${asof.size} vs ${fold.size} rows")
   }
 
+  test("streaming SCD2: a version opened in batch 1 is closed by batch 2 (keyed-state carry)") {
+    import spark.implicits._
+    val out = graft.SparkEntry.queries("cdc_scd2_stream")(spark, dir).cache()
+    // the harness cuts batches at scn%10<=2: off-1 versions open in batch 1; off-5
+    // deletes arrive in batch 2. A %7∧%3∧%10 key's 'Z' version must therefore be CLOSED
+    // by state carried across the cut (k=210 at sf0.001: 210%7=0, %3=0, %10=0, %6=0)
+    val k210 = out.filter($"o_orderkey" === 210L).orderBy($"valid_from_scn").collect()
+    assert(k210.nonEmpty, "key 210 must appear in the %7 slice")
+    val z = k210.find(_.getAs[String]("o_orderstatus") == "Z")
+    assert(z.isDefined, s"key 210 must carry a 'Z' version: ${k210.mkString(";")}")
+    assert(z.get.getAs[Long]("valid_to_scn") === 2105L,
+      "the batch-1 'Z' version must be closed by the batch-2 delete at scn 2105")
+    assert(k210.forall(_.getAs[Int]("is_current") == 0),
+      "a deleted key has no current version")
+  }
+
   test("version counts match the script arithmetic for a spot key") {
     import spark.implicits._
     // key 12: %6 (prio NULL), %3 ('Z'), %4 (spawns 10000012) — base + 2 updates = 3 rows
