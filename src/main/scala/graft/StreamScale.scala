@@ -172,21 +172,21 @@ object StreamScale {
   // ---- 1. streaming envelope apply (replica maintenance) -------------------
   // the cdc_apply_merge_stream feed at FULL key volume, plus `hist` extra updates per
   // key: events scale with history, live keys (and so state rows) do not
-  def applyWorkload(spark: SparkSession, sfDir: String, hist: Int): Metrics = {
+  /** The shared merge-script feed of the apply and SCD2 workloads: the full envelope
+    * script plus `hist` extra updates per already-live (%3, not %10-deleted) key — the
+    * knob grows HISTORY on live keys, never the live-key set itself. */
+  private def mergeFeed(spark: SparkSession, sfDir: String,
+                        hist: Int): Seq[CdcQueries.MergeEnvRow] = {
     import spark.implicits._
-    val snapshot = Tables(spark, sfDir, "orders")
-      .select($"o_orderkey", $"o_orderstatus", $"o_orderpriority")
-    val schema = Catalog.withKeyMetadata(snapshot.schema, Set("o_orderkey"))
     val base = CdcQueries.mergeEnvelope(spark, sfDir, lit(true))
       .select($"commit_scn", $"scn", $"seq", $"operation", $"data", $"before")
     val extras =
       if (hist == 0) base.limit(0)
       else Tables(spark, sfDir, "orders")
         .select($"o_orderkey".cast("long").as("k"))
-        // only keys the base script already touches (%3) and does NOT delete (%10): the
-        // knob must grow HISTORY on live keys, not the live-key set itself (an update
-        // after the tombstone would re-create evicted state) — state rows must stay
-        // identical to the hist=0 run
+        // only keys the base script already touches (%3) and does NOT delete (%10): an
+        // update after the tombstone would re-create evicted state — state rows must
+        // stay identical to the hist=0 run
         .filter($"k" % 3 === 0 && $"k" % 10 =!= 0)
         .select($"k", explode(sequence(lit(1), lit(hist))).as("j"))
         .select(lit(1L).as("commit_scn"),
@@ -195,11 +195,32 @@ object StreamScale {
           map(lit("O_ORDERKEY"), $"k".cast("string"),
               lit("O_ORDERSTATUS"), concat(lit("H"), $"j")).as("data"),
           map().cast("map<string,string>").as("before"))
-    val rows = base.unionByName(extras).as[CdcQueries.MergeEnvRow]
+    base.unionByName(extras).as[CdcQueries.MergeEnvRow]
       .collect().sortBy(r => (r.scn, r.seq)).toSeq
+  }
+
+  def applyWorkload(spark: SparkSession, sfDir: String, hist: Int): Metrics = {
+    import spark.implicits._
+    val snapshot = Tables(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_orderpriority")
+    val schema = Catalog.withKeyMetadata(snapshot.schema, Set("o_orderkey"))
+    val rows = mergeFeed(spark, sfDir, hist)
     runMeasured(spark, Encoders.product[CdcQueries.MergeEnvRow],
         s"ss_apply_$hist", cut(rows, 4)) { ds =>
       EnvelopeApply.applyStreaming(ds.toDF(), schema).toDF()
+    }
+  }
+
+  // ---- 1b. streaming SCD2 maintenance --------------------------------------
+  // the SAME feed as the apply workload through Scd2Stream.versions: state is ONE open
+  // version per live key (closures emit and evict), so the --hist knob must grow events
+  // and emissions but leave final state rows IDENTICAL — history becomes output, never
+  // state
+  def scd2Workload(spark: SparkSession, sfDir: String, hist: Int): Metrics = {
+    val rows = mergeFeed(spark, sfDir, hist)
+    runMeasured(spark, Encoders.product[CdcQueries.MergeEnvRow],
+        s"ss_scd2_$hist", cut(rows, 4)) { ds =>
+      graft.cdc.Scd2Stream.versions(ds).toDF()
     }
   }
 
@@ -352,6 +373,8 @@ object StreamScale {
         Double.box(m.peakMemMb)))
 
     emit("apply_stream", applyWorkload(spark, sfDir, hist))
+    spark.catalog.clearCache()
+    emit("scd2_stream", scd2Workload(spark, sfDir, hist))
     spark.catalog.clearCache()
     emit("txn_stream", txnWorkload(spark, sfDir))
     spark.catalog.clearCache()

@@ -37,6 +37,24 @@ class StreamScaleSpec extends AnyFunSuite {
       s"emission count moved implausibly: ${h0.outRows} -> ${h4.outRows}")
   }
 
+  test("SCD2 state is one open version per live key: 4x history leaves it IDENTICAL") {
+    val spark = graft.SparkTestSession.spark
+    val h0 = StreamScale.scd2Workload(spark, dir, hist = 0)
+    spark.catalog.clearCache()
+    val h4 = StreamScale.scd2Workload(spark, dir, hist = 4)
+    spark.catalog.clearCache()
+    assert(h4.events > h0.events * 2,
+      s"the history knob must materially grow the event count: ${h0.events} -> ${h4.events}")
+    assert(h4.finalRows == h0.finalRows,
+      s"SCD2 state grew with HISTORY (${h0.finalRows} -> ${h4.finalRows}) — closures " +
+        "must evict, not accumulate")
+    // history becomes OUTPUT (closed versions), never state: emissions must grow
+    assert(h4.outRows > h0.outRows,
+      s"extra updates must emit closed versions: ${h0.outRows} -> ${h4.outRows}")
+    assert(h4.peakRows <= h0.peakRows + 16,
+      s"peak state grew with history: ${h0.peakRows} -> ${h4.peakRows}")
+  }
+
   test("transaction-assembly state drains to ZERO at COMMIT; peak equals open txns") {
     val spark = graft.SparkTestSession.spark
     val m = StreamScale.txnWorkload(spark, dir)
