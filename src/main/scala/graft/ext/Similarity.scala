@@ -64,6 +64,9 @@ object Similarity {
   /** Context-window token budget of the `rag_context_pack` greedy prefix pack —
     * shared with the oracle so the gates cannot drift. */
   private val RagPackBudget = 256L
+  /** `vec_id % 11` residue of the `simsearch_ivf_append` incoming batch — chosen so the
+    * Lloyd seed ids (20..27 ≡ 9,10,0,1,2,3,4,5 mod 11) ALL stay in the base corpus. */
+  private val IvfAppendResidue = 6L
   /** SemDeDup near-dup radius in integer milli² units — far below the ~1.3e8 distance of
     * a random 64-dim pair, so only genuine copies fall inside. */
   private val SemDedupEpsMilli = 1000000L
@@ -440,6 +443,26 @@ object Similarity {
         .filter($"sim" >= 0.999)
         .orderBy($"vec_a", $"vec_b")
     },
+    // IVF INDEX MAINTENANCE — the append path every vector store needs between retrains:
+    // centroids train on the EXISTING corpus only (one Lloyd round, then FROZEN), and the
+    // new batch (a disjoint %11 slice; the seed ids all live in the base) is assigned to
+    // the frozen cells without touching the index or the corpus — the incremental
+    // ingestion that keeps an ANN index serving while it grows. At 100 TB the append
+    // batch streams through one broadcast of k constant centroids; nothing recomputes,
+    // nothing shuffles the corpus. Gate: per-cell appended counts + id checksum.
+    "simsearch_ivf_append" -> { (s, dir) =>
+      import s.implicits._
+      val q = milliQ(s, dir)
+      val base = q.filter($"vec_id" % 11 =!= IvfAppendResidue)
+      val appended = q.filter($"vec_id" % 11 === IvfAppendResidue)
+      val assigned = appended.crossJoin(broadcast(lloydOnce(s, base)))
+        .withColumn("dot", dot($"qv", $"cvec"))
+        .groupBy($"vec_id")
+        .agg(max_by($"cid", struct($"dot", -$"cid")).as("cell"))
+      assigned.groupBy($"cell")
+        .agg(count(lit(1)).as("n_appended"), sum($"vec_id").as("vec_id_sum"))
+        .orderBy($"cell")
+    },
     // RAG CONTEXT PACKING — the retrieval SERVING shape end to end: brute-force cosine
     // shortlist per query (the exact baseline every ANN variant here approximates), the
     // bounded rank list BROADCAST into the documents scan (the big side never shuffles;
@@ -653,6 +676,35 @@ object Similarity {
        |  WHERE rnk <= $IvfTopK)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the same one-Lloyd-round chain, trained on the base slice only, assigning the
+    // disjoint append slice to the frozen centroids
+    "simsearch_ivf_append" ->
+      s"""WITH q AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(trunc(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |qq AS (SELECT vec_id, qv FROM q),
+         |b AS (SELECT * FROM qq WHERE vec_id % 11 <> 6),
+         |ap AS (SELECT * FROM qq WHERE vec_id % 11 = 6),
+         |c0 AS (SELECT vec_id AS cid, qv AS cvec FROM b
+         |  WHERE vec_id IN ${CentroidIds.mkString("(", ", ", ")")}),
+         |s1 AS (SELECT b.vec_id, b.qv, c0.cid,
+         |  CAST(list_dot_product(b.qv, c0.cvec) AS BIGINT) AS dot FROM b CROSS JOIN c0),
+         |a1 AS (SELECT vec_id, qv, cid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) AS rn
+         |  FROM s1) WHERE rn = 1),
+         |u AS (SELECT cid, unnest(qv) AS v, generate_subscripts(qv, 1) AS pos FROM a1),
+         |cd AS (SELECT cid, pos,
+         |  CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS cd
+         |  FROM u GROUP BY cid, pos),
+         |c1 AS (SELECT cid, list(cd ORDER BY pos) AS cvec FROM cd GROUP BY cid),
+         |s2 AS (SELECT ap.vec_id, c1.cid,
+         |  CAST(list_dot_product(ap.qv, c1.cvec) AS BIGINT) AS dot FROM ap CROSS JOIN c1),
+         |a2 AS (SELECT vec_id, cid AS cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) AS rn
+         |  FROM s2) WHERE rn = 1)
+         |SELECT cell, cast(count(*) AS BIGINT) AS n_appended,
+         |  cast(sum(vec_id) AS BIGINT) AS vec_id_sum
+         |FROM a2 GROUP BY cell ORDER BY cell""".stripMargin,
     // same exact-cosine shortlist as simsearch_topk, joined to per-doc token counts and
     // prefix-packed by a rank-ordered running sum cut at the budget
     "rag_context_pack" ->

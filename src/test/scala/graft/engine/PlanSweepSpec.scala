@@ -45,6 +45,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "events_heavy_hitters"   -> "1-row global-count scalar crossJoin (Temporal.scala, heavy hitters)",
     "simsearch_quantize_int8" -> "1-row trained-codec broadcast: [mins,maxs,rng] arrays (Similarity.scala)",
     "rag_context_pack"       -> "query-vector constant shortlist scoring (Similarity.scala, same as simsearch_topk)",
+    "simsearch_ivf_append"   -> "k frozen centroids broadcast into the append batch (Similarity.scala, lloydOnce)",
   )
 
   test("no query plan contains CartesianProduct; BNLJ only where allowlisted") {
