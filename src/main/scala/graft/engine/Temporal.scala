@@ -217,6 +217,40 @@ object Temporal {
           $"event_type", $"event_cnt", $"value_cents")
         .orderBy($"minute_bucket", $"event_type")
     },
+    // STREAMING WINDOWED TOP-K — the live leaderboard: watermarked per-(window, user)
+    // counts in the stream (state bounded by open windows × active users, closed windows
+    // evicted and emitted append-only), then the rank over CLOSED windows on the batch
+    // side — the standard lambda-free serving split: the unbounded part is a bounded
+    // keyed aggregate, the rank only ever touches the emitted window summaries. Same
+    // two-batch + far-future-sentinel harness as the windowed aggregate.
+    "events_topk_stream" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.Encoders
+      val rows = Tables(s, dir, "events")
+        .filter($"event_id" % 4 === 0)
+        .select(expr("ts div 1000").as("ts_us"), $"user_id")
+        .as[(Long, Long)].collect()
+        .sortBy(_._1)
+      val sentinelUs = rows.last._1 + 30L * 24 * 3600 * 1000000L
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      val out = StreamGate.runTwoBatches(s,
+          Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+          "events_topk_stream_sink",
+          h1.toSeq, h2.toSeq :+ ((sentinelUs, -1L))) { ds =>
+        ds.toDF("ts_us", "user_id")
+          .withColumn("ts", timestamp_micros($"ts_us"))
+          .withWatermark("ts", "1 minute")
+          .groupBy(window($"ts", "1 hour"), $"user_id")
+          .agg(count(lit(1)).as("cnt"))
+      }
+      val wRank = Window.partitionBy($"hour_bucket").orderBy($"cnt".desc, $"user_id")
+      out.filter($"user_id" =!= -1L)
+        .select(expr("unix_micros(window.start) div 3600000000").as("hour_bucket"),
+          $"user_id", $"cnt")
+        .withColumn("rnk", row_number().over(wRank).cast("long"))
+        .filter($"rnk" <= 3)
+        .orderBy($"hour_bucket", $"rnk")
+    },
     // Streaming stateful DEDUP, oracle-gated: the same subsample is fed TWICE — batch 2 is
     // a full replay of batch 1 — and dropDuplicates' key state must suppress every replayed
     // row across the batch boundary (the CDC redelivery scenario as a first-class op). The
@@ -571,6 +605,15 @@ object Temporal {
          |  min(ts_us) AS start_us, max(ts_us) - min(ts_us) AS dur_us,
          |  cast(sum(cast(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
          |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "events_topk_stream" ->
+      """WITH e AS (SELECT epoch_us(ts) // 3600000000 AS hour_bucket, user_id
+        |           FROM events WHERE event_id % 4 = 0),
+        |c AS (SELECT hour_bucket, user_id, cast(count(*) AS BIGINT) AS cnt
+        |      FROM e GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY hour_bucket
+        |        ORDER BY cnt DESC, user_id) AS rnk FROM c)
+        |SELECT hour_bucket, user_id, cnt, rnk FROM r WHERE rnk <= 3
+        |ORDER BY hour_bucket, rnk""".stripMargin,
     "events_window_stream" ->
       """SELECT epoch_us(ts) // 60000000 AS minute_bucket, event_type,
         | cast(count(*) AS BIGINT) AS event_cnt,
