@@ -852,19 +852,8 @@ object CdcQueries {
         lit(-1L).as("scn"), lit("BASE").as("operation"),
         map(lit("O_ORDERSTATUS"), $"o_orderstatus",
           lit("O_ORDERPRIORITY"), $"o_orderpriority").as("data"))
-    import org.apache.spark.sql.expressions.Window
-    val wState = Window.partitionBy($"o_orderkey").orderBy($"scn")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wLead = Window.partitionBy($"o_orderkey").orderBy($"scn")
-    // struct wrap: last(ignoreNulls) must treat "column set to NULL" as a present
-    // overlay (struct is non-null, field is null) and "column untouched" as absent
-    def stateOf(c: String): Column =
-      last(when(map_contains_key($"data", c), struct($"data".getItem(c).as("v"))),
-        ignoreNulls = true).over(wState).getField("v")
-    base.unionByName(env)
-      .withColumn("o_orderstatus", stateOf("O_ORDERSTATUS"))
-      .withColumn("o_orderpriority", stateOf("O_ORDERPRIORITY"))
-      .withColumn("valid_to_scn", lead($"scn", 1).over(wLead))
+    Scd2.versionFrame(base.unionByName(env), "o_orderkey",
+      Seq("o_orderstatus" -> "O_ORDERSTATUS", "o_orderpriority" -> "O_ORDERPRIORITY"))
   }
 
   /** The e2e pipeline feed shared by cdc_pipeline_e2e and cdc_pipeline_restart — both

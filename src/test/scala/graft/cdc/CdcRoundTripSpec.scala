@@ -288,6 +288,84 @@ class CdcRoundTripSpec extends AnyFunSuite {
     compareToModel(EnvelopeApply(snapshotOf(scenarios), enveloped, schema), scenarios, seedLong)
   }
 
+  // ---- SCD2 history oracle ------------------------------------------------
+
+  /** The model's FULL version history per key: the ordered committed versions (initial
+    * row, then every committed non-pair INSERT/UPDATE value) and whether the key ends
+    * deleted. Rollback transactions and A20 pairs contribute nothing. */
+  private def modelHistory(scenarios: List[Scenario])
+      : Map[Long, (Vector[Row0], Boolean)] = {
+    val hist = scala.collection.mutable.Map.empty[Long, Vector[Row0]]
+    val live = scala.collection.mutable.Set.empty[Long]
+    scenarios.foreach { sc =>
+      sc.initial.foreach { case (id, r) => hist(id) = Vector(r); live += id }
+      sc.txns.foreach { t =>
+        if (t.commit) t.ops.foreach { oe =>
+          if (!oe.pair) oe.op match {
+            case Ins(id, r)       => hist(id) = hist.getOrElse(id, Vector.empty) :+ r; live += id
+            case Upd(id, _, a, _) => hist(id) = hist(id) :+ a
+            case Del(id, _)       => live -= id
+          }
+        }
+      }
+    }
+    hist.toMap.map { case (id, v) => id -> (v, !live.contains(id)) }
+  }
+
+  /** Row0 rendered to the envelope's parsed string forms (name unescaped, sal as the
+    * plain 2-decimal literal, hired with the TIMESTAMP prefix stripped). */
+  private def renderedVersion(r: Row0): (String, String, String, String, String) =
+    (r.name, java.math.BigDecimal.valueOf(r.salCents, 2).toPlainString, r.cnt.toString,
+      r.hired, r.note.orNull)
+
+  test("SCD2 history over the generated programs matches the model version-for-version") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val (scenarios, seedLong) = generate(150)
+    info(s"scd2 history seed = $seedLong (set GRAFT_ROUNDTRIP_SEED to reproduce)")
+    val events = scenarios.flatMap(eventsOf)
+    val config = CdcConfig("GRAFTDB", Seq(("GRAFT", "PROP")))
+    val env = CdcPipeline.stream(spark.createDataset(events)(
+        org.apache.spark.sql.Encoders.product[RedoEvent]), config, streaming = false)
+      .filter(col("seg_owner") === "GRAFT" && col("table_name") === "PROP")
+      .select(coalesce(col("data").getItem("ID"), col("before").getItem("ID"))
+          .cast("long").as("k"),
+        col("scn").cast("long").as("scn"), col("operation"), col("data"))
+    val base = scenarios.flatMap(sc => sc.initial.toSeq.map { case (id, r) =>
+        val (nm, sal, cnt, hired, note) = renderedVersion(r)
+        (id, nm, sal, cnt, hired, note)
+      }).toDF("k", "nm", "sal", "cnt", "hired", "note")
+      .select($"k", lit(-1L).as("scn"), lit("BASE").as("operation"),
+        map(lit("NAME"), $"nm", lit("SAL"), $"sal", lit("CNT"), $"cnt",
+          lit("HIRED"), $"hired", lit("NOTE"), $"note").as("data"))
+    val frame = Scd2.versionFrame(base.unionByName(env), "k",
+      Seq("name" -> "NAME", "sal" -> "SAL", "cnt" -> "CNT",
+        "hired" -> "HIRED", "note" -> "NOTE"))
+    val got = frame.filter($"operation" =!= RedoEvent.Delete)
+      .select($"k", $"scn", $"valid_to_scn", $"name", $"sal", $"cnt", $"hired", $"note")
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, rows) =>
+        val sorted = rows.sortBy(_.getLong(1))
+        val versions = sorted.map(r =>
+          (r.getString(3), r.getString(4), r.getString(5), r.getString(6),
+            r.getString(7))).toVector
+        // deleted ⟺ every surviving version is closed (the delete marker closed the last)
+        val deleted = sorted.forall(!_.isNullAt(2))
+        k -> (versions, deleted)
+      }
+    val expected = modelHistory(scenarios).map { case (k, (vs, del)) =>
+      k -> (vs.map(renderedVersion), del)
+    }
+    val badKeys = (got.keySet ++ expected.keySet).filter(k => got.get(k) != expected.get(k))
+    assert(badKeys.isEmpty, {
+      val sample = badKeys.toSeq.sorted.take(3).map { k =>
+        s"k=$k:\n  engine = ${got.get(k)}\n  model  = ${expected.get(k)}"
+      }.mkString("\n")
+      s"SCD2 history diverged on ${badKeys.size} keys (seed $seedLong):\n$sample"
+    })
+  }
+
   test("the STREAMING path round-trips too: transactions straddle micro-batch cuts") {
     val spark = graft.SparkTestSession.spark
     val n = 120 // streaming harness per-batch overhead; still >100 joint scenarios
