@@ -238,6 +238,56 @@ object Multimodal {
     }
   }
 
+  final case class ImageBand(doc_id: Long, band: Long, n_px: Long, sum_gray: Long,
+                             contrast: Long)
+
+  /**
+   * Per-band image statistics over the REAL BMP decode — the image analogue of
+   * [[audioFeatures]]: the gray grid splits into horizontal bands of [[ImageBandRows]]
+   * rows; each band reduces to its pixel count, intensity sum (the brightness numerator)
+   * and max−min spread (the flat/contrast proxy an image curation pipeline thresholds
+   * first). All integers, recomputed byte-by-byte by the oracle from the payload via the
+   * encode grid rule (pixel (x,y) = payload byte y·w+x, 0 past the end).
+   */
+  def imageFeatures(media: Dataset[MediaRow]): Dataset[ImageBand] = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.mapPartitions { batch =>
+      batch.flatMap { m =>
+        val buf = java.nio.ByteBuffer.wrap(m.payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        require(buf.get(0) == 'B' && buf.get(1) == 'M', s"doc ${m.doc_id}: not a BMP")
+        val dataOffset = buf.getInt(10)
+        val w = buf.getInt(18)
+        val h = buf.getInt(22)
+        require(buf.getShort(28) == 24, s"doc ${m.doc_id}: expected 24 bpp")
+        val stride = w * 3 + (4 - (w * 3) % 4) % 4
+        def gray(x: Int, y: Int): Int = // blue channel of a gray BGR pixel, rows bottom-up
+          m.payload(dataOffset + (h - 1 - y) * stride + x * 3) & 0xff
+        val nBands = (h + ImageBandRows - 1) / ImageBandRows
+        (0 until nBands).iterator.map { b =>
+          val yTo = math.min((b + 1) * ImageBandRows, h)
+          var sum = 0L; var mn = 255; var mx = 0; var n = 0L
+          var y = b * ImageBandRows
+          while (y < yTo) {
+            var x = 0
+            while (x < w) {
+              val v = gray(x, y)
+              sum += v; n += 1
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              x += 1
+            }
+            y += 1
+          }
+          ImageBand(m.doc_id, b.toLong, n, sum, (mx - mn).toLong)
+        }
+      }
+    }
+  }
+
+  /** Rows per [[imageFeatures]] band — shared with the oracle. */
+  private val ImageBandRows = 4
+
   final case class FrameRow(doc_id: Long, frame_idx: Int, payload: Array[Byte])
 
   /**
@@ -462,6 +512,14 @@ object Multimodal {
         .toDF()
         .orderBy($"doc_id")
     },
+    // per-band image stats over the real BMP decode — brightness sum + contrast spread
+    // per 4-row band, the cheap screening signals before any model sees the image
+    "multimodal_image_features" -> { (s, dir) =>
+      import s.implicits._
+      imageFeatures(encodeBmp(mediaFrame(s, dir), width = 8))
+        .toDF()
+        .orderBy($"doc_id", $"band")
+    },
     // windowed PCM signal features over the real WAV decode — integer RMS numerator +
     // midline zero-crossing rate per 64-sample window, the standard cheap audio-quality
     // signals (silence/clipping/noisiness gates) a speech curation pipeline runs first
@@ -534,6 +592,20 @@ object Multimodal {
     // image is the byte grid (w=8, h=max(len/8,1), row-major), nearest-neighbor output
     // pixel k of a 4x3 grid reads source (x=(k%4)*2, y=(k/4)*h/3), i.e. byte y*8+x;
     // off-grid positions (truncated tail / empty doc) are black
+    // grid rule: pixel (x,y) = payload byte y*8+x (0 past the end); band b covers rows
+    // 4b..4b+3 → byte indexes [b*32, least((b+1)*32, h*8))
+    "multimodal_image_features" ->
+      """WITH b AS (SELECT doc_id, encode(text) AS p, octet_length(encode(text)) AS len FROM documents),
+        |c AS (SELECT doc_id, p, len, greatest(len // 8, 1) AS h FROM b),
+        |bands AS (SELECT doc_id, p, len, h,
+        |            unnest(range(0, cast((h + 3) // 4 AS BIGINT))) AS band FROM c),
+        |g AS (SELECT doc_id, band,
+        |        [CASE WHEN i < len THEN ('0x' || substr(hex(p), 2*i + 1, 2))::BIGINT ELSE 0 END
+        |         for i in range(band*32, least((band+1)*32, h*8))] AS px FROM bands)
+        |SELECT doc_id, band, cast(len(px) AS BIGINT) AS n_px,
+        |  cast(list_sum(px) AS BIGINT) AS sum_gray,
+        |  cast(list_max(px) - list_min(px) AS BIGINT) AS contrast
+        |FROM g ORDER BY doc_id, band""".stripMargin,
     "multimodal_resize" ->
       """WITH b AS (SELECT doc_id, encode(text) AS p, octet_length(encode(text)) AS len FROM documents),
         |c AS (SELECT doc_id, p, len, greatest(len // 8, 1) AS h FROM b)
