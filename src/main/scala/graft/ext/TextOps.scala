@@ -619,6 +619,31 @@ object TextOps {
         .select($"lang", $"n", $"p"(0).as("p50"), $"p"(1).as("p90"), $"p"(2).as("p99"))
         .orderBy($"lang")
     },
+    // TEMPERATURE-SCALED SOURCE MIXING — the multilingual-LM sampling rule (p_s ∝ n_s^α,
+    // the "temperature" that upsamples small sources): α = 0.5 via floor(sqrt(n)) keeps
+    // the weights INTEGER-exact cross-engine (IEEE sqrt is correctly rounded, so the
+    // floor is bit-identical in Spark and DuckDB — no pow() ULP hazard), and the fixed
+    // sampling budget allocates by largest remainder in pure integer window algebra.
+    // The global windows run over the per-SOURCE frame (source cardinality, a handful of
+    // rows at any corpus size), never the documents scan.
+    "corpus_mix_temperature" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val all = Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val byRem = Window.partitionBy().orderBy($"rem".desc, $"source")
+      graft.engine.Tables(s, dir, "documents")
+        .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("wgt", floor(sqrt($"n_docs")).cast("long"))
+        .withColumn("wtot", sum($"wgt").over(all))
+        .withColumn("base", expr(s"($MixBudget * wgt) div wtot"))
+        .withColumn("rem", expr(s"($MixBudget * wgt) % wtot"))
+        .withColumn("rr", row_number().over(byRem).cast("long"))
+        .withColumn("btot", sum($"base").over(all))
+        .select($"source", $"n_docs", $"wgt",
+          ($"base" + when($"rr" <= lit(MixBudget) - $"btot", 1L).otherwise(0L)).as("quota"))
+        .orderBy($"source")
+    },
     // BIGRAM-LM SCORE — the CCNet-style fluency filter: train bigram statistics on the
     // corpus itself, then score every document by how well the corpus model predicts it
     // (a cheap perplexity proxy; real pipelines swap in a held-out KenLM, same plan
@@ -661,9 +686,26 @@ object TextOps {
     * shared with the oracle so the gates cannot drift. */
   private val LmScaleBp = 10000L
 
+  /** Sampling budget of [[corpus_mix_temperature]]'s largest-remainder allocation —
+    * shared with the oracle so the gates cannot drift. */
+  private val MixBudget = 10000L
+
   private val stopwordSql = stopwords.map(w => s"x = '$w'").mkString(" OR ")
 
   val oracle: Map[String, String] = Map(
+    // the same sqrt-temperature weights and largest-remainder allocation
+    "corpus_mix_temperature" ->
+      s"""WITH s AS (SELECT source, cast(count(*) AS BIGINT) AS n_docs
+         |           FROM documents GROUP BY source),
+         |w AS (SELECT source, n_docs, cast(floor(sqrt(n_docs)) AS BIGINT) AS wgt FROM s),
+         |t AS (SELECT *, cast(sum(wgt) OVER () AS BIGINT) AS wtot FROM w),
+         |q AS (SELECT *, ($MixBudget * wgt) // wtot AS base,
+         |        ($MixBudget * wgt) % wtot AS rem FROM t),
+         |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rr,
+         |        cast(sum(base) OVER () AS BIGINT) AS btot FROM q)
+         |SELECT source, n_docs, wgt,
+         |  cast(base + CASE WHEN rr <= $MixBudget - btot THEN 1 ELSE 0 END AS BIGINT) AS quota
+         |FROM r ORDER BY source""".stripMargin,
     // the same bigram model stated with unnest + window marginals
     "text_lm_score" ->
       s"""WITH toks AS (SELECT doc_id,

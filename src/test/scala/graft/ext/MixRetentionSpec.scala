@@ -9,6 +9,28 @@ class MixRetentionSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("corpus_mix_temperature: quotas exhaust the budget exactly and boost small sources") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val mix = graft.SparkEntry.queries("corpus_mix_temperature")(spark, dir).cache()
+    try {
+      val rows = mix.collect()
+      assert(rows.map(_.getAs[Long]("quota")).sum === 10000L,
+        "largest-remainder allocation must exhaust the budget exactly")
+      // sqrt temperature flattens the distribution: the smallest source's share of the
+      // budget must exceed its share of documents, the largest source's must shrink
+      val n = rows.map(_.getAs[Long]("n_docs")).sum.toDouble
+      val smallest = rows.minBy(_.getAs[Long]("n_docs"))
+      val largest = rows.maxBy(_.getAs[Long]("n_docs"))
+      if (smallest.getAs[Long]("n_docs") != largest.getAs[Long]("n_docs")) {
+        assert(smallest.getAs[Long]("quota") / 10000.0 > smallest.getAs[Long]("n_docs") / n,
+          "temperature sampling must upsample the smallest source")
+        assert(largest.getAs[Long]("quota") / 10000.0 < largest.getAs[Long]("n_docs") / n,
+          "temperature sampling must downsample the largest source")
+      }
+    } finally mix.unpersist()
+  }
+
   test("text_mix_weighted: every complete round carries exactly `wgt` docs per source") {
     val spark = graft.SparkTestSession.spark
     import spark.implicits._
