@@ -619,6 +619,33 @@ object TextOps {
         .select($"lang", $"n", $"p"(0).as("p50"), $"p"(1).as("p90"), $"p"(2).as("p99"))
         .orderBy($"lang")
     },
+    // VOCABULARY COVERAGE CURVE — the tokenizer-sizing question ("what does a 10k vocab
+    // buy?") as a query: corpus token counts ranked by frequency (deterministic
+    // (cnt desc, tok) order), then for each ladder size k the share of all token
+    // OCCURRENCES covered by the top-k types, in integer basis points. Plan: ONE
+    // tokenize+count pass at vocabulary cardinality with map-side combine, a global rank
+    // window over the VOCAB frame (types, not occurrences), and a 3-literal ladder
+    // explode joined by rank range — the corpus scan is never touched twice.
+    "text_vocab_coverage" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val counts = graft.engine.Tables(s, dir, "documents")
+        .select(explode(tokens($"text")).as("tok"))
+        .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      val ranked = counts
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy().orderBy($"cnt".desc, $"tok")).cast("long"))
+        .withColumn("total", sum($"cnt").over(Window.partitionBy()
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      ranked
+        .select($"rnk", $"cnt", $"total",
+          explode(array(VocabLadder.map(lit): _*)).as("k"))
+        .filter($"rnk" <= $"k")
+        .groupBy($"k")
+        .agg(count(lit(1)).as("vocab_tokens"),
+          expr("sum(cnt) * 10000 div max(total)").as("covered_bp"))
+        .orderBy($"k")
+    },
     // TEMPERATURE-SCALED SOURCE MIXING — the multilingual-LM sampling rule (p_s ∝ n_s^α,
     // the "temperature" that upsamples small sources): α = 0.5 via floor(sqrt(n)) keeps
     // the weights INTEGER-exact cross-engine (IEEE sqrt is correctly rounded, so the
@@ -690,9 +717,24 @@ object TextOps {
     * shared with the oracle so the gates cannot drift. */
   private val MixBudget = 10000L
 
+  /** Vocabulary-size ladder of [[text_vocab_coverage]] — shared with the oracle. */
+  private val VocabLadder = Seq(10L, 100L, 1000L)
+
   private val stopwordSql = stopwords.map(w => s"x = '$w'").mkString(" OR ")
 
   val oracle: Map[String, String] = Map(
+    // the same ranked-counts cumulative coverage
+    "text_vocab_coverage" ->
+      s"""WITH toks AS (SELECT unnest(list_filter(string_split_regex(trim(text),'\\s+'), x -> x <> '')) AS tok
+         |  FROM documents),
+         |c AS (SELECT tok, cast(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+         |r AS (SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rnk,
+         |        cast(sum(cnt) OVER () AS BIGINT) AS total FROM c),
+         |l AS (SELECT unnest([${VocabLadder.mkString(", ")}]) AS k)
+         |SELECT k, cast(count(*) AS BIGINT) AS vocab_tokens,
+         |  cast(sum(cnt) * 10000 // max(total) AS BIGINT) AS covered_bp
+         |FROM l JOIN r ON r.rnk <= l.k
+         |GROUP BY k ORDER BY k""".stripMargin,
     // the same sqrt-temperature weights and largest-remainder allocation
     "corpus_mix_temperature" ->
       s"""WITH s AS (SELECT source, cast(count(*) AS BIGINT) AS n_docs
