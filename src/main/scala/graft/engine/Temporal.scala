@@ -410,6 +410,24 @@ object Temporal {
         .agg(countDistinct($"user_id").as("active_users"))
         .orderBy($"cohort_week", $"weeks_since")
     },
+    // RECENCY-WEIGHTED AGGREGATES — the feature-store decay score with NO float decay:
+    // weight halves per week of age (integer shift, cents div 2^weeks, capped), so the
+    // per-user sum stays order-independent and the hash gate holds where an exp() decay
+    // could never. One partial-aggregated shuffle on the user key; the anchor is a fixed
+    // instant so the plan needs no global-max scalar pass.
+    "events_recency_weighted" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "events")
+        .select($"user_id", expr("ts div 1000").as("ts_us"), $"value")
+        .select($"user_id", cents($"value").as("cents"),
+          least(expr(s"($RecencyAnchorUs - ts_us) div $WeekUs"), lit(20L)).as("wk"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum($"cents").as("raw_cents"),
+          sum(expr("cents div shiftleft(cast(1 as bigint), cast(wk as int))"))
+            .as("decayed_cents"))
+        .orderBy($"user_id")
+    },
     // BEHAVIORAL SEQUENCES — the events table rendered as per-user action sequences,
     // the input shape of sequence-model training (and of sessionized feature stores):
     // each user's events in deterministic (ts, event_id) order become a space-joined
@@ -465,11 +483,26 @@ object Temporal {
     * guarantee needs. Shared with the oracle SQL so the gates cannot drift. */
   private[engine] val HeavyHitterK = 1100L
 
+  /** Fixed decay anchor of `events_recency_weighted` (2024-02-01T00:00Z, just past the
+    * testdata's last event) and the halving period, in micros — shared with the oracle. */
+  private val RecencyAnchorUs = 1706745600000000L
+  private val WeekUs = 7L * 86400L * 1000000L
+
   /** Sequence cap of `events_user_sequences` (tokens kept per user, first-N by event
     * time) — shared with the oracle so the gates cannot drift. */
   private val SeqMaxLen = 32
 
   val oracle: Map[String, String] = Map(
+    // value >= 0 in the testdata, so integer div and DuckDB's floor-div agree
+    "events_recency_weighted" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+         |             CAST(round(value*100) AS BIGINT) AS cents FROM events),
+         |w AS (SELECT user_id, cents,
+         |        least(($RecencyAnchorUs - ts_us) // $WeekUs, 20) AS wk FROM e)
+         |SELECT user_id, cast(count(*) AS BIGINT) AS n_events,
+         |  cast(sum(cents) AS BIGINT) AS raw_cents,
+         |  cast(sum(cents // (1::BIGINT << wk)) AS BIGINT) AS decayed_cents
+         |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
     "events_user_sequences" ->
       s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events)
          |SELECT user_id, cast(count(*) AS BIGINT) AS n_events,

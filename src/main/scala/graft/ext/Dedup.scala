@@ -556,6 +556,26 @@ object Dedup {
     // www., strip trailing slash, drop utm_* params, sort the rest. One shuffle on the
     // canonical key (same plan as dedup_exact); every canonicalization step is a
     // codegen'd split/filter/sort Column expression, so at 100 TB this rides the scan.
+    // FUZZY RECORD LINKAGE — blocked edit-distance matching, the entity-resolution
+    // staple: distinct part names (adjective+noun) BLOCK on their noun (the classic
+    // blocking key — candidates only form inside a block, never across the corpus), then
+    // verify with exact Levenshtein <= 3. At 100 TB the block join is an equi shuffle on
+    // the blocking key and the quadratic term is bounded per block — the same
+    // bounded-candidates discipline as the LSH banded join, with an edit-distance
+    // verifier instead of Jaccard.
+    "dedup_fuzzy_names" -> { (s, dir) =>
+      import s.implicits._
+      val names = graft.engine.Tables(s, dir, "part")
+        .select($"p_name").distinct()
+        .select($"p_name".as("name"), element_at(split($"p_name", " "), -1).as("block"))
+      names.as("a").join(names.as("b"),
+          col("a.block") === col("b.block") && col("a.name") < col("b.name"))
+        .select(col("a.block").as("block"), col("a.name").as("name_a"),
+          col("b.name").as("name_b"),
+          levenshtein(col("a.name"), col("b.name")).as("dist"))
+        .filter($"dist" <= 3)
+        .orderBy($"block", $"name_a", $"name_b")
+    },
     "dedup_url_canonical" -> { (s, dir) =>
       import s.implicits._
       val messy = graft.engine.Tables(s, dir, "documents")
@@ -653,6 +673,15 @@ object Dedup {
        |banded$sfx AS (SELECT doc_id, $bandExprs FROM sig$sfx)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same noun blocks, same exact Levenshtein verifier
+    "dedup_fuzzy_names" ->
+      """WITH n AS (SELECT DISTINCT p_name AS name FROM part),
+        |k AS (SELECT name, string_split(name, ' ')[-1] AS block FROM n)
+        |SELECT a.block AS block, a.name AS name_a, b.name AS name_b,
+        |  cast(levenshtein(a.name, b.name) AS INTEGER) AS dist
+        |FROM k a JOIN k b ON a.block = b.block AND a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 3
+        |ORDER BY a.block, name_a, name_b""".stripMargin,
     "dedup_minhash_estimate" -> {
       val agree = (0 until NumHashes)
         .map(i => s"CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END").mkString(" + ")
