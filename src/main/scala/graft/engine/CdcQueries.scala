@@ -789,6 +789,31 @@ object CdcQueries {
           $"valid_to_scn".isNull.cast("int").as("is_current"))
         .orderBy($"o_orderkey", $"valid_from_scn")
     },
+    // MULTI-MASTER CONFLICT DETECTION — the reconciliation report a bidirectional /
+    // multi-site CDC deployment needs: two sites replay the same key space (site A =
+    // the %2 slice of the merge script, site B = the %3 slice with its scn clock skewed
+    // +5), and a key BOTH sites wrote is a conflict, resolved last-writer-wins by
+    // (scn, site) with the deterministic site-A tiebreak. Plan: per-site one
+    // partial-agg max per key (no raw-event join), then an inner equi join of the two
+    // tiny per-key summaries — at 100 TB the conflict set is bounded by the overlap, and
+    // nothing replays raw history.
+    "cdc_conflict_detect" -> { (s, dir) =>
+      import s.implicits._
+      def lastWrite(keyFilter: Column, scnOffset: Long) =
+        mergeEnvelope(s, dir, keyFilter)
+          .select(
+            coalesce($"data".getItem("O_ORDERKEY"), $"before".getItem("O_ORDERKEY"))
+              .cast("long").as("o_orderkey"),
+            ($"scn".cast("long") + scnOffset).as("scn"))
+          .groupBy($"o_orderkey").agg(max($"scn").as("last_scn"))
+      val a = lastWrite($"k" % 2 === 0, 0L)
+      val b = lastWrite($"k" % 3 === 0, 5L)
+      a.select($"o_orderkey", $"last_scn".as("a_last_scn"))
+        .join(b.select($"o_orderkey", $"last_scn".as("b_last_scn")), Seq("o_orderkey"))
+        .select($"o_orderkey", $"a_last_scn", $"b_last_scn",
+          when($"a_last_scn" >= $"b_last_scn", "A").otherwise("B").as("winner"))
+        .orderBy($"o_orderkey")
+    },
     // STREAMING SCD2 — the dimension history maintained CONTINUOUSLY by keyed state
     // (cdc/Scd2Stream): per-key open version in the store (state bounded by column
     // count, closures emitted and evicted), fed the %7 slice of the same merge script
@@ -1169,6 +1194,33 @@ object CdcQueries {
         |  CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
         |FROM w WHERE kind = 'V'
         |ORDER BY o_orderkey, valid_from_scn""".stripMargin,
+    // per-site last scn from the script arithmetic: a key's highest off is 5 (delete,
+    // %10), else 4/%8-insert-update... the envelope's per-key max scn is key*10 + the
+    // largest matching off; inserted keys (k+10M) belong to their own key space
+    "cdc_conflict_detect" ->
+      s"""WITH base AS (SELECT cast(o_orderkey AS BIGINT) AS k FROM orders),
+         |offs AS (
+         |  SELECT k, 0 AS off FROM base WHERE k % 6 = 0
+         |  UNION ALL SELECT k, 1 FROM base WHERE k % 3 = 0
+         |  UNION ALL SELECT k, 3 FROM base WHERE k % 9 = 0
+         |  UNION ALL SELECT k, 5 FROM base WHERE k % 10 = 0
+         |),
+         |ins AS (
+         |  SELECT k, k + 10000000 AS key, 2 AS off FROM base WHERE k % 4 = 0
+         |  UNION ALL SELECT k, k + 10000000, 4 FROM base WHERE k % 8 = 0
+         |),
+         |allops AS (
+         |  SELECT k AS src, k AS key, off FROM offs
+         |  UNION ALL SELECT k, key, off FROM ins
+         |),
+         |a AS (SELECT key AS o_orderkey, max(src*10 + off) AS a_last_scn
+         |      FROM allops WHERE src % 2 = 0 GROUP BY key),
+         |b AS (SELECT key AS o_orderkey, max(src*10 + off) + 5 AS b_last_scn
+         |      FROM allops WHERE src % 3 = 0 GROUP BY key)
+         |SELECT a.o_orderkey, a.a_last_scn, b.b_last_scn,
+         |  CASE WHEN a.a_last_scn >= b.b_last_scn THEN 'A' ELSE 'B' END AS winner
+         |FROM a JOIN b ON a.o_orderkey = b.o_orderkey
+         |ORDER BY a.o_orderkey""".stripMargin,
     // the %7 slice's version intervals with NULL-until-set changelog states: status is
     // set by off1 ('Z') and off3 ('Y'); priority ONLY by off3 ('9-PRIO') or the insert
     // ('NEW'); the off0 explicit-NULL and never-seen both read as NULL
