@@ -46,7 +46,15 @@ object Scd2Stream {
     env.groupByKey { r =>
       val d = Option(r.data).getOrElse(Map.empty)
       val b = Option(r.before).getOrElse(Map.empty)
-      d.getOrElse("O_ORDERKEY", b.getOrElse("O_ORDERKEY", null)).toLong
+      // fail LOUDLY on a malformed envelope (key in neither map): a bare .toLong on
+      // null NPEs deep in the streaming task with zero context — name the row instead
+      // so a feed bug is diagnosable from the driver exception alone
+      d.get("O_ORDERKEY").flatMap(Option(_))
+        .orElse(b.get("O_ORDERKEY").flatMap(Option(_))).getOrElse(
+        throw new IllegalArgumentException(
+          s"SCD2 stream: envelope row carries O_ORDERKEY in neither data nor before " +
+            s"(operation=${r.operation}, scn=${r.scn}, commit_scn=${r.commit_scn})")
+      ).toLong
     }.flatMapGroupsWithState[OpenVersion, Scd2Emit](
       OutputMode.Append, GroupStateTimeout.NoTimeout) { (key, it, state) =>
       // deterministic intra-batch order — the same (commit_scn, scn, seq) contract as

@@ -558,14 +558,26 @@ object Relational {
       val ed = edges.join(deg, Seq("sk", "sid")).cache()
       val nodes = deg.select($"sk".as("kind"), $"sid".as("id"))
       var ranks = nodes.select($"kind", $"id", lit(PrScale).as("r"))
+      // 3 rounds BY DESIGN (plan unrolls; lineage depth is a constant). If this ever
+      // becomes iterate-to-convergence, adopt Dedup.propagateLabels' per-round
+      // localCheckpoint + block-release pattern first — an unbounded unrolled lineage
+      // re-derives every prior round per action and blows the planner at depth.
       for (_ <- 1 to 3) {
         val contrib = ed
           .join(ranks, ed("sk") === ranks("kind") && ed("sid") === ranks("id"))
           .select($"dk".as("kind"), $"did".as("id"), expr("r div deg").as("c"))
           .groupBy($"kind", $"id").agg(sum($"c").as("c"))
+        // damped update in an overflow-safe split: for c >= 0,
+        //   (85*c) div 100  ==  (c div 100)*85 + ((c % 100)*85) div 100
+        // (c = 100q+rem → 85c = 8500q + 85rem), so the largest intermediate is
+        // 0.85*c instead of 85*c — a hub's aggregated in-flow stays in Long range
+        // until total rank mass itself would overflow (~9e18, ≈9M nodes at PrScale),
+        // not at the ~1.1e17 in-flow where 85*c wrapped silently.
         ranks = nodes.join(contrib, Seq("kind", "id"), "left_outer")
           .select($"kind", $"id",
-            (lit(PrScale * 15L / 100L) + expr("(85 * coalesce(c, 0L)) div 100")).as("r"))
+            (lit(PrScale * 15L / 100L) +
+              expr("(coalesce(c, 0L) div 100) * 85 + ((coalesce(c, 0L) % 100) * 85) div 100"))
+              .as("r"))
       }
       ranks.select($"kind", $"id", $"r".as("rank")).orderBy($"kind", $"id")
     },
@@ -584,7 +596,8 @@ object Relational {
         s"""c$cur AS (SELECT dk AS kind, did AS id, cast(sum(r.r // ed.deg) AS BIGINT) AS c
            |  FROM ed JOIN r$prev r ON r.kind = ed.sk AND r.id = ed.sid GROUP BY dk, did),
            |r$cur AS (SELECT n.kind, n.id,
-           |    cast($base + (85 * coalesce(c$cur.c, 0)) // 100 AS BIGINT) AS r
+           |    cast($base + (coalesce(c$cur.c, 0) // 100) * 85
+           |           + ((coalesce(c$cur.c, 0) % 100) * 85) // 100 AS BIGINT) AS r
            |  FROM n LEFT JOIN c$cur ON n.kind = c$cur.kind AND n.id = c$cur.id)""".stripMargin
       s"""WITH raw AS (SELECT DISTINCT user_id AS u, (props->>'k')::BIGINT AS k
          |  FROM events WHERE (props->>'k') IS NOT NULL),

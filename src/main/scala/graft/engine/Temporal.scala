@@ -199,6 +199,12 @@ object Temporal {
         .select(expr("ts div 1000").as("ts_us"), $"event_type", $"value")
         .as[(Long, String, Double)].collect()
         .sortBy(_._1)
+      // empty subsample (possible on a user-supplied dataset) → empty result, not
+      // a NoSuchElementException from rows.last deep in the sentinel derivation
+      if (rows.isEmpty)
+        emptyResult(s, "minute_bucket" -> "long", "event_type" -> "string",
+          "event_cnt" -> "long", "value_cents" -> "long")
+      else {
       val sentinelUs = rows.last._1 + 30L * 24 * 3600 * 1000000L
       val (h1, h2) = rows.splitAt(rows.length / 2)
       val out = StreamGate.runTwoBatches(s,
@@ -216,6 +222,7 @@ object Temporal {
         .select(expr("unix_micros(window.start) div 60000000").as("minute_bucket"),
           $"event_type", $"event_cnt", $"value_cents")
         .orderBy($"minute_bucket", $"event_type")
+      }
     },
     // STREAMING WINDOWED TOP-K — the live leaderboard: watermarked per-(window, user)
     // counts in the stream (state bounded by open windows × active users, closed windows
@@ -231,6 +238,11 @@ object Temporal {
         .select(expr("ts div 1000").as("ts_us"), $"user_id")
         .as[(Long, Long)].collect()
         .sortBy(_._1)
+      // same empty-feed guard as events_window_stream: no rows → no leaderboard
+      if (rows.isEmpty)
+        emptyResult(s, "hour_bucket" -> "long", "user_id" -> "long",
+          "cnt" -> "long", "rnk" -> "long")
+      else {
       val sentinelUs = rows.last._1 + 30L * 24 * 3600 * 1000000L
       val (h1, h2) = rows.splitAt(rows.length / 2)
       val out = StreamGate.runTwoBatches(s,
@@ -250,6 +262,7 @@ object Temporal {
         .withColumn("rnk", row_number().over(wRank).cast("long"))
         .filter($"rnk" <= 3)
         .orderBy($"hour_bucket", $"rnk")
+      }
     },
     // Streaming stateful DEDUP, oracle-gated: the same subsample is fed TWICE — batch 2 is
     // a full replay of batch 1 — and dropDuplicates' key state must suppress every replayed
@@ -285,6 +298,10 @@ object Temporal {
         .filter($"event_id" % 4 === 0)
         .select($"user_id", expr("ts div 1000").as("ts_us"), $"value")
         .as[(Long, Long, Double)].collect().sortBy(_._2).toSeq
+      if (rows.isEmpty)
+        emptyResult(s, "user_id" -> "long", "start_us" -> "long",
+          "event_cnt" -> "long", "value_cents" -> "long")
+      else {
       // far-future sentinel: its watermark closes every real session (append mode)
       val sentinel = (-1L, rows.last._2 + 30L * 24 * 3600 * 1000000L, 0.0)
       val (h1, h2) = rows.splitAt(rows.length / 2)
@@ -301,6 +318,7 @@ object Temporal {
         .select($"user_id", expr("unix_micros(session_window.start)").as("start_us"),
           $"event_cnt", $"value_cents")
         .orderBy($"user_id", $"start_us")
+      }
     },
     // BOUNDED streaming dedup, oracle-gated — the production form of events_dedup_stream:
     // dropDuplicatesWithinWatermark holds per-key state only until the watermark passes
@@ -320,6 +338,9 @@ object Temporal {
         .filter($"event_id" % 4 === 0)
         .select($"event_id", $"event_type", expr("ts div 1000").as("ts_us"))
         .as[(Long, String, Long)].collect().sortBy(_._3).toSeq
+      if (rows.isEmpty)
+        emptyResult(s, "event_type" -> "string", "cnt" -> "long")
+      else {
       val (minUs, maxUs) = (rows.head._3, rows.last._3)
       // the delay spans the whole timeline + margin: no original or replay is ever late
       val delayUs = maxUs - minUs + 3600L * 1000000L
@@ -343,6 +364,7 @@ object Temporal {
       }
       out.filter($"event_type" =!= "sentinel")
         .groupBy($"event_type").agg(count(lit(1)).as("cnt")).orderBy($"event_type")
+      }
     },
     // STREAM-STREAM interval join, oracle-gated: purchases joined to the same user's
     // clicks within the preceding 24 hours, BOTH sides watermarked and fed as separate
@@ -362,6 +384,9 @@ object Temporal {
         .as[(Long, Long, Long)].collect().sortBy(_._3).toSeq
       val clicks = side("click")
       val purchases = side("purchase")
+      if (clicks.isEmpty || purchases.isEmpty)
+        emptyResult(s, "purchase_id" -> "long", "click_id" -> "long")
+      else {
       val sentinelUs =
         (clicks.last._3 max purchases.last._3) + 30L * 24 * 3600 * 1000000L
       // distinct sentinel users: with a shared user the two sentinels (same ts) would
@@ -385,6 +410,7 @@ object Temporal {
           .select($"purchase_id", $"click_id")
       }
       out.orderBy($"purchase_id", $"click_id")
+      }
     },
     // COHORT RETENTION — the product-analytics staple: users cohorted by their first
     // active epoch-week, activity bucketed by whole weeks since that cohort week,
@@ -420,7 +446,12 @@ object Temporal {
       Tables(s, dir, "events")
         .select($"user_id", expr("ts div 1000").as("ts_us"), $"value")
         .select($"user_id", cents($"value").as("cents"),
-          least(expr(s"($RecencyAnchorUs - ts_us) div $WeekUs"), lit(20L)).as("wk"))
+          // clamp BOTH ends: without the greatest(0), an event past the fixed anchor
+          // (a regenerated dataset) makes wk negative and shiftleft's mod-64 shift
+          // count silently diverges from the oracle's `<<` — clamp to [0, 20] so a
+          // future-dated feed decays at weight 1 instead of corrupting the sum
+          greatest(least(expr(s"($RecencyAnchorUs - ts_us) div $WeekUs"), lit(20L)), lit(0L))
+            .as("wk"))
         .groupBy($"user_id")
         .agg(count(lit(1)).as("n_events"),
           sum($"cents").as("raw_cents"),
@@ -498,7 +529,7 @@ object Temporal {
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
          |             CAST(round(value*100) AS BIGINT) AS cents FROM events),
          |w AS (SELECT user_id, cents,
-         |        least(($RecencyAnchorUs - ts_us) // $WeekUs, 20) AS wk FROM e)
+         |        greatest(least(($RecencyAnchorUs - ts_us) // $WeekUs, 20), 0) AS wk FROM e)
          |SELECT user_id, cast(count(*) AS BIGINT) AS n_events,
          |  cast(sum(cents) AS BIGINT) AS raw_cents,
          |  cast(sum(cents // (1::BIGINT << wk)) AS BIGINT) AS decayed_cents
@@ -654,4 +685,14 @@ object Temporal {
         |FROM events WHERE event_id % 4 = 0
         |GROUP BY 1, 2 ORDER BY minute_bucket, event_type""".stripMargin,
   )
+
+  /** Zero-row frame with an explicit (name, DDL-type) schema — the empty-feed result of
+    * the streaming harness queries, so an empty subsample degrades to an empty answer
+    * instead of a NoSuchElementException in the sentinel derivation. */
+  private def emptyResult(s: SparkSession, cols: (String, String)*): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val ddl = cols.map { case (n, t) => s"$n $t" }.mkString(", ")
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType.fromDDL(ddl))
+  }
 }
