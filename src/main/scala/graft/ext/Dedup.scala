@@ -109,6 +109,58 @@ object Dedup {
       when(params =!= "", concat(lit("?"), params)).otherwise(""))
   }
 
+  /** Per-(block, length-band) cardinality ceiling of [[fuzzyBlockedPairs]]: one group of
+    * 64k names is a ~4e9-comparison straggler task — past that the blocking key is too
+    * coarse and the job must FAIL LOUDLY (r10 verdict #1) instead of hanging one task. */
+  private[ext] val FuzzyBlockCap = 65536L
+
+  /** Blocked fuzzy-linkage candidate join, skew-hardened (r10 verdict "what's wrong" #1).
+    *
+    * Candidates only form inside a (block, LENGTH-BAND) group: a pair within Levenshtein
+    * `maxDist` differs in length by at most `maxDist`, so banding lengths at width
+    * `maxDist + 1` and exploding the probe side to its ±maxDist neighbor bands is a
+    * LOSSLESS refinement — identical output to the plain blocked join, but a hot block
+    * whose names spread across lengths (the common case — natural-language name columns
+    * are length-diverse) sub-blocks into bounded groups instead of one quadratic task.
+    * Each qualifying pair lands in exactly one joined group (side a carries its single
+    * band; side b's exploded band sequence is distinct), so no dedup pass is needed.
+    *
+    * The residual hot case — one block × one band past `blockCap` (same-length clones) —
+    * is irreducibly quadratic for an edit-distance verifier, so it raises a named error
+    * in the [[graft.ext.TextOps.guardBroadcast]] style rather than straggling silently:
+    * the guard count rides a window over the SAME (block, band) partitioning the join
+    * shuffles on, so it costs no extra exchange. */
+  private[ext] def fuzzyBlockedPairs(names: DataFrame, maxDist: Int,
+                                     blockCap: Long = FuzzyBlockCap): DataFrame = {
+    val w = maxDist + 1
+    val win = org.apache.spark.sql.expressions.Window.partitionBy(col("block"), col("band"))
+    val a = names
+      .withColumn("len", length(col("name")))
+      .withColumn("band", expr(s"len div $w"))
+      .withColumn("_fz_n", count(lit(1)).over(win))
+      .withColumn("band",
+        when(col("_fz_n") > blockCap, raise_error(concat(
+          lit("fuzzy linkage: block '"), col("block"),
+          lit("' holds "), col("_fz_n").cast("string"),
+          lit(s" names in one length band (> $blockCap cap) — the within-block " +
+            "quadratic would straggle; tighten the blocking key or sub-block further"))))
+          .otherwise(col("band")))
+      .drop("_fz_n")
+    val b = names
+      .withColumn("len", length(col("name")))
+      .withColumn("band", explode(sequence(
+        greatest(expr(s"(len - $maxDist) div $w"), lit(0L)),
+        expr(s"(len + $maxDist) div $w"))))
+    a.as("a").join(b.as("b"),
+        col("a.block") === col("b.block") && col("a.band") === col("b.band") &&
+          col("a.name") < col("b.name") &&
+          abs(col("a.len") - col("b.len")) <= maxDist)
+      .select(col("a.block").as("block"), col("a.name").as("name_a"),
+        col("b.name").as("name_b"),
+        levenshtein(col("a.name"), col("b.name")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** n-token shingles of a token array column (empty when fewer than n tokens). */
   private def shinglesN(toks: Column, n: Int): Column = {
     val all = transform(toks, (t, i) =>
@@ -559,21 +611,18 @@ object Dedup {
     // FUZZY RECORD LINKAGE — blocked edit-distance matching, the entity-resolution
     // staple: distinct part names (adjective+noun) BLOCK on their noun (the classic
     // blocking key — candidates only form inside a block, never across the corpus), then
-    // verify with exact Levenshtein <= 3. At 100 TB the block join is an equi shuffle on
-    // the blocking key and the quadratic term is bounded per block — the same
-    // bounded-candidates discipline as the LSH banded join, with an edit-distance
+    // verify with exact Levenshtein <= 3. At 100 TB the candidate join is an equi
+    // shuffle on (block, length-band): fuzzyBlockedPairs sub-blocks each block by
+    // length band (lossless — |len diff| <= maxDist is necessary for the verify) and
+    // raises loudly on a residual same-length hot group instead of straggling — the
+    // same bounded-candidates discipline as the LSH banded join, with an edit-distance
     // verifier instead of Jaccard.
     "dedup_fuzzy_names" -> { (s, dir) =>
       import s.implicits._
       val names = graft.engine.Tables(s, dir, "part")
         .select($"p_name").distinct()
         .select($"p_name".as("name"), element_at(split($"p_name", " "), -1).as("block"))
-      names.as("a").join(names.as("b"),
-          col("a.block") === col("b.block") && col("a.name") < col("b.name"))
-        .select(col("a.block").as("block"), col("a.name").as("name_a"),
-          col("b.name").as("name_b"),
-          levenshtein(col("a.name"), col("b.name")).as("dist"))
-        .filter($"dist" <= 3)
+      fuzzyBlockedPairs(names, maxDist = 3)
         .orderBy($"block", $"name_a", $"name_b")
     },
     "dedup_url_canonical" -> { (s, dir) =>
