@@ -36,7 +36,7 @@ object SparkEntry {
       "events_window_stream", "events_dedup_stream", "events_dedup_stream_wm",
       "events_join_stream", "events_session_stream", "cdc_status_feed",
       "dedup_incremental_stream", "events_enrich_stream", "cdc_txn_timeout",
-      "cdc_scd2_stream", "events_topk_stream",
+      "cdc_scd2_stream", "events_topk_stream", "events_heavy_hitters_stream",
       "cdc_pipeline_restart") // runs runBatchesWithRestarts (checkpointed restarts) at construction
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

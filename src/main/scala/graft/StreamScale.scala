@@ -350,6 +350,26 @@ object StreamScale {
     }
   }
 
+  // ---- 6. streaming heavy hitters (Misra–Gries keyed state) ------------------
+  // the events_heavy_hitters_stream shape at FULL event volume: per-shard bounded
+  // counter maps in flatMapGroupsWithState. The `--hist` knob REPLAYS the whole stream
+  // hist extra times — events grow (1+hist)×, but MG state is capped at
+  // shards × capacity BY CONSTRUCTION, so peak and final state rows must stay flat
+  // (≤ shards × (capacity + 1) once per-shard version rows are counted) at any volume —
+  // the sketch's whole point is that state never tracks key cardinality or stream length.
+  def heavyHittersWorkload(spark: SparkSession, sfDir: String, hist: Int): Metrics = {
+    import spark.implicits._
+    val rows0 = Tables(spark, sfDir, "events")
+      .select($"user_id").as[Long].collect().toSeq
+    val rows = (0 to math.max(0, hist)).flatMap(_ => rows0)
+      .map(u => ((u % graft.engine.Temporal.HhStreamShards).toInt, u))
+    runMeasured(spark, Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong),
+        s"ss_hh_$hist", cut(rows, 4)) { ds =>
+      graft.engine.MisraGries
+        .streamCandidates(ds.as[(Int, Long)], graft.engine.Temporal.HeavyHitterK).toDF()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: StreamScale <sfDir> [histMult]")
     val sfDir = args(0)
@@ -383,6 +403,8 @@ object StreamScale {
     emit("dedup_wm_stream", dedupWmWorkload(spark, sfDir, hist))
     spark.catalog.clearCache()
     emit("join_stream", joinWorkload(spark, sfDir))
+    spark.catalog.clearCache()
+    emit("heavy_hitters_stream", heavyHittersWorkload(spark, sfDir, hist))
     spark.stop()
   }
 }

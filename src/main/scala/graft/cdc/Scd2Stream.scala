@@ -18,6 +18,15 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
  * terminal reduce ([[latestVersions]]) keeps the closed record for a (key, valid_from)
  * when both an open and a closed emission exist — the same changelog-compaction shape
  * the streaming apply uses for replica rows.
+ *
+ * LATE-EVENT DIVERGENCE (r10 verdict #6): a commit arriving with scn INSIDE an
+ * already-closed interval cannot restate here — closed versions left the state store at
+ * close time, and append-mode emissions are immutable, so the late op is folded at its
+ * ARRIVAL position (it opens a new version after the current one) rather than at its scn
+ * position. The batch builder ([[Scd2]].versionFrame) re-sorts the full history per key
+ * and IS the restatement path — gated by `cdc_scd2_restate`, which splits a closed
+ * interval with an out-of-order commit and hash-checks the corrected history. Run the
+ * batch rebuild to correct history whenever the feed can deliver past-scn commits.
  */
 object Scd2Stream {
 

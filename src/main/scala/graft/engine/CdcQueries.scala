@@ -850,7 +850,71 @@ object CdcQueries {
         .select($"o_orderkey", $"o_orderstatus", $"o_orderpriority")
         .orderBy($"o_orderkey")
     },
+    // CROSS-TABLE CONSISTENT AS-OF (r10 verdict #5) — real time-travel reads a
+    // transactionally consistent CUT across tables, not one table at a time: ONE mixed
+    // wire stream (orders + customer scripts, the cdc_apply_merge_multitable feed),
+    // parsed and enveloped once, then the SINGLE scn cut is applied BEFORE the topic
+    // split — so by construction no table can reflect a commit past the cut that
+    // another table misses. Each branch applies its <=cut envelope onto its snapshot;
+    // output is ROW-LEVEL (both tables normalized to (tbl, key, v1, v2) and unioned),
+    // so the oracle checks every key of both tables at the cut, not just summaries.
+    // The cut lands mid-apply in BOTH tables at every sf (key*10-scale scns), which is
+    // exactly the state a consistent multi-table replica shows mid-replay.
+    "cdc_asof_multitable" -> { (s, dir) =>
+      import s.implicits._
+      val raw = mergeScript(s, dir, lit(true)).unionByName(customerScript(s, dir))
+      val env = CdcPipeline.envelope(
+        raw.withColumn("parsed", ParseRedo.parse($"sql_redo")), "DB1",
+        extra = Seq($"commit_scn", $"seq"))
+        .filter($"scn".cast("long") <= AsOfMultiCut) // the ONE cut, before the split
+        .cache()
+      val oSnap = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_orderpriority")
+      val cSnap = Tables(s, dir, "customer").select($"c_custkey", $"c_mktsegment")
+      val oFin = EnvelopeApply(oSnap, env.filter($"topic" === "DB1.GRAFT.ORDERS"),
+        Catalog.withKeyMetadata(oSnap.schema, Set("o_orderkey")))
+      val cFin = EnvelopeApply(cSnap, env.filter($"topic" === "DB1.GRAFT.CUSTOMER"),
+        Catalog.withKeyMetadata(cSnap.schema, Set("c_custkey")))
+      oFin.select(lit("ORDERS").as("tbl"), $"o_orderkey".cast("long").as("key"),
+          $"o_orderstatus".as("v1"), $"o_orderpriority".as("v2"))
+        .unionByName(cFin.select(lit("CUSTOMER").as("tbl"),
+          $"c_custkey".cast("long").as("key"),
+          $"c_mktsegment".as("v1"), lit(null).cast("string").as("v2")))
+        .orderBy($"tbl", $"key")
+    },
+    // SCD2 LATE-EVENT RESTATEMENT (r10 verdict #6) — an out-of-order commit (scn strictly
+    // inside an already-closed interval: the %11 keys get a status='L' update at off 2,
+    // BETWEEN the off-1 and off-3 versions, appended at the END of the feed) must
+    // restate history: the enclosing interval splits, valid_to/valid_from re-knit, and
+    // every later version's ordinal shifts. The batch builder re-sorts per key inside
+    // Scd2.versionFrame, so ARRIVAL position cannot matter — that is the restatement
+    // contract this gate pins (the streaming builder can NOT reopen closures; its
+    // divergence is documented at cdc/Scd2Stream.scala and the batch rebuild is the
+    // correction path).
+    "cdc_scd2_restate" -> { (s, dir) =>
+      import s.implicits._
+      val late = Tables(s, dir, "orders")
+        .select($"o_orderkey".cast("long").as("k")).filter($"k" % 11 === 0)
+        .select($"k".as("o_orderkey"), ($"k" * 10 + 2).as("scn"),
+          lit(RedoEvent.Update).as("operation"),
+          map(lit("O_ORDERSTATUS"), lit("L")).as("data"))
+      Scd2.versionFrame(scd2Input(s, dir).unionByName(late), "o_orderkey",
+          Seq("o_orderstatus" -> "O_ORDERSTATUS", "o_orderpriority" -> "O_ORDERPRIORITY"))
+        .filter($"operation" =!= RedoEvent.Delete)
+        .select($"o_orderkey", $"scn".as("valid_from_scn"), $"valid_to_scn",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy($"o_orderkey").orderBy($"scn")).cast("long").as("ver"),
+          $"o_orderstatus", $"o_orderpriority",
+          $"valid_to_scn".isNull.cast("int").as("is_current"))
+        .orderBy($"o_orderkey", $"valid_from_scn")
+    },
   )
+
+  /** SCN cut of `cdc_asof_multitable` — mid-apply in BOTH tables: scns are key*10+off,
+    * so at every sf keys below ~750 are applied and the rest still read as their base
+    * snapshots (customer key space is 10x smaller than orders, hence the low cut).
+    * Shared with the oracle so the gates cannot drift. */
+  private val AsOfMultiCut = 7500L
 
   /** SCN cut of `cdc_asof_snapshot` — mid-stream at sf0.01 (orders keys 0..14999 emit
     * script scns up to ~150005, so keys below 7500 are fully applied and the rest still
@@ -863,7 +927,7 @@ object CdcQueries {
     * last(ignoreNulls) per column, so an explicit SET NULL — the %6 update — is a real
     * overlay) plus the lead-closed interval end. Delete markers are still present:
     * callers decide whether they close intervals (history) or kill keys (as-of). */
-  private def scd2Versions(s: SparkSession, dir: String): DataFrame = {
+  private def scd2Input(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val env = mergeEnvelope(s, dir, lit(true))
       .select(
@@ -877,9 +941,12 @@ object CdcQueries {
         lit(-1L).as("scn"), lit("BASE").as("operation"),
         map(lit("O_ORDERSTATUS"), $"o_orderstatus",
           lit("O_ORDERPRIORITY"), $"o_orderpriority").as("data"))
-    Scd2.versionFrame(base.unionByName(env), "o_orderkey",
-      Seq("o_orderstatus" -> "O_ORDERSTATUS", "o_orderpriority" -> "O_ORDERPRIORITY"))
+    base.unionByName(env)
   }
+
+  private def scd2Versions(s: SparkSession, dir: String): DataFrame =
+    Scd2.versionFrame(scd2Input(s, dir), "o_orderkey",
+      Seq("o_orderstatus" -> "O_ORDERSTATUS", "o_orderpriority" -> "O_ORDERPRIORITY"))
 
   /** The e2e pipeline feed shared by cdc_pipeline_e2e and cdc_pipeline_restart — both
     * gate against the SAME oracle (the uninterrupted run's final state), so the feed is
@@ -1176,6 +1243,74 @@ object CdcQueries {
         |  UNION ALL
         |  SELECT k, k*10+1, 'V', 'Z', CASE WHEN k % 6 = 0 THEN NULL ELSE pr0 END
         |  FROM base WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT k, k*10+3, 'V', 'Y', '9-PRIO' FROM base WHERE k % 9 = 0
+        |  UNION ALL
+        |  SELECT k, k*10+5, 'D', NULL, NULL FROM base WHERE k % 10 = 0
+        |  UNION ALL
+        |  SELECT k+10000000, k*10+2, 'V', 'N', 'NEW' FROM base WHERE k % 4 = 0
+        |  UNION ALL
+        |  SELECT k+10000000, k*10+4, 'V', 'M', 'NEW' FROM base WHERE k % 8 = 0
+        |),
+        |w AS (SELECT key, scn, kind, st, pr,
+        |        lead(scn) OVER (PARTITION BY key ORDER BY scn) AS valid_to
+        |      FROM v)
+        |SELECT key AS o_orderkey, scn AS valid_from_scn, valid_to AS valid_to_scn,
+        |  row_number() OVER (PARTITION BY key ORDER BY scn) AS ver,
+        |  st AS o_orderstatus, pr AS o_orderpriority,
+        |  CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM w WHERE kind = 'V'
+        |ORDER BY o_orderkey, valid_from_scn""".stripMargin,
+    // both tables' final states recomputed with CASE arithmetic AT THE SAME CUT: an op
+    // applies iff its scn (key*10+off) is at or below the shared cut — the consistency
+    // claim is that no per-table arithmetic ever reads a different cut
+    "cdc_asof_multitable" ->
+      s"""WITH ob AS (SELECT cast(o_orderkey AS BIGINT) AS k, o_orderstatus, o_orderpriority
+         |            FROM orders),
+         |cb AS (SELECT cast(c_custkey AS BIGINT) AS k, c_mktsegment FROM customer),
+         |osurv AS (
+         |  SELECT k AS key,
+         |    CASE WHEN k % 9 = 0 AND k*10+3 <= $AsOfMultiCut THEN 'Y'
+         |         WHEN k % 3 = 0 AND k*10+1 <= $AsOfMultiCut THEN 'Z'
+         |         ELSE o_orderstatus END AS v1,
+         |    CASE WHEN k % 9 = 0 AND k*10+3 <= $AsOfMultiCut THEN '9-PRIO'
+         |         WHEN k % 6 = 0 AND k*10 <= $AsOfMultiCut THEN NULL
+         |         ELSE o_orderpriority END AS v2
+         |  FROM ob WHERE NOT (k % 10 = 0 AND k*10+5 <= $AsOfMultiCut)),
+         |oins AS (
+         |  SELECT k + 10000000 AS key,
+         |    CASE WHEN k % 8 = 0 AND k*10+4 <= $AsOfMultiCut THEN 'M' ELSE 'N' END AS v1,
+         |    'NEW' AS v2
+         |  FROM ob WHERE k % 4 = 0 AND k*10+2 <= $AsOfMultiCut),
+         |csurv AS (
+         |  SELECT k AS key,
+         |    CASE WHEN k % 5 = 0 AND k*10 <= $AsOfMultiCut THEN 'LLMSEG'
+         |         ELSE c_mktsegment END AS v1
+         |  FROM cb WHERE NOT (k % 7 = 0 AND k*10+1 <= $AsOfMultiCut)),
+         |cins AS (SELECT k + 20000000 AS key, 'NEWSEG' AS v1 FROM cb
+         |         WHERE k % 11 = 0 AND k*10+2 <= $AsOfMultiCut)
+         |SELECT 'ORDERS' AS tbl, key, v1, v2 FROM osurv
+         |UNION ALL SELECT 'ORDERS', key, v1, v2 FROM oins
+         |UNION ALL SELECT 'CUSTOMER', key, v1, CAST(NULL AS VARCHAR) FROM csurv
+         |UNION ALL SELECT 'CUSTOMER', key, v1, CAST(NULL AS VARCHAR) FROM cins
+         |ORDER BY tbl, key""".stripMargin,
+    // the history arithmetic plus the late %11 'L' row at scn k*10+2: its state carries
+    // the priority as of off 1 (NULL if the %6 explicit-null fired, else base), later
+    // versions shift ordinals — lead()/row_number() over the scn-sorted set restate
+    // automatically, which is exactly what the gate pins
+    "cdc_scd2_restate" ->
+      """WITH base AS (SELECT cast(o_orderkey AS BIGINT) AS k, o_orderstatus AS st0,
+        |                     o_orderpriority AS pr0 FROM orders),
+        |v AS (
+        |  SELECT k AS key, cast(-1 AS BIGINT) AS scn, 'V' AS kind, st0 AS st, pr0 AS pr FROM base
+        |  UNION ALL
+        |  SELECT k, k*10+0, 'V', st0, NULL FROM base WHERE k % 6 = 0
+        |  UNION ALL
+        |  SELECT k, k*10+1, 'V', 'Z', CASE WHEN k % 6 = 0 THEN NULL ELSE pr0 END
+        |  FROM base WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT k, k*10+2, 'V', 'L', CASE WHEN k % 6 = 0 THEN NULL ELSE pr0 END
+        |  FROM base WHERE k % 11 = 0
         |  UNION ALL
         |  SELECT k, k*10+3, 'V', 'Y', '9-PRIO' FROM base WHERE k % 9 = 0
         |  UNION ALL

@@ -507,12 +507,54 @@ object Temporal {
         .select($"user_id", $"cnt", $"n_total")
         .orderBy($"user_id")
     },
+    // STREAMING HEAVY HITTERS (r10 verdict #4) — the leaderboard family's skew-proof
+    // sibling: Misra–Gries candidate state maintained CONTINUOUSLY in keyed streaming
+    // state (engine/MisraGries.streamCandidates — one bounded counter map per shard,
+    // state = shards × capacity counters, NEVER key cardinality), fed across a mid-stream
+    // batch cut; each invocation re-emits the shard's whole current summary stamped with
+    // a version, the terminal reduce keeps only each shard's NEWEST summary, and an
+    // exact recount over the candidate union makes the answer EXACT — same two-pass
+    // sketch+verify discipline as the batch query, same oracle shape. Shards are keyed
+    // by user_id, so a key's whole stream hits one shard and the MG survival bound
+    // applies end-to-end across micro-batches.
+    "events_heavy_hitters_stream" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.Encoders
+      val events = Tables(s, dir, "events")
+        .filter($"event_id" % 4 === 0).select($"user_id")
+      // driver-side feed is inherent to the MemoryStream harness (%4 subsample like the
+      // other stream gates); the PRODUCT path is streamCandidates over a Kafka source
+      val rows = events.as[Long].collect().toSeq
+        .map(u => ((u % HhStreamShards).toInt, u))
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      val out = StreamGate.runTwoBatches(s,
+          Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong),
+          "events_hh_stream_sink", b1, b2) { ds =>
+        MisraGries.streamCandidates(ds.as[(Int, Long)], HeavyHitterK).toDF()
+      }
+      val latest = out
+        .withColumn("maxv", max($"ver").over(Window.partitionBy($"shard")))
+        .filter($"ver" === $"maxv")
+        .select($"user_id").distinct()
+      val total = events.agg(count(lit(1)).as("n_total"))
+      events.join(broadcast(latest), Seq("user_id"))
+        .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+        // 1-row scalar side (streaming-harness query, outside the sweep's batch walk)
+        .crossJoin(broadcast(total))
+        .filter($"cnt" * HeavyHitterK > $"n_total")
+        .select($"user_id", $"cnt", $"n_total")
+        .orderBy($"user_id")
+    },
   )
+
+  /** Shard count of `events_heavy_hitters_stream` — bounds streaming state at
+    * shards × capacity counters while keeping every key's stream on one shard. */
+  private[graft] val HhStreamShards = 8L
 
   /** Heavy-hitter frequency threshold: φ = 1/1100 of the stream (count·1100 > N).
     * Also the per-partition Misra–Gries capacity — C = k is exactly what the superset
     * guarantee needs. Shared with the oracle SQL so the gates cannot drift. */
-  private[engine] val HeavyHitterK = 1100L
+  private[graft] val HeavyHitterK = 1100L
 
   /** Fixed decay anchor of `events_recency_weighted` (2024-02-01T00:00Z, just past the
     * testdata's last event) and the halving period, in micros — shared with the oracle. */
@@ -546,6 +588,16 @@ object Temporal {
          |SELECT user_id, cast(count(*) AS BIGINT) AS cnt,
          |  (SELECT n_total FROM t) AS n_total
          |FROM events GROUP BY user_id
+         |HAVING cast(count(*) AS BIGINT) * $HeavyHitterK > (SELECT n_total FROM t)
+         |ORDER BY user_id""".stripMargin,
+    // the exact answer over the %4 subsample — the stream's sketch+recount must be
+    // indistinguishable from the naive group-by
+    "events_heavy_hitters_stream" ->
+      s"""WITH e AS (SELECT user_id FROM events WHERE event_id % 4 = 0),
+         |t AS (SELECT cast(count(*) AS BIGINT) AS n_total FROM e)
+         |SELECT user_id, cast(count(*) AS BIGINT) AS cnt,
+         |  (SELECT n_total FROM t) AS n_total
+         |FROM e GROUP BY user_id
          |HAVING cast(count(*) AS BIGINT) * $HeavyHitterK > (SELECT n_total FROM t)
          |ORDER BY user_id""".stripMargin,
     "events_retention" ->

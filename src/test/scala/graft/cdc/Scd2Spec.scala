@@ -100,6 +100,42 @@ class Scd2Spec extends AnyFunSuite {
       "a deleted key has no current version")
   }
 
+  test("late-event restatement: an out-of-order commit splits the closed interval (r10 #6)") {
+    import spark.implicits._
+    // key 33 (%11, %3, not %6/%9/%10): in-order history is base(-1) -> 'Z'(331, OPEN).
+    // The restate feed appends a LATE status='L' update at scn 332 — the 'Z' version
+    // must close at 332, 'L' becomes current, ordinals shift. cdc_scd2_history (without
+    // the late op) must still show 'Z' open: the restatement is the delta.
+    val restated = graft.SparkEntry.queries("cdc_scd2_restate")(spark, dir)
+      .filter($"o_orderkey" === 33L).orderBy($"valid_from_scn").collect()
+    assert(restated.map(_.getAs[Long]("valid_from_scn")).toSeq === Seq(-1L, 331L, 332L))
+    val z = restated(1)
+    assert(z.getAs[String]("o_orderstatus") === "Z" && z.getAs[Long]("valid_to_scn") === 332L,
+      s"the late op must close the 'Z' interval: ${restated.mkString(";")}")
+    val l = restated(2)
+    assert(l.getAs[String]("o_orderstatus") === "L" && l.getAs[Int]("is_current") === 1 &&
+      l.getAs[Long]("ver") === 3L)
+    val inOrder = hist.filter($"o_orderkey" === 33L).orderBy($"valid_from_scn").collect()
+    assert(inOrder.last.getAs[String]("o_orderstatus") === "Z" &&
+      inOrder.last.getAs[Int]("is_current") === 1)
+  }
+
+  test("versionFrame is arrival-order independent (the batch restatement contract)") {
+    import spark.implicits._
+    def frame(rows: Seq[(Long, Long, String, Map[String, String])]) =
+      Scd2.versionFrame(
+        rows.toDF("o_orderkey", "scn", "operation", "data"),
+        "o_orderkey", Seq("st" -> "S", "pr" -> "P"))
+        .orderBy($"o_orderkey", $"scn").collect().map(_.toString).toSeq
+    val inOrder = Seq(
+      (1L, -1L, "BASE", Map("S" -> "a", "P" -> "p")),
+      (1L, 10L, "UPDATE", Map("S" -> "b")),
+      (1L, 15L, "UPDATE", Map("S" -> "late")), // the mid-interval commit
+      (1L, 20L, "UPDATE", Map("P" -> "q")))
+    val shuffled = Seq(inOrder(3), inOrder(0), inOrder(2), inOrder(1))
+    assert(frame(inOrder) === frame(shuffled))
+  }
+
   test("version counts match the script arithmetic for a spot key") {
     import spark.implicits._
     // key 12: %6 (prio NULL), %3 ('Z'), %4 (spawns 10000012) — base + 2 updates = 3 rows
