@@ -10,8 +10,13 @@ object BenchOne {
     // same SPARK_GRAFT_CPUS knob as Bench: a spot measurement exists to sanity-check a
     // bench number, so it must run under the same parallelism/shuffle fan-out
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // shuffle fan-out decouples from thread count for derived-scale posture runs: at
+    // sf10 (100× bench data) a fixed 32 shuffle partitions carries 100× rows PER
+    // PARTITION, which overwhelms a constrained per-slot heap by construction — a real
+    // cluster scales partition count with data volume. Default stays = cpus.
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       // Spark 4 defaults AQE ON and every gate/bench runs that way; the off-switch exists
       // to measure what adaptive re-planning buys/costs (BASELINE.md AQE note, r7 #6)
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
