@@ -26,10 +26,17 @@ class BenchSpinSpec extends AnyFunSuite {
   }
 
   test("calibrationSpin detects an injected busy co-process (degraded provably fires)") {
-    // half the production work (~100 ms idle): fast enough for a test, big enough that a
-    // >2x contention slowdown also clears spinTripped's 0.2 s absolute-gap guard
-    val iters = 50000000L
-    Bench.calibrationSpin(iters) // JIT warmup, same as Bench.main's throwaway
+    // calibrate the probe length to ~0.25 s of HEALTHY wall time on THIS machine under
+    // its CURRENT ambient load: the trip condition needs ratio >2x AND absolute gap
+    // >0.2 s, so a fixed-length probe fails spuriously whenever the box is fast enough
+    // (or ambient load weakens the injected contention enough) that a real 2-3x slowdown
+    // lands under the 0.2 s gap guard — measured in-tree: 3.0x with a 0.185 s gap on a
+    // loaded host. With a ~0.25 s healthy rep, any >=2x slowdown gaps >=0.25 s by
+    // construction.
+    val iters0 = 50000000L
+    Bench.calibrationSpin(iters0) // JIT warmup, same as Bench.main's throwaway
+    val t0 = (1 to 3).map(_ => Bench.calibrationSpin(iters0)).min
+    val iters = math.max(iters0, (iters0 * 0.25 / t0).toLong)
     val baseline = (1 to 5).map(_ => Bench.calibrationSpin(iters)).min
 
     // saturate the box at ~4x oversubscription: with 4N runnable spinners per core the
