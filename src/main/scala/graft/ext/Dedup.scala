@@ -39,6 +39,10 @@ object Dedup {
 
   private val DupIdOffset = 1000000L
 
+  /** Exact-Jaccard confirmation threshold (basis points) for `dedup_components_verified`
+    * — same 50% bar as `dedup_ngram_jaccard`, shared with the oracle. */
+  private[ext] val VerifyJaccBp = 5000L
+
   /** False-positive rate of the [[dedup_bloom_admit]] seen-set sketch. 3% keeps the
     * sketch at ~6 bits/item (≈7 GiB for 10^10 fingerprints — broadcastable) while
     * pruning ~97% of genuinely-new rows off the exact-confirm join. */
@@ -181,20 +185,60 @@ object Dedup {
   /** (doc_id, s0..s15) minhash signatures from exploded distinct shingles.
     * Tokens and shingles are materialized as columns first so the split/filter expression
     * tree is evaluated once per row, not once per reference inside the shingle lambda. */
-  private def signatures(docs: DataFrame): DataFrame = {
+  private def signatures(docs: DataFrame): DataFrame =
+    signaturesFrom(shingleHashes(docs))
+
+  /** One row per (doc, shingle occurrence): `(doc_id, n_toks, hv)` — the single
+    * tokenize+shingle+hash pass every MinHash consumer (signatures, exact-Jaccard
+    * verification) derives from. */
+  private def shingleHashes(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    // n_toks rides along from the one tokenize this pipeline already pays: the
-    // canonical-representative pick needs each clustered doc's token count, and reading
-    // it off the (cached) signature frame saves a second documents scan + re-tokenize
-    val hashed = docs
+    docs
       .select($"doc_id", TextOps.tokens($"text").as("toks"))
       .select($"doc_id", size($"toks").cast("long").as("n_toks"),
         explode(shingles($"toks")).as("shingle"))
       .select($"doc_id", $"n_toks", TextOps.hash32($"shingle").as("hv"))
+  }
+
+  /** (doc_id, s0..s15) minhash signatures from exploded distinct shingles.
+    * Tokens and shingles are materialized as columns first so the split/filter expression
+    * tree is evaluated once per row, not once per reference inside the shingle lambda. */
+  private def signaturesFrom(hashed: DataFrame): DataFrame = {
+    val s = hashed.sparkSession
+    import s.implicits._
+    // n_toks rides along from the one tokenize this pipeline already pays: the
+    // canonical-representative pick needs each clustered doc's token count, and reading
+    // it off the (cached) signature frame saves a second documents scan + re-tokenize
     val mins = (0 until NumHashes).map(i => min((lit(A(i)) * $"hv" + lit(B(i))) % lit(P)).as(s"s$i"))
     val aggs = max($"n_toks").as("n_toks") +: mins
     hashed.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Exact-Jaccard confirmation of an LSH candidate-pair frame (the production confirm
+    * stage MinHash pipelines run before clustering: band collisions are probabilistic,
+    * so an unverified pair graph merges clusters on hash luck). Set semantics are over
+    * DISTINCT 32-bit shingle hashes on both engines. Every stage is an equi-join at
+    * candidate (not corpus²) cardinality: candidates ⋈ doc_a's shingles on doc_a, then
+    * ⋈ doc_b's shingles on (doc_b, hv) — the intermediate is Σ|A| rows over candidate
+    * pairs, never all-pairs. Integer basis points with floor div, shared with the
+    * oracle. */
+  private[ext] def verifyPairs(hashed: DataFrame, cand: DataFrame,
+                               thresholdBp: Long): DataFrame = {
+    val s = hashed.sparkSession
+    import s.implicits._
+    val sh = hashed.select($"doc_id", $"hv").distinct()
+    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("sa"), $"doc_a" === col("sa.doc_id"))
+      .select($"doc_a", $"doc_b", col("sa.hv").as("hv_a"))
+      .join(sh.as("sb"), $"doc_b" === col("sb.doc_id") && $"hv_a" === col("sb.hv"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sz.as("za"), $"doc_a" === col("za.doc_id"))
+      .join(sz.as("zb"), $"doc_b" === col("zb.doc_id"))
+      .filter(expr(s"i * 10000 div (za.n + zb.n - i) >= $thresholdBp"))
+      .select($"doc_a", $"doc_b")
   }
 
   /** Add band_0..band_{NumBands-1} md5-bucket columns to a signature frame. */
@@ -398,6 +442,31 @@ object Dedup {
     "dedup_components" -> { (s, dir) =>
       import s.implicits._
       clusterLabels(s, dir).groupBy($"label")
+        .agg(count(lit(1)).as("member_cnt"), max($"id").as("max_member"))
+        .orderBy($"label")
+    },
+    // VERIFIED components — the production shape: band collisions are hash luck, so an
+    // unverified pair graph can merge unrelated clusters through one false-positive
+    // band; every candidate is confirmed by EXACT shingle-set Jaccard (>= 50% in basis
+    // points, [[verifyPairs]]) before clustering. The verified edge set is a subset of
+    // the raw one, so these components always REFINE dedup_components' (spec-pinned).
+    // One extra equi-join pass at candidate cardinality — the 100 TB cost is bounded by
+    // band-collision count, never corpus².
+    "dedup_components_verified" -> { (s, dir) =>
+      import s.implicits._
+      val hashed = shingleHashes(doubledDocs(s, dir)).cache()
+      val sig = withBands(signaturesFrom(hashed)).cache()
+      val bandCols = array((0 until NumBands).map(b => col(s"band_$b")): _*)
+      val bands = sig.select($"doc_id", posexplode(bandCols).as(Seq("bi", "bv")))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val labels = propagateLabels(s, verifyPairs(hashed, cand, VerifyJaccBp))
+      sig.unpersist(blocking = false)
+      hashed.unpersist(blocking = false)
+      labels.groupBy($"label")
         .agg(count(lit(1)).as("member_cnt"), max($"id").as("max_member"))
         .orderBy($"label")
     },
@@ -778,6 +847,34 @@ object Dedup {
          |bands AS (${(0 until NumBands).map(b => s"SELECT doc_id, $b AS bi, band_$b AS bv FROM banded").mkString(" UNION ALL ")}),
          |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT s AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+         |labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+         |SELECT label, cast(count(*) AS BIGINT) AS member_cnt, max(id) AS max_member
+         |FROM labels GROUP BY label ORDER BY label""".stripMargin,
+    // the components closure over the exact-Jaccard-CONFIRMED candidate graph: the same
+    // band-collision candidates, kept only when the true shingle-hash-set Jaccard
+    // clears VerifyJaccBp (floor-div basis points on both engines)
+    "dedup_components_verified" ->
+      s"""WITH RECURSIVE src AS ($doubledSql),
+         |${sigSql("src")},
+         |bands AS (${(0 until NumBands).map(b => s"SELECT doc_id, $b AS bi, band_$b AS bv FROM banded").mkString(" UNION ALL ")}),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |sh AS (SELECT DISTINCT doc_id, hv FROM hashed),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+         |  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+         |              JOIN sh sb ON sb.doc_id = c.doc_b AND sb.hv = sa.hv
+         |  GROUP BY c.doc_a, c.doc_b),
+         |pairs AS (SELECT i.doc_a, i.doc_b FROM inter i
+         |  JOIN sz za ON za.doc_id = i.doc_a JOIN sz zb ON zb.doc_id = i.doc_b
+         |  WHERE i.i * 10000 // (za.n + zb.n - i.i) >= $VerifyJaccBp),
          |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
          |          UNION ALL SELECT doc_b, doc_a FROM pairs),
          |nodes AS (SELECT DISTINCT s AS id FROM edges),

@@ -1,0 +1,123 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Pins the semantics of the exact-Jaccard confirmation stage
+ * (`Dedup.verifyPairs`) and its clustering consequence (`dedup_components_verified`):
+ *
+ *  1. THRESHOLD IS EXACT-SET JACCARD — a candidate at or above the basis-point bar
+ *     survives, one below it is dropped, computed over DISTINCT shingle hashes with
+ *     floor division (the oracle's `//`).
+ *  2. VERIFIED COMPONENTS REFINE RAW COMPONENTS — killing an edge can only SPLIT a
+ *     raw component (or drop a node whose every candidate failed); it can never merge
+ *     two raw components, because the verified edge set is a subset.
+ *
+ * The corpus-scale path (band-collision candidates over the doubled documents table)
+ * is gated by the DuckDB oracle; at sf0.01 verification splits the 472 raw components
+ * into 476 — four clusters in the raw graph are merged by band-hash luck alone.
+ */
+class DedupVerifiedSpec extends AnyFunSuite {
+
+  /** hashed-shingle frame: (doc_id, n_toks, hv) rows from explicit hv sets. */
+  private def hashedOf(sets: Map[Long, Seq[Long]]) = {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    sets.toSeq.flatMap { case (id, hvs) => hvs.map(hv => (id, hvs.size.toLong, hv)) }
+      .toDF("doc_id", "n_toks", "hv")
+  }
+
+  /** Pair frame as a LogicalRDD (what the corpus band-join produces): a LocalRelation
+    * literal trips a Catalyst union-constraint rewrite (`AttributeMap key not found`)
+    * inside propagateLabels' edge-mirror union — harness artifact, not operator. */
+  private def pairsOf(p: (Long, Long)*) = {
+    val spark = graft.SparkTestSession.spark
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(p.map(x => Row(x._1, x._2)), 2),
+      StructType(Seq(StructField("doc_a", LongType), StructField("doc_b", LongType))))
+  }
+
+  test("verifyPairs keeps a pair at the Jaccard bar and drops one below it") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    // doc 1 ∩ doc 2 = 9 of 11 distinct → 8181 bp; doc 1 ∩ doc 3 = 1 of 19 → 526 bp
+    val hashed = hashedOf(Map(
+      1L -> (1L to 10L),
+      2L -> ((1L to 9L) :+ 11L),
+      3L -> (100L to 108L).+:(1L)))
+    val out = Dedup.verifyPairs(hashed, pairsOf((1L, 2L), (1L, 3L)), Dedup.VerifyJaccBp)
+      .as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L)))
+  }
+
+  test("verifyPairs is exactly at the floor-div boundary, not rounded") {
+    // |A∩B| = 1, |A| = |B| = 2 → union 3 → 1*10000 div 3 = 3333: survives at 3333,
+    // dies at 3334 — floor semantics shared with DuckDB's `//`
+    val hashed = hashedOf(Map(1L -> Seq(1L, 2L), 2L -> Seq(1L, 3L)))
+    val cand = pairsOf((1L, 2L))
+    assert(Dedup.verifyPairs(hashed, cand, 3333L).count() === 1)
+    assert(Dedup.verifyPairs(hashed, cand, 3334L).count() === 0)
+  }
+
+  test("verifyPairs set semantics are over DISTINCT hashes") {
+    // doc 1 repeats hv=1 three times; distinct sets are {1,2} vs {1,3} → 3333 bp,
+    // while multiset counting would claim |A∩B| = 3 over |A|+|B|-3 = 4 → 7500 bp
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val hashed = Seq((1L, 4L, 1L), (1L, 4L, 1L), (1L, 4L, 1L), (1L, 4L, 2L),
+      (2L, 2L, 1L), (2L, 2L, 3L)).toDF("doc_id", "n_toks", "hv")
+    assert(Dedup.verifyPairs(hashed, pairsOf((1L, 2L)), 5000L).count() === 0)
+    assert(Dedup.verifyPairs(hashed, pairsOf((1L, 2L)), 3333L).count() === 1)
+  }
+
+  test("killing an edge splits the raw component and drops edge-less nodes") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    // raw candidate graph: 1-2-3 chained, 4-5 apart. Sets make (2,3) fail
+    // verification: raw components {1,2,3} + {4,5}; verified {1,2} + {4,5}, node 3
+    // drops out (its only candidate failed — nothing asserts it is a duplicate).
+    val hashed = hashedOf(Map(
+      1L -> (1L to 10L),
+      2L -> ((1L to 9L) :+ 11L),
+      3L -> ((1L to 3L) ++ (101L to 107L)),
+      4L -> (201L to 210L),
+      5L -> ((201L to 209L) :+ 301L)))
+    // fresh frames per propagateLabels call: reusing one cached frame across two
+    // label-propagation plans trips a Catalyst union-constraint rewrite on shared
+    // attribute ids — an artifact of the test harness, not the operator
+    def cand = pairsOf((1L, 2L), (2L, 3L), (4L, 5L))
+    val raw = Dedup.propagateLabels(spark, cand)
+      .groupBy($"label").agg(collect_set($"id").as("m"))
+      .select($"m").as[Seq[Long]].collect().map(_.toSet).toSet
+    assert(raw === Set(Set(1L, 2L, 3L), Set(4L, 5L)))
+    val verified = Dedup.verifyPairs(hashed, cand, Dedup.VerifyJaccBp)
+      .as[(Long, Long)].collect().toSeq
+    val ver = Dedup.propagateLabels(spark, pairsOf(verified: _*))
+      .groupBy($"label").agg(collect_set($"id").as("m"))
+      .select($"m").as[Seq[Long]].collect().map(_.toSet).toSet
+    assert(ver === Set(Set(1L, 2L), Set(4L, 5L)))
+    // refinement: every verified component is inside exactly one raw component
+    ver.foreach(v => assert(raw.count(r => v.subsetOf(r)) === 1))
+  }
+
+  test("end-to-end at sf0.001: verified components refine the raw count") {
+    val spark = graft.SparkTestSession.spark
+    val dir = "/root/testdata/sf0.001"
+    val rawN = Dedup.queries("dedup_components")(spark, dir).count()
+    val verN = Dedup.queries("dedup_components_verified")(spark, dir).count()
+    // subset edges can only split components; node dropout can reduce the count, but
+    // every synthesized graftdup twin pair (true Jaccard ≈ (n-3)/(n-2)) must survive
+    // verification, so at least one component per surviving twin remains
+    assert(verN > 0)
+    val verSum = Dedup.queries("dedup_components_verified")(spark, dir)
+      .agg(sum("member_cnt")).first().getLong(0)
+    val rawSum = Dedup.queries("dedup_components")(spark, dir)
+      .agg(sum("member_cnt")).first().getLong(0)
+    assert(verSum <= rawSum, "verified node universe must be a subset of the raw one")
+    assert(verN >= rawN - (rawSum - verSum),
+      "edge-killing can only split or drop, never merge raw components")
+  }
+}
