@@ -470,6 +470,38 @@ object Dedup {
         .agg(count(lit(1)).as("member_cnt"), max($"id").as("max_member"))
         .orderBy($"label")
     },
+    // INCREMENTAL components — the 100 TB maintenance shape: a corpus is never
+    // re-clustered from scratch when an increment (here: the graftdup copies; in
+    // production, a crawl snapshot) arrives. Prior structure enters as STAR EDGES
+    // (member → prior label), one edge per previously-clustered doc, replacing the full
+    // old-old pair graph — |V_old| edges instead of |E_old|, and the prior pass's
+    // pointer-halving has already collapsed every old path to depth 1, so convergence
+    // rides only the new attachments. The result is EXACTLY the full recompute (star
+    // edges preserve old connectivity classes, and min-label propagation finds the same
+    // global min through a star as through the original edges), which is why this query
+    // shares dedup_components' oracle verbatim: the equivalence IS the gate. Old-old
+    // candidates can be split off deterministically because an old doc's signature does
+    // not change when new docs arrive — band buckets only gain members.
+    "dedup_components_incremental" -> { (s, dir) =>
+      import s.implicits._
+      val (rawPairs, sig) = lshPairsWithSig(s, dir)
+      val pairs = rawPairs.cache()
+      val oldOld = pairs
+        .filter($"doc_a" < DupIdOffset && $"doc_b" < DupIdOffset)
+      // prior labels: what yesterday's dedup_components run over the base corpus
+      // persisted (recomputed here — the fixed testdata has no second snapshot to read)
+      val prior = propagateLabels(s, oldOld)
+      val star = prior.filter($"id" =!= $"label")
+        .select($"label".as("doc_a"), $"id".as("doc_b"))
+      val touchingNew = pairs
+        .filter($"doc_a" >= DupIdOffset || $"doc_b" >= DupIdOffset)
+      val labels = propagateLabels(s, star.unionByName(touchingNew))
+      sig.unpersist(blocking = false)
+      pairs.unpersist(blocking = false)
+      labels.groupBy($"label")
+        .agg(count(lit(1)).as("member_cnt"), max($"id").as("max_member"))
+        .orderBy($"label")
+    },
     // CANONICAL SELECTION — the stage AFTER clustering in a real dedup pipeline: each
     // near-dup cluster keeps exactly ONE representative. Heuristic here: the member with
     // the most tokens (keep the longest variant), smallest doc_id on ties — an arg-max
@@ -784,6 +816,26 @@ object Dedup {
   private val doubledSql =
     s"""SELECT doc_id, text FROM documents
        | UNION ALL SELECT doc_id + $DupIdOffset AS doc_id, text || ' graftdup' AS text FROM documents""".stripMargin
+
+  /** The band-collision components closure — shared verbatim by `dedup_components` and
+    * `dedup_components_incremental` (the incremental operator's correctness claim is
+    * exact equality with the full recompute). */
+  private lazy val componentsOracleSql =
+    s"""WITH RECURSIVE src AS ($doubledSql),
+       |${sigSql("src")},
+       |bands AS (${(0 until NumBands).map(b => s"SELECT doc_id, $b AS bi, band_$b AS bv FROM banded").mkString(" UNION ALL ")}),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id),
+       |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT s AS id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+       |labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+       |SELECT label, cast(count(*) AS BIGINT) AS member_cnt, max(id) AS max_member
+       |FROM labels GROUP BY label ORDER BY label""".stripMargin
   private def sigSql(src: String, sfx: String = "") =
     s"""shingled$sfx AS (SELECT doc_id, unnest($shingleSql) AS shingle FROM $src),
        |hashed$sfx AS (SELECT doc_id, $hv32 AS hv FROM shingled$sfx),
@@ -841,22 +893,10 @@ object Dedup {
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
-    "dedup_components" ->
-      s"""WITH RECURSIVE src AS ($doubledSql),
-         |${sigSql("src")},
-         |bands AS (${(0 until NumBands).map(b => s"SELECT doc_id, $b AS bi, band_$b AS bv FROM banded").mkString(" UNION ALL ")}),
-         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id),
-         |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
-         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |nodes AS (SELECT DISTINCT s AS id FROM edges),
-         |reach(id, r) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
-         |labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
-         |SELECT label, cast(count(*) AS BIGINT) AS member_cnt, max(id) AS max_member
-         |FROM labels GROUP BY label ORDER BY label""".stripMargin,
+    "dedup_components" -> componentsOracleSql,
+    // the incremental pass is DEFINED by producing exactly the full recompute's answer
+    // (star edges preserve connectivity and min labels) — same oracle, verbatim
+    "dedup_components_incremental" -> componentsOracleSql,
     // the components closure over the exact-Jaccard-CONFIRMED candidate graph: the same
     // band-collision candidates, kept only when the true shingle-hash-set Jaccard
     // clears VerifyJaccBp (floor-div basis points on both engines)
