@@ -286,6 +286,29 @@ object Dedup {
     (labels, nToks)
   }
 
+  /** Exact-Jaccard-confirmed cluster labels plus per-doc token counts (the
+    * `clusterLabelsWithTokens` sibling for the verified family): LSH band-collision
+    * candidates → [[verifyPairs]] at [[VerifyJaccBp]] → label propagation. Caches are
+    * released before returning; `n_toks` is pinned via localCheckpoint first. */
+  private def verifiedLabelsWithTokens(s: SparkSession,
+                                       dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val hashed = shingleHashes(doubledDocs(s, dir)).cache()
+    val sig = withBands(signaturesFrom(hashed)).cache()
+    val bandCols = array((0 until NumBands).map(b => col(s"band_$b")): _*)
+    val bands = sig.select($"doc_id", posexplode(bandCols).as(Seq("bi", "bv")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val labels = propagateLabels(s, verifyPairs(hashed, cand, VerifyJaccBp))
+    val nToks = sig.select($"doc_id", $"n_toks").localCheckpoint()
+    sig.unpersist(blocking = false)
+    hashed.unpersist(blocking = false)
+    (labels, nToks)
+  }
+
   /** The min-label pointer-halving loop on an arbitrary `(doc_a, doc_b)` pair frame —
     * factored from [[clusterLabels]] so DedupDeepChainSpec can drive it with a synthetic
     * path graph of depth ≫ 20 and pin the O(log diameter) convergence claim the
@@ -454,20 +477,22 @@ object Dedup {
     // band-collision count, never corpus².
     "dedup_components_verified" -> { (s, dir) =>
       import s.implicits._
-      val hashed = shingleHashes(doubledDocs(s, dir)).cache()
-      val sig = withBands(signaturesFrom(hashed)).cache()
-      val bandCols = array((0 until NumBands).map(b => col(s"band_$b")): _*)
-      val bands = sig.select($"doc_id", posexplode(bandCols).as(Seq("bi", "bv")))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      val labels = propagateLabels(s, verifyPairs(hashed, cand, VerifyJaccBp))
-      sig.unpersist(blocking = false)
-      hashed.unpersist(blocking = false)
+      val (labels, _) = verifiedLabelsWithTokens(s, dir)
       labels.groupBy($"label")
         .agg(count(lit(1)).as("member_cnt"), max($"id").as("max_member"))
+        .orderBy($"label")
+    },
+    // canonical selection over the VERIFIED clusters — same arg-max representative rule
+    // as dedup_canonical, but each cluster is confirmed by exact Jaccard first, so a
+    // band-collision false merge can no longer evict a legitimate representative
+    "dedup_canonical_verified" -> { (s, dir) =>
+      import s.implicits._
+      val (labels, nToks) = verifiedLabelsWithTokens(s, dir)
+      labels.join(nToks, labels("id") === nToks("doc_id"))
+        .groupBy($"label").agg(
+          count(lit(1)).as("member_cnt"),
+          max_by($"doc_id", struct($"n_toks", -$"doc_id")).as("canon_doc"),
+          max($"n_toks").as("canon_toks"))
         .orderBy($"label")
     },
     // INCREMENTAL components — the 100 TB maintenance shape: a corpus is never
@@ -817,6 +842,30 @@ object Dedup {
     s"""SELECT doc_id, text FROM documents
        | UNION ALL SELECT doc_id + $DupIdOffset AS doc_id, text || ' graftdup' AS text FROM documents""".stripMargin
 
+  /** Band candidates → exact-Jaccard confirm → transitive closure, ending at a `labels`
+    * CTE — the shared middle of the two verified-family oracles. */
+  private lazy val verifiedClosureCtes =
+    s"""bands AS (${(0 until NumBands).map(b => s"SELECT doc_id, $b AS bi, band_$b AS bv FROM banded").mkString(" UNION ALL ")}),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id),
+       |sh AS (SELECT DISTINCT doc_id, hv FROM hashed),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+       |  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+       |              JOIN sh sb ON sb.doc_id = c.doc_b AND sb.hv = sa.hv
+       |  GROUP BY c.doc_a, c.doc_b),
+       |pairs AS (SELECT i.doc_a, i.doc_b FROM inter i
+       |  JOIN sz za ON za.doc_id = i.doc_a JOIN sz zb ON zb.doc_id = i.doc_b
+       |  WHERE i.i * 10000 // (za.n + zb.n - i.i) >= $VerifyJaccBp),
+       |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT s AS id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+       |labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id)""".stripMargin
+
   /** The band-collision components closure — shared verbatim by `dedup_components` and
     * `dedup_components_incremental` (the incremental operator's correctness claim is
     * exact equality with the full recompute). */
@@ -903,28 +952,25 @@ object Dedup {
     "dedup_components_verified" ->
       s"""WITH RECURSIVE src AS ($doubledSql),
          |${sigSql("src")},
-         |bands AS (${(0 until NumBands).map(b => s"SELECT doc_id, $b AS bi, band_$b AS bv FROM banded").mkString(" UNION ALL ")}),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id),
-         |sh AS (SELECT DISTINCT doc_id, hv FROM hashed),
-         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
-         |  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
-         |              JOIN sh sb ON sb.doc_id = c.doc_b AND sb.hv = sa.hv
-         |  GROUP BY c.doc_a, c.doc_b),
-         |pairs AS (SELECT i.doc_a, i.doc_b FROM inter i
-         |  JOIN sz za ON za.doc_id = i.doc_a JOIN sz zb ON zb.doc_id = i.doc_b
-         |  WHERE i.i * 10000 // (za.n + zb.n - i.i) >= $VerifyJaccBp),
-         |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
-         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |nodes AS (SELECT DISTINCT s AS id FROM edges),
-         |reach(id, r) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
-         |labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+         |$verifiedClosureCtes
          |SELECT label, cast(count(*) AS BIGINT) AS member_cnt, max(id) AS max_member
          |FROM labels GROUP BY label ORDER BY label""".stripMargin,
+    // canonical tail over the verified closure — same arg-max rule as dedup_canonical
+    "dedup_canonical_verified" ->
+      s"""WITH RECURSIVE src AS ($doubledSql),
+         |${sigSql("src")},
+         |$verifiedClosureCtes,
+         |toks AS (SELECT doc_id,
+         |  cast(len(list_filter(string_split_regex(trim(text),'\\s+'), x -> x <> '')) AS BIGINT) AS n_toks
+         |  FROM src),
+         |j AS (SELECT l.label, t.doc_id, t.n_toks FROM labels l JOIN toks t ON l.id = t.doc_id),
+         |ranked AS (SELECT label, doc_id, n_toks,
+         |  row_number() OVER (PARTITION BY label ORDER BY n_toks DESC, doc_id ASC) AS rn FROM j),
+         |agg AS (SELECT label, cast(count(*) AS BIGINT) AS member_cnt,
+         |  max(n_toks) AS canon_toks FROM j GROUP BY label)
+         |SELECT a.label, a.member_cnt, r.doc_id AS canon_doc, a.canon_toks
+         |FROM agg a JOIN ranked r ON a.label = r.label AND r.rn = 1
+         |ORDER BY a.label""".stripMargin,
     // same labeled graph as dedup_components, plus per-cluster arg-max representative
     "dedup_canonical" ->
       s"""WITH RECURSIVE src AS ($doubledSql),
