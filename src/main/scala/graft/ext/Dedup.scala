@@ -37,7 +37,7 @@ object Dedup {
   private def A(i: Int): Long = 1000003L + 137L * i
   private def B(i: Int): Long = 12345L + 1009L * i
 
-  private val DupIdOffset = 1000000L
+  private[ext] val DupIdOffset = 1000000L
 
   /** Exact-Jaccard confirmation threshold (basis points) for `dedup_components_verified`
     * — same 50% bar as `dedup_ngram_jaccard`, shared with the oracle. */
@@ -137,11 +137,17 @@ object Dedup {
   private[ext] def fuzzyBlockedPairs(names: DataFrame, maxDist: Int,
                                      blockCap: Long = FuzzyBlockCap): DataFrame = {
     val w = maxDist + 1
-    val win = org.apache.spark.sql.expressions.Window.partitionBy(col("block"), col("band"))
-    val a = names
+    val withBand = names
       .withColumn("len", length(col("name")))
       .withColumn("band", expr(s"len div $w"))
-      .withColumn("_fz_n", count(lit(1)).over(win))
+    // guard cardinalities via a map-side-combined aggregate broadcast back to the probe
+    // side — the r11 window form forced a full sort of the name set inside every
+    // (block, band) partition before the join (most of dedup_fuzzy_names' r10→r11 min
+    // regression); this shuffles only per-partition partial counts and the joined-back
+    // table is GROUP-cardinality-sized (distinct blocking keys, not names — broadcast
+    // range by construction for any blocking scheme coarse enough to be useful)
+    val counts = withBand.groupBy(col("block"), col("band")).agg(count(lit(1)).as("_fz_n"))
+    val a = withBand.join(broadcast(counts), Seq("block", "band"))
       .withColumn("band",
         when(col("_fz_n") > blockCap, raise_error(concat(
           lit("fuzzy linkage: block '"), col("block"),
@@ -248,52 +254,24 @@ object Dedup {
       df.withColumn(s"band_$b", md5(concat_ws(",", cols: _*)))
     }
 
-  /** Banded-LSH candidate pairs over the doubled corpus (shared by the pair query and the
-    * component clustering). The signature table is cached: without it the union+self-join
-    * recomputes the shingle/minhash subplan once per band per side. */
-  private def lshPairs(s: SparkSession, dir: String): DataFrame =
-    lshPairsWithSig(s, dir)._1
-
-  /** As [[lshPairs]], but also hands back the cached signature frame so callers that
-    * fully materialize the pairs during construction (the components loop) can release
-    * the cache instead of leaving it to tax whatever runs next in the session. */
-  /** LSH pair graph → connected-component labels `(id, label)`: min-label propagation
-    * with pointer jumping (path halving) to a fixpoint, O(log diameter) rounds. Each
-    * iteration's frame is an EAGER localCheckpoint (lineage cut, so no later action can
-    * re-trigger the LSH pipeline through a cache re-plan) and superseded blocks are
-    * released per round; the upstream pair/signature caches are dropped before returning
-    * (the final checkpoint severed their lineage). Shared by `dedup_components` and
-    * `dedup_canonical` — the label algebra must be identical or the cluster universes
-    * diverge. */
-  private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
-    val (rawPairs, sig) = lshPairsWithSig(s, dir)
-    val labels = propagateLabels(s, rawPairs)
-    sig.unpersist(blocking = false)
-    labels // deliberately NOT the WithTokens variant: callers that don't need token
-           // counts must not leave a second pinned RDD (DedupLifecycleSpec)
-  }
-
-  /** [[clusterLabels]] plus each doc's `(doc_id, n_toks)` — read off the cached
-    * signature frame (one tokenize for the whole pipeline) and pinned via
-    * localCheckpoint so the signature cache can still be released before the caller's
-    * terminal action. */
-  private def clusterLabelsWithTokens(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  /** The ONE label-pipeline builder behind the four component-family queries (r11 verdict
+    * #7: the raw and verified builders were near-twins, and cache/release discipline was
+    * drifting between them). LSH band-collision candidates over the doubled corpus
+    * [→ exact-Jaccard confirmation at [[VerifyJaccBp]] when `verify`] → min-label
+    * propagation. Storage discipline, identical for every combination:
+    *   - the signature frame is cached (the bands self-join reads it once per side) and
+    *     released before returning — the final propagation checkpoint severed its lineage;
+    *   - the shingle-hash frame is cached ONLY when `verify` needs a second pass over it
+    *     (the unverified family must not pay the extra materialization — r11's shared
+    *     cache taxed `dedup_components`/`dedup_canonical` for a frame they never re-read);
+    *   - `n_toks` is pinned via localCheckpoint ONLY when `withTokens` (the canonical
+    *     arg-max needs it; a components caller taking it anyway would leak one pinned RDD
+    *     per run — DedupLifecycleSpec gates all four queries). */
+  private def componentLabels(s: SparkSession, dir: String, verify: Boolean,
+                              withTokens: Boolean): (DataFrame, Option[DataFrame]) = {
     import s.implicits._
-    val (rawPairs, sig) = lshPairsWithSig(s, dir)
-    val labels = propagateLabels(s, rawPairs)
-    val nToks = sig.select($"doc_id", $"n_toks").localCheckpoint()
-    sig.unpersist(blocking = false)
-    (labels, nToks)
-  }
-
-  /** Exact-Jaccard-confirmed cluster labels plus per-doc token counts (the
-    * `clusterLabelsWithTokens` sibling for the verified family): LSH band-collision
-    * candidates → [[verifyPairs]] at [[VerifyJaccBp]] → label propagation. Caches are
-    * released before returning; `n_toks` is pinned via localCheckpoint first. */
-  private def verifiedLabelsWithTokens(s: SparkSession,
-                                       dir: String): (DataFrame, DataFrame) = {
-    import s.implicits._
-    val hashed = shingleHashes(doubledDocs(s, dir)).cache()
+    val hashed0 = shingleHashes(doubledDocs(s, dir))
+    val hashed = if (verify) hashed0.cache() else hashed0
     val sig = withBands(signaturesFrom(hashed)).cache()
     val bandCols = array((0 until NumBands).map(b => col(s"band_$b")): _*)
     val bands = sig.select($"doc_id", posexplode(bandCols).as(Seq("bi", "bv")))
@@ -302,10 +280,12 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val labels = propagateLabels(s, verifyPairs(hashed, cand, VerifyJaccBp))
-    val nToks = sig.select($"doc_id", $"n_toks").localCheckpoint()
+    val pairs = if (verify) verifyPairs(hashed, cand, VerifyJaccBp) else cand
+    val labels = propagateLabels(s, pairs)
+    val nToks =
+      if (withTokens) Some(sig.select($"doc_id", $"n_toks").localCheckpoint()) else None
     sig.unpersist(blocking = false)
-    hashed.unpersist(blocking = false)
+    if (verify) hashed.unpersist(blocking = false)
     (labels, nToks)
   }
 
@@ -332,9 +312,13 @@ object Dedup {
     // iff ANY node changed. One single-stage aggregate per round replaces the r6 shape's
     // join + filter + count job.
     // decimal(38,0) so the invariant survives any node-count × id-range product — a
-    // wrapped long sum could alias "changed" to "converged" and silently mislabel
+    // wrapped long sum could alias "changed" to "converged" and silently mislabel.
+    // sum over ZERO rows is SQL-null: an empty pair frame (every LSH candidate failed
+    // exact-Jaccard confirmation, or an increment with no old-old pairs) must yield an
+    // empty labels frame like the oracle, not an NPE in the convergence compare
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum($"label".cast("decimal(38,0)"))).head().getDecimal(0)
+      Option(df.agg(sum($"label".cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var changed = true
     var iter = 0
@@ -370,7 +354,34 @@ object Dedup {
     labels
   }
 
-  private def lshPairsWithSig(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  /** Where the incremental-components query persists (and re-reads) the prior snapshot's
+    * labels — repo-target-scoped, keyed by the input dir so sf runs don't clobber each
+    * other. In production this is yesterday's labels table; here the parquet round-trip
+    * makes the incremental fold start from a real persisted artifact instead of live
+    * lineage (and lets IncrBench time the fold alone). */
+  private[ext] def priorLabelsPath(dir: String): String =
+    new java.io.File("target/graft_prior_labels/" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+
+  /** The incremental maintenance fold: prior clusters re-enter as STAR EDGES (member →
+    * prior label, |V_old| edges) unioned with the candidate pairs that touch the
+    * increment, then one label propagation. Factored out so the registered query and
+    * [[graft.IncrBench]] (which times this fold alone against a pre-written prior) run
+    * the SAME code path. */
+  private[ext] def incrementalFold(s: SparkSession, prior: DataFrame,
+                                   touchingNew: DataFrame): DataFrame = {
+    import s.implicits._
+    val star = prior.filter($"id" =!= $"label")
+      .select($"label".as("doc_a"), $"id".as("doc_b"))
+    propagateLabels(s, star.unionByName(touchingNew))
+  }
+
+  /** Banded-LSH candidate pairs over the doubled corpus plus the CACHED signature frame
+    * (without the cache the union+self-join recomputes the shingle/minhash subplan once
+    * per band per side). Callers that fully materialize the pairs must release the
+    * returned cache. Used by the pair/estimate queries and the incremental split; the
+    * component-family queries go through [[componentLabels]]. */
+  private[ext] def lshPairsWithSig(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val sig = withBands(signatures(doubledDocs(s, dir))).cache()
     val bandCols = array((0 until NumBands).map(b => col(s"band_$b")): _*)
@@ -408,7 +419,7 @@ object Dedup {
     // materialized signature table; here .cache() is the same plan-reuse decision.
     "dedup_minhash_pairs" -> { (s, dir) =>
       import s.implicits._
-      lshPairs(s, dir).orderBy($"doc_a", $"doc_b")
+      lshPairsWithSig(s, dir)._1.orderBy($"doc_a", $"doc_b")
     },
     // MINHASH-AS-ESTIMATOR gate — the theory the banded index rests on: for every LSH
     // candidate pair, the fraction of agreeing minhash components estimates the shingle
@@ -464,7 +475,7 @@ object Dedup {
     // Oracle: DuckDB recursive-CTE transitive closure + min-per-node.
     "dedup_components" -> { (s, dir) =>
       import s.implicits._
-      clusterLabels(s, dir).groupBy($"label")
+      componentLabels(s, dir, verify = false, withTokens = false)._1.groupBy($"label")
         .agg(count(lit(1)).as("member_cnt"), max($"id").as("max_member"))
         .orderBy($"label")
     },
@@ -477,7 +488,7 @@ object Dedup {
     // band-collision count, never corpus².
     "dedup_components_verified" -> { (s, dir) =>
       import s.implicits._
-      val (labels, _) = verifiedLabelsWithTokens(s, dir)
+      val (labels, _) = componentLabels(s, dir, verify = true, withTokens = false)
       labels.groupBy($"label")
         .agg(count(lit(1)).as("member_cnt"), max($"id").as("max_member"))
         .orderBy($"label")
@@ -487,7 +498,8 @@ object Dedup {
     // band-collision false merge can no longer evict a legitimate representative
     "dedup_canonical_verified" -> { (s, dir) =>
       import s.implicits._
-      val (labels, nToks) = verifiedLabelsWithTokens(s, dir)
+      val (labels, nToksOpt) = componentLabels(s, dir, verify = true, withTokens = true)
+      val nToks = nToksOpt.get
       labels.join(nToks, labels("id") === nToks("doc_id"))
         .groupBy($"label").agg(
           count(lit(1)).as("member_cnt"),
@@ -513,14 +525,17 @@ object Dedup {
       val pairs = rawPairs.cache()
       val oldOld = pairs
         .filter($"doc_a" < DupIdOffset && $"doc_b" < DupIdOffset)
-      // prior labels: what yesterday's dedup_components run over the base corpus
-      // persisted (recomputed here — the fixed testdata has no second snapshot to read)
-      val prior = propagateLabels(s, oldOld)
-      val star = prior.filter($"id" =!= $"label")
-        .select($"label".as("doc_a"), $"id".as("doc_b"))
-      val touchingNew = pairs
-        .filter($"doc_a" >= DupIdOffset || $"doc_b" >= DupIdOffset)
-      val labels = propagateLabels(s, star.unionByName(touchingNew))
+      // prior labels are a PERSISTED artifact in production — yesterday's run wrote
+      // them. The fixed testdata has no second snapshot, so the prior pass runs here,
+      // but its labels go through a parquet round-trip (r11 verdict #4): the incremental
+      // fold below starts from a severed, persisted frame — exactly the artifact
+      // hand-off a daily pipeline does, and what [[graft.IncrBench]] times in isolation
+      // — and the prior pass's checkpoint blocks are released, not leaked.
+      val prior0 = propagateLabels(s, oldOld)
+      prior0.write.mode("overwrite").parquet(priorLabelsPath(dir))
+      releaseLocalCheckpoint(prior0)
+      val labels = incrementalFold(s, s.read.parquet(priorLabelsPath(dir)),
+        pairs.filter($"doc_a" >= DupIdOffset || $"doc_b" >= DupIdOffset))
       sig.unpersist(blocking = false)
       pairs.unpersist(blocking = false)
       labels.groupBy($"label")
@@ -535,7 +550,8 @@ object Dedup {
     // counts; at 100 TB the arg-max is a map-side-combined max_by on the cluster key.
     "dedup_canonical" -> { (s, dir) =>
       import s.implicits._
-      val (labels, toks) = clusterLabelsWithTokens(s, dir)
+      val (labels, toksOpt) = componentLabels(s, dir, verify = false, withTokens = true)
+      val toks = toksOpt.get
       labels.join(toks, labels("id") === toks("doc_id"))
         .groupBy($"label").agg(
           count(lit(1)).as("member_cnt"),

@@ -1,0 +1,90 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Isolates the cost of the incremental connected-components maintenance fold (r11
+  * verdict #4): the registered `dedup_components_incremental` query necessarily pays the
+  * prior pass in-line (the fixed testdata has no second snapshot), so its bench number
+  * OVERSTATES the production incremental cost. This tool measures the phases separately:
+  *
+  *   1. candidate pairs materialize to parquet ONCE (in production the increment's
+  *      candidates come from probing the persisted band index — bounded by batch size);
+  *   2. the PRIOR pass (old-old pairs → labels → parquet) is timed — this is the cost a
+  *      daily pipeline paid yesterday, not today;
+  *   3. the FULL recompute over all pairs is timed — the cost incremental maintenance
+  *      avoids;
+  *   4. the INCREMENTAL fold ([[Dedup.incrementalFold]]: persisted prior labels as star
+  *      edges ∪ increment-touching pairs → labels) is timed over `reps` reps — this is
+  *      today's production cost;
+  *   5. the fold's labels are checked EQUAL to the full recompute's (the operator's
+  *      defining invariant) before any number is printed.
+  *
+  * Run: `tools/run.sh graft.ext.IncrBench <sfDir> [reps]` — prints one JSON line with
+  * phase timings and the edge cardinalities that explain them (star edges = |V_old|,
+  * touching-new pairs = increment-bound candidates).
+  */
+object IncrBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def num(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+
+    // phase 1: candidate generation, once, to parquet — severed from all timed phases
+    val pairsPath = new java.io.File("target/graft_incr_pairs/" +
+      sfDir.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+    val (rawPairs, sig) = Dedup.lshPairsWithSig(spark, sfDir)
+    val (_, candSec) = timed(rawPairs.write.mode("overwrite").parquet(pairsPath))
+    sig.unpersist(blocking = false)
+    val pairs = spark.read.parquet(pairsPath)
+    val oldOld = pairs.filter($"doc_a" < Dedup.DupIdOffset && $"doc_b" < Dedup.DupIdOffset)
+    val touchingNew = pairs.filter($"doc_a" >= Dedup.DupIdOffset || $"doc_b" >= Dedup.DupIdOffset)
+    val nOldOld = oldOld.count()
+    val nTouching = touchingNew.count()
+
+    // phase 2: the prior pass (yesterday's cost), persisted like production would
+    val priorPath = Dedup.priorLabelsPath(sfDir)
+    val (prior0, priorSec) = timed {
+      val l = Dedup.propagateLabels(spark, oldOld)
+      l.write.mode("overwrite").parquet(priorPath)
+      l
+    }
+    Dedup.releaseLocalCheckpoint(prior0)
+    val nStar = spark.read.parquet(priorPath).filter($"id" =!= $"label").count()
+
+    // phase 3: the full recompute — the baseline incremental maintenance displaces
+    val (full, fullSec) = timed(Dedup.propagateLabels(spark, pairs))
+
+    // phase 4: the incremental fold alone, from the persisted prior
+    val foldSecs = (1 to reps).map { i =>
+      val prior = spark.read.parquet(priorPath)
+      val (labels, sec) = timed(Dedup.incrementalFold(spark, prior, touchingNew))
+      if (i == reps) { // phase 5: equality with the full recompute IS the contract
+        val diff = labels.unionByName(full).groupBy($"id", $"label")
+          .agg(count(lit(1)).as("c")).filter($"c" =!= 2).count()
+        require(diff == 0, s"incremental fold diverged from full recompute on $diff rows")
+      }
+      Dedup.releaseLocalCheckpoint(labels)
+      sec
+    }
+    Dedup.releaseLocalCheckpoint(full)
+
+    println(s"""{"metric":"incr_components","sf_dir":"$sfDir","cand_sec":${num(candSec)},""" +
+      s""""prior_sec":${num(priorSec)},"full_sec":${num(fullSec)},""" +
+      s""""fold_secs":[${foldSecs.map(num).mkString(",")}],"fold_min":${num(foldSecs.min)},""" +
+      s""""old_old_pairs":$nOldOld,"touching_new_pairs":$nTouching,"star_edges":$nStar}""")
+    spark.stop()
+  }
+}

@@ -13,7 +13,8 @@ import org.scalatest.funsuite.AnyFunSuite
  * attachments' ids), which the star reaches in one hop).
  *
  * The corpus-scale equivalence is oracle-gated: the query shares dedup_components'
- * DuckDB closure SQL verbatim and both pass at sf0.01 (472 identical components).
+ * DuckDB closure SQL verbatim and both pass at the driver's sf0.01 gate (472 identical
+ * components there; the in-tree end-to-end test below runs at sf0.001, 476 components).
  */
 class DedupIncrementalCcSpec extends AnyFunSuite {
 

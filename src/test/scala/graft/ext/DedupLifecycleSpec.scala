@@ -6,25 +6,33 @@ import org.scalatest.funsuite.AnyFunSuite
  * Storage-lifecycle assertion for the iterative connected-components loop: every
  * iteration localCheckpoint()s two frames, and without explicit release the loop
  * accumulates O(iterations × |nodes|) block-manager storage (round-3 verdict item #1).
- * After the query's action completes, only the FINAL labels checkpoint may remain
- * persisted (the returned frame still reads it); every superseded iteration frame and
- * the loop-local caches must be gone.
+ * After the query's action completes, only what the returned frame still reads may stay
+ * persisted: the final labels checkpoint (all component queries) plus the n_toks
+ * checkpoint (canonical queries only — their arg-max joins it). Every superseded
+ * iteration frame, the loop-local caches, and the incremental query's PRIOR-pass
+ * checkpoint (r11 ADVICE: it was left pinned after the star edges were built) must be
+ * gone. Covers all four component-family queries so the shared builder
+ * ([[Dedup.componentLabels]]) can't regress one family silently (r11 verdict #7).
  */
 class DedupLifecycleSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("dedup_components releases superseded checkpoints and loop caches") {
-    val spark = graft.SparkTestSession.spark
-    spark.catalog.clearCache()
-    val before = spark.sparkContext.getPersistentRDDs.size
-    val out = graft.SparkEntry.queries("dedup_components")(spark, dir)
-    assert(out.count() > 0)
-    val after = spark.sparkContext.getPersistentRDDs.size
-    // allowance: the final labels checkpoint (1). Anything more means the loop leaked —
-    // pre-fix this sat at ~2 frames per iteration plus the pairs/edges caches.
-    assert(after - before <= 1,
-      s"expected <=1 surviving persistent RDD (final labels), got ${after - before}")
-    spark.catalog.clearCache()
-  }
+  for ((q, allow) <- Seq(
+      "dedup_components" -> 1,
+      "dedup_components_verified" -> 1,
+      "dedup_components_incremental" -> 1,
+      "dedup_canonical" -> 2,
+      "dedup_canonical_verified" -> 2))
+    test(s"$q releases superseded checkpoints and loop caches (<= $allow survivors)") {
+      val spark = graft.SparkTestSession.spark
+      spark.catalog.clearCache()
+      val before = spark.sparkContext.getPersistentRDDs.size
+      val out = graft.SparkEntry.queries(q)(spark, dir)
+      assert(out.count() > 0)
+      val after = spark.sparkContext.getPersistentRDDs.size
+      assert(after - before <= allow,
+        s"expected <=$allow surviving persistent RDDs, got ${after - before}")
+      spark.catalog.clearCache()
+    }
 }

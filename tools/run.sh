@@ -5,8 +5,13 @@
 cd "$(dirname "$0")/.." || exit 1
 JVM_ARGS=()
 while [[ "$1" == -X* || "$1" == -D* ]]; do JVM_ARGS+=("$1"); shift; done
+# Default heap: only when the caller didn't pass an -Xmx of their own, so that
+# `tools/run.sh -Dfoo=bar Main` still runs at the documented 24g bench posture.
+have_xmx=0
+for a in "${JVM_ARGS[@]}"; do [[ "$a" == -Xmx* ]] && have_xmx=1; done
+[[ $have_xmx -eq 0 ]] && JVM_ARGS+=("-Xmx24g")
 exec java -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
-  "${JVM_ARGS[@]:--Xmx24g}" \
+  "${JVM_ARGS[@]}" \
   --add-opens=java.base/java.lang=ALL-UNNAMED \
   --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
   --add-opens=java.base/java.lang.reflect=ALL-UNNAMED \
