@@ -16,7 +16,9 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // same derived-scale posture knob as BenchOne: at sf10 a fan-out pinned to the
+      // thread count carries 100× rows per shuffle partition and OOMs by construction
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // Spark 4.1's async checksum writer can park streaming tasks forever under

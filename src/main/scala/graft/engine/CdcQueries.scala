@@ -614,7 +614,7 @@ object CdcQueries {
         ($"o_orderkey" % 7).cast("long").as("commitScn"),
         concat(lit("R"), $"o_orderkey" % 5).as("rowId"),
         ($"o_orderkey" % 1000).cast("long").as("seq"))
-      val tip: Long = triples.agg(max($"scn")).head.getLong(0) - 29
+      val tip: Long = triples.agg(max($"scn")).head().getLong(0) - 29
       def noTip: Long = sys.error("resume ladder consulted the DB tip when a position exists")
       val postures: Seq[(String, Column)] = Seq(
         // a checkpoint that kept the order key resumes loss-free on seq alone — the
@@ -779,15 +779,24 @@ object CdcQueries {
     // sort window is the canonical SCD2 build and survives 100× (history depth per key is
     // bounded by that key's change count, not corpus size).
     "cdc_scd2_history" -> { (s, dir) =>
-      import s.implicits._
-      scd2Versions(s, dir)
-        .filter($"operation" =!= RedoEvent.Delete)
-        .select($"o_orderkey", $"scn".as("valid_from_scn"), $"valid_to_scn",
-          row_number().over(org.apache.spark.sql.expressions.Window
-            .partitionBy($"o_orderkey").orderBy($"scn")).cast("long").as("ver"),
-          $"o_orderstatus", $"o_orderpriority",
-          $"valid_to_scn".isNull.cast("int").as("is_current"))
-        .orderBy($"o_orderkey", $"valid_from_scn")
+      scd2HistoryProjection(scd2Versions(s, dir))
+    },
+    // INCREMENTAL SCD2 MAINTENANCE (r11 verdict #2) — cdc_scd2_history's 100 TB
+    // posture: a dimension history is never rebuilt whole; the day's delta of committed
+    // envelopes folds onto the PERSISTED version frame. Delta here = the late ops of
+    // the %13 key cohort (an in-order per-key suffix — see scd2DeltaCond); the prior
+    // frame is built without them, persisted to parquet (the artifact yesterday's run
+    // hands over), re-read, and folded via scd2IncrementalFold: broadcast key
+    // anti/semi-joins split the frame, and ONLY the affected cohort re-windows.
+    // Equality with the full rebuild is the operator's definition, so the gate is
+    // cdc_scd2_history's oracle VERBATIM. graft.engine.Scd2IncrBench isolates the
+    // fold's cost from the in-query prior build.
+    "cdc_scd2_incremental" -> { (s, dir) =>
+      val in = scd2Input(s, dir)
+      val prior0 = Scd2.versionFrame(in.filter(!scd2DeltaCond), "o_orderkey", Scd2Cols)
+      prior0.write.mode("overwrite").parquet(scd2PriorPath(dir))
+      scd2HistoryProjection(scd2IncrementalFold(
+        s.read.parquet(scd2PriorPath(dir)), in.filter(scd2DeltaCond)))
     },
     // MULTI-MASTER CONFLICT DETECTION — the reconciliation report a bidirectional /
     // multi-site CDC deployment needs: two sites replay the same key space (site A =
@@ -898,15 +907,8 @@ object CdcQueries {
         .select($"k".as("o_orderkey"), ($"k" * 10 + 2).as("scn"),
           lit(RedoEvent.Update).as("operation"),
           map(lit("O_ORDERSTATUS"), lit("L")).as("data"))
-      Scd2.versionFrame(scd2Input(s, dir).unionByName(late), "o_orderkey",
-          Seq("o_orderstatus" -> "O_ORDERSTATUS", "o_orderpriority" -> "O_ORDERPRIORITY"))
-        .filter($"operation" =!= RedoEvent.Delete)
-        .select($"o_orderkey", $"scn".as("valid_from_scn"), $"valid_to_scn",
-          row_number().over(org.apache.spark.sql.expressions.Window
-            .partitionBy($"o_orderkey").orderBy($"scn")).cast("long").as("ver"),
-          $"o_orderstatus", $"o_orderpriority",
-          $"valid_to_scn".isNull.cast("int").as("is_current"))
-        .orderBy($"o_orderkey", $"valid_from_scn")
+      scd2HistoryProjection(
+        Scd2.versionFrame(scd2Input(s, dir).unionByName(late), "o_orderkey", Scd2Cols))
     },
   )
 
@@ -945,8 +947,72 @@ object CdcQueries {
   }
 
   private def scd2Versions(s: SparkSession, dir: String): DataFrame =
-    Scd2.versionFrame(scd2Input(s, dir), "o_orderkey",
-      Seq("o_orderstatus" -> "O_ORDERSTATUS", "o_orderpriority" -> "O_ORDERPRIORITY"))
+    Scd2.versionFrame(scd2Input(s, dir), "o_orderkey", Scd2Cols)
+
+  /** Column pairs every orders SCD2 build materializes. */
+  private val Scd2Cols =
+    Seq("o_orderstatus" -> "O_ORDERSTATUS", "o_orderpriority" -> "O_ORDERPRIORITY")
+
+  /** Delta membership for `cdc_scd2_incremental`: the late ops (scn offset >= 3) of the
+    * %13 key cohort — a per-key SUFFIX of the op sequence, the in-order daily-delta
+    * contract (an op landing BEHIND an already-closed interval is restatement —
+    * `cdc_scd2_restate`'s correction path — not maintenance). */
+  private def scd2DeltaCond: Column =
+    col("operation") =!= "BASE" && col("o_orderkey") % 13 === 0 && col("scn") % 10 >= 3
+
+  /** Where the incremental-SCD2 query persists (and re-reads) the prior version frame —
+    * in production, yesterday's history table; the parquet round-trip makes the fold
+    * start from a real persisted artifact, which is also what Scd2IncrBench times. */
+  private[engine] def scd2PriorPath(dir: String): String =
+    new java.io.File("target/graft_scd2_prior/" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+
+  /** Fold a delta of committed envelope ops onto a persisted SCD2 version frame,
+    * touching only affected keys: the frame keeps its INPUT columns (key, scn,
+    * operation, data) precisely so maintenance can re-derive per-version state without
+    * replaying raw history — affected keys' rows re-enter [[Scd2.versionFrame]] with
+    * the delta appended and re-window as a cohort; untouched keys pass through
+    * byte-identically via an anti-join. The delta key set is broadcast (a daily delta
+    * is small against a 100 TB dimension history), so the persisted frame never
+    * shuffles; the window sort runs over delta keys' rows only. Equality with the full
+    * rebuild is definitional (versionFrame is per-key), which is why the query shares
+    * `cdc_scd2_history`'s oracle verbatim. */
+  private[engine] def scd2IncrementalFold(prior: DataFrame, delta: DataFrame): DataFrame = {
+    val inCols = Seq("o_orderkey", "scn", "operation", "data").map(col)
+    val affected = delta.select(col("o_orderkey")).distinct()
+    val untouched = prior.join(broadcast(affected), Seq("o_orderkey"), "left_anti")
+    val rebuilt = Scd2.versionFrame(
+      prior.join(broadcast(affected), Seq("o_orderkey"), "left_semi").select(inCols: _*)
+        .unionByName(delta.select(inCols: _*)),
+      "o_orderkey", Scd2Cols)
+    untouched.unionByName(rebuilt.select(untouched.columns.map(col).toSeq: _*))
+  }
+
+  /** [[Scd2IncrBench]]'s inputs: the prior version frame (pre-persist) and the delta
+    * op slice, split by the same scd2DeltaCond the registered query uses. */
+  private[engine] def scd2IncrBenchInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val in = scd2Input(s, dir)
+    (Scd2.versionFrame(in.filter(!scd2DeltaCond), "o_orderkey", Scd2Cols),
+      in.filter(scd2DeltaCond))
+  }
+
+  /** The full whole-table version frame, for [[Scd2IncrBench]]'s displaced-cost timing
+    * and equality gate. */
+  private[engine] def scd2FullVersions(s: SparkSession, dir: String): DataFrame =
+    scd2Versions(s, dir)
+
+  /** The shared history projection of `cdc_scd2_history`/`_incremental`: delete markers
+    * close intervals then vanish; surviving versions get per-key ordinals. */
+  private def scd2HistoryProjection(vf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    vf.filter(col("operation") =!= RedoEvent.Delete)
+      .select(col("o_orderkey"), col("scn").as("valid_from_scn"), col("valid_to_scn"),
+        row_number().over(Window.partitionBy(col("o_orderkey")).orderBy(col("scn")))
+          .cast("long").as("ver"),
+        col("o_orderstatus"), col("o_orderpriority"),
+        col("valid_to_scn").isNull.cast("int").as("is_current"))
+      .orderBy(col("o_orderkey"), col("valid_from_scn"))
+  }
 
   /** The e2e pipeline feed shared by cdc_pipeline_e2e and cdc_pipeline_restart — both
     * gate against the SAME oracle (the uninterrupted run's final state), so the feed is
@@ -1024,6 +1090,41 @@ object CdcQueries {
         |    'NEW' AS o_orderpriority
         |  FROM base WHERE k % 4 = 0)
         |SELECT * FROM surv UNION ALL SELECT * FROM ins ORDER BY o_orderkey""".stripMargin
+
+  /** The merge script's FULL version history, recomputed with plain arithmetic: base
+    * version + one row per surviving envelope op, analytic per-version state (the %6
+    * NULL carries into the %3 'Z' version; the %9 double-update resets both columns)
+    * and lead-closed intervals (delete markers close the last version, then vanish).
+    * Shared VERBATIM by `cdc_scd2_history` and `cdc_scd2_incremental` — the incremental
+    * fold's correctness claim is exact equality with the full rebuild. */
+  private lazy val scd2HistoryOracleSql =
+    """WITH base AS (SELECT cast(o_orderkey AS BIGINT) AS k, o_orderstatus AS st0,
+      |                     o_orderpriority AS pr0 FROM orders),
+      |v AS (
+      |  SELECT k AS key, cast(-1 AS BIGINT) AS scn, 'V' AS kind, st0 AS st, pr0 AS pr FROM base
+      |  UNION ALL
+      |  SELECT k, k*10+0, 'V', st0, NULL FROM base WHERE k % 6 = 0
+      |  UNION ALL
+      |  SELECT k, k*10+1, 'V', 'Z', CASE WHEN k % 6 = 0 THEN NULL ELSE pr0 END
+      |  FROM base WHERE k % 3 = 0
+      |  UNION ALL
+      |  SELECT k, k*10+3, 'V', 'Y', '9-PRIO' FROM base WHERE k % 9 = 0
+      |  UNION ALL
+      |  SELECT k, k*10+5, 'D', NULL, NULL FROM base WHERE k % 10 = 0
+      |  UNION ALL
+      |  SELECT k+10000000, k*10+2, 'V', 'N', 'NEW' FROM base WHERE k % 4 = 0
+      |  UNION ALL
+      |  SELECT k+10000000, k*10+4, 'V', 'M', 'NEW' FROM base WHERE k % 8 = 0
+      |),
+      |w AS (SELECT key, scn, kind, st, pr,
+      |        lead(scn) OVER (PARTITION BY key ORDER BY scn) AS valid_to
+      |      FROM v)
+      |SELECT key AS o_orderkey, scn AS valid_from_scn, valid_to AS valid_to_scn,
+      |  row_number() OVER (PARTITION BY key ORDER BY scn) AS ver,
+      |  st AS o_orderstatus, pr AS o_orderpriority,
+      |  CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+      |FROM w WHERE kind = 'V'
+      |ORDER BY o_orderkey, valid_from_scn""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "cdc_parse_roundtrip" ->
@@ -1229,38 +1330,11 @@ object CdcQueries {
         |  cast(sum(CASE WHEN operation IN ('DELETE','DDL') THEN 1 ELSE 0 END) AS BIGINT) AS null_data_cnt,
         |  cast(sum(CASE WHEN operation IN ('INSERT','DDL') THEN 1 ELSE 0 END) AS BIGINT) AS null_before_cnt
         |FROM c GROUP BY 1, 2 ORDER BY operation""".stripMargin,
-    // the merge script's FULL version history: base version + one row per surviving
-    // envelope op, with analytic per-version state (the %6 NULL carries into the %3 'Z'
-    // version; the %9 double-update resets both columns) and lead-closed intervals
-    // (delete markers close the last version, then vanish)
-    "cdc_scd2_history" ->
-      """WITH base AS (SELECT cast(o_orderkey AS BIGINT) AS k, o_orderstatus AS st0,
-        |                     o_orderpriority AS pr0 FROM orders),
-        |v AS (
-        |  SELECT k AS key, cast(-1 AS BIGINT) AS scn, 'V' AS kind, st0 AS st, pr0 AS pr FROM base
-        |  UNION ALL
-        |  SELECT k, k*10+0, 'V', st0, NULL FROM base WHERE k % 6 = 0
-        |  UNION ALL
-        |  SELECT k, k*10+1, 'V', 'Z', CASE WHEN k % 6 = 0 THEN NULL ELSE pr0 END
-        |  FROM base WHERE k % 3 = 0
-        |  UNION ALL
-        |  SELECT k, k*10+3, 'V', 'Y', '9-PRIO' FROM base WHERE k % 9 = 0
-        |  UNION ALL
-        |  SELECT k, k*10+5, 'D', NULL, NULL FROM base WHERE k % 10 = 0
-        |  UNION ALL
-        |  SELECT k+10000000, k*10+2, 'V', 'N', 'NEW' FROM base WHERE k % 4 = 0
-        |  UNION ALL
-        |  SELECT k+10000000, k*10+4, 'V', 'M', 'NEW' FROM base WHERE k % 8 = 0
-        |),
-        |w AS (SELECT key, scn, kind, st, pr,
-        |        lead(scn) OVER (PARTITION BY key ORDER BY scn) AS valid_to
-        |      FROM v)
-        |SELECT key AS o_orderkey, scn AS valid_from_scn, valid_to AS valid_to_scn,
-        |  row_number() OVER (PARTITION BY key ORDER BY scn) AS ver,
-        |  st AS o_orderstatus, pr AS o_orderpriority,
-        |  CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
-        |FROM w WHERE kind = 'V'
-        |ORDER BY o_orderkey, valid_from_scn""".stripMargin,
+    "cdc_scd2_history" -> scd2HistoryOracleSql,
+    // the incremental fold is DEFINED by producing exactly the full rebuild's answer
+    // (versionFrame is per-key, so a per-cohort rebuild from full per-key input equals
+    // the whole-table rebuild) — same oracle, verbatim
+    "cdc_scd2_incremental" -> scd2HistoryOracleSql,
     // both tables' final states recomputed with CASE arithmetic AT THE SAME CUT: an op
     // applies iff its scn (key*10+off) is at or below the shared cut — the consistency
     // claim is that no per-table arithmetic ever reads a different cut
