@@ -288,6 +288,49 @@ object Multimodal {
   /** Rows per [[imageFeatures]] band — shared with the oracle. */
   private val ImageBandRows = 4
 
+  final case class ImageHash(doc_id: Long, band_0: Long, band_1: Long, band_2: Long,
+                             band_3: Long)
+
+  /** Max Hamming distance at which two average-hashes count as near-duplicate images.
+    * With the 64-bit hash split into 4 bands, <= 3 flipped bits leave at least one band
+    * untouched (pigeonhole), so the banded candidate join is LOSSLESS at this bar —
+    * spec-pinned (ImagePhashSpec) against brute force. Shared with the oracle. */
+  private[ext] val PhashMaxHamming = 3
+
+  /**
+   * AVERAGE-HASH (aHash) perceptual fingerprint over the REAL BMP decode — the
+   * image-curation analogue of [[graft.ext.Dedup]]'s SimHash: parse the container
+   * (magic, offset, dimensions, bpp), nearest-neighbor sample the gray grid down to
+   * 8×8 (the same index math as [[resizeBmp]]), threshold each sample against the
+   * 64-sample mean (integer-exact: bit k set iff s_k * 64 >= Σs), and emit the 64-bit
+   * fingerprint as FOUR 16-bit band values — the banding is part of the fingerprint
+   * contract so candidate bucketing needs no second pass, and 16-bit values sidestep
+   * sign-bit drift between engines.
+   */
+  def avgHashBands(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.mapPartitions { batch =>
+      batch.map { m =>
+        val buf = java.nio.ByteBuffer.wrap(m.payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        require(buf.get(0) == 'B' && buf.get(1) == 'M', s"doc ${m.doc_id}: not a BMP")
+        val dataOffset = buf.getInt(10)
+        val w = buf.getInt(18)
+        val h = buf.getInt(22)
+        require(buf.getShort(28) == 24, s"doc ${m.doc_id}: expected 24 bpp")
+        val stride = w * 3 + (4 - (w * 3) % 4) % 4
+        def gray(x: Int, y: Int): Int =
+          m.payload(dataOffset + (h - 1 - y) * stride + x * 3) & 0xff
+        val samples = Array.tabulate(64)(k => gray((k % 8) * w / 8, (k / 8) * h / 8))
+        val sum = samples.sum
+        def bandVal(b: Int): Long = (0 until 16).foldLeft(0L) { (acc, j) =>
+          if (samples(16 * b + j) * 64 >= sum) acc | (1L << j) else acc
+        }
+        ImageHash(m.doc_id, bandVal(0), bandVal(1), bandVal(2), bandVal(3))
+      }
+    }
+  }
+
   final case class FrameRow(doc_id: Long, frame_idx: Int, payload: Array[Byte])
 
   /**
@@ -540,9 +583,89 @@ object Multimodal {
         .toDF()
         .orderBy($"doc_id")
     },
+    // IMAGE NEAR-DUP DEDUP over the real BMP decode (r11 verdict #5) — the
+    // multimodal×dedup bridge: every image gets an average-hash perceptual fingerprint
+    // ([[avgHashBands]]: 8×8 nearest-neighbor luma grid, mean threshold), candidates
+    // form ONLY through a Hamming-banded equi-join on the 4×16-bit band values (the
+    // SimHash/LSH discipline — never all-pairs; lossless at Hamming <= 3 by
+    // pigeonhole), and each candidate verifies with the exact popcount distance.
+    // Near-dups are PLANTED: each image re-enters (doc_id + 1M) with +1 on every byte
+    // of its NON-sampled rows — visibly different payload, provably identical aHash
+    // (the sampled grid never reads a perturbed row), so every planted pair must
+    // surface at distance 0, alongside whatever organic near-collisions the corpus
+    // holds. All integer pixel math — DuckDB replays encode grid, perturbation, hash
+    // and popcount byte-by-byte.
+    "dedup_image_phash" -> { (s, dir) =>
+      import s.implicits._
+      val orig = mediaFrame(s, dir)
+      val copies = orig.map { m =>
+        val h = math.max(1, m.payload.length / 8)
+        val sampledRows = (0 until 8).map(k => k * h / 8).toSet
+        val p2 = m.payload.clone()
+        var j = 0
+        while (j < p2.length) {
+          if (!sampledRows(j / 8)) p2(j) = ((p2(j) + 1) & 0xff).toByte
+          j += 1
+        }
+        MediaRow(m.doc_id + 1000000L, p2)
+      }
+      val hashed = avgHashBands(encodeBmp(orig.union(copies), width = 8)).toDF().cache()
+      val bands = hashed.select($"doc_id",
+        posexplode(array((0 until 4).map(b => col(s"band_$b")): _*)).as(Seq("bi", "bv")))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val ham = (0 until 4)
+        .map(b => bit_count(col(s"ha.band_$b").bitwiseXOR(col(s"hb.band_$b"))))
+        .reduce(_ + _)
+      cand
+        .join(hashed.as("ha"), $"doc_a" === col("ha.doc_id"))
+        .join(hashed.as("hb"), $"doc_b" === col("hb.doc_id"))
+        .withColumn("ham_dist", ham.cast("long"))
+        .filter($"ham_dist" <= PhashMaxHamming)
+        .select($"doc_a", $"doc_b", $"ham_dist")
+        .orderBy($"doc_a", $"doc_b")
+    },
   )
 
+  /** `dedup_image_phash` replayed byte-by-byte: encode grid (pixel (x,y) = payload byte
+    * y*8+x, 0 past the end), the copy perturbation (+1 mod 256 on non-sampled rows —
+    * the CASE term provably never fires at a sampled index, which is the planted-pair
+    * guarantee), the 64-sample mean-threshold hash as 4×16-bit bands, band-join
+    * candidates, popcount verify. */
+  private lazy val imagePhashOracleSql: String = {
+    val idx = "((k // 8) * h // 8) * 8 + (k % 8)"
+    val byte = s"('0x' || substr(hex(p), 2*($idx) + 1, 2))::BIGINT"
+    val pert = s"CASE WHEN pert = 1 AND NOT list_contains([(j * h) // 8 for j in range(0, 8)], (k // 8) * h // 8) THEN 1 ELSE 0 END"
+    val bandDefs = (0 until 4).map { b =>
+      s"cast(list_sum([CASE WHEN sv[k+1]*64 >= tot THEN (1 << (k - ${16 * b})) ELSE 0 END for k in range(${16 * b}, ${16 * (b + 1)})]) AS BIGINT) AS band_$b"
+    }.mkString(",\n      |  ")
+    val bandsUnion = (0 until 4).map(b => s"SELECT doc_id, $b AS bi, band_$b AS bv FROM hh").mkString(" UNION ALL ")
+    val ham = (0 until 4).map(b => s"bit_count(xor(ha.band_$b, hb2.band_$b))").mkString(" + ")
+    s"""WITH b AS (SELECT doc_id, encode(text) AS p, octet_length(encode(text)) AS len FROM documents),
+      |c AS (SELECT doc_id, p, len, greatest(len // 8, 1) AS h FROM b),
+      |m AS (SELECT doc_id, p, len, h, 0 AS pert FROM c
+      |      UNION ALL SELECT doc_id + 1000000, p, len, h, 1 FROM c),
+      |s AS (SELECT doc_id,
+      |  [CASE WHEN $idx < len THEN ($byte + $pert) % 256 ELSE 0 END
+      |   for k in range(0, 64)] AS sv FROM m),
+      |hb AS (SELECT doc_id, list_sum(sv) AS tot, sv FROM s),
+      |hh AS (SELECT doc_id,
+      |  $bandDefs
+      |  FROM hb),
+      |bands AS ($bandsUnion),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
+      |SELECT c.doc_a, c.doc_b, cast($ham AS BIGINT) AS ham_dist
+      |FROM cand c JOIN hh ha ON ha.doc_id = c.doc_a JOIN hh hb2 ON hb2.doc_id = c.doc_b
+      |WHERE $ham <= $PhashMaxHamming
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "dedup_image_phash" -> imagePhashOracleSql,
     // the same windows recomputed from the payload hex dump byte by byte
     "multimodal_audio_features" ->
       """WITH b AS (SELECT doc_id, encode(text) AS p FROM documents),

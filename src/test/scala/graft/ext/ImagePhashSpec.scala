@@ -1,0 +1,102 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Pins the claims `dedup_image_phash` rests on:
+ *
+ *  1. BANDED CANDIDATES ARE LOSSLESS AT THE VERIFY BAR — with a 64-bit hash split
+ *     into 4×16-bit bands, any pair within Hamming [[Multimodal.PhashMaxHamming]] (= 3)
+ *     shares at least one untouched band (pigeonhole), so the band equi-join plus
+ *     popcount verify finds EXACTLY the brute-force Hamming <= 3 pair set.
+ *  2. PLANTED NEAR-DUPS ARE HASH-INVARIANT — perturbing only NON-sampled rows of the
+ *     pixel grid cannot change the aHash (the 8×8 nearest-neighbor grid never reads
+ *     those rows), while perturbing a SAMPLED row hard enough does: the fingerprint is
+ *     sensitive to what it claims to sample and blind to what it skips.
+ *  3. END-TO-END at sf0.001: every planted (d, d+1M) pair surfaces at distance 0.
+ */
+class ImagePhashSpec extends AnyFunSuite {
+
+  private val spark = graft.SparkTestSession.spark
+
+  /** Brute-force Hamming <= bar pairs over explicit 4-band hashes. */
+  private def brute(hashes: Map[Long, Seq[Long]], bar: Int): Set[(Long, Long)] =
+    (for {
+      (a, ha) <- hashes.toSeq; (b, hb) <- hashes.toSeq if a < b
+      d = ha.zip(hb).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+      if d <= bar
+    } yield (a, b)).toSet
+
+  /** The query's candidate+verify plan over the same explicit hashes. */
+  private def banded(hashes: Map[Long, Seq[Long]], bar: Int): Set[(Long, Long)] = {
+    import spark.implicits._
+    val df = hashes.toSeq.map { case (id, bs) => (id, bs(0), bs(1), bs(2), bs(3)) }
+      .toDF("doc_id", "band_0", "band_1", "band_2", "band_3")
+    val bands = df.select($"doc_id",
+      posexplode(array((0 until 4).map(b => col(s"band_$b")): _*)).as(Seq("bi", "bv")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+    val ham = (0 until 4)
+      .map(b => bit_count(col(s"ha.band_$b").bitwiseXOR(col(s"hb.band_$b"))))
+      .reduce(_ + _)
+    cand.join(df.as("ha"), $"doc_a" === col("ha.doc_id"))
+      .join(df.as("hb"), $"doc_b" === col("hb.doc_id"))
+      .filter(ham <= bar)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+  }
+
+  test("banded candidate join + verify equals brute force at Hamming <= 3") {
+    // distances engineered around the bar: 0 (identical), 1..3 (must pair), 4 spread
+    // 1-per-band (must NOT pair — and is also invisible to the band join: every band
+    // differs, the pigeonhole's exact boundary), 4 concentrated in one band (candidate
+    // via 3 clean bands, killed by verify)
+    val base = Seq(0xAAAAL, 0x5555L, 0xF0F0L, 0x0F0FL)
+    val hashes = Map[Long, Seq[Long]](
+      1L -> base,
+      2L -> base,                                          // d=0
+      3L -> Seq(0xAAABL, 0x5555L, 0xF0F0L, 0x0F0FL),       // d=1
+      4L -> Seq(0xAAABL, 0x5554L, 0xF0F1L, 0x0F0FL),       // d=3
+      5L -> Seq(0xAAABL, 0x5554L, 0xF0F1L, 0x0F0EL),       // d=4, spread
+      6L -> Seq(0xAAAAL ^ 0xFL, 0x5555L, 0xF0F0L, 0x0F0FL), // d=4, one band
+      7L -> Seq(0x1234L, 0x9876L, 0x4321L, 0x6789L))       // unrelated
+    val bf = brute(hashes, Multimodal.PhashMaxHamming)
+    assert(banded(hashes, Multimodal.PhashMaxHamming) === bf)
+    assert(bf.contains((1L, 2L)) && bf.contains((1L, 3L)) && bf.contains((1L, 4L)))
+    assert(!bf.contains((1L, 5L)) && !bf.contains((1L, 6L)) && !bf.contains((1L, 7L)))
+  }
+
+  test("aHash ignores non-sampled-row perturbation and sees sampled-row change") {
+    import spark.implicits._
+    // 16 rows of 8 bytes: h=16, sampled rows = {0,2,4,...,14}; rows 1,3,.. are skipped
+    val payload = Array.tabulate(128)(i => ((i * 7 + 3) % 251).toByte)
+    val unsampledPerturbed = payload.clone()
+    for (j <- payload.indices if (j / 8) % 2 == 1)
+      unsampledPerturbed(j) = ((unsampledPerturbed(j) + 1) & 0xff).toByte
+    val sampledPerturbed = payload.clone()
+    for (j <- 0 until 8) sampledPerturbed(j) = 255.toByte // row 0 is sampled
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, payload),
+      Multimodal.MediaRow(2L, unsampledPerturbed),
+      Multimodal.MediaRow(3L, sampledPerturbed)))
+    val out = Multimodal.avgHashBands(Multimodal.encodeBmp(media, width = 8))
+      .collect().map(h => h.doc_id -> Seq(h.band_0, h.band_1, h.band_2, h.band_3)).toMap
+    assert(out(1L) === out(2L), "non-sampled-row perturbation must not move the hash")
+    assert(out(1L) !== out(3L), "a saturated sampled row must move the hash")
+  }
+
+  test("end-to-end at sf0.001: every planted pair surfaces at distance 0") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("dedup_image_phash")(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    val docs = graft.engine.Tables(spark, dir, "documents")
+      .select($"doc_id").as[Long].collect()
+    val planted = out.filter(r => r._2 == r._1 + 1000000L).map(r => (r._1, r._3)).toMap
+    docs.foreach { d =>
+      assert(planted.get(d).contains(0L), s"planted pair for doc $d missing or nonzero")
+    }
+  }
+}
