@@ -39,6 +39,19 @@ object Dedup {
 
   private[ext] val DupIdOffset = 1000000L
 
+  /** GenScale's per-copy doc_id shift — derived dirs place copy i at i×10M. */
+  private[ext] val CopyIdShift = 10000000L
+
+  /** Membership test of the PRIOR (pre-increment) corpus for the incremental split:
+    * a doc is "old" iff it is an original (not a ` graftdup` twin) — `id % CopyIdShift
+    * < DupIdOffset`, which reduces to `id < DupIdOffset` on plain testdata dirs and
+    * selects every copy's original half on GenScale-derived dirs (raw `id <
+    * DupIdOffset` there would call only copy 0 "old" and make the increment ~the whole
+    * corpus, voiding the cost-∝-increment measurement). ANY split yields the same
+    * final labels — the oracle is the full recompute — this one makes the measured
+    * increment the intended graftdup arrival at every scale. */
+  private[ext] def isOldDoc(c: Column): Column = c % CopyIdShift < DupIdOffset
+
   /** Exact-Jaccard confirmation threshold (basis points) for `dedup_components_verified`
     * — same 50% bar as `dedup_ngram_jaccard`, shared with the oracle. */
   private[ext] val VerifyJaccBp = 5000L
@@ -363,17 +376,41 @@ object Dedup {
     new java.io.File("target/graft_prior_labels/" +
       dir.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
 
-  /** The incremental maintenance fold: prior clusters re-enter as STAR EDGES (member →
-    * prior label, |V_old| edges) unioned with the candidate pairs that touch the
-    * increment, then one label propagation. Factored out so the registered query and
-    * [[graft.IncrBench]] (which times this fold alone against a pre-written prior) run
-    * the SAME code path. */
+  /** The incremental maintenance fold, cost ∝ the TOUCHED slice (r12: the first cut
+    * star-compressed ALL prior components into the propagation, so on a
+    * mostly-size-2-cluster graph — |V_old| ≈ |E_old| — the fold cost stayed
+    * corpus-sized no matter how small the increment; IncrBench's incr_mod lens exposed
+    * it). Now the prior frame splits like the SCD2 fold: components the increment never
+    * touches (no member adjacent to a new doc) pass through BYTE-IDENTICALLY via an
+    * anti-join on their label — min-label propagation cannot change a component that
+    * gains no edge — and only the touched components re-enter as star edges (member →
+    * prior label) alongside the increment-touching pairs. The touched-label set is ∝
+    * increment size and broadcasts; the propagation's edge set is star-of-touched ∪
+    * increment pairs. Factored out so the registered query and [[IncrBench]] (which
+    * times this fold alone against a pre-written prior) run the SAME code path; the
+    * full-recompute equality gate (same oracle verbatim) is unchanged. */
   private[ext] def incrementalFold(s: SparkSession, prior: DataFrame,
                                    touchingNew: DataFrame): DataFrame = {
     import s.implicits._
-    val star = prior.filter($"id" =!= $"label")
-      .select($"label".as("doc_a"), $"id".as("doc_b"))
+    val (untouched, star) = touchedSplit(s, prior, touchingNew)
     propagateLabels(s, star.unionByName(touchingNew))
+      .unionByName(untouched.select($"id", $"label"))
+  }
+
+  /** The fold's prior-frame split — (untouched pass-through rows, star edges of the
+    * touched components) — factored so [[IncrBench]] reports the propagation's actual
+    * edge cardinality from the SAME code path it times. */
+  private[ext] def touchedSplit(s: SparkSession, prior: DataFrame,
+                                touchingNew: DataFrame): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val touchedIds = touchingNew.select($"doc_a".as("id"))
+      .union(touchingNew.select($"doc_b".as("id"))).distinct()
+    val touchedLabels = prior.join(touchedIds, "id").select($"label").distinct()
+    val untouched = prior.join(broadcast(touchedLabels), Seq("label"), "left_anti")
+    val star = prior.join(broadcast(touchedLabels), Seq("label"), "left_semi")
+      .filter($"id" =!= $"label")
+      .select($"label".as("doc_a"), $"id".as("doc_b"))
+    (untouched, star)
   }
 
   /** Banded-LSH candidate pairs over the doubled corpus plus the CACHED signature frame
@@ -524,7 +561,7 @@ object Dedup {
       val (rawPairs, sig) = lshPairsWithSig(s, dir)
       val pairs = rawPairs.cache()
       val oldOld = pairs
-        .filter($"doc_a" < DupIdOffset && $"doc_b" < DupIdOffset)
+        .filter(isOldDoc($"doc_a") && isOldDoc($"doc_b"))
       // prior labels are a PERSISTED artifact in production — yesterday's run wrote
       // them. The fixed testdata has no second snapshot, so the prior pass runs here,
       // but its labels go through a parquet round-trip (r11 verdict #4): the incremental
@@ -535,7 +572,7 @@ object Dedup {
       prior0.write.mode("overwrite").parquet(priorLabelsPath(dir))
       releaseLocalCheckpoint(prior0)
       val labels = incrementalFold(s, s.read.parquet(priorLabelsPath(dir)),
-        pairs.filter($"doc_a" >= DupIdOffset || $"doc_b" >= DupIdOffset))
+        pairs.filter(!isOldDoc($"doc_a") || !isOldDoc($"doc_b")))
       sig.unpersist(blocking = false)
       pairs.unpersist(blocking = false)
       labels.groupBy($"label")

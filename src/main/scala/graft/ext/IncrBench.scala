@@ -28,6 +28,12 @@ object IncrBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+    // increment modulus: the "new" batch = graftdup twins of every M-th original (M=1 =
+    // every twin, the registered query's split). Raising M shrinks the increment while
+    // the corpus and the full-recompute cost stay FIXED — the cost-∝-increment claim is
+    // the fold time falling with 1/M against a flat full_sec. Any split yields the same
+    // labels (the equality gate still runs), so M is purely a measurement lens.
+    val incrMod = args.drop(2).headOption.map(_.toLong).getOrElse(1L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
@@ -49,8 +55,10 @@ object IncrBench {
     val (_, candSec) = timed(rawPairs.write.mode("overwrite").parquet(pairsPath))
     sig.unpersist(blocking = false)
     val pairs = spark.read.parquet(pairsPath)
-    val oldOld = pairs.filter($"doc_a" < Dedup.DupIdOffset && $"doc_b" < Dedup.DupIdOffset)
-    val touchingNew = pairs.filter($"doc_a" >= Dedup.DupIdOffset || $"doc_b" >= Dedup.DupIdOffset)
+    def isNew(c: org.apache.spark.sql.Column) =
+      !Dedup.isOldDoc(c) && (c % Dedup.CopyIdShift - Dedup.DupIdOffset) % incrMod === 0L
+    val oldOld = pairs.filter(!isNew($"doc_a") && !isNew($"doc_b"))
+    val touchingNew = pairs.filter(isNew($"doc_a") || isNew($"doc_b"))
     val nOldOld = oldOld.count()
     val nTouching = touchingNew.count()
 
@@ -62,7 +70,11 @@ object IncrBench {
       l
     }
     Dedup.releaseLocalCheckpoint(prior0)
-    val nStar = spark.read.parquet(priorPath).filter($"id" =!= $"label").count()
+    // the fold's ACTUAL propagation load: star edges of touched components + increment
+    // pairs (untouched components pass through without re-propagation)
+    val (untouched, star) = Dedup.touchedSplit(spark, spark.read.parquet(priorPath), touchingNew)
+    val nStar = star.count()
+    val nUntouched = untouched.count()
 
     // phase 3: the full recompute — the baseline incremental maintenance displaces
     val (full, fullSec) = timed(Dedup.propagateLabels(spark, pairs))
@@ -81,10 +93,12 @@ object IncrBench {
     }
     Dedup.releaseLocalCheckpoint(full)
 
-    println(s"""{"metric":"incr_components","sf_dir":"$sfDir","cand_sec":${num(candSec)},""" +
+    println(s"""{"metric":"incr_components","sf_dir":"$sfDir","incr_mod":$incrMod,"cand_sec":${num(candSec)},""" +
       s""""prior_sec":${num(priorSec)},"full_sec":${num(fullSec)},""" +
       s""""fold_secs":[${foldSecs.map(num).mkString(",")}],"fold_min":${num(foldSecs.min)},""" +
-      s""""old_old_pairs":$nOldOld,"touching_new_pairs":$nTouching,"star_edges":$nStar}""")
+      s""""old_old_pairs":$nOldOld,"touching_new_pairs":$nTouching,""" +
+      s""""star_edges_touched":$nStar,"untouched_passthrough":$nUntouched,""" +
+      s""""fold_edge_load":${nStar + nTouching}}""")
     spark.stop()
   }
 }
