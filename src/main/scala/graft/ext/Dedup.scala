@@ -303,7 +303,7 @@ object Dedup {
   }
 
   /** The min-label pointer-halving loop on an arbitrary `(doc_a, doc_b)` pair frame —
-    * factored from [[clusterLabels]] so DedupDeepChainSpec can drive it with a synthetic
+    * factored from the component pipeline ([[componentLabels]]) so DedupDeepChainSpec can drive it with a synthetic
     * path graph of depth ≫ 20 and pin the O(log diameter) convergence claim the
     * `iter < 20` guard rests on (r6 verdict #8): naive propagation on a depth-d path
     * needs d rounds and would trip the non-convergence require; halving needs ~log₂(d). */
@@ -583,7 +583,7 @@ object Dedup {
     // near-dup cluster keeps exactly ONE representative. Heuristic here: the member with
     // the most tokens (keep the longest variant), smallest doc_id on ties — an arg-max
     // per cluster, deterministic on both engines. Rides the same labeled graph as
-    // dedup_components ([[clusterLabels]]) plus one broadcast-sized join of per-doc token
+    // dedup_components ([[componentLabels]]) plus one broadcast-sized join of per-doc token
     // counts; at 100 TB the arg-max is a map-side-combined max_by on the cluster key.
     "dedup_canonical" -> { (s, dir) =>
       import s.implicits._

@@ -292,10 +292,20 @@ object Multimodal {
                              band_3: Long)
 
   /** Max Hamming distance at which two average-hashes count as near-duplicate images.
-    * With the 64-bit hash split into 4 bands, <= 3 flipped bits leave at least one band
-    * untouched (pigeonhole), so the banded candidate join is LOSSLESS at this bar —
-    * spec-pinned (ImagePhashSpec) against brute force. Shared with the oracle. */
-  private[ext] val PhashMaxHamming = 3
+    * With the 64-bit hash split into 4×16-bit bands and candidates keyed on PAIRS of
+    * bands (C(4,2) = 6 combos, 32-bit keys), <= 2 flipped bits dirty at most 2 bands,
+    * leaving >= 2 clean — so some pair key matches and the banded candidate join is
+    * LOSSLESS at this bar (pigeonhole; spec-pinned against brute force). Pair keys are
+    * the scale decision (r12: single 16-bit band keys birthday-collided ~10^9 candidate
+    * pairs over the 1M-image sf10 corpus and filled the shuffle disk — 32-bit keys put
+    * the expected organic bucket collision count back at ~corpus²/2³² per combo; a
+    * larger corpus widens further via Manku-style C(6,3) 33-bit block keys at k=3).
+    * Shared with the oracle. */
+  private[ext] val PhashMaxHamming = 2
+
+  /** The 6 band-index pairs the candidate join keys on. */
+  private[ext] val PhashBandPairs: Seq[(Int, Int)] =
+    for { i <- 0 until 4; j <- i + 1 until 4 } yield (i, j)
 
   /**
    * AVERAGE-HASH (aHash) perceptual fingerprint over the REAL BMP decode — the
@@ -610,10 +620,13 @@ object Multimodal {
         MediaRow(m.doc_id + 1000000L, p2)
       }
       val hashed = avgHashBands(encodeBmp(orig.union(copies), width = 8)).toDF().cache()
-      val bands = hashed.select($"doc_id",
-        posexplode(array((0 until 4).map(b => col(s"band_$b")): _*)).as(Seq("bi", "bv")))
+      // candidate keys are PAIRS of bands (32 bits): see PhashMaxHamming — single
+      // 16-bit band keys birthday-collide quadratically at corpus scale
+      val pairCols = array(PhashBandPairs.map { case (i, j) =>
+        struct(col(s"band_$i").as("v1"), col(s"band_$j").as("v2")) }: _*)
+      val bands = hashed.select($"doc_id", posexplode(pairCols).as(Seq("ci", "cv")))
       val cand = bands.as("a").join(bands.as("b"),
-          col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+          col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
@@ -642,7 +655,8 @@ object Multimodal {
     val bandDefs = (0 until 4).map { b =>
       s"cast(list_sum([CASE WHEN sv[k+1]*64 >= tot THEN (1 << (k - ${16 * b})) ELSE 0 END for k in range(${16 * b}, ${16 * (b + 1)})]) AS BIGINT) AS band_$b"
     }.mkString(",\n      |  ")
-    val bandsUnion = (0 until 4).map(b => s"SELECT doc_id, $b AS bi, band_$b AS bv FROM hh").mkString(" UNION ALL ")
+    val bandsUnion = PhashBandPairs.zipWithIndex.map { case ((i, j), c) =>
+      s"SELECT doc_id, $c AS ci, band_$i AS v1, band_$j AS v2 FROM hh" }.mkString(" UNION ALL ")
     val ham = (0 until 4).map(b => s"bit_count(xor(ha.band_$b, hb2.band_$b))").mkString(" + ")
     s"""WITH b AS (SELECT doc_id, encode(text) AS p, octet_length(encode(text)) AS len FROM documents),
       |c AS (SELECT doc_id, p, len, greatest(len // 8, 1) AS h FROM b),
@@ -657,7 +671,8 @@ object Multimodal {
       |  FROM hb),
       |bands AS ($bandsUnion),
       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
+      |  FROM bands a JOIN bands b
+      |    ON a.ci = b.ci AND a.v1 = b.v1 AND a.v2 = b.v2 AND a.doc_id < b.doc_id)
       |SELECT c.doc_a, c.doc_b, cast($ham AS BIGINT) AS ham_dist
       |FROM cand c JOIN hh ha ON ha.doc_id = c.doc_a JOIN hh hb2 ON hb2.doc_id = c.doc_b
       |WHERE $ham <= $PhashMaxHamming

@@ -7,9 +7,11 @@ import org.scalatest.funsuite.AnyFunSuite
  * Pins the claims `dedup_image_phash` rests on:
  *
  *  1. BANDED CANDIDATES ARE LOSSLESS AT THE VERIFY BAR — with a 64-bit hash split
- *     into 4×16-bit bands, any pair within Hamming [[Multimodal.PhashMaxHamming]] (= 3)
- *     shares at least one untouched band (pigeonhole), so the band equi-join plus
- *     popcount verify finds EXACTLY the brute-force Hamming <= 3 pair set.
+ *     into 4×16-bit bands and candidate keys on PAIRS of bands (32-bit keys, the r12
+ *     scale fix: single 16-bit keys birthday-collide quadratically at corpus scale),
+ *     any pair within Hamming [[Multimodal.PhashMaxHamming]] (= 2) dirties at most 2
+ *     bands, leaving a fully-clean band PAIR (pigeonhole), so the pair-key equi-join
+ *     plus popcount verify finds EXACTLY the brute-force Hamming <= 2 pair set.
  *  2. PLANTED NEAR-DUPS ARE HASH-INVARIANT — perturbing only NON-sampled rows of the
  *     pixel grid cannot change the aHash (the 8×8 nearest-neighbor grid never reads
  *     those rows), while perturbing a SAMPLED row hard enough does: the fingerprint is
@@ -33,10 +35,11 @@ class ImagePhashSpec extends AnyFunSuite {
     import spark.implicits._
     val df = hashes.toSeq.map { case (id, bs) => (id, bs(0), bs(1), bs(2), bs(3)) }
       .toDF("doc_id", "band_0", "band_1", "band_2", "band_3")
-    val bands = df.select($"doc_id",
-      posexplode(array((0 until 4).map(b => col(s"band_$b")): _*)).as(Seq("bi", "bv")))
+    val pairCols = array(Multimodal.PhashBandPairs.map { case (i, j) =>
+      struct(col(s"band_$i").as("v1"), col(s"band_$j").as("v2")) }: _*)
+    val bands = df.select($"doc_id", posexplode(pairCols).as(Seq("ci", "cv")))
     val cand = bands.as("a").join(bands.as("b"),
-        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
     val ham = (0 until 4)
@@ -48,20 +51,21 @@ class ImagePhashSpec extends AnyFunSuite {
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
   }
 
-  test("banded candidate join + verify equals brute force at Hamming <= 3") {
-    // distances engineered around the bar: 0 (identical), 1..3 (must pair), 4 spread
-    // 1-per-band (must NOT pair — and is also invisible to the band join: every band
-    // differs, the pigeonhole's exact boundary), 4 concentrated in one band (candidate
-    // via 3 clean bands, killed by verify)
+  test("band-pair candidate join + verify equals brute force at Hamming <= 2") {
+    // distances engineered around the bar: 0 (identical), 1 and 2 (must pair — the
+    // d=2 case dirties TWO bands, so only the remaining clean pair key finds it, the
+    // pigeonhole's exact boundary), 3 spread across three bands (must NOT pair — and
+    // is also invisible to the pair join: no clean pair remains), 3 concentrated in
+    // one band (candidate via clean pairs, killed by verify)
     val base = Seq(0xAAAAL, 0x5555L, 0xF0F0L, 0x0F0FL)
     val hashes = Map[Long, Seq[Long]](
       1L -> base,
-      2L -> base,                                          // d=0
-      3L -> Seq(0xAAABL, 0x5555L, 0xF0F0L, 0x0F0FL),       // d=1
-      4L -> Seq(0xAAABL, 0x5554L, 0xF0F1L, 0x0F0FL),       // d=3
-      5L -> Seq(0xAAABL, 0x5554L, 0xF0F1L, 0x0F0EL),       // d=4, spread
-      6L -> Seq(0xAAAAL ^ 0xFL, 0x5555L, 0xF0F0L, 0x0F0FL), // d=4, one band
-      7L -> Seq(0x1234L, 0x9876L, 0x4321L, 0x6789L))       // unrelated
+      2L -> base,                                           // d=0
+      3L -> Seq(0xAAABL, 0x5555L, 0xF0F0L, 0x0F0FL),        // d=1
+      4L -> Seq(0xAAABL, 0x5554L, 0xF0F0L, 0x0F0FL),        // d=2, two bands dirty
+      5L -> Seq(0xAAABL, 0x5554L, 0xF0F1L, 0x0F0FL),        // d=3, spread
+      6L -> Seq(0xAAAAL ^ 0x7L, 0x5555L, 0xF0F0L, 0x0F0FL), // d=3, one band
+      7L -> Seq(0x1234L, 0x9876L, 0x4321L, 0x6789L))        // unrelated
     val bf = brute(hashes, Multimodal.PhashMaxHamming)
     assert(banded(hashes, Multimodal.PhashMaxHamming) === bf)
     assert(bf.contains((1L, 2L)) && bf.contains((1L, 3L)) && bf.contains((1L, 4L)))
