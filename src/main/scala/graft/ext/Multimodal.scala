@@ -619,26 +619,50 @@ object Multimodal {
         }
         MediaRow(m.doc_id + 1000000L, p2)
       }
-      val hashed = avgHashBands(encodeBmp(orig.union(copies), width = 8)).toDF().cache()
-      // candidate keys are PAIRS of bands (32 bits): see PhashMaxHamming — single
-      // 16-bit band keys birthday-collide quadratically at corpus scale
+      // FINGERPRINT-VALUE-LEVEL candidate generation (r12 second cut): a thumbnail
+      // corpus is DEGENERATE — many images share one exact fingerprint — so doc-level
+      // banding multiplies every such cluster through all 6 combo keys (~500M
+      // pre-distinct candidate rows at sf10, 190 GB of spill). Instead: (1) collapse
+      // docs onto DISTINCT fingerprints (`vals`, one row per 64-bit value); (2) run
+      // the pair-key banding, distinct, and popcount verify BETWEEN VALUES — the
+      // quadratic machinery now rides fingerprint cardinality, not corpus
+      // cardinality; (3) expand back to doc pairs only at output: same-value doc
+      // pairs are distance 0 by definition (a self-join on the value id — pure
+      // output-sized work), cross-value pairs join each surviving value pair's doc
+      // lists. Identical output, candidate keys and verify bar as the doc-level
+      // form; the value-level collapse is the same move dedup_exact makes before
+      // any near-dup pass.
+      val bcols = (0 until 4).map(b => col(s"band_$b"))
+      val hashed0 = avgHashBands(encodeBmp(orig.union(copies), width = 8)).toDF()
+      val vals = hashed0.groupBy(bcols: _*).agg(min($"doc_id").as("hid")).cache()
+      val hashed = hashed0.join(vals, (0 until 4).map(b => s"band_$b")).cache()
+      val sameVal = hashed.as("a").join(hashed.as("b"),
+          col("a.hid") === col("b.hid") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          lit(0L).as("ham_dist"))
       val pairCols = array(PhashBandPairs.map { case (i, j) =>
         struct(col(s"band_$i").as("v1"), col(s"band_$j").as("v2")) }: _*)
-      val bands = hashed.select($"doc_id", posexplode(pairCols).as(Seq("ci", "cv")))
-      val cand = bands.as("a").join(bands.as("b"),
+      val bands = vals.select($"hid", posexplode(pairCols).as(Seq("ci", "cv")))
+      val vcand = bands.as("a").join(bands.as("b"),
           col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+            col("a.hid") < col("b.hid"))
+        .select(col("a.hid").as("hid_a"), col("b.hid").as("hid_b"))
         .distinct()
       val ham = (0 until 4)
-        .map(b => bit_count(col(s"ha.band_$b").bitwiseXOR(col(s"hb.band_$b"))))
+        .map(b => bit_count(col(s"va.band_$b").bitwiseXOR(col(s"vb.band_$b"))))
         .reduce(_ + _)
-      cand
-        .join(hashed.as("ha"), $"doc_a" === col("ha.doc_id"))
-        .join(hashed.as("hb"), $"doc_b" === col("hb.doc_id"))
+      val vpairs = vcand
+        .join(vals.as("va"), $"hid_a" === col("va.hid"))
+        .join(vals.as("vb"), $"hid_b" === col("vb.hid"))
         .withColumn("ham_dist", ham.cast("long"))
-        .filter($"ham_dist" <= PhashMaxHamming)
-        .select($"doc_a", $"doc_b", $"ham_dist")
+        .filter($"ham_dist" > 0 && $"ham_dist" <= PhashMaxHamming) // 0 impossible across values
+        .select($"hid_a", $"hid_b", $"ham_dist")
+      val crossVal = vpairs
+        .join(hashed.select($"hid".as("hid_a"), $"doc_id".as("da")), "hid_a")
+        .join(hashed.select($"hid".as("hid_b"), $"doc_id".as("db")), "hid_b")
+        .select(least($"da", $"db").as("doc_a"), greatest($"da", $"db").as("doc_b"),
+          $"ham_dist")
+      sameVal.unionByName(crossVal)
         .orderBy($"doc_a", $"doc_b")
     },
   )
