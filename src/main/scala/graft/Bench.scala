@@ -225,6 +225,12 @@ object Bench {
         // also drops any .cache() a query builder pinned, so the next query — and this
         // query's NEXT rep, a full pass later — re-materializes from parquet)
         spark.catalog.clearCache()
+        // localCheckpoint blocks bypass the cache manager, so clearCache can't reach
+        // them — the component/image queries legitimately return checkpoint-backed
+        // frames (DedupLifecycleSpec's survivor allowance), but once the rep's action
+        // is done nothing reads them again, and across 151 queries × reps they'd
+        // accumulate real block-manager storage against later timings
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       }
     }
     var rep = 0

@@ -50,8 +50,10 @@ object BenchOne {
         SparkEntry.queries(n)(spark, sfDir).write.mode("overwrite").format("noop").save()
         val t = (System.nanoTime() - t0) / 1e9
         // OUTSIDE the timed window, same as Bench's finally — eviction cost must not
-        // inflate the spot measurement it exists to sanity-check
+        // inflate the spot measurement it exists to sanity-check (localCheckpoint
+        // blocks bypass the cache manager, so drop persistent RDDs explicitly too)
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         t
       }
       val med = Bench.median(ts)

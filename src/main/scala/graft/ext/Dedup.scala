@@ -145,12 +145,19 @@ object Dedup {
     * The residual hot case — one block × one band past `blockCap` (same-length clones) —
     * is irreducibly quadratic for an edit-distance verifier, so it raises a named error
     * in the [[graft.ext.TextOps.guardBroadcast]] style rather than straggling silently:
-    * the guard count rides a window over the SAME (block, band) partitioning the join
-    * shuffles on, so it costs no extra exchange. */
+    * the guard is a map-side-combined (block, band) count aggregate broadcast back onto
+    * the probe side, so the joined-back table is group-cardinality-sized and the check
+    * costs no extra full-data exchange.
+    *
+    * Null keys: a null `block` or null `name` can never form a candidate (equi-join
+    * semantics — null keys match nothing on either side), so such rows are dropped
+    * EXPLICITLY up front rather than silently inside the guard's inner join; the output
+    * is identical to the unguarded blocked join on the non-null universe. */
   private[ext] def fuzzyBlockedPairs(names: DataFrame, maxDist: Int,
                                      blockCap: Long = FuzzyBlockCap): DataFrame = {
     val w = maxDist + 1
-    val withBand = names
+    val nonNull = names.filter(col("name").isNotNull && col("block").isNotNull)
+    val withBand = nonNull
       .withColumn("len", length(col("name")))
       .withColumn("band", expr(s"len div $w"))
     // guard cardinalities via a map-side-combined aggregate broadcast back to the probe
@@ -169,7 +176,7 @@ object Dedup {
             "quadratic would straggle; tighten the blocking key or sub-block further"))))
           .otherwise(col("band")))
       .drop("_fz_n")
-    val b = names
+    val b = nonNull
       .withColumn("len", length(col("name")))
       .withColumn("band", explode(sequence(
         greatest(expr(s"(len - $maxDist) div $w"), lit(0L)),

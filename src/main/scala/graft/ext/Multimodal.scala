@@ -597,8 +597,10 @@ object Multimodal {
     // multimodal×dedup bridge: every image gets an average-hash perceptual fingerprint
     // ([[avgHashBands]]: 8×8 nearest-neighbor luma grid, mean threshold), candidates
     // form ONLY through a Hamming-banded equi-join on the 4×16-bit band values (the
-    // SimHash/LSH discipline — never all-pairs; lossless at Hamming <= 3 by
-    // pigeonhole), and each candidate verifies with the exact popcount distance.
+    // SimHash/LSH discipline — never all-pairs; lossless at Hamming <= 2, the
+    // [[PhashMaxHamming]] bar: with band-PAIR keys, <= 2 flipped bits leave >= 2 clean
+    // bands hence a clean pair — raising the bar to 3 needs C(6,3) keys), and each
+    // candidate verifies with the exact popcount distance.
     // Near-dups are PLANTED: each image re-enters (doc_id + 1M) with +1 on every byte
     // of its NON-sampled rows — visibly different payload, provably identical aHash
     // (the sampled grid never reads a perturbed row), so every planted pair must
@@ -633,10 +635,19 @@ object Multimodal {
       // form; the value-level collapse is the same move dedup_exact makes before
       // any near-dup pass.
       val bcols = (0 until 4).map(b => col(s"band_$b"))
-      val hashed0 = avgHashBands(encodeBmp(orig.union(copies), width = 8)).toDF()
-      val vals = hashed0.groupBy(bcols: _*).agg(min($"doc_id").as("hid")).cache()
-      val hashed = hashed0.join(vals, (0 until 4).map(b => s"band_$b")).cache()
-      val sameVal = hashed.as("a").join(hashed.as("b"),
+      // cache the pixel-walk frame only while the two eager artifacts below
+      // materialize, then RELEASE it before returning (r12 advice: the previous form
+      // left `vals`+`hashed` caches pinned in the shared session past the query's
+      // action — the cross-query cache-tax pattern the component family removed;
+      // DedupLifecycleSpec now covers this query). The survivors are the two
+      // localCheckpoints the returned lazy frame still reads: the value table and the
+      // doc↔value-id map (2 longs/row — the bands never travel with the corpus).
+      val hashed0 = avgHashBands(encodeBmp(orig.union(copies), width = 8)).toDF().cache()
+      val vals = hashed0.groupBy(bcols: _*).agg(min($"doc_id").as("hid")).localCheckpoint()
+      val docHid = hashed0.join(vals, (0 until 4).map(b => s"band_$b"))
+        .select($"doc_id", $"hid").localCheckpoint()
+      hashed0.unpersist(blocking = false)
+      val sameVal = docHid.as("a").join(docHid.as("b"),
           col("a.hid") === col("b.hid") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           lit(0L).as("ham_dist"))
@@ -658,8 +669,8 @@ object Multimodal {
         .filter($"ham_dist" > 0 && $"ham_dist" <= PhashMaxHamming) // 0 impossible across values
         .select($"hid_a", $"hid_b", $"ham_dist")
       val crossVal = vpairs
-        .join(hashed.select($"hid".as("hid_a"), $"doc_id".as("da")), "hid_a")
-        .join(hashed.select($"hid".as("hid_b"), $"doc_id".as("db")), "hid_b")
+        .join(docHid.select($"hid".as("hid_a"), $"doc_id".as("da")), "hid_a")
+        .join(docHid.select($"hid".as("hid_b"), $"doc_id".as("db")), "hid_b")
         .select(least($"da", $"db").as("doc_a"), greatest($"da", $"db").as("doc_b"),
           $"ham_dist")
       sameVal.unionByName(crossVal)

@@ -11,8 +11,9 @@ import org.scalatest.funsuite.AnyFunSuite
  * checkpoint (canonical queries only — their arg-max joins it). Every superseded
  * iteration frame, the loop-local caches, and the incremental query's PRIOR-pass
  * checkpoint (r11 ADVICE: it was left pinned after the star edges were built) must be
- * gone. Covers all four component-family queries so the shared builder
- * ([[Dedup.componentLabels]]) can't regress one family silently (r11 verdict #7).
+ * gone. Covers the component-family queries so the shared builder
+ * ([[Dedup.componentLabels]]) can't regress one family silently (r11 verdict #7), plus
+ * `dedup_image_phash` (r12 ADVICE: its caches leaked past the action).
  */
 class DedupLifecycleSpec extends AnyFunSuite {
 
@@ -23,7 +24,11 @@ class DedupLifecycleSpec extends AnyFunSuite {
       "dedup_components_verified" -> 1,
       "dedup_components_incremental" -> 1,
       "dedup_canonical" -> 2,
-      "dedup_canonical_verified" -> 2))
+      "dedup_canonical_verified" -> 2,
+      // r12 ADVICE: the image-phash query cached `vals`+`hashed` and never released
+      // them; now the pixel-walk cache is dropped before return and only the two
+      // localCheckpoints the returned frame reads (value table, doc↔value-id map) stay
+      "dedup_image_phash" -> 2))
     test(s"$q releases superseded checkpoints and loop caches (<= $allow survivors)") {
       val spark = graft.SparkTestSession.spark
       spark.catalog.clearCache()
