@@ -977,24 +977,26 @@ object CdcQueries {
     * shuffles; the window sort runs over delta keys' rows only. Equality with the full
     * rebuild is definitional (versionFrame is per-key), which is why the query shares
     * `cdc_scd2_history`'s oracle verbatim. */
-  private[engine] def scd2IncrementalFold(prior: DataFrame, delta: DataFrame): DataFrame = {
+  private[engine] def scd2IncrementalFold(prior: DataFrame, delta: DataFrame,
+      cols: Seq[(String, String)] = Scd2Cols): DataFrame = {
     val affected = delta.select(col("o_orderkey")).distinct()
     val untouched = prior.join(broadcast(affected), Seq("o_orderkey"), "left_anti")
     untouched.unionByName(
-      scd2CohortRebuild(prior, delta).select(untouched.columns.map(col).toSeq: _*))
+      scd2CohortRebuild(prior, delta, cols).select(untouched.columns.map(col).toSeq: _*))
   }
 
   /** The fold's REWRITE branch alone — the rows a merge-on-read history table would
     * physically write for the day's delta (untouched keys stay as-is on disk; the
     * logical pass-through union above exists for the whole-table equality gate).
     * [[Scd2IncrBench]] times this separately: it is the production write cost. */
-  private[engine] def scd2CohortRebuild(prior: DataFrame, delta: DataFrame): DataFrame = {
+  private[engine] def scd2CohortRebuild(prior: DataFrame, delta: DataFrame,
+      cols: Seq[(String, String)] = Scd2Cols): DataFrame = {
     val inCols = Seq("o_orderkey", "scn", "operation", "data").map(col)
     val affected = delta.select(col("o_orderkey")).distinct()
     Scd2.versionFrame(
       prior.join(broadcast(affected), Seq("o_orderkey"), "left_semi").select(inCols: _*)
         .unionByName(delta.select(inCols: _*)),
-      "o_orderkey", Scd2Cols)
+      "o_orderkey", cols)
   }
 
   /** [[Scd2IncrBench]]'s inputs: the prior version frame (pre-persist) and the delta

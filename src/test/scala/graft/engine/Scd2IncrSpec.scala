@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{array_sort, col, map_entries}
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -45,7 +46,7 @@ class Scd2IncrSpec extends AnyFunSuite {
       (2L, 20L, "UPDATE", Map("PR" -> "5-LOW")))
     val delta = inputDf((1L, 15L, "UPDATE", Map("PR" -> "2-HIGH")))
     val prior = graft.cdc.Scd2.versionFrame(priorIn, "o_orderkey", cols)
-    val folded = CdcQueries.scd2IncrementalFold(prior, delta)
+    val folded = CdcQueries.scd2IncrementalFold(prior, delta, cols)
 
     def rowsOf(df: org.apache.spark.sql.DataFrame, key: Long) = df
       .filter($"o_orderkey" === key)
@@ -72,8 +73,14 @@ class Scd2IncrSpec extends AnyFunSuite {
       (1L, -1L, "BASE", Map("ST" -> "O", "PR" -> "1")),
       (1L, 10L, "UPDATE", Map("ST" -> "F")))
     val prior = graft.cdc.Scd2.versionFrame(priorIn, "o_orderkey", cols)
-    val folded = CdcQueries.scd2IncrementalFold(prior, inputDf())
+    val folded = CdcQueries.scd2IncrementalFold(prior, inputDf(), cols)
     assert(folded.count() === prior.count())
-    assert(folded.exceptAll(prior).count() === 0 && prior.exceptAll(folded).count() === 0)
+    // set-ops reject MAP columns outright, so compare on a canonical projection: the
+    // map rendered as sorted entries (map iteration order is not part of the contract)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.select(
+      df.columns.filterNot(_ == "data").map(col) :+
+        array_sort(map_entries(col("data"))).as("data_entries"): _*)
+    assert(canon(folded).exceptAll(canon(prior)).count() === 0 &&
+      canon(prior).exceptAll(canon(folded)).count() === 0)
   }
 }
