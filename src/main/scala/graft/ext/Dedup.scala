@@ -39,6 +39,16 @@ object Dedup {
 
   private[ext] val DupIdOffset = 1000000L
 
+  /** Document-frequency ceiling for a winnowing fingerprint to count as RARE in
+    * `dedup_winnow_pairs` — anything hotter is boilerplate (the MOSS
+    * common-code-elimination move) and is dropped from BOTH the shared counts and the
+    * per-doc denominators. A FIXED cap is the scale posture: the fp-bucket self-join
+    * fans out at most C(cap,2) pairs per fingerprint value regardless of corpus size. */
+  private[ext] val WinnowMaxDf = 4L
+
+  /** Minimum shared rare fingerprints for a winnow pair — kills 1-fingerprint noise. */
+  private[ext] val WinnowMinShared = 2L
+
   /** GenScale's per-copy doc_id shift — derived dirs place copy i at i×10M. */
   private[ext] val CopyIdShift = 10000000L
 
@@ -883,6 +893,39 @@ object Dedup {
         .select($"doc_a", $"doc_b", $"jac_bp")
         .orderBy($"doc_a", $"doc_b")
     },
+    // WINNOWING near-dup pairs (r13) — the MOSS/plagiarism-detection discipline over
+    // [[TextOps.winnowFingerprints]]: docs pair when their RARE local fingerprints
+    // (document frequency <= WinnowMaxDf — the common-code-elimination step; hot
+    // fingerprints are boilerplate by definition) overlap at containment >= 4/5 of the
+    // smaller rare profile. The fixed df cap is also the scale bound: the fp-bucket
+    // self-join fans out at most C(cap,2) pairs per fingerprint VALUE no matter the
+    // corpus size, so candidate generation stays linear in the rare-instance count —
+    // never all-pairs. Integer-exact math throughout (cross-multiplied ratio), DuckDB
+    // replays the whole pipeline from the same winnowing SQL.
+    "dedup_winnow_pairs" -> { (s, dir) =>
+      import s.implicits._
+      // eager localCheckpoint: `rare` feeds three consumers (both self-join sides and
+      // the per-doc denominators) — without it each re-derives the whole winnowing
+      // pass; checkpoint (not cache) so no pinned cache outlives the action
+      // (DedupLifecycleSpec allowance: this one survivor)
+      val fps = TextOps.winnowFingerprints(doubledDocs(s, dir))
+        .select($"doc_id", $"fp").distinct()
+      val dfreq = fps.groupBy($"fp").agg(count(lit(1)).as("df"))
+      val rare = fps.join(dfreq.filter($"df" <= WinnowMaxDf).select($"fp"), "fp")
+        .localCheckpoint()
+      val nper = rare.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val shared = rare.as("a").join(rare.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      shared
+        .join(nper.select($"doc_id".as("doc_a"), $"n".as("n_a")), "doc_a")
+        .join(nper.select($"doc_id".as("doc_b"), $"n".as("n_b")), "doc_b")
+        .filter($"n_shared" * 5 >= least($"n_a", $"n_b") * 4 &&
+          $"n_shared" >= WinnowMinShared)
+        .select($"doc_a", $"doc_b", $"n_shared", $"n_a", $"n_b")
+        .orderBy($"doc_a", $"doc_b")
+    },
   )
 
   // ---- oracle SQL, generated from the same constants ------------------------
@@ -1190,5 +1233,24 @@ object Dedup {
          |WHERE cast(len(list_filter(a.toks, x -> list_contains(b.toks, x))) * 10000
          |       // (len(a.toks) + len(b.toks) - len(list_filter(a.toks, x -> list_contains(b.toks, x)))) AS BIGINT) >= 5000
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // the full winnow→rare→containment pipeline replayed from the SAME selection SQL
+    // the text_winnow_fingerprint oracle uses
+    "dedup_winnow_pairs" -> (TextOps.winnowSelectSql(
+      s"SELECT doc_id, text FROM documents UNION ALL " +
+        s"SELECT doc_id + $DupIdOffset, text || ' graftdup' FROM documents") +
+      s""",
+         |fps AS (SELECT DISTINCT doc_id, hv AS fp FROM sel),
+         |dfreq AS (SELECT fp, count(*) AS df FROM fps GROUP BY fp),
+         |rare AS (SELECT f.doc_id, f.fp FROM fps f JOIN dfreq USING (fp)
+         |  WHERE df <= $WinnowMaxDf),
+         |nper AS (SELECT doc_id, count(*) AS n FROM rare GROUP BY doc_id),
+         |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |  FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT s.doc_a, s.doc_b, cast(s.n_shared AS BIGINT) AS n_shared,
+         |  cast(na.n AS BIGINT) AS n_a, cast(nb.n AS BIGINT) AS n_b
+         |FROM shared s JOIN nper na ON na.doc_id = s.doc_a
+         |  JOIN nper nb ON nb.doc_id = s.doc_b
+         |WHERE 5 * s.n_shared >= 4 * least(na.n, nb.n) AND s.n_shared >= $WinnowMinShared
+         |ORDER BY doc_a, doc_b""".stripMargin),
   )
 }

@@ -24,6 +24,82 @@ object TextOps {
   /** Deterministic cross-engine 32-bit hash of a string column (md5-prefix as unsigned int). */
   def hash32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** Winnowing parameters (Schleimer–Wilkerson–Aiken, "Winnowing: Local Algorithms for
+    * Document Fingerprinting", SIGMOD'03): character-gram length `k` and hash-window
+    * width `w`. The scheme's guarantee: any exact substring match of length >=
+    * `w + k - 1` between two documents shares at least one SELECTED fingerprint, at an
+    * expected selection density of ~2/(w+1) — position-robust local fingerprints where
+    * a whole-document hash ([[`text_fingerprint`]]) breaks on any single edit. */
+  private[ext] val WinnowK = 6
+  private[ext] val WinnowW = 4
+
+  /** Gram-hash base/modulus for winnowing — a Karp–Rabin-style base-256 polynomial over
+    * character codes mod a prime. Pure integer Column arithmetic (codegen'd, ~k adds
+    * and muls per gram) instead of a cryptographic hash: the selection only needs a
+    * well-spread deterministic value, and an md5 per gram made the kernel ~50× more
+    * expensive (Catalyst inlines the gram array into the window lambda, so the gram
+    * hash sits on the hottest path). Identical math replays in DuckDB (`ascii` is the
+    * first character's codepoint in both engines; intermediates stay < 2^63/256). */
+  private[ext] val WinnowB = 256L
+  private[ext] val WinnowM = 1000000007L
+
+  /** The gram-hash ARRAY of a text column — one value per 0-based gram position.
+    *
+    * Two scan-cost traps shape this expression (both measured as 12 s at sf0.1 before):
+    * `substr(text, i, 1)` per gram re-scans the UTF-8 prefix (O(position) each, so
+    * O(len²) per document), and referencing an ALIASED array inside a lambda gets
+    * inlined by Catalyst's projection collapse and re-evaluated per element. So: the
+    * text splits into a char-code array ONCE, and that array is let-bound as a lambda
+    * variable (the single-element `transform` trick — a lambda VARIABLE is O(1) row
+    * state, never re-derived), making the whole array O(len · k) integer ops. */
+  private def winnowGramHashes(text: Column): Column = {
+    val codes = transform(split(text, ""), c => ascii(c).cast("long"))
+    element_at(transform(array(codes), cs =>
+      when(size(cs) - (WinnowK - 1) > 0,
+        transform(sequence(lit(0), size(cs) - WinnowK), i =>
+          (0 until WinnowK).foldLeft(lit(0L)) { (acc, t) =>
+            (acc * WinnowB + element_at(cs, i + lit(t + 1))) % WinnowM
+          }))
+        .otherwise(array().cast("array<bigint>"))), 1)
+  }
+
+  /** (doc_id, pos, fp) winnowing fingerprints of a `(doc_id, text)` frame — the MOSS
+    * fingerprinting kernel: hash every k-char gram ([[winnowGramHash]]), slide a w-wide
+    * window over the hash sequence, select each window's minimum (RIGHTMOST position on
+    * hash ties, the standard winnowing tie rule), and emit the distinct (position,
+    * hash) selections. Documents shorter than `k` emit nothing; documents with fewer
+    * than `w` gram hashes winnow over one window of whatever exists.
+    *
+    * Shape: grams EXPLODE to rows (the hash is computed exactly once per gram — an
+    * array-lambda form re-evaluates the whole gram array per window once Catalyst's
+    * projection collapse inlines it, turning the kernel quadratic with a string
+    * allocation per character; measured as a 300 s timeout at sf0.01), then each
+    * window's minimum comes from a `rowsBetween(0, w-1)` frame over the per-document
+    * position order. Cost: one exchange on doc_id + a per-document linear-ish sort —
+    * partition-parallel and skew-free at corpus scale (a document is never split). */
+  private[ext] def winnowFingerprints(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nh = greatest(length(col("text")) - (WinnowK - 1), lit(0))
+    // the hash ARRAY is built once per document and only (pos, hash) ints explode —
+    // exploding first and hashing after would copy the full text into every gram row
+    val grams = docs
+      .withColumn("_wn_nh", nh)
+      .select(col("doc_id"), col("_wn_nh"),
+        posexplode(winnowGramHashes(col("text"))).as(Seq("_wn_i", "_wn_h")))
+    val frame = Window.partitionBy(col("doc_id")).orderBy(col("_wn_i"))
+      .rowsBetween(Window.currentRow, WinnowW - 1)
+    grams
+      // negated position so struct-min = smallest hash, RIGHTMOST position on ties
+      .withColumn("_wn_sel",
+        min(struct(col("_wn_h").as("h"), (-col("_wn_i")).as("negpos"))).over(frame))
+      // full windows only (j <= nh - w); short documents keep the single j = 0 window
+      .filter(col("_wn_i") <= col("_wn_nh") - WinnowW ||
+        (col("_wn_nh") < WinnowW && col("_wn_i") === 0))
+      .select(col("doc_id"), (-col("_wn_sel.negpos")).cast("long").as("pos"),
+        col("_wn_sel.h").as("fp"))
+      .distinct()
+  }
+
   /** Broadcast-side cardinality ceiling for the corpus-derived small sides below
     * (boilerplate segment set, benchmark shingle set). ~10M short strings is well inside
     * the broadcast limit; a corpus pathological enough to exceed it must fail loudly
@@ -583,6 +659,16 @@ object TextOps {
         .select($"doc_id", md5($"text").as("fp"), hash32($"text").as("fp32"), $"n_chars")
         .orderBy($"doc_id")
     },
+    // LOCAL document fingerprints via winnowing (r13): the rolling-hash scheme the
+    // whole-doc hash above cannot replace — robust to position shifts, guarantees any
+    // shared substring of length >= WinnowW + WinnowK - 1 shares a selected
+    // fingerprint, at ~2/(w+1) density. One codegen'd pass per doc; the oracle replays
+    // gram hashing, window minima and the rightmost tie rule in plain SQL.
+    "text_winnow_fingerprint" -> { (s, dir) =>
+      import s.implicits._
+      winnowFingerprints(graft.engine.Tables(s, dir, "documents").select($"doc_id", $"text"))
+        .orderBy($"doc_id", $"pos")
+    },
     // EXACT length quantiles per language via rank arithmetic (value at ceil(q*n)) —
     // bit-identical across engines, unlike interpolating percentile functions. At lake
     // scale the per-lang full sort here is the WRONG default (5 langs → 5 fat sort
@@ -721,6 +807,27 @@ object TextOps {
   private val VocabLadder = Seq(10L, 100L, 1000L)
 
   private val stopwordSql = stopwords.map(w => s"x = '$w'").mkString(" OR ")
+
+  /** The winnowing selection replayed in plain SQL over an arbitrary `(doc_id, text)`
+    * source query: gram hashes via the md5-prefix hash32, per-window minima via a rank
+    * over (hash ASC, position DESC) — the rightmost tie rule — ending in a CTE `sel`
+    * of DISTINCT (doc_id, i, hv) selections. Shared by the `text_winnow_fingerprint`
+    * and `dedup_winnow_pairs` oracles. */
+  private[ext] def winnowSelectSql(source: String): String = {
+    val gramHash = (0 until WinnowK).foldLeft("0::BIGINT") { (acc, t) =>
+      s"(($acc) * $WinnowB + ascii(substr(text, (i + ${t + 1})::INT, 1))) % $WinnowM"
+    }
+    s"""WITH d AS ($source),
+      |g AS (SELECT doc_id, text, greatest(length(text) - ${WinnowK - 1}, 0) AS nh FROM d),
+      |h0 AS (SELECT doc_id, text, unnest(range(0, nh)) AS i FROM g),
+      |h AS (SELECT doc_id, i, $gramHash AS hv FROM h0),
+      |w0 AS (SELECT doc_id, unnest(range(0, CASE WHEN nh >= $WinnowW THEN nh - ${WinnowW - 1}
+      |  WHEN nh > 0 THEN 1 ELSE 0 END)) AS j FROM g),
+      |sel0 AS (SELECT w0.doc_id, h.hv, h.i,
+      |    row_number() OVER (PARTITION BY w0.doc_id, w0.j ORDER BY h.hv ASC, h.i DESC) AS rn
+      |  FROM w0 JOIN h ON h.doc_id = w0.doc_id AND h.i BETWEEN w0.j AND w0.j + ${WinnowW - 1}),
+      |sel AS (SELECT DISTINCT doc_id, i, hv FROM sel0 WHERE rn = 1)""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     // the same ranked-counts cumulative coverage
@@ -1020,6 +1127,8 @@ object TextOps {
       """SELECT doc_id, md5(text) AS fp,
         | ('0x' || substr(md5(text), 1, 8))::BIGINT AS fp32, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_winnow_fingerprint" -> (winnowSelectSql("SELECT doc_id, text FROM documents") +
+      "\nSELECT doc_id, i AS pos, hv AS fp FROM sel ORDER BY doc_id, pos"),
     "text_len_quantiles" ->
       """WITH d AS (SELECT lang, length(text) AS len, doc_id FROM documents),
         |ranked AS (SELECT lang, len,

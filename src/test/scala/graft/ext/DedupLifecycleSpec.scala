@@ -28,7 +28,9 @@ class DedupLifecycleSpec extends AnyFunSuite {
       // r12 ADVICE: the image-phash query cached `vals`+`hashed` and never released
       // them; now the pixel-walk cache is dropped before return and only the two
       // localCheckpoints the returned frame reads (value table, doc↔value-id map) stay
-      "dedup_image_phash" -> 2))
+      "dedup_image_phash" -> 2,
+      // r13: the rare-fingerprint frame feeds three consumers via one localCheckpoint
+      "dedup_winnow_pairs" -> 1))
     test(s"$q releases superseded checkpoints and loop caches (<= $allow survivors)") {
       val spark = graft.SparkTestSession.spark
       spark.catalog.clearCache()
