@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -307,6 +307,33 @@ object Multimodal {
   private[ext] val PhashBandPairs: Seq[(Int, Int)] =
     for { i <- 0 until 4; j <- i + 1 until 4 } yield (i, j)
 
+  /** Hamming bar for `dedup_image_phash3` — the Manku-widened variant (Manku, Jain,
+    * Das Sarma, "Detecting Near-Duplicates for Web Crawling", WWW'07: split the hash
+    * into more blocks and key on larger block subsets to raise the lossless bar while
+    * keeping keys wide). */
+  private[ext] val Phash3MaxHamming = 3
+
+  /** The C(8,5) = 56 5-subsets of the 8 byte-blocks (band b splits into its hi byte —
+    * block 2b — and lo byte — block 2b+1): <= 3 flipped bits dirty <= 3 blocks, leaving
+    * >= 5 clean, so at least one 5-subset is fully clean — the banded join is LOSSLESS
+    * at Hamming <= 3 with 40-bit packed keys (wider than the pair scheme's 32, so no
+    * birthday regression despite the higher bar). */
+  private[ext] val Phash3BlockCombos: Seq[Seq[Int]] =
+    (0 until 8).combinations(5).map(_.toList).toList
+
+  /** The pair scheme's packed candidate keys over the `band_0..3` columns of a
+    * fingerprint frame: band_i·2^16 + band_j per [[PhashBandPairs]] combo. */
+  private[ext] def phashPairKeys: Seq[Column] =
+    PhashBandPairs.map { case (i, j) => col(s"band_$i") * lit(65536L) + col(s"band_$j") }
+
+  /** The widened scheme's packed keys: 5 byte-blocks folded big-endian into a 40-bit
+    * value per [[Phash3BlockCombos]] combo. */
+  private[ext] def phash3ComboKeys: Seq[Column] = {
+    def blk(m: Int): Column =
+      if (m % 2 == 0) expr(s"shiftright(band_${m / 2}, 8)") else expr(s"band_${m / 2} % 256")
+    Phash3BlockCombos.map(c => c.map(blk).reduce((a, b) => a * lit(256L) + b))
+  }
+
   /**
    * AVERAGE-HASH (aHash) perceptual fingerprint over the REAL BMP decode — the
    * image-curation analogue of [[graft.ext.Dedup]]'s SimHash: parse the container
@@ -596,102 +623,116 @@ object Multimodal {
     // IMAGE NEAR-DUP DEDUP over the real BMP decode (r11 verdict #5) — the
     // multimodal×dedup bridge: every image gets an average-hash perceptual fingerprint
     // ([[avgHashBands]]: 8×8 nearest-neighbor luma grid, mean threshold), candidates
-    // form ONLY through a Hamming-banded equi-join on the 4×16-bit band values (the
+    // form ONLY through a Hamming-banded equi-join on packed band-PAIR keys (the
     // SimHash/LSH discipline — never all-pairs; lossless at Hamming <= 2, the
-    // [[PhashMaxHamming]] bar: with band-PAIR keys, <= 2 flipped bits leave >= 2 clean
-    // bands hence a clean pair — raising the bar to 3 needs C(6,3) keys), and each
-    // candidate verifies with the exact popcount distance.
-    // Near-dups are PLANTED: each image re-enters (doc_id + 1M) with +1 on every byte
-    // of its NON-sampled rows — visibly different payload, provably identical aHash
-    // (the sampled grid never reads a perturbed row), so every planted pair must
-    // surface at distance 0, alongside whatever organic near-collisions the corpus
-    // holds. All integer pixel math — DuckDB replays encode grid, perturbation, hash
-    // and popcount byte-by-byte.
-    "dedup_image_phash" -> { (s, dir) =>
-      import s.implicits._
-      val orig = mediaFrame(s, dir)
-      val copies = orig.map { m =>
-        val h = math.max(1, m.payload.length / 8)
-        val sampledRows = (0 until 8).map(k => k * h / 8).toSet
-        val p2 = m.payload.clone()
-        var j = 0
-        while (j < p2.length) {
-          if (!sampledRows(j / 8)) p2(j) = ((p2(j) + 1) & 0xff).toByte
-          j += 1
-        }
-        MediaRow(m.doc_id + 1000000L, p2)
-      }
-      // FINGERPRINT-VALUE-LEVEL candidate generation (r12 second cut): a thumbnail
-      // corpus is DEGENERATE — many images share one exact fingerprint — so doc-level
-      // banding multiplies every such cluster through all 6 combo keys (~500M
-      // pre-distinct candidate rows at sf10, 190 GB of spill). Instead: (1) collapse
-      // docs onto DISTINCT fingerprints (`vals`, one row per 64-bit value); (2) run
-      // the pair-key banding, distinct, and popcount verify BETWEEN VALUES — the
-      // quadratic machinery now rides fingerprint cardinality, not corpus
-      // cardinality; (3) expand back to doc pairs only at output: same-value doc
-      // pairs are distance 0 by definition (a self-join on the value id — pure
-      // output-sized work), cross-value pairs join each surviving value pair's doc
-      // lists. Identical output, candidate keys and verify bar as the doc-level
-      // form; the value-level collapse is the same move dedup_exact makes before
-      // any near-dup pass.
-      val bcols = (0 until 4).map(b => col(s"band_$b"))
-      // cache the pixel-walk frame only while the two eager artifacts below
-      // materialize, then RELEASE it before returning (r12 advice: the previous form
-      // left `vals`+`hashed` caches pinned in the shared session past the query's
-      // action — the cross-query cache-tax pattern the component family removed;
-      // DedupLifecycleSpec now covers this query). The survivors are the two
-      // localCheckpoints the returned lazy frame still reads: the value table and the
-      // doc↔value-id map (2 longs/row — the bands never travel with the corpus).
-      val hashed0 = avgHashBands(encodeBmp(orig.union(copies), width = 8)).toDF().cache()
-      val vals = hashed0.groupBy(bcols: _*).agg(min($"doc_id").as("hid")).localCheckpoint()
-      val docHid = hashed0.join(vals, (0 until 4).map(b => s"band_$b"))
-        .select($"doc_id", $"hid").localCheckpoint()
-      hashed0.unpersist(blocking = false)
-      val sameVal = docHid.as("a").join(docHid.as("b"),
-          col("a.hid") === col("b.hid") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          lit(0L).as("ham_dist"))
-      val pairCols = array(PhashBandPairs.map { case (i, j) =>
-        struct(col(s"band_$i").as("v1"), col(s"band_$j").as("v2")) }: _*)
-      val bands = vals.select($"hid", posexplode(pairCols).as(Seq("ci", "cv")))
-      val vcand = bands.as("a").join(bands.as("b"),
-          col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
-            col("a.hid") < col("b.hid"))
-        .select(col("a.hid").as("hid_a"), col("b.hid").as("hid_b"))
-        .distinct()
-      val ham = (0 until 4)
-        .map(b => bit_count(col(s"va.band_$b").bitwiseXOR(col(s"vb.band_$b"))))
-        .reduce(_ + _)
-      val vpairs = vcand
-        .join(vals.as("va"), $"hid_a" === col("va.hid"))
-        .join(vals.as("vb"), $"hid_b" === col("vb.hid"))
-        .withColumn("ham_dist", ham.cast("long"))
-        .filter($"ham_dist" > 0 && $"ham_dist" <= PhashMaxHamming) // 0 impossible across values
-        .select($"hid_a", $"hid_b", $"ham_dist")
-      val crossVal = vpairs
-        .join(docHid.select($"hid".as("hid_a"), $"doc_id".as("da")), "hid_a")
-        .join(docHid.select($"hid".as("hid_b"), $"doc_id".as("db")), "hid_b")
-        .select(least($"da", $"db").as("doc_a"), greatest($"da", $"db").as("doc_b"),
-          $"ham_dist")
-      sameVal.unionByName(crossVal)
-        .orderBy($"doc_a", $"doc_b")
-    },
+    // [[PhashMaxHamming]] bar: <= 2 flipped bits leave >= 2 clean bands hence a clean
+    // pair), and each candidate verifies with the exact popcount distance. See
+    // [[imageNearDupPairs]] for the shared value-level pipeline and the planted-pair
+    // construction.
+    "dedup_image_phash" -> ((s, dir) =>
+      imageNearDupPairs(s, dir, phashPairKeys, PhashMaxHamming)),
+    // The Manku-WIDENED variant (r13): same fingerprints and pipeline, candidate keys
+    // on C(8,5) byte-block subsets — 40-bit packed keys, lossless at Hamming <= 3
+    // ([[Phash3BlockCombos]]). The d=3-spread pairs invisible to the pair scheme by
+    // construction are exactly what this query must (and ImagePhashSpec proves it
+    // does) surface.
+    "dedup_image_phash3" -> ((s, dir) =>
+      imageNearDupPairs(s, dir, phash3ComboKeys, Phash3MaxHamming)),
   )
 
-  /** `dedup_image_phash` replayed byte-by-byte: encode grid (pixel (x,y) = payload byte
-    * y*8+x, 0 past the end), the copy perturbation (+1 mod 256 on non-sampled rows —
-    * the CASE term provably never fires at a sampled index, which is the planted-pair
-    * guarantee), the 64-sample mean-threshold hash as 4×16-bit bands, band-join
-    * candidates, popcount verify. */
-  private lazy val imagePhashOracleSql: String = {
+  /** Shared value-level image near-dup pipeline behind `dedup_image_phash` /
+    * `dedup_image_phash3` — the candidate KEY SCHEME (packed combo keys over the four
+    * `band_*` columns of the distinct-fingerprint frame) and the Hamming verify bar
+    * are the only degrees of freedom.
+    *
+    * Near-dups are PLANTED: each image re-enters (doc_id + 1M) with +1 on every byte
+    * of its NON-sampled rows — visibly different payload, provably identical aHash
+    * (the sampled grid never reads a perturbed row), so every planted pair must
+    * surface at distance 0, alongside whatever organic near-collisions the corpus
+    * holds. All integer pixel math — DuckDB replays encode grid, perturbation, hash,
+    * combo keys and popcount byte-by-byte.
+    *
+    * FINGERPRINT-VALUE-LEVEL candidate generation (r12 second cut): a thumbnail
+    * corpus is DEGENERATE — many images share one exact fingerprint — so doc-level
+    * banding multiplies every such cluster through every combo key (~500M
+    * pre-distinct candidate rows at sf10, 190 GB of spill). Instead: (1) collapse
+    * docs onto DISTINCT fingerprints (`vals`, one row per 64-bit value); (2) run the
+    * banding, distinct, and popcount verify BETWEEN VALUES — the quadratic machinery
+    * rides fingerprint cardinality, not corpus cardinality; (3) expand back to doc
+    * pairs only at output: same-value doc pairs are distance 0 by definition (a
+    * self-join on the value id — pure output-sized work), cross-value pairs join the
+    * surviving value pairs' doc lists. The value-level collapse is the same move
+    * dedup_exact makes before any near-dup pass.
+    *
+    * Cache lifecycle (r12 advice): the pixel-walk frame is cached only while the two
+    * eager artifacts materialize, then released before returning; the survivors are
+    * the two localCheckpoints the returned lazy frame still reads — the value table
+    * and the doc↔value-id map (2 longs/row; the bands never travel with the corpus).
+    * DedupLifecycleSpec pins the allowance. */
+  private def imageNearDupPairs(s: SparkSession, dir: String,
+      comboKeys: Seq[Column], maxHam: Int): DataFrame = {
+    import s.implicits._
+    val orig = mediaFrame(s, dir)
+    val copies = orig.map { m =>
+      val h = math.max(1, m.payload.length / 8)
+      val sampledRows = (0 until 8).map(k => k * h / 8).toSet
+      val p2 = m.payload.clone()
+      var j = 0
+      while (j < p2.length) {
+        if (!sampledRows(j / 8)) p2(j) = ((p2(j) + 1) & 0xff).toByte
+        j += 1
+      }
+      MediaRow(m.doc_id + 1000000L, p2)
+    }
+    val bcols = (0 until 4).map(b => col(s"band_$b"))
+    val hashed0 = avgHashBands(encodeBmp(orig.union(copies), width = 8)).toDF().cache()
+    val vals = hashed0.groupBy(bcols: _*).agg(min($"doc_id").as("hid")).localCheckpoint()
+    val docHid = hashed0.join(vals, (0 until 4).map(b => s"band_$b"))
+      .select($"doc_id", $"hid").localCheckpoint()
+    hashed0.unpersist(blocking = false)
+    val sameVal = docHid.as("a").join(docHid.as("b"),
+        col("a.hid") === col("b.hid") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        lit(0L).as("ham_dist"))
+    val bands = vals.select($"hid", posexplode(array(comboKeys: _*)).as(Seq("ci", "cv")))
+    val vcand = bands.as("a").join(bands.as("b"),
+        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+          col("a.hid") < col("b.hid"))
+      .select(col("a.hid").as("hid_a"), col("b.hid").as("hid_b"))
+      .distinct()
+    val ham = (0 until 4)
+      .map(b => bit_count(col(s"va.band_$b").bitwiseXOR(col(s"vb.band_$b"))))
+      .reduce(_ + _)
+    val vpairs = vcand
+      .join(vals.as("va"), $"hid_a" === col("va.hid"))
+      .join(vals.as("vb"), $"hid_b" === col("vb.hid"))
+      .withColumn("ham_dist", ham.cast("long"))
+      .filter($"ham_dist" > 0 && $"ham_dist" <= maxHam) // 0 impossible across values
+      .select($"hid_a", $"hid_b", $"ham_dist")
+    val crossVal = vpairs
+      .join(docHid.select($"hid".as("hid_a"), $"doc_id".as("da")), "hid_a")
+      .join(docHid.select($"hid".as("hid_b"), $"doc_id".as("db")), "hid_b")
+      .select(least($"da", $"db").as("doc_a"), greatest($"da", $"db").as("doc_b"),
+        $"ham_dist")
+    sameVal.unionByName(crossVal)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** The image near-dup queries replayed byte-by-byte: encode grid (pixel (x,y) =
+    * payload byte y*8+x, 0 past the end), the copy perturbation (+1 mod 256 on
+    * non-sampled rows — the CASE term provably never fires at a sampled index, which
+    * is the planted-pair guarantee), the 64-sample mean-threshold hash as 4×16-bit
+    * bands, packed-key band-join candidates, popcount verify. The key arms and bar
+    * are the variant's; everything else is shared with the engine pipeline. */
+  private def imagePhashOracle(keyArms: Seq[String], bar: Int): String = {
     val idx = "((k // 8) * h // 8) * 8 + (k % 8)"
     val byte = s"('0x' || substr(hex(p), 2*($idx) + 1, 2))::BIGINT"
     val pert = s"CASE WHEN pert = 1 AND NOT list_contains([(j * h) // 8 for j in range(0, 8)], (k // 8) * h // 8) THEN 1 ELSE 0 END"
     val bandDefs = (0 until 4).map { b =>
       s"cast(list_sum([CASE WHEN sv[k+1]*64 >= tot THEN (1 << (k - ${16 * b})) ELSE 0 END for k in range(${16 * b}, ${16 * (b + 1)})]) AS BIGINT) AS band_$b"
     }.mkString(",\n      |  ")
-    val bandsUnion = PhashBandPairs.zipWithIndex.map { case ((i, j), c) =>
-      s"SELECT doc_id, $c AS ci, band_$i AS v1, band_$j AS v2 FROM hh" }.mkString(" UNION ALL ")
+    val bandsUnion = keyArms.zipWithIndex.map { case (keyExpr, c) =>
+      s"SELECT doc_id, $c AS ci, $keyExpr AS cv FROM hh" }.mkString(" UNION ALL ")
     val ham = (0 until 4).map(b => s"bit_count(xor(ha.band_$b, hb2.band_$b))").mkString(" + ")
     s"""WITH b AS (SELECT doc_id, encode(text) AS p, octet_length(encode(text)) AS len FROM documents),
       |c AS (SELECT doc_id, p, len, greatest(len // 8, 1) AS h FROM b),
@@ -707,15 +748,27 @@ object Multimodal {
       |bands AS ($bandsUnion),
       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bands a JOIN bands b
-      |    ON a.ci = b.ci AND a.v1 = b.v1 AND a.v2 = b.v2 AND a.doc_id < b.doc_id)
+      |    ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id)
       |SELECT c.doc_a, c.doc_b, cast($ham AS BIGINT) AS ham_dist
       |FROM cand c JOIN hh ha ON ha.doc_id = c.doc_a JOIN hh hb2 ON hb2.doc_id = c.doc_b
-      |WHERE $ham <= $PhashMaxHamming
+      |WHERE $ham <= $bar
       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private lazy val imagePhashOracleSql: String = imagePhashOracle(
+    PhashBandPairs.map { case (i, j) => s"band_$i * 65536 + band_$j" }, PhashMaxHamming)
+
+  private lazy val imagePhash3OracleSql: String = {
+    def blkSql(m: Int): String =
+      if (m % 2 == 0) s"(band_${m / 2} // 256)" else s"(band_${m / 2} % 256)"
+    imagePhashOracle(
+      Phash3BlockCombos.map(c => c.map(blkSql).reduce((a, b) => s"(($a) * 256 + $b)")),
+      Phash3MaxHamming)
   }
 
   val oracle: Map[String, String] = Map(
     "dedup_image_phash" -> imagePhashOracleSql,
+    "dedup_image_phash3" -> imagePhash3OracleSql,
     // the same windows recomputed from the payload hex dump byte by byte
     "multimodal_audio_features" ->
       """WITH b AS (SELECT doc_id, encode(text) AS p FROM documents),

@@ -29,6 +29,7 @@ class DedupLifecycleSpec extends AnyFunSuite {
       // them; now the pixel-walk cache is dropped before return and only the two
       // localCheckpoints the returned frame reads (value table, doc↔value-id map) stay
       "dedup_image_phash" -> 2,
+      "dedup_image_phash3" -> 2,
       // r13: the rare-fingerprint frame feeds three consumers via one localCheckpoint
       "dedup_winnow_pairs" -> 1))
     test(s"$q releases superseded checkpoints and loop caches (<= $allow survivors)") {

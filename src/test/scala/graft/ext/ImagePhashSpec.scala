@@ -16,7 +16,11 @@ import org.scalatest.funsuite.AnyFunSuite
  *     pixel grid cannot change the aHash (the 8×8 nearest-neighbor grid never reads
  *     those rows), while perturbing a SAMPLED row hard enough does: the fingerprint is
  *     sensitive to what it claims to sample and blind to what it skips.
- *  3. END-TO-END at sf0.001: every planted (d, d+1M) pair surfaces at distance 0.
+ *  3. THE WIDENED SCHEME IS LOSSLESS AT 3 — `dedup_image_phash3` keys on C(8,5)
+ *     byte-block subsets (Manku-style), so <= 3 flipped bits leave a clean 5-subset
+ *     and the d=3-spread pairs invisible to the pair keys must surface.
+ *  4. END-TO-END at sf0.001: every planted (d, d+1M) pair surfaces at distance 0, in
+ *     both variants.
  */
 class ImagePhashSpec extends AnyFunSuite {
 
@@ -30,14 +34,14 @@ class ImagePhashSpec extends AnyFunSuite {
       if d <= bar
     } yield (a, b)).toSet
 
-  /** The query's candidate+verify plan over the same explicit hashes. */
-  private def banded(hashes: Map[Long, Seq[Long]], bar: Int): Set[(Long, Long)] = {
+  /** The queries' candidate+verify plan over the same explicit hashes, for either key
+    * scheme ([[Multimodal.phashPairKeys]] / [[Multimodal.phash3ComboKeys]]). */
+  private def banded(hashes: Map[Long, Seq[Long]],
+      keys: Seq[org.apache.spark.sql.Column], bar: Int): Set[(Long, Long)] = {
     import spark.implicits._
     val df = hashes.toSeq.map { case (id, bs) => (id, bs(0), bs(1), bs(2), bs(3)) }
       .toDF("doc_id", "band_0", "band_1", "band_2", "band_3")
-    val pairCols = array(Multimodal.PhashBandPairs.map { case (i, j) =>
-      struct(col(s"band_$i").as("v1"), col(s"band_$j").as("v2")) }: _*)
-    val bands = df.select($"doc_id", posexplode(pairCols).as(Seq("ci", "cv")))
+    val bands = df.select($"doc_id", posexplode(array(keys: _*)).as(Seq("ci", "cv")))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -67,9 +71,29 @@ class ImagePhashSpec extends AnyFunSuite {
       6L -> Seq(0xAAAAL ^ 0x7L, 0x5555L, 0xF0F0L, 0x0F0FL), // d=3, one band
       7L -> Seq(0x1234L, 0x9876L, 0x4321L, 0x6789L))        // unrelated
     val bf = brute(hashes, Multimodal.PhashMaxHamming)
-    assert(banded(hashes, Multimodal.PhashMaxHamming) === bf)
+    assert(banded(hashes, Multimodal.phashPairKeys, Multimodal.PhashMaxHamming) === bf)
     assert(bf.contains((1L, 2L)) && bf.contains((1L, 3L)) && bf.contains((1L, 4L)))
     assert(!bf.contains((1L, 5L)) && !bf.contains((1L, 6L)) && !bf.contains((1L, 7L)))
+  }
+
+  test("C(8,5) block-key candidate join + verify equals brute force at Hamming <= 3") {
+    // the widened scheme's whole point: d=3 SPREAD ACROSS THREE BANDS — invisible to
+    // the pair keys (no clean band pair survives) — must pair here (<= 3 flipped bits
+    // dirty <= 3 of the 8 byte-blocks, leaving a clean 5-subset); d=4 spread across
+    // four bands must not (killed by verify, and can dirty 4 blocks)
+    val base = Seq(0xAAAAL, 0x5555L, 0xF0F0L, 0x0F0FL)
+    val hashes = Map[Long, Seq[Long]](
+      1L -> base,
+      2L -> Seq(0xAAABL, 0x5554L, 0xF0F1L, 0x0F0FL),        // d=3, three bands dirty
+      3L -> Seq(0xAAABL, 0x5554L, 0xF0F1L, 0x0F0EL),        // d=4, four bands dirty
+      4L -> Seq(0xAAAAL ^ 0x7L, 0x5555L, 0xF0F0L, 0x0F0FL), // d=3, one band (lo byte)
+      5L -> Seq(0xAAAAL ^ 0x700L, 0x5555L, 0xF0F0L, 0x0F0FL), // d=3, one band (hi byte)
+      6L -> Seq(0x1234L, 0x9876L, 0x4321L, 0x6789L))        // unrelated
+    val bf = brute(hashes, Multimodal.Phash3MaxHamming)
+    assert(banded(hashes, Multimodal.phash3ComboKeys, Multimodal.Phash3MaxHamming) === bf)
+    assert(bf.contains((1L, 2L)), "d=3 spread must pair under the widened keys")
+    assert(bf.contains((1L, 4L)) && bf.contains((1L, 5L)))
+    assert(!bf.contains((1L, 3L)) && !bf.contains((1L, 6L)))
   }
 
   test("aHash ignores non-sampled-row perturbation and sees sampled-row change") {
@@ -91,16 +115,18 @@ class ImagePhashSpec extends AnyFunSuite {
     assert(out(1L) !== out(3L), "a saturated sampled row must move the hash")
   }
 
-  test("end-to-end at sf0.001: every planted pair surfaces at distance 0") {
-    import spark.implicits._
-    val dir = "/root/testdata/sf0.001"
-    val out = graft.SparkEntry.queries("dedup_image_phash")(spark, dir)
-      .as[(Long, Long, Long)].collect()
-    val docs = graft.engine.Tables(spark, dir, "documents")
-      .select($"doc_id").as[Long].collect()
-    val planted = out.filter(r => r._2 == r._1 + 1000000L).map(r => (r._1, r._3)).toMap
-    docs.foreach { d =>
-      assert(planted.get(d).contains(0L), s"planted pair for doc $d missing or nonzero")
+  for (q <- Seq("dedup_image_phash", "dedup_image_phash3"))
+    test(s"end-to-end at sf0.001: every planted pair surfaces at distance 0 ($q)") {
+      import spark.implicits._
+      val dir = "/root/testdata/sf0.001"
+      val out = graft.SparkEntry.queries(q)(spark, dir)
+        .as[(Long, Long, Long)].collect()
+      val docs = graft.engine.Tables(spark, dir, "documents")
+        .select($"doc_id").as[Long].collect()
+      val planted = out.filter(r => r._2 == r._1 + 1000000L).map(r => (r._1, r._3)).toMap
+      docs.foreach { d =>
+        assert(planted.get(d).contains(0L), s"planted pair for doc $d missing or nonzero")
+      }
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
-  }
 }
