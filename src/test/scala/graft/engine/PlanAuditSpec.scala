@@ -402,6 +402,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected exactly one user_id exchange:\n$p")
   }
 
+  test("text_winnow_fingerprint: distinct reuses the window's doc_id partitioning") {
+    val p = plan("text_winnow_fingerprint")
+    // exchanges: ONE hashpartitioning(doc_id) feeding the window + the distinct
+    // aggregate (doc_id is a prefix of the grouping keys, so the aggregate must not
+    // reshuffle), and one rangepartitioning for the output ORDER BY
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 2, s"expected <=2 exchanges (window and distinct share one):\n$p")
+  }
+
   test("AQE on/off result identity across representative join/agg/window/skew queries") {
     val spark = graft.SparkTestSession.spark
     // one query per plan family: broadcast join chain, native-aggregate MERGE, connected
