@@ -908,7 +908,7 @@ object Dedup {
       // the per-doc denominators) — without it each re-derives the whole winnowing
       // pass; checkpoint (not cache) so no pinned cache outlives the action
       // (DedupLifecycleSpec allowance: this one survivor)
-      val fps = TextOps.winnowFingerprints(doubledDocs(s, dir))
+      val fps = TextOps.winnowFingerprints(s, doubledDocs(s, dir))
         .select($"doc_id", $"fp").distinct()
       val dfreq = fps.groupBy($"fp").agg(count(lit(1)).as("df"))
       val rare = fps.join(dfreq.filter($"df" <= WinnowMaxDf).select($"fp"), "fp")

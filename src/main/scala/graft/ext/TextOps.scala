@@ -24,80 +24,27 @@ object TextOps {
   /** Deterministic cross-engine 32-bit hash of a string column (md5-prefix as unsigned int). */
   def hash32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
-  /** Winnowing parameters (Schleimer–Wilkerson–Aiken, "Winnowing: Local Algorithms for
-    * Document Fingerprinting", SIGMOD'03): character-gram length `k` and hash-window
-    * width `w`. The scheme's guarantee: any exact substring match of length >=
-    * `w + k - 1` between two documents shares at least one SELECTED fingerprint, at an
-    * expected selection density of ~2/(w+1) — position-robust local fingerprints where
-    * a whole-document hash ([[`text_fingerprint`]]) breaks on any single edit. */
-  private[ext] val WinnowK = 6
-  private[ext] val WinnowW = 4
-
-  /** Gram-hash base/modulus for winnowing — a Karp–Rabin-style base-256 polynomial over
-    * character codes mod a prime. Pure integer Column arithmetic (codegen'd, ~k adds
-    * and muls per gram) instead of a cryptographic hash: the selection only needs a
-    * well-spread deterministic value, and an md5 per gram made the kernel ~50× more
-    * expensive (Catalyst inlines the gram array into the window lambda, so the gram
-    * hash sits on the hottest path). Identical math replays in DuckDB (`ascii` is the
-    * first character's codepoint in both engines; intermediates stay < 2^63/256). */
-  private[ext] val WinnowB = 256L
-  private[ext] val WinnowM = 1000000007L
-
-  /** The gram-hash ARRAY of a text column — one value per 0-based gram position.
-    *
-    * Two scan-cost traps shape this expression (both measured as 12 s at sf0.1 before):
-    * `substr(text, i, 1)` per gram re-scans the UTF-8 prefix (O(position) each, so
-    * O(len²) per document), and referencing an ALIASED array inside a lambda gets
-    * inlined by Catalyst's projection collapse and re-evaluated per element. So: the
-    * text splits into a char-code array ONCE, and that array is let-bound as a lambda
-    * variable (the single-element `transform` trick — a lambda VARIABLE is O(1) row
-    * state, never re-derived), making the whole array O(len · k) integer ops. */
-  private def winnowGramHashes(text: Column): Column = {
-    val codes = transform(split(text, ""), c => ascii(c).cast("long"))
-    element_at(transform(array(codes), cs =>
-      when(size(cs) - (WinnowK - 1) > 0,
-        transform(sequence(lit(0), size(cs) - WinnowK), i =>
-          (0 until WinnowK).foldLeft(lit(0L)) { (acc, t) =>
-            (acc * WinnowB + element_at(cs, i + lit(t + 1))) % WinnowM
-          }))
-        .otherwise(array().cast("array<bigint>"))), 1)
-  }
+  /** Winnowing parameters — aliases of the canonical constants on
+    * [[graft.functions.WinnowSelect]] (gram length k, window width w, Karp–Rabin
+    * base/modulus), kept here so the oracle-SQL builder and the specs share one
+    * source of truth with the native expression. */
+  private[ext] val WinnowK: Int = graft.functions.WinnowSelect.K
+  private[ext] val WinnowW: Int = graft.functions.WinnowSelect.W
+  private[ext] val WinnowB: Long = graft.functions.WinnowSelect.B
+  private[ext] val WinnowM: Long = graft.functions.WinnowSelect.M
 
   /** (doc_id, pos, fp) winnowing fingerprints of a `(doc_id, text)` frame — the MOSS
-    * fingerprinting kernel: hash every k-char gram ([[winnowGramHash]]), slide a w-wide
-    * window over the hash sequence, select each window's minimum (RIGHTMOST position on
-    * hash ties, the standard winnowing tie rule), and emit the distinct (position,
-    * hash) selections. Documents shorter than `k` emit nothing; documents with fewer
-    * than `w` gram hashes winnow over one window of whatever exists.
-    *
-    * Shape: grams EXPLODE to rows (the hash is computed exactly once per gram — an
-    * array-lambda form re-evaluates the whole gram array per window once Catalyst's
-    * projection collapse inlines it, turning the kernel quadratic with a string
-    * allocation per character; measured as a 300 s timeout at sf0.01), then each
-    * window's minimum comes from a `rowsBetween(0, w-1)` frame over the per-document
-    * position order. Cost: one exchange on doc_id + a per-document linear-ish sort —
-    * partition-parallel and skew-free at corpus scale (a document is never split). */
-  private[ext] def winnowFingerprints(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val nh = greatest(length(col("text")) - (WinnowK - 1), lit(0))
-    // the hash ARRAY is built once per document and only (pos, hash) ints explode —
-    // exploding first and hashing after would copy the full text into every gram row
-    val grams = docs
-      .withColumn("_wn_nh", nh)
-      .select(col("doc_id"), col("_wn_nh"),
-        posexplode(winnowGramHashes(col("text"))).as(Seq("_wn_i", "_wn_h")))
-    val frame = Window.partitionBy(col("doc_id")).orderBy(col("_wn_i"))
-      .rowsBetween(Window.currentRow, WinnowW - 1)
-    grams
-      // negated position so struct-min = smallest hash, RIGHTMOST position on ties
-      .withColumn("_wn_sel",
-        min(struct(col("_wn_h").as("h"), (-col("_wn_i")).as("negpos"))).over(frame))
-      // full windows only (j <= nh - w); short documents keep the single j = 0 window
-      .filter(col("_wn_i") <= col("_wn_nh") - WinnowW ||
-        (col("_wn_nh") < WinnowW && col("_wn_i") === 0))
-      .select(col("doc_id"), (-col("_wn_sel.negpos")).cast("long").as("pos"),
-        col("_wn_sel.h").as("fp"))
-      .distinct()
+    * fingerprinting kernel, evaluated by the native
+    * [[graft.functions.WinnowSelect]] expression (one tight JVM rolling-hash +
+    * monotonic-deque loop per document — see its scaladoc for the measured wall every
+    * Column-algebra formulation hit). The selection happens entirely inside the scan
+    * projection: no gram explosion, NO shuffle, distinct-per-document by
+    * construction; only the selected ~2/(w+1) density of fingerprints ever becomes
+    * rows. Callers aggregate or join the output and pay only their own exchanges. */
+  private[ext] def winnowFingerprints(s: SparkSession, docs: DataFrame): DataFrame = {
+    graft.functions.WinnowSelect.ensureRegistered(s) // analyze against THIS session
+    docs.select(col("doc_id"), explode(call_function("winnow_select", col("text"))).as("_wn_s"))
+      .select(col("doc_id"), col("_wn_s.pos").as("pos"), col("_wn_s.fp").as("fp"))
   }
 
   /** Broadcast-side cardinality ceiling for the corpus-derived small sides below
@@ -666,7 +613,7 @@ object TextOps {
     // gram hashing, window minima and the rightmost tie rule in plain SQL.
     "text_winnow_fingerprint" -> { (s, dir) =>
       import s.implicits._
-      winnowFingerprints(graft.engine.Tables(s, dir, "documents").select($"doc_id", $"text"))
+      winnowFingerprints(s, graft.engine.Tables(s, dir, "documents").select($"doc_id", $"text"))
         .orderBy($"doc_id", $"pos")
     },
     // EXACT length quantiles per language via rank arithmetic (value at ceil(q*n)) —

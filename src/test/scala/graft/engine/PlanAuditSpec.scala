@@ -402,13 +402,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected exactly one user_id exchange:\n$p")
   }
 
-  test("text_winnow_fingerprint: distinct reuses the window's doc_id partitioning") {
+  test("text_winnow_fingerprint: the native kernel shuffles NOTHING but the output sort") {
     val p = plan("text_winnow_fingerprint")
-    // exchanges: ONE hashpartitioning(doc_id) feeding the window + the distinct
-    // aggregate (doc_id is a prefix of the grouping keys, so the aggregate must not
-    // reshuffle), and one rangepartitioning for the output ORDER BY
+    // the whole selection runs inside the scan projection (winnow_select + explode);
+    // the only exchange is the output ORDER BY's range partitioning — no gram
+    // shuffle, no window operator, no distinct aggregate (distinct is per-document
+    // inside the expression)
     val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
-    assert(exchanges <= 2, s"expected <=2 exchanges (window and distinct share one):\n$p")
+    assert(exchanges <= 1, s"expected only the output-sort exchange:\n$p")
+    assert(!p.contains("Window"), s"no window operator expected:\n$p")
   }
 
   test("AQE on/off result identity across representative join/agg/window/skew queries") {

@@ -26,7 +26,7 @@ class WinnowSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def fps(docs: (Long, String)*): Map[Long, Set[(Long, Long)]] =
-    TextOps.winnowFingerprints(docs.toDF("doc_id", "text"))
+    TextOps.winnowFingerprints(spark, docs.toDF("doc_id", "text"))
       .as[(Long, Long, Long)].collect()
       .groupBy(_._1).map { case (d, rs) => d -> rs.map(r => (r._2, r._3)).toSet }
 
