@@ -65,6 +65,41 @@ class WinnowSpec extends AnyFunSuite {
     assert(out(2L).size === 1, "a single short window emits exactly one fingerprint")
   }
 
+  test("native winnow_select equals an independent brute-force reference, incl. multibyte") {
+    // reference: O(n·w) brute windows over code-point gram hashes — no deque, no
+    // packing, straight from the SWA definition (min hash, rightmost position)
+    def ref(text: String): Set[(Long, Long)] = {
+      val cps = text.codePoints().toArray
+      val nh = cps.length - (TextOps.WinnowK - 1)
+      if (nh <= 0) return Set.empty
+      val hs = (0 until nh).map { i =>
+        (0 until TextOps.WinnowK).foldLeft(0L)((a, t) =>
+          (a * TextOps.WinnowB + cps(i + t)) % TextOps.WinnowM)
+      }
+      val w = math.min(TextOps.WinnowW, nh)
+      (0 to nh - w).map { j =>
+        val win = (j until j + w).map(i => (hs(i), i))
+        val m = win.map(_._1).min
+        val pos = win.filter(_._1 == m).map(_._2).max // rightmost tie
+        (pos.toLong, m)
+      }.toSet
+    }
+    val rnd = new scala.util.Random(7)
+    val multibyte = "héllo wörld — 日本語のテキスト 𝄞𝄞𝄞 clef run αβγδε mixed ascii tail"
+    val texts = Seq(
+      multibyte,
+      "aaaaaaaaaaaaaaaa",                    // all-tie stress
+      "ababababababab",                      // periodic ties
+      multibyte + multibyte,                 // repeated content re-selection
+      Seq.fill(200)(('a' + rnd.nextInt(4)).toChar).mkString, // tiny alphabet, many ties
+      Seq.fill(300)((0x3040 + rnd.nextInt(90)).toChar).mkString) // hiragana block
+    val out = fps(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*)
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(out.getOrElse(i.toLong, Set.empty) === ref(t),
+        s"engine selection diverges from brute force on text #$i")
+    }
+  }
+
   test("selection density stays near 2/(w+1)") {
     // deterministic pseudo-random text: varied grams, no engineered structure
     val rnd = new scala.util.Random(42)
