@@ -926,6 +926,53 @@ object Dedup {
         .select($"doc_a", $"doc_b", $"n_shared", $"n_a", $"n_b")
         .orderBy($"doc_a", $"doc_b")
     },
+    // STREAMING winnow admission (r13) — the MOSS rare-fingerprint screen as an
+    // ingestion gate: incoming documents (fresh docs ∪ near-dup twins of existing
+    // ones) stream through a STATELESS stream-static plan that flags any doc sharing
+    // >= WinnowMinShared rare fingerprints with the existing corpus. The decision is
+    // computed IN-ROW: the native winnow_select expression fingerprints the incoming
+    // text inside the streaming projection, and the corpus's rare-fingerprint set —
+    // which SHRINKS as the corpus grows (absolute df cap), but is guarded against a
+    // high-entropy corpus where everything is rare — rides ONE broadcast row, so no
+    // per-batch shuffle, no state store, and append-mode output in the arrival batch.
+    // Two micro-batches prove the gate is batch-invariant.
+    "dedup_winnow_admit_stream" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.Encoders
+      graft.functions.WinnowSelect.ensureRegistered(s)
+      val docs = graft.engine.Tables(s, dir, "documents").select($"doc_id", $"text")
+      val existing = docs.filter($"doc_id" % 5 =!= 0)
+      val rare = TextOps.winnowFingerprints(s, existing)
+        .select($"doc_id", $"fp").distinct()
+        .groupBy($"fp").agg(count(lit(1)).as("df"))
+        .filter($"df" <= WinnowMaxDf).select($"fp")
+      val rareRow = TextOps.guardBroadcast(rare, "fp", TextOps.MaxBroadcastRows,
+          "winnow rare-fingerprint index")
+        .agg(sort_array(collect_list($"fp")).as("rare_fps"))
+        .localCheckpoint() // freeze the static side: one row, computed once, not per batch
+      val feed = docs.filter($"doc_id" % 5 === 0)
+        .union(existing.filter($"doc_id" % 7 === 1)
+          .select(($"doc_id" + 2000000L).as("doc_id"),
+            concat($"text", lit(" graftdup")).as("text")))
+        .as[(Long, String)].collect().toSeq // driver-side feed is inherent to MemoryStream
+      val (b1, b2) = feed.partition(_._1 % 2 == 0)
+      val out = graft.engine.StreamGate.runBatches(s,
+          Encoders.tuple(Encoders.scalaLong, Encoders.STRING),
+          "dedup_winnow_admit_sink", Seq(b1, b2)) { ds =>
+        ds.toDF("doc_id", "text")
+          .crossJoin(broadcast(rareRow))
+          .withColumn("n_rare_matched",
+            size(array_intersect(
+              array_distinct(transform(
+                call_function("winnow_select", $"text"), x => x.getField("fp"))),
+              $"rare_fps")).cast("long"))
+          .select($"doc_id",
+            when($"n_rare_matched" >= WinnowMinShared, "near_dup")
+              .otherwise("admitted").as("status"),
+            $"n_rare_matched")
+      }
+      out.orderBy($"doc_id")
+    },
   )
 
   // ---- oracle SQL, generated from the same constants ------------------------
@@ -1252,5 +1299,30 @@ object Dedup {
          |  JOIN nper nb ON nb.doc_id = s.doc_b
          |WHERE 5 * s.n_shared >= 4 * least(na.n, nb.n) AND s.n_shared >= $WinnowMinShared
          |ORDER BY doc_a, doc_b""".stripMargin),
+    // the streaming gate replayed in batch SQL: two composed winnowing pipelines
+    // (existing corpus prefix e, incoming feed prefix i), rare = df-capped existing
+    // fingerprints, decision = distinct incoming fingerprints in the rare set —
+    // left-joined from the incoming DOC list so a fingerprint-less doc still emits
+    "dedup_winnow_admit_stream" -> ("WITH " +
+      TextOps.winnowSelectCtes(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0", "e") + ",\n" +
+      TextOps.winnowSelectCtes(
+        s"SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0 " +
+          s"UNION ALL SELECT doc_id + 2000000, text || ' graftdup' FROM documents " +
+          s"WHERE doc_id % 5 <> 0 AND doc_id % 7 = 1", "i") +
+      s""",
+         |rare AS (SELECT hv FROM (SELECT DISTINCT doc_id, hv FROM esel)
+         |  GROUP BY hv HAVING count(*) <= $WinnowMaxDf),
+         |inc AS (SELECT DISTINCT doc_id, hv FROM isel),
+         |m AS (SELECT d.doc_id,
+         |    count(CASE WHEN r.hv IS NOT NULL THEN 1 END) AS n
+         |  FROM (SELECT DISTINCT doc_id FROM id) d
+         |  LEFT JOIN inc ON inc.doc_id = d.doc_id
+         |  LEFT JOIN rare r ON r.hv = inc.hv
+         |  GROUP BY d.doc_id)
+         |SELECT doc_id,
+         |  CASE WHEN n >= $WinnowMinShared THEN 'near_dup' ELSE 'admitted' END AS status,
+         |  cast(n AS BIGINT) AS n_rare_matched
+         |FROM m ORDER BY doc_id""".stripMargin),
   )
 }

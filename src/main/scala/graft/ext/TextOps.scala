@@ -760,20 +760,26 @@ object TextOps {
     * over (hash ASC, position DESC) — the rightmost tie rule — ending in a CTE `sel`
     * of DISTINCT (doc_id, i, hv) selections. Shared by the `text_winnow_fingerprint`
     * and `dedup_winnow_pairs` oracles. */
-  private[ext] def winnowSelectSql(source: String): String = {
+  private[ext] def winnowSelectSql(source: String): String =
+    "WITH " + winnowSelectCtes(source, "")
+
+  /** The same CTE chain WITHOUT the leading `WITH` and with every CTE name prefixed —
+    * so two winnowing pipelines (e.g. existing corpus + incoming feed in
+    * `dedup_winnow_admit_stream`'s oracle) can compose in one statement. */
+  private[ext] def winnowSelectCtes(source: String, p: String): String = {
     val gramHash = (0 until WinnowK).foldLeft("0::BIGINT") { (acc, t) =>
       s"(($acc) * $WinnowB + ascii(substr(text, (i + ${t + 1})::INT, 1))) % $WinnowM"
     }
-    s"""WITH d AS ($source),
-      |g AS (SELECT doc_id, text, greatest(length(text) - ${WinnowK - 1}, 0) AS nh FROM d),
-      |h0 AS (SELECT doc_id, text, unnest(range(0, nh)) AS i FROM g),
-      |h AS (SELECT doc_id, i, $gramHash AS hv FROM h0),
-      |w0 AS (SELECT doc_id, unnest(range(0, CASE WHEN nh >= $WinnowW THEN nh - ${WinnowW - 1}
-      |  WHEN nh > 0 THEN 1 ELSE 0 END)) AS j FROM g),
-      |sel0 AS (SELECT w0.doc_id, h.hv, h.i,
+    s"""${p}d AS ($source),
+      |${p}g AS (SELECT doc_id, text, greatest(length(text) - ${WinnowK - 1}, 0) AS nh FROM ${p}d),
+      |${p}h0 AS (SELECT doc_id, text, unnest(range(0, nh)) AS i FROM ${p}g),
+      |${p}h AS (SELECT doc_id, i, $gramHash AS hv FROM ${p}h0),
+      |${p}w0 AS (SELECT doc_id, unnest(range(0, CASE WHEN nh >= $WinnowW THEN nh - ${WinnowW - 1}
+      |  WHEN nh > 0 THEN 1 ELSE 0 END)) AS j FROM ${p}g),
+      |${p}sel0 AS (SELECT w0.doc_id, h.hv, h.i,
       |    row_number() OVER (PARTITION BY w0.doc_id, w0.j ORDER BY h.hv ASC, h.i DESC) AS rn
-      |  FROM w0 JOIN h ON h.doc_id = w0.doc_id AND h.i BETWEEN w0.j AND w0.j + ${WinnowW - 1}),
-      |sel AS (SELECT DISTINCT doc_id, i, hv FROM sel0 WHERE rn = 1)""".stripMargin
+      |  FROM ${p}w0 w0 JOIN ${p}h h ON h.doc_id = w0.doc_id AND h.i BETWEEN w0.j AND w0.j + ${WinnowW - 1}),
+      |${p}sel AS (SELECT DISTINCT doc_id, i, hv FROM ${p}sel0 WHERE rn = 1)""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
