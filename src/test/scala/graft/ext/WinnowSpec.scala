@@ -30,6 +30,25 @@ class WinnowSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect()
       .groupBy(_._1).map { case (d, rs) => d -> rs.map(r => (r._2, r._3)).toSet }
 
+  /** Independent O(n·w) brute-force reference — no deque, no packing, straight from
+    * the SWA definition (min hash per window, rightmost position on ties). */
+  private def ref(text: String): Set[(Long, Long)] = {
+    val cps = text.codePoints().toArray
+    val nh = cps.length - (TextOps.WinnowK - 1)
+    if (nh <= 0) return Set.empty
+    val hs = (0 until nh).map { i =>
+      (0 until TextOps.WinnowK).foldLeft(0L)((a, t) =>
+        (a * TextOps.WinnowB + cps(i + t)) % TextOps.WinnowM)
+    }
+    val w = math.min(TextOps.WinnowW, nh)
+    (0 to nh - w).map { j =>
+      val win = (j until j + w).map(i => (hs(i), i))
+      val m = win.map(_._1).min
+      (win.filter(_._1 == m).map(_._2).max.toLong, m)
+    }.toSet
+  }
+
+
   test("shared substring of length >= w + k - 1 shares a selected fingerprint") {
     val shared = "zqxwvyjkpf" // w + k - 1 = 9 <= 10 chars, absent from the padding
     val pads = Seq(
@@ -66,24 +85,6 @@ class WinnowSpec extends AnyFunSuite {
   }
 
   test("native winnow_select equals an independent brute-force reference, incl. multibyte") {
-    // reference: O(n·w) brute windows over code-point gram hashes — no deque, no
-    // packing, straight from the SWA definition (min hash, rightmost position)
-    def ref(text: String): Set[(Long, Long)] = {
-      val cps = text.codePoints().toArray
-      val nh = cps.length - (TextOps.WinnowK - 1)
-      if (nh <= 0) return Set.empty
-      val hs = (0 until nh).map { i =>
-        (0 until TextOps.WinnowK).foldLeft(0L)((a, t) =>
-          (a * TextOps.WinnowB + cps(i + t)) % TextOps.WinnowM)
-      }
-      val w = math.min(TextOps.WinnowW, nh)
-      (0 to nh - w).map { j =>
-        val win = (j until j + w).map(i => (hs(i), i))
-        val m = win.map(_._1).min
-        val pos = win.filter(_._1 == m).map(_._2).max // rightmost tie
-        (pos.toLong, m)
-      }.toSet
-    }
     val rnd = new scala.util.Random(7)
     val multibyte = "héllo wörld — 日本語のテキスト 𝄞𝄞𝄞 clef run αβγδε mixed ascii tail"
     val texts = Seq(
@@ -97,6 +98,33 @@ class WinnowSpec extends AnyFunSuite {
     texts.zipWithIndex.foreach { case (t, i) =>
       assert(out.getOrElse(i.toLong, Set.empty) === ref(t),
         s"engine selection diverges from brute force on text #$i")
+    }
+  }
+
+  test("property: 120 random unicode strings match the brute-force reference (seed 2026)") {
+    // seeded generator over hostile ranges: ASCII, Latin-1, CJK, and ASTRAL code
+    // points (surrogate pairs in the JVM string — the code-point/code-unit trap),
+    // plus tiny alphabets for tie storms and lengths straddling every edge (0, <k,
+    // =k, <k+w, long)
+    val rnd = new scala.util.Random(2026)
+    val pools = Seq(
+      ('a' to 'z').map(_.toInt),
+      (0x20 to 0xFF).toSeq,
+      (0x4E00 to 0x4E80).toSeq,
+      Seq(0x1D11E, 0x1F600, 0x10348, 0x20000), // astral: surrogate pairs
+      Seq('a'.toInt, 'b'.toInt))               // 2-symbol tie storm
+    def gen(): String = {
+      val pool = pools(rnd.nextInt(pools.size))
+      val len = Seq(0, 3, 6, 8, 9, 40, 200)(rnd.nextInt(7))
+      val sb = new java.lang.StringBuilder
+      (0 until len).foreach(_ => sb.appendCodePoint(pool(rnd.nextInt(pool.size))))
+      sb.toString
+    }
+    val texts = Seq.fill(120)(gen())
+    val out = fps(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*)
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(out.getOrElse(i.toLong, Set.empty) === ref(t),
+        s"divergence on generated text #$i: ${t.take(40)}")
     }
   }
 
