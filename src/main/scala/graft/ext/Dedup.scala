@@ -904,10 +904,13 @@ object Dedup {
     // replays the whole pipeline from the same winnowing SQL.
     "dedup_winnow_pairs" -> { (s, dir) =>
       import s.implicits._
-      // eager localCheckpoint: `rare` feeds three consumers (both self-join sides and
-      // the per-doc denominators) — without it each re-derives the whole winnowing
-      // pass; checkpoint (not cache) so no pinned cache outlives the action
-      // (DedupLifecycleSpec allowance: this one survivor)
+      // `fps` feeds BOTH the document-frequency build and the rare-probe join with no
+      // shared exchange, so the winnow+explode+distinct subtree evaluates twice —
+      // DELIBERATELY left lazy: with the native winnow_select kernel the recompute is
+      // a cheap scan projection, and checkpointing the corpus-sized table instead was
+      // MEASURED SLOWER at sf10 (92M-row block write+read > one extra projection
+      // pass; 20.5 s vs 17.8 s min). `rare` (df-cap-bounded) does checkpoint — it
+      // feeds three consumers and is the one survivor (DedupLifecycleSpec).
       val fps = TextOps.winnowFingerprints(s, doubledDocs(s, dir))
         .select($"doc_id", $"fp").distinct()
       val dfreq = fps.groupBy($"fp").agg(count(lit(1)).as("df"))
