@@ -230,7 +230,8 @@ object Bench {
         // frames (DedupLifecycleSpec's survivor allowance), but once the rep's action
         // is done nothing reads them again, and across 151 queries × reps they'd
         // accumulate real block-manager storage against later timings
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        if (!sys.env.contains("SPARK_GRAFT_NO_RDD_SWEEP"))
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       }
     }
     var rep = 0
