@@ -961,22 +961,28 @@ object Dedup {
       val (b1, b2) = feed.partition(_._1 % 2 == 0)
       val out = graft.engine.StreamGate.runBatches(s,
           Encoders.tuple(Encoders.scalaLong, Encoders.STRING),
-          "dedup_winnow_admit_sink", Seq(b1, b2)) { ds =>
-        ds.toDF("doc_id", "text")
-          .crossJoin(broadcast(rareRow))
-          .withColumn("n_rare_matched",
-            size(array_intersect(
-              array_distinct(transform(
-                call_function("winnow_select", $"text"), x => x.getField("fp"))),
-              $"rare_fps")).cast("long"))
-          .select($"doc_id",
-            when($"n_rare_matched" >= WinnowMinShared, "near_dup")
-              .otherwise("admitted").as("status"),
-            $"n_rare_matched")
-      }
+          "dedup_winnow_admit_sink", Seq(b1, b2))(winnowAdmitPlan(rareRow))
       out.orderBy($"doc_id")
     },
   )
+
+  /** The streaming side of `dedup_winnow_admit_stream`, factored so
+    * WinnowAdmitStateSpec can drive the SAME plan under its own streaming query and
+    * assert from the progress metrics that it holds NO state operator. */
+  private[ext] def winnowAdmitPlan(rareRow: DataFrame)(
+      ds: org.apache.spark.sql.Dataset[(Long, String)]): DataFrame = {
+    ds.toDF("doc_id", "text")
+      .crossJoin(broadcast(rareRow))
+      .withColumn("n_rare_matched",
+        size(array_intersect(
+          array_distinct(transform(
+            call_function("winnow_select", col("text")), x => x.getField("fp"))),
+          col("rare_fps"))).cast("long"))
+      .select(col("doc_id"),
+        when(col("n_rare_matched") >= WinnowMinShared, "near_dup")
+          .otherwise("admitted").as("status"),
+        col("n_rare_matched"))
+  }
 
   // ---- oracle SQL, generated from the same constants ------------------------
 
