@@ -46,6 +46,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "simsearch_quantize_int8" -> "1-row trained-codec broadcast: [mins,maxs,rng] arrays (Similarity.scala)",
     "rag_context_pack"       -> "query-vector constant shortlist scoring (Similarity.scala, same as simsearch_topk)",
     "simsearch_ivf_append"   -> "k frozen centroids broadcast into the append batch (Similarity.scala, lloydOnce)",
+    "dedup_winnow_pairs_rel" -> "1-row corpus-size rarity-cap broadcast (Dedup.scala, capRow crossJoin)",
   )
 
   test("no query plan contains CartesianProduct; BNLJ only where allowlisted") {

@@ -31,7 +31,11 @@ class DedupLifecycleSpec extends AnyFunSuite {
       "dedup_image_phash" -> 2,
       "dedup_image_phash3" -> 2,
       // r13: the rare-fingerprint frame feeds three consumers via one localCheckpoint
-      "dedup_winnow_pairs" -> 1))
+      "dedup_winnow_pairs" -> 1,
+      "dedup_winnow_pairs_rel" -> 1,
+      // r14: each admission wave checkpoints its delta-sized fingerprint frame (it
+      // feeds the decision join AND the index fold)
+      "dedup_winnow_admit_incremental" -> 2))
     test(s"$q releases superseded checkpoints and loop caches (<= $allow survivors)") {
       val spark = graft.SparkTestSession.spark
       spark.catalog.clearCache()
