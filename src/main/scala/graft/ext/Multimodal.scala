@@ -321,18 +321,81 @@ object Multimodal {
   private[ext] val Phash3BlockCombos: Seq[Seq[Int]] =
     (0 until 8).combinations(5).map(_.toList).toList
 
-  /** The pair scheme's packed candidate keys over the `band_0..3` columns of a
-    * fingerprint frame: band_i·2^16 + band_j per [[PhashBandPairs]] combo. */
-  private[ext] def phashPairKeys: Seq[Column] =
-    PhashBandPairs.map { case (i, j) => col(s"band_$i") * lit(65536L) + col(s"band_$j") }
+  // ---- parameterized Manku block/subset key schemes (r14, VERDICT r13 #5) ---------
+  //
+  // ONE generator over (blocks, subset-size) replaces the per-scheme key code: the
+  // 64-bit fingerprint — conceptually H = band_0·2^48 + band_1·2^32 + band_2·2^16 +
+  // band_3, big-endian band order — splits into `blocks` near-equal blocks counted
+  // from the top (widths 64/blocks, the first 64%blocks blocks one bit wider), and a
+  // candidate key is the big-endian fold of one `subsetSize`-subset of block values.
+  // Pigeonhole losslessness: d <= blocks - subsetSize flipped bits dirty at most d
+  // blocks, leaving >= subsetSize clean, so at least one combo key survives intact —
+  // PhashSchemeSpec proves it property-style per scheme, plus value-equality of the
+  // generated keys with an independent bit-slice reference AND with the r12/r13
+  // hand-written formulas for (4,2) and (8,5). Raising the bar at a larger corpus is
+  // now a constant change: scheme (6,3) (33-bit keys, bar 3, 20 combos — cheaper than
+  // (8,5)'s 56 at the same bar, narrower keys) ships as `dedup_image_phash33`.
+  //
+  // Block values are rendered as div/mod arithmetic over the four band columns from
+  // ONE piece decomposition ([[phashBlockPieces]]) into BOTH dialects — Spark SQL
+  // (`div`) and DuckDB (`//`) — so the engine keys and the oracle keys cannot drift.
 
-  /** The widened scheme's packed keys: 5 byte-blocks folded big-endian into a 40-bit
-    * value per [[Phash3BlockCombos]] combo. */
-  private[ext] def phash3ComboKeys: Seq[Column] = {
-    def blk(m: Int): Column =
-      if (m % 2 == 0) expr(s"shiftright(band_${m / 2}, 8)") else expr(s"band_${m / 2} % 256")
-    Phash3BlockCombos.map(c => c.map(blk).reduce((a, b) => a * lit(256L) + b))
+  /** Per-block bit widths, top-aligned near-equal split of the 64-bit hash. */
+  private[ext] def phashBlockWidths(blocks: Int): Seq[Int] =
+    Seq.tabulate(blocks)(m => 64 / blocks + (if (m < 64 % blocks) 1 else 0))
+
+  /** Block m as (band, rightShift, width, leftShift) pieces: value =
+    * Σ ((band_b div 2^rsh) mod 2^w) · 2^lsh over the bands the block overlaps. */
+  private[ext] def phashBlockPieces(blocks: Int): Seq[Seq[(Int, Int, Int, Int)]] = {
+    val widths = phashBlockWidths(blocks)
+    val starts = widths.scanLeft(0)(_ + _)
+    (0 until blocks).map { m =>
+      val lo = starts(m); val hi = lo + widths(m) // from-top bit range within H
+      (lo / 16 to (hi - 1) / 16).map { b =>
+        val bLo = math.max(lo, 16 * b) - 16 * b   // from-top within band b
+        val bHi = math.min(hi, 16 * (b + 1)) - 16 * b
+        (b, 16 - bHi, bHi - bLo, hi - math.min(hi, 16 * (b + 1)))
+      }
+    }
   }
+
+  /** The block-value expressions in a given integer-division dialect (`div` for Spark
+    * SQL, `//` for DuckDB). */
+  private[ext] def phashBlockSql(blocks: Int, div: String): Seq[String] =
+    phashBlockPieces(blocks).map { pieces =>
+      pieces.map { case (b, rsh, w, lsh) =>
+        val core = if (rsh == 0) s"band_$b" else s"(band_$b $div ${1L << rsh})"
+        val masked = s"($core % ${1L << w})"
+        if (lsh == 0) masked else s"($masked * ${1L << lsh})"
+      }.mkString("(", " + ", ")")
+    }
+
+  /** The C(blocks, subsetSize) packed combo-key expressions: each subset's block
+    * values folded big-endian (acc·2^nextWidth + next). */
+  private[ext] def phashComboKeySql(blocks: Int, subsetSize: Int, div: String): Seq[String] = {
+    val widths = phashBlockWidths(blocks)
+    val blks = phashBlockSql(blocks, div)
+    (0 until blocks).combinations(subsetSize).map { c =>
+      c.map(m => (blks(m), widths(m))).reduceLeft[(String, Int)] {
+        case ((acc, _), (s, w)) => (s"(($acc) * ${1L << w} + $s)", w)
+      }._1
+    }.toSeq
+  }
+
+  /** The combo keys as Columns over a fingerprint frame's `band_0..3`. */
+  private[ext] def phashComboKeysGen(blocks: Int, subsetSize: Int): Seq[Column] =
+    phashComboKeySql(blocks, subsetSize, "div").map(expr)
+
+  /** The pair scheme (4 blocks = the bands, subsets of 2, lossless at Hamming <= 2) —
+    * key values identical to the r12 hand-written band_i·2^16 + band_j (spec-pinned). */
+  private[ext] def phashPairKeys: Seq[Column] = phashComboKeysGen(4, 2)
+
+  /** The widened byte-block scheme (8 blocks, subsets of 5, lossless at Hamming <= 3)
+    * — key values identical to the r13 hand-written big-endian byte fold (spec-pinned). */
+  private[ext] def phash3ComboKeys: Seq[Column] = phashComboKeysGen(8, 5)
+
+  /** Hamming bar for `dedup_image_phash33` — scheme (6,3): 33-bit keys, 20 combos. */
+  private[ext] val Phash33MaxHamming = 3
 
   /**
    * AVERAGE-HASH (aHash) perceptual fingerprint over the REAL BMP decode — the
@@ -638,6 +701,15 @@ object Multimodal {
     // does) surface.
     "dedup_image_phash3" -> ((s, dir) =>
       imageNearDupPairs(s, dir, phash3ComboKeys, Phash3MaxHamming)),
+    // The (6,3) scheme off the r14 generator: same Hamming <= 3 losslessness as the
+    // (8,5) byte scheme (pigeonhole over 6 blocks, PhashSchemeSpec) with 20 combo arms
+    // instead of 56 — a 2.8× smaller banding fan-out bought with 33-bit keys (vs 40),
+    // i.e. ~128× more organic bucket collisions per combo: the right trade on corpora
+    // whose fingerprint-value count keeps expected collisions (|vals|²/2^33 per arm)
+    // below the fan-out saving. Instantiating it is ONE constant pair — the point of
+    // the generator.
+    "dedup_image_phash33" -> ((s, dir) =>
+      imageNearDupPairs(s, dir, phashComboKeysGen(6, 3), Phash33MaxHamming)),
   )
 
   /** Shared value-level image near-dup pipeline behind `dedup_image_phash` /
@@ -755,20 +827,21 @@ object Multimodal {
       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  private lazy val imagePhashOracleSql: String = imagePhashOracle(
-    PhashBandPairs.map { case (i, j) => s"band_$i * 65536 + band_$j" }, PhashMaxHamming)
+  // every scheme's oracle arms come from the SAME generator as the engine keys,
+  // rendered in the DuckDB dialect — the two sides share one piece decomposition
+  private lazy val imagePhashOracleSql: String =
+    imagePhashOracle(phashComboKeySql(4, 2, "//"), PhashMaxHamming)
 
-  private lazy val imagePhash3OracleSql: String = {
-    def blkSql(m: Int): String =
-      if (m % 2 == 0) s"(band_${m / 2} // 256)" else s"(band_${m / 2} % 256)"
-    imagePhashOracle(
-      Phash3BlockCombos.map(c => c.map(blkSql).reduce((a, b) => s"(($a) * 256 + $b)")),
-      Phash3MaxHamming)
-  }
+  private lazy val imagePhash3OracleSql: String =
+    imagePhashOracle(phashComboKeySql(8, 5, "//"), Phash3MaxHamming)
+
+  private lazy val imagePhash33OracleSql: String =
+    imagePhashOracle(phashComboKeySql(6, 3, "//"), Phash33MaxHamming)
 
   val oracle: Map[String, String] = Map(
     "dedup_image_phash" -> imagePhashOracleSql,
     "dedup_image_phash3" -> imagePhash3OracleSql,
+    "dedup_image_phash33" -> imagePhash33OracleSql,
     // the same windows recomputed from the payload hex dump byte by byte
     "multimodal_audio_features" ->
       """WITH b AS (SELECT doc_id, encode(text) AS p FROM documents),

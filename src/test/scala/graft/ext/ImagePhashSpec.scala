@@ -115,7 +115,24 @@ class ImagePhashSpec extends AnyFunSuite {
     assert(out(1L) !== out(3L), "a saturated sampled row must move the hash")
   }
 
-  for (q <- Seq("dedup_image_phash", "dedup_image_phash3"))
+  test("(6,3) generator keys: candidate join + verify equals brute force at Hamming <= 3") {
+    // same boundary cases as the (8,5) test — the generator scheme must agree with
+    // brute force at the SAME bar; the 33-bit keys only change candidate cost
+    val base = Seq(0xAAAAL, 0x5555L, 0xF0F0L, 0x0F0FL)
+    val hashes = Map[Long, Seq[Long]](
+      1L -> base,
+      2L -> Seq(0xAAABL, 0x5554L, 0xF0F1L, 0x0F0FL),        // d=3, three bands dirty
+      3L -> Seq(0xAAABL, 0x5554L, 0xF0F1L, 0x0F0EL),        // d=4, four bands dirty
+      4L -> Seq(0xAAAAL ^ 0x7L, 0x5555L, 0xF0F0L, 0x0F0FL), // d=3, one band
+      5L -> Seq(0x1234L, 0x9876L, 0x4321L, 0x6789L))        // unrelated
+    val bf = brute(hashes, Multimodal.Phash33MaxHamming)
+    assert(banded(hashes, Multimodal.phashComboKeysGen(6, 3),
+      Multimodal.Phash33MaxHamming) === bf)
+    assert(bf.contains((1L, 2L)) && bf.contains((1L, 4L)))
+    assert(!bf.contains((1L, 3L)) && !bf.contains((1L, 5L)))
+  }
+
+  for (q <- Seq("dedup_image_phash", "dedup_image_phash3", "dedup_image_phash33"))
     test(s"end-to-end at sf0.001: every planted pair surfaces at distance 0 ($q)") {
       import spark.implicits._
       val dir = "/root/testdata/sf0.001"
