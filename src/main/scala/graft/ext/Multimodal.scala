@@ -161,6 +161,59 @@ object Multimodal {
   }
 
   /**
+   * CHROMAPRINT-STYLE audio fingerprint over the REAL WAV decode (r14, VERDICT r13 #6
+   * — the audio×dedup bridge): the per-window energies of [[audioFeatures]]' windowing
+   * rule (sum of squared deviation from the 8-bit midpoint per `win`-sample window)
+   * resample to a fixed 32-slot grid (the aHash index math: slot k reads window
+   * k·nw/32), and the 64-bit fingerprint packs 32 MEAN-THRESHOLD bits (slot energy ·32
+   * >= grid total — the coarse spectral envelope) plus 32 DELTA-SIGN bits (slot >=
+   * previous slot, slot 0 fixed at 1 — chromaprint's energy-difference coding, robust
+   * to uniform gain). Emitted as the same 4×16-bit band layout as [[avgHashBands]]
+   * (bit j of band b = fingerprint bit 16b+j) so the value-level banded pipeline is
+   * shared verbatim. All integer math — the oracle replays bytes → window energies →
+   * grid → bits from the payload hex dump.
+   *
+   * The fingerprint reads ONLY per-window energy, which is PERMUTATION-INVARIANT
+   * within a window — the planted-pair lever: a copy with every in-window byte pair
+   * swapped is visibly different payload with a provably identical fingerprint
+   * (AudioFingerprintSpec). A windowless payload (empty doc) fingerprints to 0.
+   */
+  def audioFingerprintBands(media: Dataset[MediaRow], win: Int): Dataset[ImageHash] = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.mapPartitions { batch =>
+      batch.map { m =>
+        val samples = parseWav(m.doc_id, m.payload)._5
+        val n = samples.length
+        val nw = (n + win - 1) / win
+        if (nw == 0) ImageHash(m.doc_id, 0L, 0L, 0L, 0L)
+        else {
+          val e = new Array[Long](nw)
+          var i = 0
+          while (i < n) {
+            val v = (samples(i) & 0xff) - 128L
+            e(i / win) += v * v
+            i += 1
+          }
+          val g = Array.tabulate(32)(k => e(k * nw / 32))
+          val tot = g.sum
+          val bits = new Array[Int](64)
+          var k = 0
+          while (k < 32) {
+            bits(k) = if (g(k) * 32 >= tot) 1 else 0
+            bits(32 + k) = if (k == 0 || g(k) >= g(k - 1)) 1 else 0
+            k += 1
+          }
+          def bandVal(b: Int): Long = (0 until 16).foldLeft(0L) { (acc, j) =>
+            if (bits(16 * b + j) == 1) acc | (1L << j) else acc
+          }
+          ImageHash(m.doc_id, bandVal(0), bandVal(1), bandVal(2), bandVal(3))
+        }
+      }
+    }
+  }
+
+  /**
    * Wrap each payload's bytes as the grayscale pixels of a genuine 24-bit BMP
    * (BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up row order, 4-byte row padding —
    * the real container rules). Width is fixed; height = max(1, len/width); bytes beyond
@@ -710,6 +763,40 @@ object Multimodal {
     // the generator.
     "dedup_image_phash33" -> ((s, dir) =>
       imageNearDupPairs(s, dir, phashComboKeysGen(6, 3), Phash33MaxHamming)),
+    // AUDIO NEAR-DUP DEDUP over the real WAV decode (r14, VERDICT r13 #6) — the last
+    // multimodal×dedup bridge: every clip gets the chromaprint-style energy
+    // fingerprint ([[audioFingerprintBands]]), candidates form through the SAME
+    // value-level Hamming-banded machinery as the image queries (pair keys, lossless
+    // at <= 2), and each candidate verifies with the exact popcount. Near-dups are
+    // PLANTED: each clip re-enters (doc_id + 1M) with every in-window byte pair
+    // swapped — audibly reordered samples, provably identical per-window energies
+    // hence identical fingerprint — so every planted pair must land in one cluster at
+    // distance 0. OUTPUT IS STAR-SHAPED, not all-pairs (the dedup_exact discipline):
+    // the energy fingerprint is deliberately coarse, so same-fingerprint clusters are
+    // large and full pair expansion is QUADRATIC in cluster size — measured 25,956
+    // pairs at sf0.01 → 2.72M at sf0.1, i.e. ~27 BILLION at sf10. Star edges
+    // (value-canonical → member, distance 0) plus REPRESENTATIVE-level near pairs
+    // carry the same information (the full pair set is their transitive closure) in
+    // docs + value-pairs rows — linear at any scale.
+    "dedup_audio_fingerprint" -> { (s, dir) =>
+      import s.implicits._
+      val orig = mediaFrame(s, dir)
+      val copies = orig.map { m =>
+        val p2 = new Array[Byte](m.payload.length)
+        var i = 0
+        while (i < p2.length) {
+          val j = i ^ 1 // swap partner: win=64 is even, so i^1 stays in i's window
+          p2(i) = m.payload(if (j < p2.length) j else i)
+          i += 1
+        }
+        MediaRow(m.doc_id + 1000000L, p2)
+      }
+      bandedNearDupStars(
+        audioFingerprintBands(
+          encodeWav(orig.union(copies), id => 8000 + (id % 8).toInt * 1000),
+          win = 64).toDF(),
+        phashPairKeys, PhashMaxHamming)
+    },
   )
 
   /** Shared value-level image near-dup pipeline behind `dedup_image_phash` /
@@ -756,8 +843,21 @@ object Multimodal {
       }
       MediaRow(m.doc_id + 1000000L, p2)
     }
+    bandedNearDupPairs(
+      avgHashBands(encodeBmp(orig.union(copies), width = 8)).toDF(), comboKeys, maxHam)
+  }
+
+  /** The fingerprint-value-level banded near-dup tail shared by the image and audio
+    * queries: takes any `(doc_id, band_0..band_3)` fingerprint frame — caches it only
+    * while the two eager artifacts (value table, doc↔value-id map) materialize, then
+    * releases it per the r12 lifecycle discipline — and runs the combo-key banding,
+    * distinct, and popcount verify BETWEEN VALUES, expanding to doc pairs at output. */
+  private def bandedNearDupPairs(hashedIn: DataFrame,
+      comboKeys: Seq[Column], maxHam: Int): DataFrame = {
+    val s = hashedIn.sparkSession
+    import s.implicits._
     val bcols = (0 until 4).map(b => col(s"band_$b"))
-    val hashed0 = avgHashBands(encodeBmp(orig.union(copies), width = 8)).toDF().cache()
+    val hashed0 = hashedIn.cache()
     val vals = hashed0.groupBy(bcols: _*).agg(min($"doc_id").as("hid")).localCheckpoint()
     val docHid = hashed0.join(vals, (0 until 4).map(b => s"band_$b"))
       .select($"doc_id", $"hid").localCheckpoint()
@@ -787,6 +887,44 @@ object Multimodal {
       .select(least($"da", $"db").as("doc_a"), greatest($"da", $"db").as("doc_b"),
         $"ham_dist")
     sameVal.unionByName(crossVal)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** The STAR-shaped variant of [[bandedNearDupPairs]] for coarse fingerprints whose
+    * same-value clusters make full pair expansion quadratic (the audio query —
+    * measured ~27B pairs extrapolated at sf10): same value-level candidate/verify
+    * machinery, but same-value clusters emit canonical→member STAR edges (distance 0,
+    * |docs| rows) and cross-value near-dups emit one row per VALUE pair on the
+    * cluster representatives (hid = the cluster's min doc_id). The full pair set is
+    * exactly the transitive closure — same information, linear output. */
+  private def bandedNearDupStars(hashedIn: DataFrame,
+      comboKeys: Seq[Column], maxHam: Int): DataFrame = {
+    val s = hashedIn.sparkSession
+    import s.implicits._
+    val bcols = (0 until 4).map(b => col(s"band_$b"))
+    val hashed0 = hashedIn.cache()
+    val vals = hashed0.groupBy(bcols: _*).agg(min($"doc_id").as("hid")).localCheckpoint()
+    val docHid = hashed0.join(vals, (0 until 4).map(b => s"band_$b"))
+      .select($"doc_id", $"hid").localCheckpoint()
+    hashed0.unpersist(blocking = false)
+    val stars = docHid.filter($"doc_id" =!= $"hid")
+      .select($"hid".as("doc_a"), $"doc_id".as("doc_b"), lit(0L).as("ham_dist"))
+    val bands = vals.select($"hid", posexplode(array(comboKeys: _*)).as(Seq("ci", "cv")))
+    val vcand = bands.as("a").join(bands.as("b"),
+        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+          col("a.hid") < col("b.hid"))
+      .select(col("a.hid").as("hid_a"), col("b.hid").as("hid_b"))
+      .distinct()
+    val ham = (0 until 4)
+      .map(b => bit_count(col(s"va.band_$b").bitwiseXOR(col(s"vb.band_$b"))))
+      .reduce(_ + _)
+    val vpairs = vcand
+      .join(vals.as("va"), $"hid_a" === col("va.hid"))
+      .join(vals.as("vb"), $"hid_b" === col("vb.hid"))
+      .withColumn("ham_dist", ham.cast("long"))
+      .filter($"ham_dist" > 0 && $"ham_dist" <= maxHam)
+      .select($"hid_a".as("doc_a"), $"hid_b".as("doc_b"), $"ham_dist")
+    stars.unionByName(vpairs)
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -838,7 +976,59 @@ object Multimodal {
   private lazy val imagePhash33OracleSql: String =
     imagePhashOracle(phashComboKeySql(6, 3, "//"), Phash33MaxHamming)
 
+  /** `dedup_audio_fingerprint` replayed byte-by-byte: the swapped-copy byte rule
+    * (sw=1 reads byte i⊕1 when in range — in-window because 64 is even), window
+    * energies, the 32-slot grid, threshold + delta bits into the 4-band layout, then
+    * the SAME pair-key candidate arms and popcount verify as the image oracle. */
+  private lazy val audioFingerprintOracleSql: String = {
+    val idx = "(CASE WHEN sw = 1 AND xor(i, 1) < len THEN xor(i, 1) ELSE i END)"
+    val byte = s"('0x' || substr(hex(p), 2*$idx + 1, 2))::BIGINT"
+    def bit(t: Int): String =
+      if (t < 32) s"gv[${t + 1}] * 32 >= tot"
+      else if (t == 32) "TRUE"
+      else s"gv[${t - 31}] >= gv[${t - 32}]"
+    val bandDefs = (0 until 4).map { b =>
+      val terms = (16 * b until 16 * (b + 1)).map(t =>
+        s"CASE WHEN ${bit(t)} THEN ${1L << (t - 16 * b)} ELSE 0 END").mkString(" + ")
+      s"CASE WHEN nw = 0 THEN 0 ELSE cast($terms AS BIGINT) END AS band_$b"
+    }.mkString(",\n      |  ")
+    val bandsUnion = phashComboKeySql(4, 2, "//").zipWithIndex.map { case (keyExpr, c) =>
+      s"SELECT hid, $c AS ci, $keyExpr AS cv FROM pvals" }.mkString(" UNION ALL ")
+    val ham = (0 until 4).map(b => s"bit_count(xor(ha.band_$b, hb2.band_$b))").mkString(" + ")
+    s"""WITH b AS (SELECT doc_id, encode(text) AS p, octet_length(encode(text)) AS len FROM documents),
+      |m AS (SELECT doc_id, p, len, 0 AS sw FROM b
+      |      UNION ALL SELECT doc_id + 1000000, p, len, 1 FROM b),
+      |sv AS (SELECT doc_id, len, [$byte for i in range(0, len)] AS v FROM m),
+      |e AS (SELECT doc_id, len,
+      |  [coalesce(list_sum([(v[i+1] - 128) * (v[i+1] - 128)
+      |     for i in range(w*64, least((w+1)*64, len))]), 0)
+      |   for w in range(0, (len + 63) // 64)] AS ew FROM sv),
+      |g AS (SELECT doc_id, len(ew) AS nw,
+      |  [ew[(k * len(ew)) // 32 + 1] for k in range(0, 32)] AS gv,
+      |  coalesce(list_sum([ew[(k * len(ew)) // 32 + 1] for k in range(0, 32)]), 0) AS tot
+      |  FROM e),
+      |hh AS (SELECT doc_id,
+      |  $bandDefs
+      |  FROM g),
+      |pvals AS (SELECT band_0, band_1, band_2, band_3, min(doc_id) AS hid FROM hh
+      |  GROUP BY 1, 2, 3, 4),
+      |pdoc AS (SELECT h.doc_id, v.hid FROM hh h
+      |  JOIN pvals v USING (band_0, band_1, band_2, band_3)),
+      |bands AS ($bandsUnion),
+      |cand AS (SELECT DISTINCT a.hid AS hid_a, b.hid AS hid_b
+      |  FROM bands a JOIN bands b
+      |    ON a.ci = b.ci AND a.cv = b.cv AND a.hid < b.hid)
+      |SELECT hid AS doc_a, doc_id AS doc_b, cast(0 AS BIGINT) AS ham_dist
+      |FROM pdoc WHERE doc_id <> hid
+      |UNION ALL
+      |SELECT c.hid_a AS doc_a, c.hid_b AS doc_b, cast($ham AS BIGINT) AS ham_dist
+      |FROM cand c JOIN pvals ha ON ha.hid = c.hid_a JOIN pvals hb2 ON hb2.hid = c.hid_b
+      |WHERE $ham BETWEEN 1 AND $PhashMaxHamming
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "dedup_audio_fingerprint" -> audioFingerprintOracleSql,
     "dedup_image_phash" -> imagePhashOracleSql,
     "dedup_image_phash3" -> imagePhash3OracleSql,
     "dedup_image_phash33" -> imagePhash33OracleSql,

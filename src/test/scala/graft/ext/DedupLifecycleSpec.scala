@@ -31,6 +31,7 @@ class DedupLifecycleSpec extends AnyFunSuite {
       "dedup_image_phash" -> 2,
       "dedup_image_phash3" -> 2,
       "dedup_image_phash33" -> 2,
+      "dedup_audio_fingerprint" -> 2,
       // r13: the rare-fingerprint frame feeds three consumers via one localCheckpoint
       "dedup_winnow_pairs" -> 1,
       "dedup_winnow_pairs_rel" -> 1,
