@@ -229,7 +229,15 @@ object Bench {
         // them — the component/image queries legitimately return checkpoint-backed
         // frames (DedupLifecycleSpec's survivor allowance), but once the rep's action
         // is done nothing reads them again, and across 151 queries × reps they'd
-        // accumulate real block-manager storage against later timings
+        // accumulate real block-manager storage against later timings.
+        // INVARIANT (ADVICE r13): this sweep unpersists EVERY persistent RDD,
+        // including localCheckpoint blocks whose lineage is truncated — a frame that
+        // survived from a prior rep and still referenced such a block would fail
+        // UNRECOVERABLY, not recompute. It is safe only because every rep rebuilds
+        // its query from parquet via SparkEntry.queries(name)(spark, sfDir) right
+        // here, holding nothing across reps or queries. Do not introduce a cross-rep
+        // or cross-query cached artifact into this loop without scoping the sweep to
+        // the finished query's own RDDs first.
         if (!sys.env.contains("SPARK_GRAFT_NO_RDD_SWEEP"))
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       }

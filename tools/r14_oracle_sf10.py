@@ -37,6 +37,42 @@ TWIN_OFFSET = 2000000
 MAX_DF = 4
 MIN_SHARED = 2
 RARE_DENOM = 100000
+PHASH33_BAR = 3
+AUDIO_BAR = 2
+
+
+def phash_block_sql(blocks):
+    """DuckDB renderings of the engine's block-value arithmetic — the same top-aligned
+    near-equal piece decomposition as graft.ext.Multimodal.phashBlockSql."""
+    widths = [64 // blocks + (1 if m < 64 % blocks else 0) for m in range(blocks)]
+    starts = [0]
+    for w in widths:
+        starts.append(starts[-1] + w)
+    out = []
+    for m in range(blocks):
+        lo, hi = starts[m], starts[m] + widths[m]
+        pieces = []
+        for b in range(lo // 16, (hi - 1) // 16 + 1):
+            b_lo = max(lo, 16 * b) - 16 * b
+            b_hi = min(hi, 16 * (b + 1)) - 16 * b
+            rsh, w, lsh = 16 - b_hi, b_hi - b_lo, hi - min(hi, 16 * (b + 1))
+            core = f"band_{b}" if rsh == 0 else f"(band_{b} // {1 << rsh})"
+            masked = f"({core} % {1 << w})"
+            pieces.append(masked if lsh == 0 else f"({masked} * {1 << lsh})")
+        out.append("(" + " + ".join(pieces) + ")")
+    return out, widths
+
+
+def phash_combo_key_sql(blocks, k):
+    import itertools
+    blks, widths = phash_block_sql(blocks)
+    keys = []
+    for c in itertools.combinations(range(blocks), k):
+        acc = blks[c[0]]
+        for m in c[1:]:
+            acc = f"(({acc}) * {1 << widths[m]} + {blks[m]})"
+        keys.append(acc)
+    return keys
 
 
 def gram_hash_sql():
@@ -190,6 +226,102 @@ def main():
           SELECT doc_id, cast(2 AS BIGINT) AS wave, status,
                  cast(n_rare_matched AS BIGINT) AS n_rare_matched FROM mdec2
           ORDER BY doc_id"""
+
+    # ---- image phash33: verbatim r13 hh staging, (6,3) generator arms ----
+    if only is None or "dedup_image_phash33" in only:
+        idx = "((k // 8) * h // 8) * 8 + (k % 8)"
+        byte = f"('0x' || substr(hex(p), 2*({idx}) + 1, 2))::BIGINT"
+        pert = ("CASE WHEN pert = 1 AND NOT list_contains("
+                "[(j * h) // 8 for j in range(0, 8)], (k // 8) * h // 8) THEN 1 ELSE 0 END")
+        band_defs = ",\n".join(
+            f"cast(list_sum([CASE WHEN sv[k+1]*64 >= tot THEN (1 << (k - {16*b})) ELSE 0 END "
+            f"for k in range({16*b}, {16*(b+1)})]) AS BIGINT) AS band_{b}"
+            for b in range(4))
+        stage("ihh", f"""
+          WITH b AS (SELECT doc_id, encode(text) AS p, octet_length(encode(text)) AS len FROM documents),
+          c AS (SELECT doc_id, p, len, greatest(len // 8, 1) AS h FROM b),
+          m AS (SELECT doc_id, p, len, h, 0 AS pert FROM c
+                UNION ALL SELECT doc_id + {DUP_OFFSET}, p, len, h, 1 FROM c),
+          s AS (SELECT doc_id,
+            [CASE WHEN {idx} < len THEN ({byte} + {pert}) % 256 ELSE 0 END
+             for k in range(0, 64)] AS sv FROM m),
+          hb AS (SELECT doc_id, list_sum(sv) AS tot, sv FROM s)
+          SELECT doc_id, {band_defs} FROM hb""")
+        stage("ivals",
+              "SELECT band_0, band_1, band_2, band_3, min(doc_id) AS hid FROM ihh "
+              "GROUP BY 1, 2, 3, 4")
+        stage("idoc",
+              "SELECT h.doc_id, v.hid FROM ihh h JOIN ivals v USING (band_0, band_1, band_2, band_3)")
+        arms = " UNION ALL ".join(
+            f"SELECT hid, {ci} AS ci, {expr} AS cv FROM ivals"
+            for ci, expr in enumerate(phash_combo_key_sql(6, 3)))
+        stage("ibands", arms)
+        stage("ivcand",
+              "SELECT DISTINCT a.hid AS hid_a, b.hid AS hid_b FROM ibands a "
+              "JOIN ibands b ON a.ci = b.ci AND a.cv = b.cv AND a.hid < b.hid")
+        ham = " + ".join(f"bit_count(xor(va.band_{b}, vb.band_{b}))" for b in range(4))
+        stage("ivpairs", f"""
+          SELECT c.hid_a, c.hid_b, cast({ham} AS BIGINT) AS ham_dist
+          FROM ivcand c JOIN ivals va ON va.hid = c.hid_a JOIN ivals vb ON vb.hid = c.hid_b
+          WHERE {ham} BETWEEN 1 AND {PHASH33_BAR}""")
+        queries["dedup_image_phash33"] = f"""
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 0::BIGINT AS ham_dist
+          FROM idoc a JOIN idoc b ON a.hid = b.hid AND a.doc_id < b.doc_id
+          UNION ALL
+          SELECT least(da.doc_id, db.doc_id) AS doc_a,
+                 greatest(da.doc_id, db.doc_id) AS doc_b, p.ham_dist
+          FROM ivpairs p JOIN idoc da ON da.hid = p.hid_a JOIN idoc db ON db.hid = p.hid_b"""
+
+    # ---- audio fingerprint: star output, value-level throughout ----
+    if only is None or "dedup_audio_fingerprint" in only:
+        aidx = "(CASE WHEN sw = 1 AND xor(i, 1) < len THEN xor(i, 1) ELSE i END)"
+        abyte = f"('0x' || substr(hex(p), 2*{aidx} + 1, 2))::BIGINT"
+        def bit(t):
+            if t < 32:
+                return f"gv[{t + 1}] * 32 >= tot"
+            if t == 32:
+                return "TRUE"
+            return f"gv[{t - 31}] >= gv[{t - 32}]"
+        aband_defs = ",\n".join(
+            "CASE WHEN nw = 0 THEN 0 ELSE cast(" +
+            " + ".join(f"CASE WHEN {bit(t)} THEN {1 << (t - 16*b)} ELSE 0 END"
+                       for t in range(16 * b, 16 * (b + 1))) +
+            f" AS BIGINT) END AS band_{b}"
+            for b in range(4))
+        stage("ahh", f"""
+          WITH b AS (SELECT doc_id, encode(text) AS p, octet_length(encode(text)) AS len FROM documents),
+          m AS (SELECT doc_id, p, len, 0 AS sw FROM b
+                UNION ALL SELECT doc_id + {DUP_OFFSET}, p, len, 1 FROM b),
+          sv AS (SELECT doc_id, len, [{abyte} for i in range(0, len)] AS v FROM m),
+          e AS (SELECT doc_id, len,
+            [coalesce(list_sum([(v[i+1] - 128) * (v[i+1] - 128)
+               for i in range(w*64, least((w+1)*64, len))]), 0)
+             for w in range(0, (len + 63) // 64)] AS ew FROM sv),
+          g AS (SELECT doc_id, len(ew) AS nw,
+            [ew[(k * len(ew)) // 32 + 1] for k in range(0, 32)] AS gv,
+            coalesce(list_sum([ew[(k * len(ew)) // 32 + 1] for k in range(0, 32)]), 0) AS tot
+            FROM e)
+          SELECT doc_id, {aband_defs} FROM g""")
+        stage("avals",
+              "SELECT band_0, band_1, band_2, band_3, min(doc_id) AS hid FROM ahh "
+              "GROUP BY 1, 2, 3, 4")
+        stage("adoc",
+              "SELECT h.doc_id, v.hid FROM ahh h JOIN avals v USING (band_0, band_1, band_2, band_3)")
+        aarms = " UNION ALL ".join(
+            f"SELECT hid, {ci} AS ci, {expr} AS cv FROM avals"
+            for ci, expr in enumerate(phash_combo_key_sql(4, 2)))
+        stage("abands", aarms)
+        stage("avcand",
+              "SELECT DISTINCT a.hid AS hid_a, b.hid AS hid_b FROM abands a "
+              "JOIN abands b ON a.ci = b.ci AND a.cv = b.cv AND a.hid < b.hid")
+        aham = " + ".join(f"bit_count(xor(va.band_{b}, vb.band_{b}))" for b in range(4))
+        queries["dedup_audio_fingerprint"] = f"""
+          SELECT hid AS doc_a, doc_id AS doc_b, cast(0 AS BIGINT) AS ham_dist
+          FROM adoc WHERE doc_id <> hid
+          UNION ALL
+          SELECT c.hid_a AS doc_a, c.hid_b AS doc_b, cast({aham} AS BIGINT) AS ham_dist
+          FROM avcand c JOIN avals va ON va.hid = c.hid_a JOIN avals vb ON vb.hid = c.hid_b
+          WHERE {aham} BETWEEN 1 AND {AUDIO_BAR}"""
 
     npass = nfail = 0
     for name, sql in queries.items():
