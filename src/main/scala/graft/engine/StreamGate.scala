@@ -48,6 +48,49 @@ object StreamGate {
   }
 
   /**
+   * foreachBatch variant for plans that maintain EXTERNAL state between micro-batches
+   * (the production index-maintenance shape — e.g. the winnow admission gate folding
+   * admitted docs into its rare-fingerprint index): `onBatch` receives each drained
+   * micro-batch plus its ordinal and returns (output frame, post-collect hook). The
+   * harness collects the output IMMEDIATELY — while every artifact the output's plan
+   * reads is still alive — and only then runs the hook, which is where the caller
+   * folds/swaps/releases its external state (releasing before the collect would strand
+   * a lineage-truncated checkpoint the output still reads; see Bench's sweep
+   * invariant). Output rows buffer driver-side like [[runBatchesWithRestarts]] —
+   * harness-inherent, exactly as bounded as the MemoryStream feed itself.
+   */
+  def runBatchesForeach[T](spark: SparkSession, enc: Encoder[T],
+                           batches: Seq[Seq[T]])
+                          (onBatch: (Dataset[T], Long) => (DataFrame, () => Unit)): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val input = MemoryStream[T](enc, spark)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    var schema: org.apache.spark.sql.types.StructType = null
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val query =
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        input.toDS().writeStream
+          .outputMode("append")
+          .foreachBatch { (df: Dataset[T], id: Long) =>
+            val (out, after) = onBatch(df, id)
+            schema = out.schema
+            val batchRows = out.collect()
+            rows.synchronized { rows ++= batchRows }
+            after()
+          }
+          .start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try {
+      batches.foreach { b =>
+        input.addData(b)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    spark.createDataFrame(rows.synchronized(rows.toList).asJava, schema)
+  }
+
+  /**
    * STOP/DRAIN/RESTART variant (A26 lifecycle, reference OracleSourceTask2.java:372-393
    * cancel-cursor + END_LOGMNR with the 20 s drain at Task:228): batch k is processed by
    * its OWN streaming query — started from the shared file checkpoint, drained

@@ -1031,6 +1031,43 @@ object Dedup {
         .select($"doc_id", $"wave", $"status", $"n_rare_matched")
         .orderBy($"doc_id")
     },
+    // The PRODUCTION combination of the two gates above (r14): the admission screen
+    // runs as a STREAM — one foreachBatch per arriving micro-batch — and the index
+    // folds INSIDE the stream: batch k screens against the index as folded through
+    // batch k-1, then its admitted docs fold in before batch k+1 arrives. External
+    // index state (localCheckpoint swapped per batch, prior checkpoint released after
+    // the batch's output is materialized — the runBatchesForeach hook ordering), NO
+    // state store. Decisions are bit-identical to the two-wave batch fold — the
+    // oracle SQL is shared verbatim, with micro-batch ordinal = wave.
+    "dedup_winnow_admit_stream_incr" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.Encoders
+      val docs = graft.engine.Tables(s, dir, "documents").select($"doc_id", $"text")
+      val existing = docs.filter($"doc_id" % 5 =!= 0)
+      val feed = docs.filter($"doc_id" % 5 === 0)
+        .union(existing.filter($"doc_id" % 7 === 1)
+          .select(($"doc_id" + 2000000L).as("doc_id"),
+            concat($"text", lit(" graftdup")).as("text")))
+        .as[(Long, String)].collect().toSeq // driver-side feed is inherent to MemoryStream
+      val (b1, b2) = feed.partition(_._1 % 2 == 0)
+      var index = winnowDfCounts(s, existing).localCheckpoint()
+      val out = graft.engine.StreamGate.runBatchesForeach(s,
+          Encoders.tuple(Encoders.scalaLong, Encoders.STRING), Seq(b1, b2)) { (batch, id) =>
+        val wave = batch.toDF("doc_id", "text")
+        val (dec, folded) = winnowAdmitWave(s, wave, index)
+        val result = dec.withColumn("wave", lit(id + 1L))
+          .select($"doc_id", $"wave", $"status", $"n_rare_matched")
+        (result, () => {
+          // post-collect: fold the admitted delta in, swap, release the superseded
+          // index — the decisions frame was materialized against the OLD index above
+          val newIdx = folded.localCheckpoint()
+          releaseLocalCheckpoint(index)
+          index = newIdx
+        })
+      }
+      releaseLocalCheckpoint(index) // the final fold: nothing reads it after the run
+      out.orderBy($"doc_id")
+    },
   )
 
   /** The shared containment tail of `dedup_winnow_pairs` / `dedup_winnow_pairs_rel`:
@@ -1487,11 +1524,45 @@ object Dedup {
          |  JOIN nper nb ON nb.doc_id = s.doc_b
          |WHERE 5 * s.n_shared >= 4 * least(na.n, nb.n) AND s.n_shared >= $WinnowMinShared
          |ORDER BY doc_a, doc_b""".stripMargin),
+    // the streaming gate replayed in batch SQL: two composed winnowing pipelines
+    // (existing corpus prefix e, incoming feed prefix i), rare = df-capped existing
+    // fingerprints, decision = distinct incoming fingerprints in the rare set —
+    // left-joined from the incoming DOC list so a fingerprint-less doc still emits
+    "dedup_winnow_admit_stream" -> ("WITH " +
+      TextOps.winnowSelectCtes(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0", "e") + ",\n" +
+      TextOps.winnowSelectCtes(
+        s"SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0 " +
+          s"UNION ALL SELECT doc_id + 2000000, text || ' graftdup' FROM documents " +
+          s"WHERE doc_id % 5 <> 0 AND doc_id % 7 = 1", "i") +
+      s""",
+         |rare AS (SELECT hv FROM (SELECT DISTINCT doc_id, hv FROM esel)
+         |  GROUP BY hv HAVING count(*) <= $WinnowMaxDf),
+         |inc AS (SELECT DISTINCT doc_id, hv FROM isel),
+         |m AS (SELECT d.doc_id,
+         |    count(CASE WHEN r.hv IS NOT NULL THEN 1 END) AS n
+         |  FROM (SELECT DISTINCT doc_id FROM id) d
+         |  LEFT JOIN inc ON inc.doc_id = d.doc_id
+         |  LEFT JOIN rare r ON r.hv = inc.hv
+         |  GROUP BY d.doc_id)
+         |SELECT doc_id,
+         |  CASE WHEN n >= $WinnowMinShared THEN 'near_dup' ELSE 'admitted' END AS status,
+         |  cast(n AS BIGINT) AS n_rare_matched
+         |FROM m ORDER BY doc_id""".stripMargin),
     // the two-wave incremental fold replayed in batch SQL: THREE composed winnowing
     // pipelines (existing e, wave-1 a, wave-2 b); wave 1 screens against the existing
     // df counts, the admitted wave-1 docs' counts fold in (edf ∪ delta keyed sum),
     // wave 2 screens against the folded counts
-    "dedup_winnow_admit_incremental" -> ("WITH " +
+    "dedup_winnow_admit_incremental" -> winnowAdmitIncrOracleSql,
+    // the streaming foreachBatch fold makes the SAME decisions, micro-batch = wave
+    "dedup_winnow_admit_stream_incr" -> winnowAdmitIncrOracleSql,
+  )
+
+  /** Shared by `dedup_winnow_admit_incremental` (two-wave batch fold) and
+    * `dedup_winnow_admit_stream_incr` (the same fold inside foreachBatch) — the
+    * equality of the two engines' outputs against ONE SQL is the claim that the
+    * streaming gate's index maintenance is exactly the batch fold. */
+  private lazy val winnowAdmitIncrOracleSql: String = ("WITH " +
       TextOps.winnowSelectCtes(
         "SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0", "e") + ",\n" +
       TextOps.winnowSelectCtes(
@@ -1530,31 +1601,5 @@ object Dedup {
          |SELECT doc_id, cast(1 AS BIGINT) AS wave, status, cast(n AS BIGINT) AS n_rare_matched FROM adec
          |UNION ALL
          |SELECT doc_id, cast(2 AS BIGINT) AS wave, status, cast(n AS BIGINT) AS n_rare_matched FROM bdec
-         |ORDER BY doc_id""".stripMargin),
-    // the streaming gate replayed in batch SQL: two composed winnowing pipelines
-    // (existing corpus prefix e, incoming feed prefix i), rare = df-capped existing
-    // fingerprints, decision = distinct incoming fingerprints in the rare set —
-    // left-joined from the incoming DOC list so a fingerprint-less doc still emits
-    "dedup_winnow_admit_stream" -> ("WITH " +
-      TextOps.winnowSelectCtes(
-        "SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0", "e") + ",\n" +
-      TextOps.winnowSelectCtes(
-        s"SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0 " +
-          s"UNION ALL SELECT doc_id + 2000000, text || ' graftdup' FROM documents " +
-          s"WHERE doc_id % 5 <> 0 AND doc_id % 7 = 1", "i") +
-      s""",
-         |rare AS (SELECT hv FROM (SELECT DISTINCT doc_id, hv FROM esel)
-         |  GROUP BY hv HAVING count(*) <= $WinnowMaxDf),
-         |inc AS (SELECT DISTINCT doc_id, hv FROM isel),
-         |m AS (SELECT d.doc_id,
-         |    count(CASE WHEN r.hv IS NOT NULL THEN 1 END) AS n
-         |  FROM (SELECT DISTINCT doc_id FROM id) d
-         |  LEFT JOIN inc ON inc.doc_id = d.doc_id
-         |  LEFT JOIN rare r ON r.hv = inc.hv
-         |  GROUP BY d.doc_id)
-         |SELECT doc_id,
-         |  CASE WHEN n >= $WinnowMinShared THEN 'near_dup' ELSE 'admitted' END AS status,
-         |  cast(n AS BIGINT) AS n_rare_matched
-         |FROM m ORDER BY doc_id""".stripMargin),
-  )
+         |ORDER BY doc_id""".stripMargin)
 }

@@ -38,6 +38,17 @@ class WinnowAdmitIncrSpec extends AnyFunSuite {
     assert(dec1.count() > 0 && index1.count() > index0.count() * 0 /* non-empty */)
   }
 
+  test("the streaming foreachBatch fold makes exactly the batch fold's decisions") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val batch = graft.SparkEntry.queries("dedup_winnow_admit_incremental")(spark, dir)
+      .as[(Long, Long, String, Long)].collect().sortBy(_._1)
+    val stream = graft.SparkEntry.queries("dedup_winnow_admit_stream_incr")(spark, dir)
+      .as[(Long, Long, String, Long)].collect().sortBy(_._1)
+    assert(stream.toSeq === batch.toSeq,
+      "micro-batch-folded decisions must be bit-identical to the two-wave batch fold")
+  }
+
   test("wave 2 catches a twin of a doc ADMITTED in wave 1; a frozen index misses it") {
     val spark = graft.SparkTestSession.spark
     import spark.implicits._

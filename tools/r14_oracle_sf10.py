@@ -173,7 +173,7 @@ def main():
           ORDER BY doc_a, doc_b"""
 
     # ---- admission gates: one staging over documents ∪ feed twins ----
-    if only is None or only & {"dedup_winnow_admit_stream", "dedup_winnow_admit_incremental"}:
+    if only is None or only & {"dedup_winnow_admit_stream", "dedup_winnow_admit_incremental", "dedup_winnow_admit_stream_incr"}:
         stage_winnow("m",
                      f"SELECT doc_id, text FROM documents UNION ALL "
                      f"SELECT doc_id + {TWIN_OFFSET}, text || ' graftdup' FROM documents "
@@ -226,6 +226,8 @@ def main():
           SELECT doc_id, cast(2 AS BIGINT) AS wave, status,
                  cast(n_rare_matched AS BIGINT) AS n_rare_matched FROM mdec2
           ORDER BY doc_id"""
+        # the streaming foreachBatch fold makes the SAME decisions (micro-batch = wave)
+        queries["dedup_winnow_admit_stream_incr"] = queries["dedup_winnow_admit_incremental"]
 
     # ---- image phash33: verbatim r13 hh staging, (6,3) generator arms ----
     if only is None or "dedup_image_phash33" in only:
