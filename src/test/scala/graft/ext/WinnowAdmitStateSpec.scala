@@ -45,6 +45,22 @@ class WinnowAdmitStateSpec extends AnyFunSuite {
     assert(spark.table("winnow_admit_state_sink").count() === 3)
   }
 
+  test("the admission plan contains NO join operator at all — pure projection + probe") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val rareIdx = spark.sparkContext.broadcast(Array(1L, 2L, 3L))
+    val (plan, cleanup) = Dedup.winnowAdmitPlan(spark, rareIdx)
+    try {
+      val physical = plan(Seq((1L, "text")).toDS())
+        .queryExecution.executedPlan.toString
+      assert(!physical.contains("Join"),
+        s"the r14 gate probes a broadcast variable in-row; a join crept back in:\n$physical")
+    } finally {
+      cleanup()
+      rareIdx.destroy()
+    }
+  }
+
   /** The r14 scale claim (VERDICT r13 #2): the broadcast sorted-index gate must work
     * with a rare set LARGER than the r13 single-row array cap
     * ([[TextOps.MaxBroadcastRows]] = 10M). 12M synthetic fingerprints (negative longs —
