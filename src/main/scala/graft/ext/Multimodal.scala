@@ -606,6 +606,67 @@ object Multimodal {
     (0 until frames.size by stride).iterator.map(f => FrameRow(docId, f, frames(f)))
   }
 
+  /**
+   * SPATIO-TEMPORAL video fingerprint over the REAL AVI decode (r14 — the video×dedup
+   * bridge, completing the image/audio/video near-dup matrix): each of the container's
+   * 10 frames contributes 6 SEGMENT MEAN-THRESHOLD bits (segment brightness-sum ·
+   * frame-length >= frame brightness-sum · segment-length — the aHash rule applied to
+   * the frame's 6-way balanced byte partition, exact by cross-multiplication), packing
+   * a 60-bit shot-envelope signature (frames beyond the payload and empty segments
+   * contribute 0) into the same 4×16-bit band layout as [[avgHashBands]], so the
+   * value-level banded near-dup machinery is shared verbatim. This is the classic
+   * frame-signature family of video copy detection (coarse per-frame luminance layout
+   * × temporal order), all integer math so DuckDB replays bytes → frame slices →
+   * segment sums → bits exactly.
+   *
+   * The fingerprint reads ONLY per-(frame, segment) byte sums, which are
+   * PERMUTATION-INVARIANT within a segment — the planted-pair lever: a copy whose
+   * bytes are pair-swapped WITHIN each frame-segment is visibly different payload
+   * with a provably identical fingerprint (VideoPhashSpec), while moving a byte
+   * across a segment boundary moves the fingerprint. Segment s of an flen-byte frame
+   * is the balanced partition [s·flen/6, (s+1)·flen/6); byte offset o lives in
+   * segment (6o+5)/flen (integer division — the exact dual of the boundary rule,
+   * VideoPhashSpec pins the identity), which is the membership test both the copy
+   * perturbation and the oracle replay use.
+   */
+  def videoFingerprintBands(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.mapPartitions { batch =>
+      batch.map { m =>
+        val frames = sampleFramesOne(m.doc_id, m.payload, 1).map(_.payload).toArray
+        val bits = new Array[Int](64)
+        var f = 0
+        while (f < frames.length && f < 10) {
+          val fr = frames(f)
+          val flen = fr.length
+          if (flen > 0) {
+            var framesum = 0L
+            var i = 0
+            while (i < flen) { framesum += fr(i) & 0xff; i += 1 }
+            var seg = 0
+            while (seg < 6) {
+              val b0 = seg * flen / 6
+              val b1 = (seg + 1) * flen / 6
+              if (b1 > b0) {
+                var segsum = 0L
+                var k = b0
+                while (k < b1) { segsum += fr(k) & 0xff; k += 1 }
+                if (segsum * flen >= framesum * (b1 - b0)) bits(f * 6 + seg) = 1
+              }
+              seg += 1
+            }
+          }
+          f += 1
+        }
+        def bandVal(b: Int): Long = (0 until 16).foldLeft(0L) { (acc, j) =>
+          if (bits(16 * b + j) == 1) acc | (1L << j) else acc
+        }
+        ImageHash(m.doc_id, bandVal(0), bandVal(1), bandVal(2), bandVal(3))
+      }
+    }
+  }
+
   /** Decode outcome of one media payload: ok + frame count, or the dead-letter row. */
   final case class DecodeOutcome(doc_id: Long, status: String, n_frames: Long, err: String)
 
@@ -795,6 +856,45 @@ object Multimodal {
         audioFingerprintBands(
           encodeWav(orig.union(copies), id => 8000 + (id % 8).toInt * 1000),
           win = 64).toDF(),
+        phashPairKeys, PhashMaxHamming)
+    },
+    // VIDEO NEAR-DUP DEDUP over the real AVI decode (r14) — the video×dedup bridge
+    // completing the multimodal near-dup matrix (image: dedup_image_phash*, audio:
+    // dedup_audio_fingerprint, video: here): every clip gets the spatio-temporal
+    // shot-envelope fingerprint ([[videoFingerprintBands]]: 10 decoded frames × 6
+    // segment mean-threshold bits), candidates form through the SAME value-level
+    // Hamming-banded machinery (pair keys, lossless at <= 2), and each candidate
+    // verifies with the exact popcount. Near-dups are PLANTED: each clip re-enters
+    // (doc_id + 1M) with every byte pair swapped WITHIN its frame-segment — visibly
+    // reordered pixels, provably identical per-segment sums hence identical
+    // fingerprint — so every planted pair must land in one distance-0 cluster.
+    // OUTPUT IS STAR-SHAPED (the dedup_audio_fingerprint discipline): a 60-bit
+    // envelope is deliberately coarse, so same-fingerprint clusters on a low-entropy
+    // corpus can be large and full pair expansion quadratic; star edges plus
+    // representative-level near pairs carry the same information in linear rows.
+    "dedup_video_phash" -> { (s, dir) =>
+      import s.implicits._
+      val orig = mediaFrame(s, dir)
+      val copies = orig.map { m =>
+        val p = m.payload
+        val len = p.length
+        val chunk = math.max(1, len / 10)
+        val p2 = p.clone()
+        var i = 0
+        while (i < len) {
+          val j = i ^ 1 // swap partner, taken only when it shares i's frame-segment
+          val f = i / chunk
+          if (j < len && f == j / chunk && f < 10) {
+            val from = f * chunk
+            val flen = math.min(from + chunk, len) - from
+            if ((6 * (i - from) + 5) / flen == (6 * (j - from) + 5) / flen) p2(i) = p(j)
+          }
+          i += 1
+        }
+        MediaRow(m.doc_id + 1000000L, p2)
+      }
+      bandedNearDupStars(
+        videoFingerprintBands(encodeAvi(orig.union(copies), nFrames = 10)).toDF(),
         phashPairKeys, PhashMaxHamming)
     },
   )
@@ -1027,8 +1127,64 @@ object Multimodal {
       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** `dedup_video_phash` replayed byte-by-byte: the swapped-copy byte rule (sw=1
+    * reads byte i⊕1 only when it shares i's frame — same `i // chunk` quotient — and
+    * segment — same `(6·o+5) // flen` quotient), the encode frame slices
+    * (`least(f·chunk, len)` .. `+chunk`, the [[encodeAvi]] math), per-(frame, segment)
+    * balanced-partition sums, the cross-multiplied mean-threshold bits into the
+    * 4-band layout, then the SAME pair-key candidate arms, star edges and popcount
+    * verify as the audio oracle. */
+  private lazy val videoPhashOracleSql: String = {
+    val fi = "(i // chunk)"
+    val flenI = s"(least($fi * chunk + chunk, len) - $fi * chunk)"
+    val idx = s"(CASE WHEN sw = 1 AND xor(i, 1) < len AND $fi = (xor(i, 1) // chunk) AND $fi < 10 AND (6 * (i - $fi * chunk) + 5) // $flenI = (6 * (xor(i, 1) - $fi * chunk) + 5) // $flenI THEN xor(i, 1) ELSE i END)"
+    val byte = s"('0x' || substr(hex(p), 2*$idx + 1, 2))::BIGINT"
+    val fFrom = "least((t // 6) * chunk, len)"
+    val flen = s"(least($fFrom + chunk, len) - $fFrom)"
+    val b0 = s"((t % 6) * $flen // 6)"
+    val b1 = s"(((t % 6) + 1) * $flen // 6)"
+    val segsum = s"coalesce(list_sum([v[$fFrom + o + 1] for o in range($b0, $b1)]), 0)"
+    val framesum = s"coalesce(list_sum([v[$fFrom + o + 1] for o in range(0, $flen)]), 0)"
+    val bandDefs = (0 until 4).map { b =>
+      val hi = math.min(16 * (b + 1), 60)
+      val terms = s"[CASE WHEN bv[k+1] = 1 THEN 1 << (k - ${16 * b}) ELSE 0 END for k in range(${16 * b}, $hi)]"
+      s"cast(coalesce(list_sum($terms), 0) AS BIGINT) AS band_$b"
+    }.mkString(",\n      |  ")
+    val bandsUnion = phashComboKeySql(4, 2, "//").zipWithIndex.map { case (keyExpr, c) =>
+      s"SELECT hid, $c AS ci, $keyExpr AS cv FROM pvals" }.mkString(" UNION ALL ")
+    val ham = (0 until 4).map(b => s"bit_count(xor(ha.band_$b, hb2.band_$b))").mkString(" + ")
+    s"""WITH b AS (SELECT doc_id, encode(text) AS p, octet_length(encode(text)) AS len FROM documents),
+      |c AS (SELECT doc_id, p, len, greatest(len // 10, 1) AS chunk FROM b),
+      |m AS (SELECT doc_id, p, len, chunk, 0 AS sw FROM c
+      |      UNION ALL SELECT doc_id + 1000000, p, len, chunk, 1 FROM c),
+      |sv AS (SELECT doc_id, len, chunk, [$byte for i in range(0, len)] AS v FROM m),
+      |bits AS (SELECT doc_id,
+      |  [CASE WHEN $flen > 0 AND $b1 > $b0
+      |        AND $segsum * $flen >= $framesum * ($b1 - $b0) THEN 1 ELSE 0 END
+      |   for t in range(0, 60)] AS bv FROM sv),
+      |hh AS (SELECT doc_id,
+      |  $bandDefs
+      |  FROM bits),
+      |pvals AS (SELECT band_0, band_1, band_2, band_3, min(doc_id) AS hid FROM hh
+      |  GROUP BY 1, 2, 3, 4),
+      |pdoc AS (SELECT h.doc_id, v.hid FROM hh h
+      |  JOIN pvals v USING (band_0, band_1, band_2, band_3)),
+      |bands AS ($bandsUnion),
+      |cand AS (SELECT DISTINCT a.hid AS hid_a, b.hid AS hid_b
+      |  FROM bands a JOIN bands b
+      |    ON a.ci = b.ci AND a.cv = b.cv AND a.hid < b.hid)
+      |SELECT hid AS doc_a, doc_id AS doc_b, cast(0 AS BIGINT) AS ham_dist
+      |FROM pdoc WHERE doc_id <> hid
+      |UNION ALL
+      |SELECT c.hid_a AS doc_a, c.hid_b AS doc_b, cast($ham AS BIGINT) AS ham_dist
+      |FROM cand c JOIN pvals ha ON ha.hid = c.hid_a JOIN pvals hb2 ON hb2.hid = c.hid_b
+      |WHERE $ham BETWEEN 1 AND $PhashMaxHamming
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "dedup_audio_fingerprint" -> audioFingerprintOracleSql,
+    "dedup_video_phash" -> videoPhashOracleSql,
     "dedup_image_phash" -> imagePhashOracleSql,
     "dedup_image_phash3" -> imagePhash3OracleSql,
     "dedup_image_phash33" -> imagePhash33OracleSql,

@@ -111,6 +111,27 @@ object Similarity {
     * so Spark's rank-limit pushdown (WindowGroupLimit) still bounds the sort. */
   private def pqAdcRanked(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val (codes, lut) = pqCodesAndLut(s, dir)
+    val w = Window.partitionBy($"q_id").orderBy($"adist".asc, $"vec_id")
+    codes.crossJoin(broadcast(lut))
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("adist", adcDist)
+      .withColumn("rnk", row_number().over(w))
+  }
+
+  /** The M-map-probe ADC score of a `codes` row against the joined query's `lut`. */
+  private def adcDist: Column = aggregate(
+    zip_with(col("codes"), sequence(lit(0), lit(PqM - 1)),
+      (c, sIdx) => element_at(col("lut"), (sIdx * PqK + c).cast("int"))),
+    lit(0L), (acc, x) => acc + x)
+
+  /** The PQ index artifacts shared by the flat-ADC chain ([[pqAdcRanked]]) and the
+    * IVF-composed chain (`simsearch_ivfpq`): the M×K codebook from fixed seed
+    * vectors, nearest-codeword integer-L2 encoding of every vector into one codes
+    * array, and the per-query flat ADC lookup map. One definition, so "the codes the
+    * flat scan ranks" and "the codes the cell-probed scan ranks" cannot drift. */
+  private def pqCodesAndLut(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
     graft.functions.VecDot.ensureRegistered(s) // analyze against THIS session (ADVICE r6)
     val q = graft.engine.Tables(s, dir, "embeddings")
       .select($"vec_id",
@@ -141,14 +162,54 @@ object Similarity {
       .groupBy($"q_id")
       .agg(map_from_entries(collect_list(
         struct(($"sub" * PqK + $"code").cast("int"), $"d"))).as("lut"))
-    val w = Window.partitionBy($"q_id").orderBy($"adist".asc, $"vec_id")
-    codes.crossJoin(broadcast(lut))
-      .filter($"vec_id" =!= $"q_id")
-      .withColumn("adist", aggregate(
-        zip_with($"codes", sequence(lit(0), lit(PqM - 1)),
-          (c, sIdx) => element_at($"lut", (sIdx * PqK + c).cast("int"))),
-        lit(0L), (acc, x) => acc + x))
+    (codes, lut)
+  }
+
+  /** The composed IVF→PQ-ADC→exact-re-rank serving chain behind `simsearch_ivfpq`
+    * (IVFADC-R, Jégou et al.: coarse quantizer restricts the scan, PQ scores the
+    * survivors in the compressed domain, the shortlist re-ranks exactly), with
+    * `nprobe` exposed so IvfPqSpec can set it to |cells| and prove the full-coverage
+    * degeneration: probing every cell must reproduce `simsearch_pq_rerank` exactly. */
+  private[ext] def ivfPqRanked(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    import s.implicits._
+    val q = milliQ(s, dir).cache()
+    // coarse quantizer: fixed seed centroids, max-dot assignment (the integer-IVF
+    // discipline); scoredC feeds BOTH the corpus-side assignment and the probe list
+    val cents = q.filter($"vec_id".isin(CentroidIds: _*))
+      .select($"vec_id".as("cid"), $"qv".as("cvec"))
+    val scoredC = q.crossJoin(broadcast(cents))
+      .withColumn("dot", dot($"qv", $"cvec"))
+    val assigned = scoredC.groupBy($"vec_id")
+      .agg(max_by($"cid", struct($"dot", -$"cid")).as("cell"))
+    val wProbe = Window.partitionBy($"vec_id").orderBy($"dot".desc, $"cid")
+    val probes = scoredC.filter($"vec_id" < NumQueries)
+      .withColumn("rn", row_number().over(wProbe))
+      .filter($"rn" <= nprobe)
+      .select($"vec_id".as("q_id"), $"cid".as("p_cell"))
+    val (codes, lut) = pqCodesAndLut(s, dir)
+    // cell gate BEFORE any scoring: only vectors in a probed cell meet the ADC scan
+    // (each vector lives in exactly one cell, so one probe row per query can match —
+    // no dedup stage); the probe list (queries × nprobe rows) broadcasts, the corpus
+    // side never shuffles for it
+    val wAdc = Window.partitionBy($"q_id").orderBy($"adist".asc, $"vec_id")
+    val shortlist = codes.join(assigned, Seq("vec_id"))
+      .join(broadcast(probes), $"cell" === $"p_cell" && $"vec_id" =!= $"q_id")
+      .join(broadcast(lut), Seq("q_id"))
+      .withColumn("adist", adcDist)
+      .withColumn("rnk", row_number().over(wAdc))
+      .filter($"rnk" <= PqRerankR)
+      .select($"q_id", $"vec_id", $"adist")
+    // exact integer-L2 re-rank over full quantized vectors, shortlist rows only
+    val qs = q.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"qv".as("eqv"), $"vv".as("evv"))
+    val w = Window.partitionBy($"q_id").orderBy($"d".asc, $"vec_id")
+    q.join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(qs), Seq("q_id"))
+      .withColumn("d", $"vv" - lit(2L) * dot($"qv", $"eqv") + $"evv")
       .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= TopK)
+      .select($"q_id", $"rnk".cast("long").as("rnk"), $"vec_id", $"d", $"adist")
+      .orderBy($"q_id", $"rnk")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -366,6 +427,21 @@ object Similarity {
         .filter($"rnk" <= TopK)
         .select($"q_id", $"rnk".cast("long").as("rnk"), $"vec_id", $"d", $"adist")
         .orderBy($"q_id", $"rnk")
+    },
+    // IVF + PQ + EXACT RE-RANK — the COMPOSED production ANN serving shape (IVFADC-R,
+    // Jégou et al. "Product Quantization for Nearest Neighbor Search", §V): the coarse
+    // quantizer (fixed-seed integer IVF, nprobe=2) gates which vectors meet the scan
+    // at all, PQ-ADC scores ONLY the gated cells in the compressed domain (M map
+    // probes per candidate), and the PqRerankR-deep shortlist re-ranks with exact
+    // integer L2. 100 TB shape: this is the only chain where BOTH axes of sub-linearity
+    // compose — candidate COUNT drops to the probed cells' share of the corpus (IVF)
+    // and per-candidate COST drops to M map probes (PQ); the full-vector read touches
+    // R rows per query. Probe list, codebook, LUT and shortlist all broadcast; the
+    // corpus-sized side shuffles only for its own groupBys, never per query. The
+    // full-coverage degeneration (nprobe = |cells| ⇒ identical to simsearch_pq_rerank)
+    // is pinned by IvfPqSpec.
+    "simsearch_ivfpq" -> { (s, dir) =>
+      ivfPqRanked(s, dir, nprobe = IvfNProbe)
     },
     // HYBRID RANK FUSION (reciprocal-rank fusion, Cormack et al.): ensemble the two
     // heterogeneous rankers — exact cosine top-k and compressed-domain PQ L2 — by
@@ -939,6 +1015,53 @@ object Similarity {
          |adist AS (SELECT lut.q_id, enc.vec_id, CAST(sum(lut.d) AS BIGINT) AS adist
          |  FROM enc JOIN lut ON enc.s = lut.s AND enc.code = lut.code
          |  WHERE enc.vec_id <> lut.q_id
+         |  GROUP BY lut.q_id, enc.vec_id),
+         |shortl AS (SELECT q_id, vec_id, adist FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rnk
+         |  FROM adist) WHERE rnk <= $PqRerankR),
+         |qq AS (SELECT vec_id, qv, CAST(list_dot_product(qv, qv) AS BIGINT) AS vv FROM e),
+         |qs AS (SELECT vec_id AS q_id, qv AS eqv, vv AS evv FROM qq WHERE vec_id < $NumQueries),
+         |rr AS (SELECT sl.q_id, sl.vec_id, sl.adist,
+         |  q.vv - 2 * CAST(list_dot_product(q.qv, qs.eqv) AS BIGINT) + qs.evv AS d
+         |  FROM shortl sl JOIN qq q ON sl.vec_id = q.vec_id JOIN qs ON sl.q_id = qs.q_id)
+         |SELECT q_id, rnk, vec_id, d, adist FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d, vec_id) AS rnk FROM rr)
+         |WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin,
+    // the pq_rerank oracle's CTE chain with the IVF cell gate spliced in: fixed-seed
+    // centroid assignment (max dot, ties to the lower cid), per-query top-nprobe
+    // probe cells, and the adist aggregation restricted to vectors whose cell is
+    // probed by that query — then the same shortlist + exact re-rank tail
+    "simsearch_ivfpq" ->
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(trunc(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |sub AS (SELECT vec_id, s, list_slice(qv, s*$PqSubDim + 1, s*$PqSubDim + $PqSubDim) AS sv
+         |  FROM e, (SELECT unnest(range($PqM)) AS s) ss),
+         |svv AS (SELECT vec_id, s, sv, CAST(list_dot_product(sv, sv) AS BIGINT) AS svv FROM sub),
+         |cb AS (SELECT s, CAST(vec_id - $PqSeedBase AS INT) AS code, sv AS cw, svv AS cc
+         |  FROM svv WHERE vec_id BETWEEN $PqSeedBase AND ${PqSeedBase + PqK - 1}),
+         |enc0 AS (SELECT v.vec_id, v.s, cb.code,
+         |  v.svv - 2 * CAST(list_dot_product(v.sv, cb.cw) AS BIGINT) + cb.cc AS d
+         |  FROM svv v JOIN cb ON v.s = cb.s),
+         |enc AS (SELECT vec_id, s, code FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
+         |  FROM enc0) WHERE rn = 1),
+         |lut AS (SELECT vec_id AS q_id, s, code, d FROM enc0 WHERE vec_id < $NumQueries),
+         |c0 AS (SELECT vec_id AS cid, qv AS cvec FROM e
+         |  WHERE vec_id IN ${CentroidIds.mkString("(", ", ", ")")}),
+         |s1 AS (SELECT e.vec_id, c0.cid,
+         |  CAST(list_dot_product(e.qv, c0.cvec) AS BIGINT) AS dot FROM e CROSS JOIN c0),
+         |a1 AS (SELECT vec_id, cid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+         |  FROM s1) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS q_id, cid AS p_cell FROM (
+         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+         |  FROM s1 WHERE vec_id < $NumQueries) WHERE rn <= $IvfNProbe),
+         |adist AS (SELECT lut.q_id, enc.vec_id, CAST(sum(lut.d) AS BIGINT) AS adist
+         |  FROM enc JOIN a1 ON enc.vec_id = a1.vec_id
+         |  JOIN probes pr ON a1.cid = pr.p_cell
+         |  JOIN lut ON enc.s = lut.s AND enc.code = lut.code AND lut.q_id = pr.q_id
+         |  WHERE enc.vec_id <> pr.q_id
          |  GROUP BY lut.q_id, enc.vec_id),
          |shortl AS (SELECT q_id, vec_id, adist FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rnk

@@ -47,6 +47,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "rag_context_pack"       -> "query-vector constant shortlist scoring (Similarity.scala, same as simsearch_topk)",
     "simsearch_ivf_append"   -> "k frozen centroids broadcast into the append batch (Similarity.scala, lloydOnce)",
     "dedup_winnow_pairs_rel" -> "1-row corpus-size rarity-cap broadcast (Dedup.scala, capRow crossJoin)",
+    "simsearch_ivfpq"        -> "k seed centroids broadcast for the coarse quantizer (Similarity.scala, ivfPqRanked scoredC)",
   )
 
   test("no query plan contains CartesianProduct; BNLJ only where allowlisted") {
