@@ -17,6 +17,10 @@ is value-identical to the oracle's row_number window but does not bust the memor
   real ∧ id%5≠0, feed = (real ∧ id%5=0) ∪ twin, waves split feed by id parity (twin
   parity = original parity since 2e6 is even).
 
+* dedup_video_phash: the image/audio staging discipline for the frame/segment
+  envelope fingerprint — the swapped-copy byte rule, per-(frame, segment) sums and
+  threshold bits staged per doc, then the shared value-level pair-key tail.
+
 Comparison is in-DuckDB multiset equality (EXCEPT ALL both ways), as in r13.
 
 Usage: tools/r14_oracle_sf10.py <sfDir> <engineVerifyOut> [--db path] [--only q1,q2]
@@ -39,6 +43,7 @@ MIN_SHARED = 2
 RARE_DENOM = 100000
 PHASH33_BAR = 3
 AUDIO_BAR = 2
+VIDEO_BAR = 2
 
 
 def phash_block_sql(blocks):
@@ -324,6 +329,56 @@ def main():
           SELECT c.hid_a AS doc_a, c.hid_b AS doc_b, cast({aham} AS BIGINT) AS ham_dist
           FROM avcand c JOIN avals va ON va.hid = c.hid_a JOIN avals vb ON vb.hid = c.hid_b
           WHERE {aham} BETWEEN 1 AND {AUDIO_BAR}"""
+
+    # ---- video phash: star output, frame/segment envelope bits ----
+    if only is None or "dedup_video_phash" in only:
+        fi = "(i // chunk)"
+        flen_i = f"(least({fi} * chunk + chunk, len) - {fi} * chunk)"
+        vidx = (f"(CASE WHEN sw = 1 AND xor(i, 1) < len AND {fi} = (xor(i, 1) // chunk) "
+                f"AND {fi} < 10 AND (6 * (i - {fi} * chunk) + 5) // {flen_i} = "
+                f"(6 * (xor(i, 1) - {fi} * chunk) + 5) // {flen_i} THEN xor(i, 1) ELSE i END)")
+        vbyte = f"('0x' || substr(hex(p), 2*{vidx} + 1, 2))::BIGINT"
+        f_from = "least((t // 6) * chunk, len)"
+        vflen = f"(least({f_from} + chunk, len) - {f_from})"
+        vb0 = f"((t % 6) * {vflen} // 6)"
+        vb1 = f"(((t % 6) + 1) * {vflen} // 6)"
+        vsegsum = f"coalesce(list_sum([v[{f_from} + o + 1] for o in range({vb0}, {vb1})]), 0)"
+        vframesum = f"coalesce(list_sum([v[{f_from} + o + 1] for o in range(0, {vflen})]), 0)"
+        vband_defs = ",\n".join(
+            f"cast(coalesce(list_sum([CASE WHEN bv[k+1] = 1 THEN 1 << (k - {16*b}) ELSE 0 END "
+            f"for k in range({16*b}, {min(16*(b+1), 60)})]), 0) AS BIGINT) AS band_{b}"
+            for b in range(4))
+        stage("vhh", f"""
+          WITH b AS (SELECT doc_id, encode(text) AS p, octet_length(encode(text)) AS len FROM documents),
+          c AS (SELECT doc_id, p, len, greatest(len // 10, 1) AS chunk FROM b),
+          m AS (SELECT doc_id, p, len, chunk, 0 AS sw FROM c
+                UNION ALL SELECT doc_id + {DUP_OFFSET}, p, len, chunk, 1 FROM c),
+          sv AS (SELECT doc_id, len, chunk, [{vbyte} for i in range(0, len)] AS v FROM m),
+          bits AS (SELECT doc_id,
+            [CASE WHEN {vflen} > 0 AND {vb1} > {vb0}
+                  AND {vsegsum} * {vflen} >= {vframesum} * ({vb1} - {vb0}) THEN 1 ELSE 0 END
+             for t in range(0, 60)] AS bv FROM sv)
+          SELECT doc_id, {vband_defs} FROM bits""")
+        stage("vvals",
+              "SELECT band_0, band_1, band_2, band_3, min(doc_id) AS hid FROM vhh "
+              "GROUP BY 1, 2, 3, 4")
+        stage("vdoc",
+              "SELECT h.doc_id, v.hid FROM vhh h JOIN vvals v USING (band_0, band_1, band_2, band_3)")
+        varms = " UNION ALL ".join(
+            f"SELECT hid, {ci} AS ci, {expr} AS cv FROM vvals"
+            for ci, expr in enumerate(phash_combo_key_sql(4, 2)))
+        stage("vbands", varms)
+        stage("vvcand",
+              "SELECT DISTINCT a.hid AS hid_a, b.hid AS hid_b FROM vbands a "
+              "JOIN vbands b ON a.ci = b.ci AND a.cv = b.cv AND a.hid < b.hid")
+        vham = " + ".join(f"bit_count(xor(va.band_{b}, vb.band_{b}))" for b in range(4))
+        queries["dedup_video_phash"] = f"""
+          SELECT hid AS doc_a, doc_id AS doc_b, cast(0 AS BIGINT) AS ham_dist
+          FROM vdoc WHERE doc_id <> hid
+          UNION ALL
+          SELECT c.hid_a AS doc_a, c.hid_b AS doc_b, cast({vham} AS BIGINT) AS ham_dist
+          FROM vvcand c JOIN vvals va ON va.hid = c.hid_a JOIN vvals vb ON vb.hid = c.hid_b
+          WHERE {vham} BETWEEN 1 AND {VIDEO_BAR}"""
 
     npass = nfail = 0
     for name, sql in queries.items():
