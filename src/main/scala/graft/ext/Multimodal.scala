@@ -435,9 +435,34 @@ object Multimodal {
     }.toSeq
   }
 
-  /** The combo keys as Columns over a fingerprint frame's `band_0..3`. */
-  private[ext] def phashComboKeysGen(blocks: Int, subsetSize: Int): Seq[Column] =
-    phashComboKeySql(blocks, subsetSize, "div").map(expr)
+  /** The block values as Columns — the SAME piece decomposition as [[phashBlockSql]]
+    * rendered in shift/mask form (band values are non-negative 16-bit, and pieces
+    * occupy disjoint bit ranges, so shiftright == div·2^rsh, AND-mask == mod·2^w and
+    * OR == + exactly; PhashSchemeSpec pins value-equality against an independent
+    * bit-slice reference). Shifts, not division: the engine side evaluates these over
+    * |values| × C(blocks, k) exploded rows, and the r14 closing control measured the
+    * div/mod rendering ~15% slower on the (8,5) scheme's 56 arms. */
+  private[ext] def phashBlockCols(blocks: Int): Seq[Column] =
+    phashBlockPieces(blocks).map { pieces =>
+      pieces.map { case (b, rsh, w, lsh) =>
+        val core = if (rsh == 0) col(s"band_$b") else shiftright(col(s"band_$b"), rsh)
+        val masked = core.bitwiseAND(lit((1L << w) - 1))
+        if (lsh == 0) masked else shiftleft(masked, lsh)
+      }.reduce(_ bitwiseOR _)
+    }
+
+  /** The combo keys as Columns over a fingerprint frame's `band_0..3` — the big-endian
+    * subset fold of [[phashBlockCols]] (shiftleft+OR == ·2^w + next on the disjoint
+    * non-negative block values). */
+  private[ext] def phashComboKeysGen(blocks: Int, subsetSize: Int): Seq[Column] = {
+    val widths = phashBlockWidths(blocks)
+    val blks = phashBlockCols(blocks)
+    (0 until blocks).combinations(subsetSize).map { c =>
+      c.map(m => (blks(m), widths(m))).reduceLeft[(Column, Int)] {
+        case ((acc, _), (s, w)) => (shiftleft(acc, w).bitwiseOR(s), w)
+      }._1
+    }.toSeq
+  }
 
   /** The pair scheme (4 blocks = the bands, subsets of 2, lossless at Hamming <= 2) —
     * key values identical to the r12 hand-written band_i·2^16 + band_j (spec-pinned). */
