@@ -475,6 +475,19 @@ object Multimodal {
   /** Hamming bar for `dedup_image_phash33` — scheme (6,3): 33-bit keys, 20 combos. */
   private[ext] val Phash33MaxHamming = 3
 
+  /** `dedup_video_partial` knobs: a frame signature is RARE while <= this many clips
+    * carry it (the MOSS df discipline at frame granularity — boilerplate frames, e.g.
+    * the empty tail frames of short docs, never key candidates and the per-value
+    * self-join stays C(cap,2)-bounded), and a clip pair reports only at >= this many
+    * shared rare signatures (one coincidental frame match is noise, a run of them is
+    * shared footage). */
+  private[ext] val VideoSigMaxDf = 4
+  private[ext] val VideoMinSharedFrames = 3
+  /** doc_id offset of the planted splice clips (distinct from the +1M near-dup copy
+    * range; GenScale ids are c·10⁷ + orig with orig far below 2·10⁶, so the offset
+    * cannot collide at any derived scale). */
+  private[ext] val SpliceOffset = 2000000L
+
   /**
    * AVERAGE-HASH (aHash) perceptual fingerprint over the REAL BMP decode — the
    * image-curation analogue of [[graft.ext.Dedup]]'s SimHash: parse the container
@@ -529,45 +542,62 @@ object Multimodal {
       batch.map { m =>
         val data = m.payload
         val chunk = math.max(1, data.length / math.max(1, nFrames))
-        val frames = (0 until nFrames).map { f =>
-          val from = math.min(f * chunk, data.length)
-          val to = math.min(from + chunk, data.length)
-          java.util.Arrays.copyOfRange(data, from, to)
-        }
-        val w = 8
-        val h = math.max(1, chunk / w)
-        val avihSize = 56; val strhSize = 56; val strfSize = 40
-        val strlSize = 4 + (8 + strhSize) + (8 + strfSize)
-        val hdrlSize = 4 + (8 + avihSize) + (8 + strlSize)
-        val moviSize = 4 + frames.map(f => 8 + f.length + (f.length % 2)).sum
-        val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
-        val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        def fcc(s: String): Unit = buf.put(s.getBytes("US-ASCII"))
-        fcc("RIFF"); buf.putInt(riffSize); fcc("AVI ")
-        fcc("LIST"); buf.putInt(hdrlSize); fcc("hdrl")
-        fcc("avih"); buf.putInt(avihSize)
-        buf.putInt(1000000 / fps).putInt(0).putInt(0).putInt(0) // usec/frame, bps, pad, flags
-          .putInt(nFrames).putInt(0).putInt(1).putInt(chunk)    // TOTAL FRAMES, init, streams, bufsz
-          .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0) // dims + reserved[4]
-        fcc("LIST"); buf.putInt(strlSize); fcc("strl")
-        fcc("strh"); buf.putInt(strhSize)
-        fcc("vids"); fcc("DIB ")
-        buf.putInt(0).putInt(0).putInt(0)                       // flags, prio+lang, initFrames
-          .putInt(1).putInt(fps).putInt(0).putInt(nFrames)      // scale, rate, start, length
-          .putInt(chunk).putInt(-1).putInt(0)                   // bufsz, quality, sampleSize
-          .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort) // rcFrame
-        fcc("strf"); buf.putInt(strfSize)
-        buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(8) // BITMAPINFOHEADER
-          .putInt(0).putInt(chunk).putInt(0).putInt(0).putInt(0).putInt(0)
-        fcc("LIST"); buf.putInt(moviSize); fcc("movi")
-        frames.foreach { f =>
-          fcc("00db"); buf.putInt(f.length); buf.put(f)
-          if (f.length % 2 == 1) buf.put(0.toByte)
-        }
-        MediaRow(m.doc_id, buf.array())
+        MediaRow(m.doc_id, aviContainer(aviFrameSlices(data, nFrames), chunk, fps))
       }
     }
+  }
+
+  /** The equal-chunk frame slicing [[encodeAvi]] applies to a raw payload (chunk =
+    * max(1, len/nFrames), bytes beyond the grid truncate) — exposed so a splice
+    * construction can address "frame f of clip d" by the same byte ranges the
+    * container round-trip produces. */
+  private[ext] def aviFrameSlices(data: Array[Byte], nFrames: Int): IndexedSeq[Array[Byte]] = {
+    val chunk = math.max(1, data.length / math.max(1, nFrames))
+    (0 until nFrames).map { f =>
+      val from = math.min(f * chunk, data.length)
+      val to = math.min(from + chunk, data.length)
+      java.util.Arrays.copyOfRange(data, from, to)
+    }
+  }
+
+  /** One RIFF/'AVI ' container around an EXPLICIT frame list (frames may have any
+    * lengths — the 00db chunk walk recovers them individually), shared by the
+    * equal-chunk [[encodeAvi]] path and the partial-copy splice construction. */
+  private[ext] def aviContainer(frames: IndexedSeq[Array[Byte]], chunk: Int,
+                                fps: Int = 25): Array[Byte] = {
+    val nFrames = frames.size
+    val w = 8
+    val h = math.max(1, chunk / w)
+    val avihSize = 56; val strhSize = 56; val strfSize = 40
+    val strlSize = 4 + (8 + strhSize) + (8 + strfSize)
+    val hdrlSize = 4 + (8 + avihSize) + (8 + strlSize)
+    val moviSize = 4 + frames.map(f => 8 + f.length + (f.length % 2)).sum
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fcc(s: String): Unit = buf.put(s.getBytes("US-ASCII"))
+    fcc("RIFF"); buf.putInt(riffSize); fcc("AVI ")
+    fcc("LIST"); buf.putInt(hdrlSize); fcc("hdrl")
+    fcc("avih"); buf.putInt(avihSize)
+    buf.putInt(1000000 / fps).putInt(0).putInt(0).putInt(0) // usec/frame, bps, pad, flags
+      .putInt(nFrames).putInt(0).putInt(1).putInt(chunk)    // TOTAL FRAMES, init, streams, bufsz
+      .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0) // dims + reserved[4]
+    fcc("LIST"); buf.putInt(strlSize); fcc("strl")
+    fcc("strh"); buf.putInt(strhSize)
+    fcc("vids"); fcc("DIB ")
+    buf.putInt(0).putInt(0).putInt(0)                       // flags, prio+lang, initFrames
+      .putInt(1).putInt(fps).putInt(0).putInt(nFrames)      // scale, rate, start, length
+      .putInt(chunk).putInt(-1).putInt(0)                   // bufsz, quality, sampleSize
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort) // rcFrame
+    fcc("strf"); buf.putInt(strfSize)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(8) // BITMAPINFOHEADER
+      .putInt(0).putInt(chunk).putInt(0).putInt(0).putInt(0).putInt(0)
+    fcc("LIST"); buf.putInt(moviSize); fcc("movi")
+    frames.foreach { f =>
+      fcc("00db"); buf.putInt(f.length); buf.put(f)
+      if (f.length % 2 == 1) buf.put(0.toByte)
+    }
+    buf.array()
   }
 
   /**
@@ -688,6 +718,33 @@ object Multimodal {
           if (bits(16 * b + j) == 1) acc | (1L << j) else acc
         }
         ImageHash(m.doc_id, bandVal(0), bandVal(1), bandVal(2), bandVal(3))
+      }
+    }
+  }
+
+  /** Exact per-frame signature: frame length + the first two byte moments
+    * (s0 = Σ bytes, s1 = Σ (offset+1)·byte). Unlike the near-dup envelope this is
+    * ORDER-SENSITIVE (s1 moves under any byte permutation that shifts weight across
+    * offsets), so matching signatures mean the same frame content for copy-detection
+    * purposes; all integer math, overflow-safe (s1 <= len²·255/2), DuckDB-exact. */
+  final case class FrameSig(doc_id: Long, flen: Long, s0: Long, s1: Long)
+
+  /** Per-frame signatures of every clip through the REAL chunk-walk decode — the
+    * frame-granularity analogue of [[videoFingerprintBands]], feeding the
+    * partial-copy containment query. */
+  def videoFrameSigs(media: Dataset[MediaRow]): Dataset[FrameSig] = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.flatMap { m =>
+      sampleFramesOne(m.doc_id, m.payload, 1).map { fr =>
+        val p = fr.payload
+        var s0 = 0L; var s1 = 0L; var i = 0
+        while (i < p.length) {
+          val v = (p(i) & 0xff).toLong
+          s0 += v; s1 += (i + 1L) * v
+          i += 1
+        }
+        FrameSig(m.doc_id, p.length.toLong, s0, s1)
       }
     }
   }
@@ -921,6 +978,54 @@ object Multimodal {
       bandedNearDupStars(
         videoFingerprintBands(encodeAvi(orig.union(copies), nFrames = 10)).toDF(),
         phashPairKeys, PhashMaxHamming)
+    },
+    // VIDEO PARTIAL-COPY DETECTION (r14) — the shared-footage shape whole-clip
+    // near-dup cannot see: a compilation clip that splices scenes from two sources
+    // must be flagged as containing BOTH, even though its global envelope matches
+    // neither. Planted splices are built as REAL containers around an explicit frame
+    // list ([[aviContainer]]): clip d (d % 7 == 3, successor d+1 present, both via an
+    // equi self-join — never a product join) re-enters at d + [[SpliceOffset]] with
+    // frames 0-4 of d and frames 5-9 of d+1, byte-identical to the sources' own
+    // frame slices. Every clip's decoded frames reduce to the order-sensitive
+    // [[FrameSig]] signature; the MOSS rarity discipline applies at FRAME granularity
+    // (df <= [[VideoSigMaxDf]] — the empty tail frames of short docs are the
+    // boilerplate that would otherwise quadratic-blow the join), and clip pairs
+    // report with their shared-rare-frame count at >= [[VideoMinSharedFrames]].
+    // 100 TB shape: one decode pass, signature-bucket equi-joins only, candidate
+    // mass bounded at C(cap,2) per signature value regardless of corpus size.
+    "dedup_video_partial" -> { (s, dir) =>
+      import s.implicits._
+      val base = mediaFrame(s, dir)
+      val bdf = base.toDF()
+      val spliced = bdf.as("a")
+        .join(bdf.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .filter(col("a.doc_id") % 7 === 3)
+        .select(col("a.doc_id").as("doc_id"), col("a.payload").as("pa"),
+          col("b.payload").as("pb"))
+        .as[(Long, Array[Byte], Array[Byte])]
+        .map { case (d, pa, pb) =>
+          val frames = (aviFrameSlices(pa, 10).take(5) ++ aviFrameSlices(pb, 10).drop(5))
+            .toIndexedSeq
+          MediaRow(d + SpliceOffset,
+            aviContainer(frames, math.max(1, frames.map(_.length).max)))
+        }
+      val clips = encodeAvi(base, nFrames = 10).union(spliced)
+      val sigs = videoFrameSigs(clips).toDF()
+        .filter($"flen" > 0)
+        .distinct() // a frame repeated WITHIN a clip counts once toward df and sharing
+      val rare = sigs.groupBy($"flen", $"s0", $"s1")
+        .agg(count(lit(1)).as("df"))
+        .filter($"df" <= VideoSigMaxDf)
+        .select($"flen", $"s0", $"s1")
+      val ds = sigs.join(rare, Seq("flen", "s0", "s1"))
+      ds.as("x").join(ds.as("y"),
+          col("x.flen") === col("y.flen") && col("x.s0") === col("y.s0") &&
+            col("x.s1") === col("y.s1") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .groupBy($"doc_a", $"doc_b")
+        .agg(count(lit(1)).as("shared_frames"))
+        .filter($"shared_frames" >= VideoMinSharedFrames)
+        .orderBy($"doc_a", $"doc_b")
     },
   )
 
@@ -1207,9 +1312,48 @@ object Multimodal {
       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** `dedup_video_partial` replayed from the raw bytes: splice frame f IS source
+    * frame f byte-for-byte (the [[aviContainer]] construction guarantees it), so the
+    * oracle computes every signature — originals AND splices — straight off the
+    * sources' slice math, then replays the rarity cap, the distinct-per-clip rule and
+    * the shared-count bar. */
+  private lazy val videoPartialOracleSql: String = {
+    val byte = "('0x' || substr(hex(p), 2*(ffrom + o) + 1, 2))::BIGINT"
+    s"""WITH b AS (SELECT doc_id, encode(text) AS p, octet_length(encode(text)) AS len FROM documents),
+      |c AS (SELECT doc_id, p, len, greatest(len // 10, 1) AS chunk FROM b),
+      |fo AS (SELECT doc_id, f, p,
+      |         least(f * chunk, len) AS ffrom,
+      |         least(least(f * chunk, len) + chunk, len) AS fto
+      |       FROM c, (SELECT unnest(range(10)) AS f) ff),
+      |so AS (SELECT doc_id, f, fto - ffrom AS flen,
+      |         coalesce(list_sum([$byte for o in range(0, fto - ffrom)]), 0) AS s0,
+      |         coalesce(list_sum([(o + 1) * $byte for o in range(0, fto - ffrom)]), 0) AS s1
+      |       FROM fo),
+      |spl AS (SELECT a.doc_id AS sid, b2.doc_id AS eid FROM c a
+      |        JOIN c b2 ON b2.doc_id = a.doc_id + 1 WHERE a.doc_id % 7 = 3),
+      |ss AS (SELECT spl.sid + $SpliceOffset AS doc_id, so.flen, so.s0, so.s1
+      |         FROM spl JOIN so ON so.doc_id = spl.sid WHERE so.f < 5
+      |       UNION ALL
+      |       SELECT spl.sid + $SpliceOffset, so.flen, so.s0, so.s1
+      |         FROM spl JOIN so ON so.doc_id = spl.eid WHERE so.f >= 5),
+      |dsig AS (SELECT DISTINCT doc_id, flen, s0, s1 FROM (
+      |           SELECT doc_id, flen, s0, s1 FROM so UNION ALL SELECT * FROM ss)
+      |         WHERE flen > 0),
+      |rare AS (SELECT flen, s0, s1 FROM (
+      |           SELECT flen, s0, s1, count(*) AS df FROM dsig GROUP BY 1, 2, 3)
+      |         WHERE df <= $VideoSigMaxDf),
+      |dr AS (SELECT dsig.* FROM dsig JOIN rare USING (flen, s0, s1))
+      |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, cast(count(*) AS BIGINT) AS shared_frames
+      |FROM dr x JOIN dr y ON x.flen = y.flen AND x.s0 = y.s0 AND x.s1 = y.s1
+      |  AND x.doc_id < y.doc_id
+      |GROUP BY 1, 2 HAVING count(*) >= $VideoMinSharedFrames
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "dedup_audio_fingerprint" -> audioFingerprintOracleSql,
     "dedup_video_phash" -> videoPhashOracleSql,
+    "dedup_video_partial" -> videoPartialOracleSql,
     "dedup_image_phash" -> imagePhashOracleSql,
     "dedup_image_phash3" -> imagePhash3OracleSql,
     "dedup_image_phash33" -> imagePhash33OracleSql,
