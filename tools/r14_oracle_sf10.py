@@ -44,6 +44,7 @@ RARE_DENOM = 100000
 PHASH33_BAR = 3
 AUDIO_BAR = 2
 VIDEO_BAR = 2
+SPLICE_OFFSET = 2000000
 
 
 def phash_block_sql(blocks):
@@ -379,6 +380,43 @@ def main():
           SELECT c.hid_a AS doc_a, c.hid_b AS doc_b, cast({vham} AS BIGINT) AS ham_dist
           FROM vvcand c JOIN vvals va ON va.hid = c.hid_a JOIN vvals vb ON vb.hid = c.hid_b
           WHERE {vham} BETWEEN 1 AND {VIDEO_BAR}"""
+
+    # ---- video partial-copy: frame moment signatures, rarity cap, shared count ----
+    if only is None or "dedup_video_partial" in only:
+        pbyte = "('0x' || substr(hex(p), 2*(ffrom + o) + 1, 2))::BIGINT"
+        stage("vpso", f"""
+          WITH b AS (SELECT doc_id, encode(text) AS p, octet_length(encode(text)) AS len FROM documents),
+          c AS (SELECT doc_id, p, len, greatest(len // 10, 1) AS chunk FROM b),
+          fo AS (SELECT doc_id, f, p,
+                   least(f * chunk, len) AS ffrom,
+                   least(least(f * chunk, len) + chunk, len) AS fto
+                 FROM c, (SELECT unnest(range(10)) AS f) ff)
+          SELECT doc_id, f, fto - ffrom AS flen,
+            coalesce(list_sum([{pbyte} for o in range(0, fto - ffrom)]), 0) AS s0,
+            coalesce(list_sum([(o + 1) * {pbyte} for o in range(0, fto - ffrom)]), 0) AS s1
+          FROM fo""")
+        stage("vpspl", "SELECT a.doc_id AS sid, b2.doc_id AS eid FROM "
+              "(SELECT doc_id FROM documents) a JOIN (SELECT doc_id FROM documents) b2 "
+              "ON b2.doc_id = a.doc_id + 1 WHERE a.doc_id % 7 = 3")
+        stage("vpdsig", f"""
+          SELECT DISTINCT doc_id, flen, s0, s1 FROM (
+            SELECT doc_id, flen, s0, s1 FROM vpso
+            UNION ALL
+            SELECT spl.sid + {SPLICE_OFFSET} AS doc_id, so.flen, so.s0, so.s1
+              FROM vpspl spl JOIN vpso so ON so.doc_id = spl.sid WHERE so.f < 5
+            UNION ALL
+            SELECT spl.sid + {SPLICE_OFFSET}, so.flen, so.s0, so.s1
+              FROM vpspl spl JOIN vpso so ON so.doc_id = spl.eid WHERE so.f >= 5)
+          WHERE flen > 0""")
+        stage("vprare", "SELECT flen, s0, s1 FROM (SELECT flen, s0, s1, count(*) AS df "
+              "FROM vpdsig GROUP BY 1, 2, 3) WHERE df <= 4")
+        stage("vpdr", "SELECT d.* FROM vpdsig d JOIN vprare USING (flen, s0, s1)")
+        queries["dedup_video_partial"] = """
+          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, cast(count(*) AS BIGINT) AS shared_frames
+          FROM vpdr x JOIN vpdr y ON x.flen = y.flen AND x.s0 = y.s0 AND x.s1 = y.s1
+            AND x.doc_id < y.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 3
+          ORDER BY doc_a, doc_b"""
 
     npass = nfail = 0
     for name, sql in queries.items():
