@@ -434,4 +434,31 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$q: results diverge between AQE on (${on.size} rows) and off (${off.size} rows)")
     }
   }
+
+  test("simsearch_ivfpq: rank pushdown, broadcast probes/LUT/shortlist, centroid-only product joins") {
+    val p = plan("simsearch_ivfpq")
+    // the composed chain's scale claims, in the plan: the window rank filters push a
+    // group limit (the shortlist sort is bounded, not a full per-query sort) ...
+    assert(p.contains("WindowGroupLimit"),
+      s"expected rank-limit pushdown on the ADC shortlist window:\n$p")
+    // ... the per-query sides reach the corpus via broadcast hash joins ...
+    assert(p.contains("BroadcastHashJoin"),
+      s"probes/LUT/shortlist must broadcast into the corpus-sized sides:\n$p")
+    // ... and the ONLY product joins are the 8-row centroid broadcasts (two passes
+    // over scoredC), never a data-shaped side
+    assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 2, s"expected at most the two centroid crossJoins, found $bnlj:\n$p")
+  }
+
+  test("dedup_video_phash / dedup_video_partial: banded equi-joins only, no product joins") {
+    Seq("dedup_video_phash", "dedup_video_partial").foreach { q =>
+      val p = plan(q)
+      // frame/fingerprint candidates must form through signature-bucket EQUI-joins
+      // (the df-cap / value-level disciplines); any product join would be the
+      // all-pairs plan those disciplines exist to avoid
+      assert(!p.contains("CartesianProduct"), s"$q: all-pairs plan:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: non-equi product join:\n$p")
+    }
+  }
 }
