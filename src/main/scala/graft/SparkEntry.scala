@@ -37,7 +37,7 @@ object SparkEntry {
       "events_join_stream", "events_session_stream", "cdc_status_feed",
       "dedup_incremental_stream", "events_enrich_stream", "cdc_txn_timeout",
       "cdc_scd2_stream", "events_topk_stream", "events_heavy_hitters_stream",
-      "dedup_winnow_admit_stream", "dedup_winnow_admit_stream_incr",
+      "dedup_winnow_admit_stream", "dedup_winnow_admit_stream_incr", "simsearch_stream",
       "cdc_pipeline_restart") // runs runBatchesWithRestarts (checkpointed restarts) at construction
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -443,6 +443,41 @@ object Similarity {
     "simsearch_ivfpq" -> { (s, dir) =>
       ivfPqRanked(s, dir, nprobe = IvfNProbe)
     },
+    // ONLINE ANN SERVING (r14, the LLM-2 × streaming bridge): query ids ARRIVE AS A
+    // STREAM and each micro-batch answers with the exact integer-L2 top-k against the
+    // static corpus — the serving-tier shape. The per-batch plan runs under
+    // foreachBatch (full batch semantics: a window rank is unsupported on a streaming
+    // frame by design, and serving wants the batch plan anyway) and is STATELESS
+    // across batches: an answer depends only on the static corpus, so the two-wave
+    // cut must be row-identical to one wave — SimStreamSpec pins that, plus equality
+    // with the directly-computed batch reference. 100 TB shape: the arriving batch
+    // (and its fetched vectors) broadcasts; the corpus side is the scan, and swapping
+    // the exact scorer for the ivfPqRanked chain is a per-batch plan change, not an
+    // architecture change.
+    "simsearch_stream" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.Encoders
+      val q = milliQ(s, dir).cache()
+      val feed = graft.engine.Tables(s, dir, "embeddings")
+        .filter($"vec_id" % 50 === 7).select($"vec_id")
+        .as[Long].collect().toSeq.sorted // driver-side feed is inherent to MemoryStream
+      val (b1, b2) = feed.partition(_ % 100 < 50)
+      val w = Window.partitionBy($"q_id").orderBy($"d".asc, $"vec_id")
+      val out = graft.engine.StreamGate.runBatchesForeach(s, Encoders.scalaLong,
+          Seq(b1, b2)) { (ids, _) =>
+        val arrivals = ids.toDF("q_id")
+        val qs = q.join(broadcast(arrivals), $"vec_id" === $"q_id")
+          .select($"q_id", $"qv".as("eqv"), $"vv".as("evv"))
+        val res = q.join(broadcast(qs), $"vec_id" =!= $"q_id")
+          .select($"q_id", $"vec_id",
+            ($"vv" - lit(2L) * dot($"qv", $"eqv") + $"evv").as("d"))
+          .withColumn("rnk", row_number().over(w))
+          .filter($"rnk" <= TopK)
+          .select($"q_id", $"rnk".cast("long").as("rnk"), $"vec_id", $"d")
+        (res, () => ())
+      }
+      out.orderBy($"q_id", $"rnk")
+    },
     // HYBRID RANK FUSION (reciprocal-rank fusion, Cormack et al.): ensemble the two
     // heterogeneous rankers — exact cosine top-k and compressed-domain PQ L2 — by
     // summing scaled-integer 1/(60+rank) contributions over their truncated lists, the
@@ -1026,6 +1061,20 @@ object Similarity {
          |  FROM shortl sl JOIN qq q ON sl.vec_id = q.vec_id JOIN qs ON sl.q_id = qs.q_id)
          |SELECT q_id, rnk, vec_id, d, adist FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d, vec_id) AS rnk FROM rr)
+         |WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin,
+    // the exact-arm CTEs restricted to the streamed feed set: serving answers are
+    // batch-invariant, so the whole two-wave run reduces to one batch query
+    "simsearch_stream" ->
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(trunc(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |qq AS (SELECT vec_id, qv, CAST(list_dot_product(qv, qv) AS BIGINT) AS vv FROM e),
+         |qs AS (SELECT vec_id AS q_id, qv AS eqv, vv AS evv FROM qq WHERE vec_id % 50 = 7),
+         |dd AS (SELECT qs.q_id, qq.vec_id,
+         |  qq.vv - 2 * CAST(list_dot_product(qq.qv, qs.eqv) AS BIGINT) + qs.evv AS d
+         |  FROM qq CROSS JOIN qs WHERE qq.vec_id <> qs.q_id)
+         |SELECT q_id, rnk, vec_id, d FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d, vec_id) AS rnk FROM dd)
          |WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin,
     // the pq_rerank oracle's CTE chain with the IVF cell gate spliced in: fixed-seed
     // centroid assignment (max dot, ties to the lower cid), per-query top-nprobe
