@@ -979,6 +979,82 @@ object Multimodal {
         videoFingerprintBands(encodeAvi(orig.union(copies), nFrames = 10)).toDF(),
         phashPairKeys, PhashMaxHamming)
     },
+    // STREAMING IMAGE ADMISSION GATE (r14) — the multimodal×dedup×streaming triple
+    // bridge: incoming images arrive as a stream and each is admitted or flagged
+    // near-dup against the EXISTING corpus's perceptual-hash index at ingestion (the
+    // image analogue of dedup_winnow_admit_stream's text gate). Per micro-batch
+    // (foreachBatch — full batch semantics, STATELESS across batches): decode + aHash
+    // in-row, explode the 6 pair keys, probe the broadcast value-level index, verify
+    // candidates with the exact popcount, decide per doc by (min ham, min hid).
+    // Twins of existing images (the non-sampled-row +1 perturbation — provably
+    // identical aHash) MUST flag near_dup at distance 0; fresh docs admit unless an
+    // organic collision sits within the Hamming bar. The index is snapshotted ONCE
+    // (localCheckpoint, released after the run) — the r13/r14 admission discipline.
+    // 100 TB: the index rides DISTINCT fingerprint values (bounded far below corpus
+    // cardinality on thumbnail-like corpora), the arriving batch is the small side,
+    // and the corpus is never re-scanned per batch.
+    "dedup_image_admit_stream" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.Encoders
+      val docs = graft.engine.Tables(s, dir, "documents").select($"doc_id", $"text")
+      val existing = docs.filter($"doc_id" % 5 =!= 0)
+      val exMedia = existing
+        .select($"doc_id", encode($"text", "UTF-8").as("payload")).as[MediaRow]
+      val exVals = avgHashBands(encodeBmp(exMedia, width = 8)).toDF()
+        .groupBy($"band_0", $"band_1", $"band_2", $"band_3")
+        .agg(min($"doc_id").as("hid"))
+        .localCheckpoint() // snapshot ONCE before the stream starts (r14 discipline)
+      val exKeys = exVals
+        .select($"hid", posexplode(array(phashPairKeys: _*)).as(Seq("ci", "cv")))
+      val exBands = exVals.select($"hid",
+        $"band_0".as("xb0"), $"band_1".as("xb1"), $"band_2".as("xb2"), $"band_3".as("xb3"))
+      val feed = docs.filter($"doc_id" % 5 === 0)
+        .union(existing.filter($"doc_id" % 9 === 2)
+          .select(($"doc_id" + 2000000L).as("doc_id"), $"text"))
+        .as[(Long, String)].collect().toSeq // driver-side feed is inherent to MemoryStream
+        .sortBy(_._1)
+      val (w1, w2) = feed.partition(_._1 % 2 == 0)
+      val ham = Seq(("band_0", "xb0"), ("band_1", "xb1"), ("band_2", "xb2"),
+        ("band_3", "xb3")).map { case (a, b) => bit_count(col(a).bitwiseXOR(col(b))) }
+        .reduce(_ + _)
+      val out = graft.engine.StreamGate.runBatchesForeach(s,
+          Encoders.tuple(Encoders.scalaLong, Encoders.STRING), Seq(w1, w2)) { (batch, _) =>
+        val media = batch.map { case (d, t) =>
+          val p = t.getBytes("UTF-8")
+          if (d >= 2000000L) { // twin: the imageNearDupPairs perturbation — aHash-invariant
+            val h = math.max(1, p.length / 8)
+            val sampledRows = (0 until 8).map(k => k * h / 8).toSet
+            var j = 0
+            while (j < p.length) {
+              if (!sampledRows(j / 8)) p(j) = ((p(j) + 1) & 0xff).toByte
+              j += 1
+            }
+          }
+          MediaRow(d, p)
+        }(Encoders.product[MediaRow])
+        val inHash = avgHashBands(encodeBmp(media, width = 8)).toDF()
+        val cand = inHash
+          .select($"doc_id", $"band_0", $"band_1", $"band_2", $"band_3",
+            posexplode(array(phashPairKeys: _*)).as(Seq("ci", "cv")))
+          .join(broadcast(exKeys), Seq("ci", "cv"))
+          .select($"doc_id", $"band_0", $"band_1", $"band_2", $"band_3", $"hid")
+          .distinct()
+          .join(broadcast(exBands), Seq("hid"))
+          .withColumn("ham", ham.cast("long"))
+          .filter($"ham" <= PhashMaxHamming)
+        val best = cand.groupBy($"doc_id")
+          .agg(min_by(struct($"hid", $"ham"), struct($"ham", $"hid")).as("m"))
+          .select($"doc_id", $"m.hid".as("match_hid"), $"m.ham".as("ham_dist"))
+        val res = inHash.select($"doc_id")
+          .join(best, Seq("doc_id"), "left_outer")
+          .select($"doc_id",
+            when($"match_hid".isNotNull, "near_dup").otherwise("admitted").as("status"),
+            $"match_hid", $"ham_dist")
+        (res, () => ())
+      }
+      Dedup.releaseLocalCheckpoint(exVals) // nothing reads the index after the run
+      out.orderBy($"doc_id")
+    },
     // VIDEO PARTIAL-COPY DETECTION (r14) — the shared-footage shape whole-clip
     // near-dup cannot see: a compilation clip that splices scenes from two sources
     // must be flagged as containing BOTH, even though its global envelope matches
@@ -1350,10 +1426,62 @@ object Multimodal {
       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** `dedup_image_admit_stream` replayed byte-by-byte: the SAME encode-grid /
+    * perturbation / hash CTEs as the image near-dup oracle over a three-way
+    * population (existing corpus pert=0, fresh arrivals pert=0, twins of existing at
+    * +2M pert=1), the value-level index from the existing side only, pair-key
+    * candidate arms on both sides, popcount verify, and the per-doc (min ham, min
+    * hid) decision joined back to every arrival. */
+  private lazy val imageAdmitOracleSql: String = {
+    val idx = "((k // 8) * h // 8) * 8 + (k % 8)"
+    val byte = s"('0x' || substr(hex(p), 2*($idx) + 1, 2))::BIGINT"
+    val pert = s"CASE WHEN pert = 1 AND NOT list_contains([(j * h) // 8 for j in range(0, 8)], (k // 8) * h // 8) THEN 1 ELSE 0 END"
+    val bandDefs = (0 until 4).map { b =>
+      s"cast(list_sum([CASE WHEN sv[k+1]*64 >= tot THEN (1 << (k - ${16 * b})) ELSE 0 END for k in range(${16 * b}, ${16 * (b + 1)})]) AS BIGINT) AS band_$b"
+    }.mkString(",\n      |  ")
+    def arms(src: String, id: String) = phashComboKeySql(4, 2, "//").zipWithIndex.map {
+      case (keyExpr, c) => s"SELECT $id, $c AS ci, $keyExpr AS cv FROM $src" }
+      .mkString(" UNION ALL ")
+    val ham = (0 until 4).map(b => s"bit_count(xor(i2.band_$b, ev.band_$b))").mkString(" + ")
+    s"""WITH b AS (SELECT doc_id, encode(text) AS p, octet_length(encode(text)) AS len FROM documents),
+      |c AS (SELECT doc_id, p, len, greatest(len // 8, 1) AS h FROM b),
+      |m AS (SELECT doc_id, p, len, h, 0 AS pert, 'ex' AS side FROM c WHERE doc_id % 5 <> 0
+      |      UNION ALL SELECT doc_id, p, len, h, 0, 'in' FROM c WHERE doc_id % 5 = 0
+      |      UNION ALL SELECT doc_id + 2000000, p, len, h, 1, 'in' FROM c
+      |        WHERE doc_id % 5 <> 0 AND doc_id % 9 = 2),
+      |s AS (SELECT doc_id, side,
+      |  [CASE WHEN $idx < len THEN ($byte + $pert) % 256 ELSE 0 END
+      |   for k in range(0, 64)] AS sv FROM m),
+      |hb AS (SELECT doc_id, side, list_sum(sv) AS tot, sv FROM s),
+      |hh AS (SELECT doc_id, side,
+      |  $bandDefs
+      |  FROM hb),
+      |exvals AS (SELECT band_0, band_1, band_2, band_3, min(doc_id) AS hid FROM hh
+      |  WHERE side = 'ex' GROUP BY 1, 2, 3, 4),
+      |inh AS (SELECT doc_id, band_0, band_1, band_2, band_3 FROM hh WHERE side = 'in'),
+      |ebands AS (${arms("exvals", "hid")}),
+      |ibands AS (${arms("inh", "doc_id")}),
+      |cand AS (SELECT DISTINCT i.doc_id, e.hid FROM ibands i
+      |  JOIN ebands e ON i.ci = e.ci AND i.cv = e.cv),
+      |ver AS (SELECT c2.doc_id, c2.hid, cast($ham AS BIGINT) AS ham
+      |  FROM cand c2 JOIN inh i2 ON i2.doc_id = c2.doc_id
+      |  JOIN exvals ev ON ev.hid = c2.hid
+      |  WHERE $ham <= $PhashMaxHamming),
+      |best AS (SELECT doc_id, hid, ham FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY ham, hid) AS rn FROM ver)
+      |  WHERE rn = 1)
+      |SELECT i.doc_id,
+      |  CASE WHEN best.hid IS NOT NULL THEN 'near_dup' ELSE 'admitted' END AS status,
+      |  best.hid AS match_hid, best.ham AS ham_dist
+      |FROM inh i LEFT JOIN best USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "dedup_audio_fingerprint" -> audioFingerprintOracleSql,
     "dedup_video_phash" -> videoPhashOracleSql,
     "dedup_video_partial" -> videoPartialOracleSql,
+    "dedup_image_admit_stream" -> imageAdmitOracleSql,
     "dedup_image_phash" -> imagePhashOracleSql,
     "dedup_image_phash3" -> imagePhash3OracleSql,
     "dedup_image_phash33" -> imagePhash33OracleSql,
