@@ -381,6 +381,59 @@ def main():
           FROM vvcand c JOIN vvals va ON va.hid = c.hid_a JOIN vvals vb ON vb.hid = c.hid_b
           WHERE {vham} BETWEEN 1 AND {VIDEO_BAR}"""
 
+    # ---- image admission gate: 3-way population, existing-side index, decision ----
+    if only is None or "dedup_image_admit_stream" in only:
+        idx = "((k // 8) * h // 8) * 8 + (k % 8)"
+        byte = f"('0x' || substr(hex(p), 2*({idx}) + 1, 2))::BIGINT"
+        pert = ("CASE WHEN pert = 1 AND NOT list_contains("
+                "[(j * h) // 8 for j in range(0, 8)], (k // 8) * h // 8) THEN 1 ELSE 0 END")
+        band_defs = ",\n".join(
+            f"cast(list_sum([CASE WHEN sv[k+1]*64 >= tot THEN (1 << (k - {16*b})) ELSE 0 END "
+            f"for k in range({16*b}, {16*(b+1)})]) AS BIGINT) AS band_{b}"
+            for b in range(4))
+        stage("iahh", f"""
+          WITH b AS (SELECT doc_id, encode(text) AS p, octet_length(encode(text)) AS len FROM documents),
+          c AS (SELECT doc_id, p, len, greatest(len // 8, 1) AS h FROM b),
+          m AS (SELECT doc_id, p, len, h, 0 AS pert, 'ex' AS side FROM c WHERE doc_id % 5 <> 0
+                UNION ALL SELECT doc_id, p, len, h, 0, 'in' FROM c WHERE doc_id % 5 = 0
+                UNION ALL SELECT doc_id + {TWIN_OFFSET}, p, len, h, 1, 'in' FROM c
+                  WHERE doc_id % 5 <> 0 AND doc_id % 9 = 2),
+          s AS (SELECT doc_id, side,
+            [CASE WHEN {idx} < len THEN ({byte} + {pert}) % 256 ELSE 0 END
+             for k in range(0, 64)] AS sv FROM m),
+          hb AS (SELECT doc_id, side, list_sum(sv) AS tot, sv FROM s)
+          SELECT doc_id, side, {band_defs} FROM hb""")
+        stage("iaexvals",
+              "SELECT band_0, band_1, band_2, band_3, min(doc_id) AS hid FROM iahh "
+              "WHERE side = 'ex' GROUP BY 1, 2, 3, 4")
+        stage("iainh",
+              "SELECT doc_id, band_0, band_1, band_2, band_3 FROM iahh WHERE side = 'in'")
+        ia_earms = " UNION ALL ".join(
+            f"SELECT hid, {ci} AS ci, {expr} AS cv FROM iaexvals"
+            for ci, expr in enumerate(phash_combo_key_sql(4, 2)))
+        ia_iarms = " UNION ALL ".join(
+            f"SELECT doc_id, {ci} AS ci, {expr} AS cv FROM iainh"
+            for ci, expr in enumerate(phash_combo_key_sql(4, 2)))
+        stage("iaebands", ia_earms)
+        stage("iaibands", ia_iarms)
+        stage("iacand",
+              "SELECT DISTINCT i.doc_id, e.hid FROM iaibands i "
+              "JOIN iaebands e ON i.ci = e.ci AND i.cv = e.cv")
+        ia_ham = " + ".join(f"bit_count(xor(i2.band_{b}, ev.band_{b}))" for b in range(4))
+        stage("iabest", f"""
+          SELECT doc_id, hid, ham FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY ham, hid) AS rn FROM (
+              SELECT c2.doc_id, c2.hid, cast({ia_ham} AS BIGINT) AS ham
+              FROM iacand c2 JOIN iainh i2 ON i2.doc_id = c2.doc_id
+              JOIN iaexvals ev ON ev.hid = c2.hid
+              WHERE {ia_ham} <= 2)) WHERE rn = 1""")
+        queries["dedup_image_admit_stream"] = """
+          SELECT i.doc_id,
+            CASE WHEN iabest.hid IS NOT NULL THEN 'near_dup' ELSE 'admitted' END AS status,
+            iabest.hid AS match_hid, iabest.ham AS ham_dist
+          FROM iainh i LEFT JOIN iabest USING (doc_id)
+          ORDER BY doc_id"""
+
     # ---- video partial-copy: frame moment signatures, rarity cap, shared count ----
     if only is None or "dedup_video_partial" in only:
         pbyte = "('0x' || substr(hex(p), 2*(ffrom + o) + 1, 2))::BIGINT"
