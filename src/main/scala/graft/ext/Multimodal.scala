@@ -1021,7 +1021,10 @@ object Multimodal {
           Encoders.tuple(Encoders.scalaLong, Encoders.STRING), Seq(w1, w2)) { (batch, _) =>
         val media = batch.map { case (d, t) =>
           val p = t.getBytes("UTF-8")
-          if (d >= 2000000L) { // twin: the imageNearDupPairs perturbation — aHash-invariant
+          // twin membership by id ARITHMETIC, not magnitude: GenScale-derived corpora
+          // put real docs at c·10⁷ + orig (orig < 1M), so `d >= 2M` would misclassify
+          // every copy-band arrival — the same residue rule as Dedup.isOldDoc
+          if (d % Dedup.CopyIdShift >= 2000000L) { // twin: aHash-invariant perturbation
             val h = math.max(1, p.length / 8)
             val sampledRows = (0 until 8).map(k => k * h / 8).toSet
             var j = 0
@@ -1086,6 +1089,13 @@ object Multimodal {
             aviContainer(frames, math.max(1, frames.map(_.length).max)))
         }
       val clips = encodeAvi(base, nFrames = 10).union(spliced)
+      // the decode + signature pass feeds BOTH the rarity aggregate and the probe
+      // side, but no cache is needed: every consumer reads through the `distinct()`
+      // shuffle, whose map stage AQE reuses at runtime, so the dominant
+      // container-walk does not re-execute per branch — proven by measurement, not
+      // assumption: an explicit cache+localCheckpoint of this frame benched ~10%
+      // SLOWER at sf0.1 AND sf10 (materialization cost for no saved work), so the
+      // declarative form stands
       val sigs = videoFrameSigs(clips).toDF()
         .filter($"flen" > 0)
         .distinct() // a frame repeated WITHIN a clip counts once toward df and sharing
@@ -1240,13 +1250,23 @@ object Multimodal {
     * is the planted-pair guarantee), the 64-sample mean-threshold hash as 4×16-bit
     * bands, packed-key band-join candidates, popcount verify. The key arms and bar
     * are the variant's; everything else is shared with the engine pipeline. */
+  // ONE rendering of the aHash oracle fragments (encode-grid index, byte extraction,
+  // the non-sampled-row perturbation, the mean-threshold band defs) shared by the
+  // image near-dup oracles AND the admission-gate oracle — the same no-drift move
+  // phashBlockSql/phashComboKeySql made for the key arms
+  private val aHashIdxSql = "((k // 8) * h // 8) * 8 + (k % 8)"
+  private val aHashByteSql = s"('0x' || substr(hex(p), 2*($aHashIdxSql) + 1, 2))::BIGINT"
+  private val aHashPertSql =
+    s"CASE WHEN pert = 1 AND NOT list_contains([(j * h) // 8 for j in range(0, 8)], (k // 8) * h // 8) THEN 1 ELSE 0 END"
+  private val aHashBandDefsSql = (0 until 4).map { b =>
+    s"cast(list_sum([CASE WHEN sv[k+1]*64 >= tot THEN (1 << (k - ${16 * b})) ELSE 0 END for k in range(${16 * b}, ${16 * (b + 1)})]) AS BIGINT) AS band_$b"
+  }.mkString(",\n      |  ")
+
   private def imagePhashOracle(keyArms: Seq[String], bar: Int): String = {
-    val idx = "((k // 8) * h // 8) * 8 + (k % 8)"
-    val byte = s"('0x' || substr(hex(p), 2*($idx) + 1, 2))::BIGINT"
-    val pert = s"CASE WHEN pert = 1 AND NOT list_contains([(j * h) // 8 for j in range(0, 8)], (k // 8) * h // 8) THEN 1 ELSE 0 END"
-    val bandDefs = (0 until 4).map { b =>
-      s"cast(list_sum([CASE WHEN sv[k+1]*64 >= tot THEN (1 << (k - ${16 * b})) ELSE 0 END for k in range(${16 * b}, ${16 * (b + 1)})]) AS BIGINT) AS band_$b"
-    }.mkString(",\n      |  ")
+    val idx = aHashIdxSql
+    val byte = aHashByteSql
+    val pert = aHashPertSql
+    val bandDefs = aHashBandDefsSql
     val bandsUnion = keyArms.zipWithIndex.map { case (keyExpr, c) =>
       s"SELECT doc_id, $c AS ci, $keyExpr AS cv FROM hh" }.mkString(" UNION ALL ")
     val ham = (0 until 4).map(b => s"bit_count(xor(ha.band_$b, hb2.band_$b))").mkString(" + ")
@@ -1433,12 +1453,10 @@ object Multimodal {
     * candidate arms on both sides, popcount verify, and the per-doc (min ham, min
     * hid) decision joined back to every arrival. */
   private lazy val imageAdmitOracleSql: String = {
-    val idx = "((k // 8) * h // 8) * 8 + (k % 8)"
-    val byte = s"('0x' || substr(hex(p), 2*($idx) + 1, 2))::BIGINT"
-    val pert = s"CASE WHEN pert = 1 AND NOT list_contains([(j * h) // 8 for j in range(0, 8)], (k // 8) * h // 8) THEN 1 ELSE 0 END"
-    val bandDefs = (0 until 4).map { b =>
-      s"cast(list_sum([CASE WHEN sv[k+1]*64 >= tot THEN (1 << (k - ${16 * b})) ELSE 0 END for k in range(${16 * b}, ${16 * (b + 1)})]) AS BIGINT) AS band_$b"
-    }.mkString(",\n      |  ")
+    val idx = aHashIdxSql
+    val byte = aHashByteSql
+    val pert = aHashPertSql
+    val bandDefs = aHashBandDefsSql
     def arms(src: String, id: String) = phashComboKeySql(4, 2, "//").zipWithIndex.map {
       case (keyExpr, c) => s"SELECT $id, $c AS ci, $keyExpr AS cv FROM $src" }
       .mkString(" UNION ALL ")

@@ -37,38 +37,58 @@ class BenchSpinSpec extends AnyFunSuite {
     Bench.calibrationSpin(iters0) // JIT warmup, same as Bench.main's throwaway
     val t0 = (1 to 3).map(_ => Bench.calibrationSpin(iters0)).min
     val iters = math.max(iters0, (iters0 * 0.25 / t0).toLong)
-    val baseline = (1 to 5).map(_ => Bench.calibrationSpin(iters)).min
-
-    // saturate the box at ~4x oversubscription: with 4N runnable spinners per core the
-    // probe thread's CPU share drops to ~1/4, so its fixed work takes ~4x wall time —
-    // comfortably past the 2x trip with margin for scheduler variance
     val cores = Runtime.getRuntime.availableProcessors()
-    @volatile var stop = false
-    val burners = (1 to cores * 4).map { _ =>
-      val t = new Thread(() => {
-        var h = 1L
-        while (!stop) h = h * 6364136223846793005L + 1442695040888963407L
-        if (h == 0L) println("") // keep the loop live
-      })
-      t.setDaemon(true)
-      t.start()
-      t
-    }
-    val loaded =
-      try (1 to 3).map(_ => Bench.calibrationSpin(iters)).min
-      finally { stop = true; burners.foreach(_.join(2000)) }
-    // re-sample after the burners stop and keep the overall min: under `sbt test` other
-    // suites can spike the machine during the FIRST baseline window, inflating it enough
-    // to mask the injected 4x — a healthy rep on either side of the burst restores the
-    // exact shape spinTripped is specified against (one healthy + one contended rep)
-    val baselineAfter = (1 to 3).map(_ => Bench.calibrationSpin(iters)).min
-    val healthy = math.min(baseline, baselineAfter)
 
-    info(f"baseline=${healthy}%.3fs loaded=${loaded}%.3fs ratio=${loaded / healthy}%.1fx")
-    assert(loaded > healthy, "probe must slow under contention")
-    // the EXACT degraded condition Bench.main applies to the per-rep spin series: a run
-    // whose series contains both healthy and contended reps must stamp degraded:true
-    assert(Bench.spinTripped(Seq(healthy, loaded)),
-      f"injected 4x oversubscription must trip spinTripped (got ${loaded / healthy}%.1fx, gap ${loaded - healthy}%.3fs)")
+    // one detection round: healthy min on either side of the burner window (under
+    // `sbt test` other suites can spike the machine during the FIRST baseline window,
+    // inflating it enough to mask the injected contention — a healthy rep on either
+    // side restores the exact shape spinTripped is specified against)
+    def round(): (Double, Double) = {
+      val baseline = (1 to 5).map(_ => Bench.calibrationSpin(iters)).min
+      // saturate the box at ~4x oversubscription: with 4N runnable spinners per core
+      // the probe thread's CPU share drops to ~1/4, so its fixed work takes ~4x wall
+      // time — comfortably past the 2x trip with margin for scheduler variance
+      @volatile var stop = false
+      val burners = (1 to cores * 4).map { _ =>
+        val t = new Thread(() => {
+          var h = 1L
+          while (!stop) h = h * 6364136223846793005L + 1442695040888963407L
+          if (h == 0L) println("") // keep the loop live
+        })
+        t.setDaemon(true)
+        t.start()
+        t
+      }
+      val loaded =
+        try (1 to 3).map(_ => Bench.calibrationSpin(iters)).min
+        finally { stop = true; burners.foreach(_.join(2000)) }
+      val baselineAfter = (1 to 3).map(_ => Bench.calibrationSpin(iters)).min
+      (math.min(baseline, baselineAfter), loaded)
+    }
+
+    // the EXACT degraded condition Bench.main applies to the per-rep spin series: a
+    // run whose series contains both healthy and contended reps must stamp
+    // degraded:true. Up to 3 attempts: when the FULL SUITE saturates all cores for a
+    // whole attempt, ambient slows healthy and loaded alike and the injected ratio
+    // washes out (measured: 1.1x under a concurrent Spark-suite burst) — a later
+    // attempt normally lands in a quiet window.
+    val tripped = (1 to 3).exists { i =>
+      val (healthy, loaded) = round()
+      info(f"attempt $i: baseline=$healthy%.3fs loaded=$loaded%.3fs ratio=${loaded / healthy}%.1fx")
+      Bench.spinTripped(Seq(healthy, loaded))
+    }
+    if (!tripped) {
+      // distinguish "detector broken" from "environment unmeasurable": on a host whose
+      // ambient load already saturates the cores there is no quiet window to compare
+      // against, and the property cannot be evaluated — cancel loudly instead of
+      // failing spuriously (or worse, weakening the assertion)
+      val load1 = scala.util.Try(
+        scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble)
+        .getOrElse(0.0)
+      if (load1 > cores * 0.75)
+        cancel(f"ambient load $load1%.1f saturates $cores cores — injected-contention ratio unmeasurable in this window")
+      else
+        fail("injected 4x oversubscription must trip spinTripped in 3 attempts on a quiet host")
+    }
   }
 }
