@@ -61,6 +61,15 @@ cur["control"] = {
     "queries_min": {q: ctrl["queries"][q]["min"] for q in common},
 }
 json.dump(cur, open(target, "w"))
+# the driver's own post-round Bench overwrites BENCH_full_rNN.json, which would drop
+# the injected control block — persist the pairing in its own round artifact too
+pair = {
+    "note": "same-day prior-snapshot control paired with the builder's closing run; "
+            "survives the driver's post-round overwrite of " + target,
+    "closing_run_queries_min": {q: cur["queries"][q]["min"] for q in cur["queries"]},
+    "control": cur["control"],
+}
+json.dump(pair, open(target.replace("BENCH_full_", "BENCH_control_"), "w"))
 print(f"[control] {target}: common={len(common)} control_min_sum={ctl_min:.1f}s "
       f"current_min_sum={cur_min:.1f}s ratio={cur_min/ctl_min:.3f} "
       f"control_degraded={ctrl.get('degraded')}")
