@@ -906,6 +906,28 @@ object Multimodal {
     // the generator.
     "dedup_image_phash33" -> ((s, dir) =>
       imageNearDupPairs(s, dir, phashComboKeysGen(6, 3), Phash33MaxHamming)),
+    // IMAGE NEAR-DUP COMPONENTS + CANONICAL SELECTION (r14) — the cluster/canonical
+    // step text dedup has had since r5 (dedup_components / dedup_canonical), closing
+    // the family asymmetry for media: the near-dup graph collapses into connected
+    // components ENTIRELY AT FINGERPRINT-VALUE LEVEL (the pointer-halving
+    // O(log d) label propagation runs on |values| nodes and the verified value
+    // pairs — never on doc-level pair expansion), docs join their value's label at
+    // output, and each cluster reports its canonical (= min doc_id, which is the
+    // propagated min-hid label by construction since hid = min doc of its value),
+    // member count and max member. Same-value docs cluster through their shared hid
+    // with no edges at all; isolated values keep label = hid.
+    "dedup_image_canonical" -> { (s, dir) =>
+      import s.implicits._
+      val (_, docHid, vpairs) =
+        bandedValueGraph(imageDoubledHashes(s, dir), phashPairKeys, PhashMaxHamming)
+      val labels = Dedup.propagateLabels(s,
+        vpairs.select($"hid_a".as("doc_a"), $"hid_b".as("doc_b")))
+      docHid.join(labels, docHid("hid") === labels("id"), "left_outer")
+        .select($"doc_id", coalesce($"label", $"hid").as("canon"))
+        .groupBy($"canon")
+        .agg(count(lit(1)).as("member_cnt"), max($"doc_id").as("max_member"))
+        .orderBy($"canon")
+    },
     // AUDIO NEAR-DUP DEDUP over the real WAV decode (r14, VERDICT r13 #6) — the last
     // multimodal×dedup bridge: every clip gets the chromaprint-style energy
     // fingerprint ([[audioFingerprintBands]]), candidates form through the SAME
@@ -1145,7 +1167,14 @@ object Multimodal {
     * and the doc↔value-id map (2 longs/row; the bands never travel with the corpus).
     * DedupLifecycleSpec pins the allowance. */
   private def imageNearDupPairs(s: SparkSession, dir: String,
-      comboKeys: Seq[Column], maxHam: Int): DataFrame = {
+      comboKeys: Seq[Column], maxHam: Int): DataFrame =
+    bandedNearDupPairs(imageDoubledHashes(s, dir), comboKeys, maxHam)
+
+  /** The doubled image corpus's fingerprint frame shared by the near-dup pair
+    * queries and the canonical-selection query: originals plus the planted
+    * aHash-invariant copies (+1 on every non-sampled row, doc_id + 1M), hashed
+    * through the real BMP round-trip. */
+  private def imageDoubledHashes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val orig = mediaFrame(s, dir)
     val copies = orig.map { m =>
@@ -1159,8 +1188,7 @@ object Multimodal {
       }
       MediaRow(m.doc_id + 1000000L, p2)
     }
-    bandedNearDupPairs(
-      avgHashBands(encodeBmp(orig.union(copies), width = 8)).toDF(), comboKeys, maxHam)
+    avgHashBands(encodeBmp(orig.union(copies), width = 8)).toDF()
   }
 
   /** The fingerprint-value-level banded near-dup tail shared by the image and audio
@@ -1168,8 +1196,13 @@ object Multimodal {
     * while the two eager artifacts (value table, doc↔value-id map) materialize, then
     * releases it per the r12 lifecycle discipline — and runs the combo-key banding,
     * distinct, and popcount verify BETWEEN VALUES, expanding to doc pairs at output. */
-  private def bandedNearDupPairs(hashedIn: DataFrame,
-      comboKeys: Seq[Column], maxHam: Int): DataFrame = {
+  /** The fingerprint-VALUE-level near-dup graph every banded media query builds on:
+    * `vals` (one row per distinct fingerprint, canonical `hid` = min doc),
+    * `docHid` (doc → value id), and `vpairs` (verified cross-value near pairs at the
+    * scheme's Hamming bar). Cache lifecycle as before: the fingerprint frame is
+    * cached only while the two checkpoints materialize. */
+  private def bandedValueGraph(hashedIn: DataFrame, comboKeys: Seq[Column],
+      maxHam: Int): (DataFrame, DataFrame, DataFrame) = {
     val s = hashedIn.sparkSession
     import s.implicits._
     val bcols = (0 until 4).map(b => col(s"band_$b"))
@@ -1178,10 +1211,6 @@ object Multimodal {
     val docHid = hashed0.join(vals, (0 until 4).map(b => s"band_$b"))
       .select($"doc_id", $"hid").localCheckpoint()
     hashed0.unpersist(blocking = false)
-    val sameVal = docHid.as("a").join(docHid.as("b"),
-        col("a.hid") === col("b.hid") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        lit(0L).as("ham_dist"))
     val bands = vals.select($"hid", posexplode(array(comboKeys: _*)).as(Seq("ci", "cv")))
     val vcand = bands.as("a").join(bands.as("b"),
         col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
@@ -1197,6 +1226,18 @@ object Multimodal {
       .withColumn("ham_dist", ham.cast("long"))
       .filter($"ham_dist" > 0 && $"ham_dist" <= maxHam) // 0 impossible across values
       .select($"hid_a", $"hid_b", $"ham_dist")
+    (vals, docHid, vpairs)
+  }
+
+  private def bandedNearDupPairs(hashedIn: DataFrame,
+      comboKeys: Seq[Column], maxHam: Int): DataFrame = {
+    val s = hashedIn.sparkSession
+    import s.implicits._
+    val (_, docHid, vpairs) = bandedValueGraph(hashedIn, comboKeys, maxHam)
+    val sameVal = docHid.as("a").join(docHid.as("b"),
+        col("a.hid") === col("b.hid") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        lit(0L).as("ham_dist"))
     val crossVal = vpairs
       .join(docHid.select($"hid".as("hid_a"), $"doc_id".as("da")), "hid_a")
       .join(docHid.select($"hid".as("hid_b"), $"doc_id".as("db")), "hid_b")
@@ -1217,30 +1258,11 @@ object Multimodal {
       comboKeys: Seq[Column], maxHam: Int): DataFrame = {
     val s = hashedIn.sparkSession
     import s.implicits._
-    val bcols = (0 until 4).map(b => col(s"band_$b"))
-    val hashed0 = hashedIn.cache()
-    val vals = hashed0.groupBy(bcols: _*).agg(min($"doc_id").as("hid")).localCheckpoint()
-    val docHid = hashed0.join(vals, (0 until 4).map(b => s"band_$b"))
-      .select($"doc_id", $"hid").localCheckpoint()
-    hashed0.unpersist(blocking = false)
+    val (_, docHid, vpairs) = bandedValueGraph(hashedIn, comboKeys, maxHam)
     val stars = docHid.filter($"doc_id" =!= $"hid")
       .select($"hid".as("doc_a"), $"doc_id".as("doc_b"), lit(0L).as("ham_dist"))
-    val bands = vals.select($"hid", posexplode(array(comboKeys: _*)).as(Seq("ci", "cv")))
-    val vcand = bands.as("a").join(bands.as("b"),
-        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
-          col("a.hid") < col("b.hid"))
-      .select(col("a.hid").as("hid_a"), col("b.hid").as("hid_b"))
-      .distinct()
-    val ham = (0 until 4)
-      .map(b => bit_count(col(s"va.band_$b").bitwiseXOR(col(s"vb.band_$b"))))
-      .reduce(_ + _)
-    val vpairs = vcand
-      .join(vals.as("va"), $"hid_a" === col("va.hid"))
-      .join(vals.as("vb"), $"hid_b" === col("vb.hid"))
-      .withColumn("ham_dist", ham.cast("long"))
-      .filter($"ham_dist" > 0 && $"ham_dist" <= maxHam)
-      .select($"hid_a".as("doc_a"), $"hid_b".as("doc_b"), $"ham_dist")
-    stars.unionByName(vpairs)
+    stars.unionByName(
+        vpairs.select($"hid_a".as("doc_a"), $"hid_b".as("doc_b"), $"ham_dist"))
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -1495,8 +1517,53 @@ object Multimodal {
       |ORDER BY doc_id""".stripMargin
   }
 
+  /** `dedup_image_canonical` replayed: the image near-dup oracle's hash/value/pair
+    * CTEs (shared fragments), then the SAME recursive min-label closure the text
+    * components oracle uses — over the VALUE graph — with isolated values keeping
+    * their own hid and docs grouped through their value's label. */
+  private lazy val imageCanonicalOracleSql: String = {
+    val bandsUnion = phashComboKeySql(4, 2, "//").zipWithIndex.map { case (keyExpr, c) =>
+      s"SELECT hid, $c AS ci, $keyExpr AS cv FROM pvals" }.mkString(" UNION ALL ")
+    val ham = (0 until 4).map(b => s"bit_count(xor(ha.band_$b, hb2.band_$b))").mkString(" + ")
+    s"""WITH RECURSIVE b AS (SELECT doc_id, encode(text) AS p, octet_length(encode(text)) AS len FROM documents),
+      |c AS (SELECT doc_id, p, len, greatest(len // 8, 1) AS h FROM b),
+      |m AS (SELECT doc_id, p, len, h, 0 AS pert FROM c
+      |      UNION ALL SELECT doc_id + 1000000, p, len, h, 1 FROM c),
+      |s AS (SELECT doc_id,
+      |  [CASE WHEN $aHashIdxSql < len THEN ($aHashByteSql + $aHashPertSql) % 256 ELSE 0 END
+      |   for k in range(0, 64)] AS sv FROM m),
+      |hb AS (SELECT doc_id, list_sum(sv) AS tot, sv FROM s),
+      |hh AS (SELECT doc_id,
+      |  $aHashBandDefsSql
+      |  FROM hb),
+      |pvals AS (SELECT band_0, band_1, band_2, band_3, min(doc_id) AS hid FROM hh
+      |  GROUP BY 1, 2, 3, 4),
+      |pdoc AS (SELECT h.doc_id, v.hid FROM hh h
+      |  JOIN pvals v USING (band_0, band_1, band_2, band_3)),
+      |bands AS ($bandsUnion),
+      |cand AS (SELECT DISTINCT a.hid AS hid_a, b.hid AS hid_b
+      |  FROM bands a JOIN bands b
+      |    ON a.ci = b.ci AND a.cv = b.cv AND a.hid < b.hid),
+      |vp AS (SELECT c2.hid_a, c2.hid_b
+      |  FROM cand c2 JOIN pvals ha ON ha.hid = c2.hid_a JOIN pvals hb2 ON hb2.hid = c2.hid_b
+      |  WHERE $ham BETWEEN 1 AND $PhashMaxHamming),
+      |edges AS (SELECT hid_a AS s2, hid_b AS d FROM vp
+      |          UNION ALL SELECT hid_b, hid_a FROM vp),
+      |nodes AS (SELECT DISTINCT s2 AS id FROM edges),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s2 = reach.id),
+      |labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+      |SELECT coalesce(l.label, p.hid) AS canon, cast(count(*) AS BIGINT) AS member_cnt,
+      |  max(p.doc_id) AS max_member
+      |FROM pdoc p LEFT JOIN labels l ON l.id = p.hid
+      |GROUP BY 1 ORDER BY canon""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "dedup_audio_fingerprint" -> audioFingerprintOracleSql,
+    "dedup_image_canonical" -> imageCanonicalOracleSql,
     "dedup_video_phash" -> videoPhashOracleSql,
     "dedup_video_partial" -> videoPartialOracleSql,
     "dedup_image_admit_stream" -> imageAdmitOracleSql,

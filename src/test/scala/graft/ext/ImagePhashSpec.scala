@@ -146,4 +146,30 @@ class ImagePhashSpec extends AnyFunSuite {
       }
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
+
+  test("canonical clusters: closure of the pair graph, canon = min member, planted twins co-cluster") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val clusters = graft.SparkEntry.queries("dedup_image_canonical")(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    val pairs = graft.SparkEntry.queries("dedup_image_phash")(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    val docs = graft.engine.Tables(spark, dir, "documents")
+      .select($"doc_id").as[Long].collect()
+    val all = docs ++ docs.map(_ + 1000000L)
+    // independent union-find closure of the DOC-level pair output
+    val parent = scala.collection.mutable.Map(all.map(d => d -> d): _*)
+    def root(d: Long): Long = { var x = d; while (parent(x) != x) x = parent(x); x }
+    pairs.foreach { case (a, b, _) =>
+      val (ra, rb) = (root(a), root(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = all.groupBy(root).map { case (_, ms) =>
+      (ms.min, ms.length.toLong, ms.max) }.toSet
+    assert(clusters.toSet === expected,
+      "canonical clusters must be exactly the connected components of the pair graph")
+    assert(clusters.map(_._2).sum === all.length.toLong, "members must partition the corpus")
+    docs.foreach(d => assert(root(d) === root(d + 1000000L), s"twin of $d not co-clustered"))
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
 }

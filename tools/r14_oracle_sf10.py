@@ -381,6 +381,56 @@ def main():
           FROM vvcand c JOIN vvals va ON va.hid = c.hid_a JOIN vvals vb ON vb.hid = c.hid_b
           WHERE {vham} BETWEEN 1 AND {VIDEO_BAR}"""
 
+    # ---- image canonical: value-graph components over the pair-scheme edges ----
+    if only is None or "dedup_image_canonical" in only:
+        idx = "((k // 8) * h // 8) * 8 + (k % 8)"
+        byte = f"('0x' || substr(hex(p), 2*({idx}) + 1, 2))::BIGINT"
+        pert = ("CASE WHEN pert = 1 AND NOT list_contains("
+                "[(j * h) // 8 for j in range(0, 8)], (k // 8) * h // 8) THEN 1 ELSE 0 END")
+        band_defs = ",\n".join(
+            f"cast(list_sum([CASE WHEN sv[k+1]*64 >= tot THEN (1 << (k - {16*b})) ELSE 0 END "
+            f"for k in range({16*b}, {16*(b+1)})]) AS BIGINT) AS band_{b}"
+            for b in range(4))
+        stage("ichh", f"""
+          WITH b AS (SELECT doc_id, encode(text) AS p, octet_length(encode(text)) AS len FROM documents),
+          c AS (SELECT doc_id, p, len, greatest(len // 8, 1) AS h FROM b),
+          m AS (SELECT doc_id, p, len, h, 0 AS pert FROM c
+                UNION ALL SELECT doc_id + {DUP_OFFSET}, p, len, h, 1 FROM c),
+          s AS (SELECT doc_id,
+            [CASE WHEN {idx} < len THEN ({byte} + {pert}) % 256 ELSE 0 END
+             for k in range(0, 64)] AS sv FROM m),
+          hb AS (SELECT doc_id, list_sum(sv) AS tot, sv FROM s)
+          SELECT doc_id, {band_defs} FROM hb""")
+        stage("icvals",
+              "SELECT band_0, band_1, band_2, band_3, min(doc_id) AS hid FROM ichh "
+              "GROUP BY 1, 2, 3, 4")
+        stage("icdoc",
+              "SELECT h.doc_id, v.hid FROM ichh h JOIN icvals v USING (band_0, band_1, band_2, band_3)")
+        ic_arms = " UNION ALL ".join(
+            f"SELECT hid, {ci} AS ci, {expr} AS cv FROM icvals"
+            for ci, expr in enumerate(phash_combo_key_sql(4, 2)))
+        stage("icbands", ic_arms)
+        ic_ham = " + ".join(f"bit_count(xor(va.band_{b}, vb.band_{b}))" for b in range(4))
+        stage("icvp", f"""
+          SELECT c2.hid_a, c2.hid_b FROM (
+            SELECT DISTINCT a.hid AS hid_a, b.hid AS hid_b FROM icbands a
+            JOIN icbands b ON a.ci = b.ci AND a.cv = b.cv AND a.hid < b.hid) c2
+          JOIN icvals va ON va.hid = c2.hid_a JOIN icvals vb ON vb.hid = c2.hid_b
+          WHERE {ic_ham} BETWEEN 1 AND 2""")
+        stage("icedges", "SELECT hid_a AS s, hid_b AS d FROM icvp "
+              "UNION ALL SELECT hid_b, hid_a FROM icvp")
+        queries["dedup_image_canonical"] = """
+          WITH RECURSIVE nodes AS (SELECT DISTINCT s AS id FROM icedges),
+          reach(id, r) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT e.d, reach.r FROM reach JOIN icedges e ON e.s = reach.id),
+          labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+          SELECT coalesce(l.label, p.hid) AS canon, cast(count(*) AS BIGINT) AS member_cnt,
+            max(p.doc_id) AS max_member
+          FROM icdoc p LEFT JOIN labels l ON l.id = p.hid
+          GROUP BY 1 ORDER BY canon"""
+
     # ---- image admission gate: 3-way population, existing-side index, decision ----
     if only is None or "dedup_image_admit_stream" in only:
         idx = "((k // 8) * h // 8) * 8 + (k % 8)"
