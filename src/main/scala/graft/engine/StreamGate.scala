@@ -65,15 +65,22 @@ object StreamGate {
     import scala.jdk.CollectionConverters._
     val input = MemoryStream[T](enc, spark)
     val rows = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
-    var schema: org.apache.spark.sql.types.StructType = null
+    @volatile var schema: org.apache.spark.sql.types.StructType = null
+    // the ordinal handed to onBatch is the DRIVER-side submitted-wave index, not Spark's
+    // batch id: an empty wave fires no micro-batch, so Spark's ordinals COMPACT — a
+    // caller labeling output by ordinal (dedup_winnow_admit_stream_incr's `wave` column)
+    // would silently mislabel every later wave relative to its fixed-wave oracle
+    // (ADVICE r14). processAllAvailable() drains each wave before the next is submitted,
+    // so the volatile is stable for the duration of its wave's foreachBatch call.
+    @volatile var waveIdx = 0L
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     val query =
       try {
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         input.toDS().writeStream
           .outputMode("append")
-          .foreachBatch { (df: Dataset[T], id: Long) =>
-            val (out, after) = onBatch(df, id)
+          .foreachBatch { (df: Dataset[T], _: Long) =>
+            val (out, after) = onBatch(df, waveIdx)
             schema = out.schema
             val batchRows = out.collect()
             rows.synchronized { rows ++= batchRows }
@@ -82,11 +89,14 @@ object StreamGate {
           .start()
       } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     try {
-      batches.foreach { b =>
+      batches.zipWithIndex.foreach { case (b, i) =>
+        waveIdx = i.toLong
         input.addData(b)
         query.processAllAvailable()
       }
     } finally query.stop()
+    require(schema != null,
+      "runBatchesForeach: no micro-batch ever fired (every submitted wave was empty)")
     spark.createDataFrame(rows.synchronized(rows.toList).asJava, schema)
   }
 

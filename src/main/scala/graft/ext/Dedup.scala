@@ -1051,7 +1051,7 @@ object Dedup {
         .as[(Long, String)].collect().toSeq // driver-side feed is inherent to MemoryStream
       val (b1, b2) = feed.partition(_._1 % 2 == 0)
       var index = winnowDfCounts(s, existing).localCheckpoint()
-      val out = graft.engine.StreamGate.runBatchesForeach(s,
+      val out = try graft.engine.StreamGate.runBatchesForeach(s,
           Encoders.tuple(Encoders.scalaLong, Encoders.STRING), Seq(b1, b2)) { (batch, id) =>
         val wave = batch.toDF("doc_id", "text")
         val (dec, folded) = winnowAdmitWave(s, wave, index)
@@ -1064,8 +1064,10 @@ object Dedup {
           releaseLocalCheckpoint(index)
           index = newIdx
         })
-      }
-      releaseLocalCheckpoint(index) // the final fold: nothing reads it after the run
+      // finally, not success-path-only: a stream failure mid-run must not leak the
+      // current index generation's checkpoint blocks (ADVICE r14); `index` always
+      // points at the latest live generation — superseded ones release in the hook
+      } finally releaseLocalCheckpoint(index) // final fold: nothing reads it after the run
       out.orderBy($"doc_id")
     },
   )
@@ -1164,7 +1166,8 @@ object Dedup {
     * WinnowAdmitStateSpec can drive the SAME plan under its own streaming query and
     * assert from the progress metrics that it holds NO state operator. Returns the
     * plan builder plus a cleanup that drops the one-off probe registration and
-    * releases the broadcast's executor blocks — call it once the consuming query has
+    * DESTROYS the broadcast (executor blocks AND the driver-side array — cleanup owns
+    * the broadcast's lifetime from here) — call it once the consuming query has
     * materialized its output. */
   private[ext] def winnowAdmitPlan(s: SparkSession,
       rareIdx: org.apache.spark.broadcast.Broadcast[Array[Long]])
@@ -1182,7 +1185,10 @@ object Dedup {
           col("n_rare_matched"))
     val cleanup = () => {
       graft.functions.SortedSetCount.dropFor(s, name)
-      rareIdx.unpersist(blocking = false)
+      // destroy, not just unpersist: unpersist drops executor blocks but leaves the
+      // driver-side array reachable through the Broadcast object until GC — at the
+      // documented 200M-entry bound that is ~1.6 GB held across bench reps (ADVICE r14)
+      rareIdx.destroy()
     }
     (plan, cleanup)
   }

@@ -1039,7 +1039,7 @@ object Multimodal {
       val ham = Seq(("band_0", "xb0"), ("band_1", "xb1"), ("band_2", "xb2"),
         ("band_3", "xb3")).map { case (a, b) => bit_count(col(a).bitwiseXOR(col(b))) }
         .reduce(_ + _)
-      val out = graft.engine.StreamGate.runBatchesForeach(s,
+      val out = try graft.engine.StreamGate.runBatchesForeach(s,
           Encoders.tuple(Encoders.scalaLong, Encoders.STRING), Seq(w1, w2)) { (batch, _) =>
         val media = batch.map { case (d, t) =>
           val p = t.getBytes("UTF-8")
@@ -1076,8 +1076,9 @@ object Multimodal {
             when($"match_hid".isNotNull, "near_dup").otherwise("admitted").as("status"),
             $"match_hid", $"ham_dist")
         (res, () => ())
-      }
-      Dedup.releaseLocalCheckpoint(exVals) // nothing reads the index after the run
+      // finally, not success-path-only: a stream failure mid-run must not leak the
+      // index's checkpoint blocks until the next RDD sweep (ADVICE r14)
+      } finally Dedup.releaseLocalCheckpoint(exVals) // nothing reads it after the run
       out.orderBy($"doc_id")
     },
     // VIDEO PARTIAL-COPY DETECTION (r14) — the shared-footage shape whole-clip

@@ -55,10 +55,7 @@ class WinnowAdmitStateSpec extends AnyFunSuite {
         .queryExecution.executedPlan.toString
       assert(!physical.contains("Join"),
         s"the r14 gate probes a broadcast variable in-row; a join crept back in:\n$physical")
-    } finally {
-      cleanup()
-      rareIdx.destroy()
-    }
+    } finally cleanup() // cleanup owns destruction of the broadcast (ADVICE r14)
   }
 
   /** The r14 scale claim (VERDICT r13 #2): the broadcast sorted-index gate must work
@@ -79,6 +76,9 @@ class WinnowAdmitStateSpec extends AnyFunSuite {
     val filler = spark.range(12000000L).select((-$"id" - 1).as("fp"))
     val rare = filler.unionByName(realFps)
     val rareIdx = Dedup.buildRareIndex(spark, rare, "scale-spec rare set")
+    // cleanup owns destruction once winnowAdmitPlan is entered (ADVICE r14); the flag
+    // covers only the window where an assert fires before the plan exists
+    var destroyed = false
     try {
       assert(rareIdx.value.length > TextOps.MaxBroadcastRows,
         s"the spec must exercise an index past the old cap, got ${rareIdx.value.length}")
@@ -89,8 +89,8 @@ class WinnowAdmitStateSpec extends AnyFunSuite {
         assert(out(0).getString(1) === "near_dup")
         assert(out(0).getLong(2) > 0)
         assert(out(1).getString(1) === "admitted" && out(1).getLong(2) === 0L)
-      } finally cleanup()
-    } finally rareIdx.destroy()
+      } finally { cleanup(); destroyed = true }
+    } finally if (!destroyed) rareIdx.destroy()
   }
 
   /** The count guard must raise BEFORE the driver collect when the rare set exceeds

@@ -42,10 +42,13 @@ echo "[control] benching snapshot $SHA on $SFDIR" >&2
   graft.Bench >/dev/null)
 
 python3 - "$SHA" "$SRC/target/bench_full.json" <<'PY'
-import glob, json, sys
+import glob, json, re, sys
 sha, ctrl_path = sys.argv[1], sys.argv[2]
 ctrl = json.load(open(ctrl_path))
-target = sorted(glob.glob("BENCH_full_r*.json"))[-1]
+# sort by the extracted integer round number, not lexically: a lexical sort picks the
+# wrong artifact as soon as a round number is unpadded or reaches 3 digits (ADVICE r14)
+target = max(glob.glob("BENCH_full_r*.json"),
+             key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
 cur = json.load(open(target))
 common = sorted(set(cur["queries"]) & set(ctrl["queries"]))
 cur_min = sum(cur["queries"][q]["min"] for q in common)
