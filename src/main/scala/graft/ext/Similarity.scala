@@ -70,6 +70,20 @@ object Similarity {
   /** SemDeDup near-dup radius in integer milli² units — far below the ~1.3e8 distance of
     * a random 64-dim pair, so only genuine copies fall inside. */
   private val SemDedupEpsMilli = 1000000L
+  /** SemDeDup cluster-count scaling (r15, the r14 relative-cap discipline applied to the
+    * semantic dedup family): cells = max(8, n_embeddings / 250), i.e. one cell per ~500
+    * rows of the DOUBLED dedup corpus. A FIXED cell count is the absolute-cap shape that
+    * degenerates at scale — at 100× the corpus, 8 cells hold 50k rows each and the
+    * within-cell pair join quadratic-blows (≈2·10¹⁰ candidates); scaling k with n keeps
+    * Σ C(cell, 2) ≈ n·cellTarget/2, i.e. LINEAR in the corpus, which is exactly the
+    * SemDeDup paper's k ∝ n posture. At every driver gate scale (≤2000 embeddings) the
+    * formula floors at 8 — bit-identical to the fixed-seed behavior it replaces. */
+  private val SemDedupCellDivisor = 250L
+  /** Seed vectors for the scaled cell set: the lowest `nCents` vec_ids ≥ this base
+    * present in the corpus (= [[CentroidIds]].head, so the floor case selects exactly
+    * the fixed IVF seed set). Selection by order-and-limit, not an id-range assumption —
+    * derived corpora (GenScale) have non-contiguous id blocks. */
+  private val SemDedupSeedBase = CentroidIds.head
 
   /** Milli-quantized integer embeddings `(vec_id, qv, vv = |qv|²)` — the exact-arithmetic
     * domain shared by the k-means, PQ and trained-IVF chains. */
@@ -89,8 +103,16 @@ object Similarity {
     * so "the centroids the IVF probes" and "the centroids k-means trains" cannot drift. */
   private def lloydOnce(s: SparkSession, q: DataFrame): DataFrame = {
     import s.implicits._
-    val cent0 = q.filter($"vec_id".isin(CentroidIds: _*))
-      .select($"vec_id".as("cid"), $"qv".as("cvec"))
+    lloydOnceFrom(s, q, q.filter($"vec_id".isin(CentroidIds: _*))
+      .select($"vec_id".as("cid"), $"qv".as("cvec")))
+  }
+
+  /** [[lloydOnce]] with an explicit seed frame `(cid, cvec)` — `dedup_semantic` scales
+    * its seed COUNT with the corpus (SemDeDup's quadratic term is bounded per cell, so
+    * the cell count must grow as the corpus does); the fixed-seed IVF/k-means chains
+    * keep the [[CentroidIds]] default above. */
+  private def lloydOnceFrom(s: SparkSession, q: DataFrame, cent0: DataFrame): DataFrame = {
+    import s.implicits._
     q.crossJoin(broadcast(cent0))
       .withColumn("dot", dot($"qv", $"cvec"))
       .groupBy($"vec_id")
@@ -507,14 +529,24 @@ object Similarity {
     // neighbor with a smaller vec_id sits within integer-L2 epsilon. The corpus is
     // doubled with id-shifted exact copies so the duplicate structure is known. 100 TB
     // shape: clustering bounds the quadratic term — all-pairs runs per CELL (O(n²/k)
-    // total, k chosen so cells stay bounded), never across the corpus; the centroid set
-    // is constant-size and broadcasts; epsilon (1e6 milli²) sits orders of magnitude
-    // below random-pair distances (~1.3e8 at 64 dims), so only genuine copies pair up.
+    // total), never across the corpus, and k SCALES WITH n (SemDedupCellDivisor, r15:
+    // a fixed k is the absolute-cap degeneration — at 100× the corpus 8 cells hold 50k
+    // rows each and the pair join blows to ~2·10¹⁰ candidates; k ∝ n keeps candidate
+    // mass ≈ n·500/2, linear, the SemDeDup paper's own posture). The centroid set is
+    // k rows and broadcasts; epsilon (1e6 milli²) sits orders of magnitude below
+    // random-pair distances (~1.3e8 at 64 dims), so only genuine copies pair up.
     "dedup_semantic" -> { (s, dir) =>
       import s.implicits._
       val q0 = milliQ(s, dir)
       val q = q0.union(q0.select(($"vec_id" + DupIdOffset).as("vec_id"), $"qv", $"vv"))
-      val cents = lloydOnce(s, q)
+      // k ∝ n (see SemDedupCellDivisor): one count action at construct time sizes the
+      // cell set; ≤2000-row corpora floor at the fixed 8-seed set (bit-identical to r14)
+      val nCents = math.max(8L,
+        graft.engine.Tables(s, dir, "embeddings").count() / SemDedupCellDivisor)
+      val seeds = q.filter($"vec_id" >= SemDedupSeedBase)
+        .orderBy($"vec_id").limit(nCents.toInt)
+        .select($"vec_id".as("cid"), $"qv".as("cvec"))
+      val cents = lloydOnceFrom(s, q, seeds)
       val assigned = q.crossJoin(broadcast(cents))
         .withColumn("dot", dot($"qv", $"cvec"))
         .groupBy($"vec_id")
@@ -1175,8 +1207,10 @@ object Similarity {
          |qd AS (SELECT vec_id, qv FROM q0
          |  UNION ALL SELECT vec_id + $DupIdOffset AS vec_id, qv FROM q0),
          |qq AS (SELECT vec_id, qv, CAST(list_dot_product(qv, qv) AS BIGINT) AS vv FROM qd),
-         |c0 AS (SELECT vec_id AS cid, qv AS cvec FROM qd
-         |  WHERE vec_id IN ${CentroidIds.mkString("(", ", ", ")")}),
+         |c0 AS (SELECT cid, cvec FROM (
+         |  SELECT vec_id AS cid, qv AS cvec, row_number() OVER (ORDER BY vec_id) AS rn
+         |  FROM qd WHERE vec_id >= $SemDedupSeedBase)
+         |  WHERE rn <= greatest(8, (SELECT count(*) FROM embeddings) // $SemDedupCellDivisor)),
          |s1 AS (SELECT qq.vec_id, qq.qv, c0.cid,
          |  CAST(list_dot_product(qq.qv, c0.cvec) AS BIGINT) AS dot FROM qq CROSS JOIN c0),
          |a1 AS (SELECT vec_id, qv, cid FROM (
