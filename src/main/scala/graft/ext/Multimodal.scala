@@ -483,6 +483,15 @@ object Multimodal {
     * shared footage). */
   private[ext] val VideoSigMaxDf = 4
   private[ext] val VideoMinSharedFrames = 3
+  /** Relative-rarity denominator for `dedup_video_partial_rel` (r15, VERDICT r14 #3):
+    * the frame-df bar scales as 10 ppm of the CLIP corpus — cap = max(VideoSigMaxDf,
+    * ceil(nClips / this)) — the same discipline as `dedup_winnow_pairs_rel`
+    * (Dedup.WinnowRareDenom). An absolute df=4 stays non-degenerate at sf10 only
+    * because the planted splices are byte-identical to their sources; on a real
+    * high-duplication video corpus a fixed bar starves the candidate set as the
+    * corpus grows, exactly the degeneration the winnow family fixed in r14. The
+    * per-value candidate bound stays Σ C(df,2) ≤ |rare|·cap/2. */
+  private[ext] val VideoSigRareDenom = 100000L
   /** doc_id offset of the planted splice clips (distinct from the +1M near-dup copy
     * range; GenScale ids are c·10⁷ + orig with orig far below 2·10⁶, so the offset
     * cannot collide at any derived scale). */
@@ -1016,70 +1025,25 @@ object Multimodal {
     // cardinality on thumbnail-like corpora), the arriving batch is the small side,
     // and the corpus is never re-scanned per batch.
     "dedup_image_admit_stream" -> { (s, dir) =>
-      import s.implicits._
-      import org.apache.spark.sql.Encoders
-      val docs = graft.engine.Tables(s, dir, "documents").select($"doc_id", $"text")
-      val existing = docs.filter($"doc_id" % 5 =!= 0)
-      val exMedia = existing
-        .select($"doc_id", encode($"text", "UTF-8").as("payload")).as[MediaRow]
-      val exVals = avgHashBands(encodeBmp(exMedia, width = 8)).toDF()
-        .groupBy($"band_0", $"band_1", $"band_2", $"band_3")
-        .agg(min($"doc_id").as("hid"))
-        .localCheckpoint() // snapshot ONCE before the stream starts (r14 discipline)
-      val exKeys = exVals
-        .select($"hid", posexplode(array(phashPairKeys: _*)).as(Seq("ci", "cv")))
-      val exBands = exVals.select($"hid",
-        $"band_0".as("xb0"), $"band_1".as("xb1"), $"band_2".as("xb2"), $"band_3".as("xb3"))
-      val feed = docs.filter($"doc_id" % 5 === 0)
-        .union(existing.filter($"doc_id" % 9 === 2)
-          .select(($"doc_id" + 2000000L).as("doc_id"), $"text"))
-        .as[(Long, String)].collect().toSeq // driver-side feed is inherent to MemoryStream
-        .sortBy(_._1)
-      val (w1, w2) = feed.partition(_._1 % 2 == 0)
-      val ham = Seq(("band_0", "xb0"), ("band_1", "xb1"), ("band_2", "xb2"),
-        ("band_3", "xb3")).map { case (a, b) => bit_count(col(a).bitwiseXOR(col(b))) }
-        .reduce(_ + _)
-      val out = try graft.engine.StreamGate.runBatchesForeach(s,
-          Encoders.tuple(Encoders.scalaLong, Encoders.STRING), Seq(w1, w2)) { (batch, _) =>
-        val media = batch.map { case (d, t) =>
-          val p = t.getBytes("UTF-8")
-          // twin membership by id ARITHMETIC, not magnitude: GenScale-derived corpora
-          // put real docs at c·10⁷ + orig (orig < 1M), so `d >= 2M` would misclassify
-          // every copy-band arrival — the same residue rule as Dedup.isOldDoc
-          if (d % Dedup.CopyIdShift >= 2000000L) { // twin: aHash-invariant perturbation
-            val h = math.max(1, p.length / 8)
-            val sampledRows = (0 until 8).map(k => k * h / 8).toSet
-            var j = 0
-            while (j < p.length) {
-              if (!sampledRows(j / 8)) p(j) = ((p(j) + 1) & 0xff).toByte
-              j += 1
-            }
-          }
-          MediaRow(d, p)
-        }(Encoders.product[MediaRow])
-        val inHash = avgHashBands(encodeBmp(media, width = 8)).toDF()
-        val cand = inHash
-          .select($"doc_id", $"band_0", $"band_1", $"band_2", $"band_3",
-            posexplode(array(phashPairKeys: _*)).as(Seq("ci", "cv")))
-          .join(broadcast(exKeys), Seq("ci", "cv"))
-          .select($"doc_id", $"band_0", $"band_1", $"band_2", $"band_3", $"hid")
-          .distinct()
-          .join(broadcast(exBands), Seq("hid"))
-          .withColumn("ham", ham.cast("long"))
-          .filter($"ham" <= PhashMaxHamming)
-        val best = cand.groupBy($"doc_id")
-          .agg(min_by(struct($"hid", $"ham"), struct($"ham", $"hid")).as("m"))
-          .select($"doc_id", $"m.hid".as("match_hid"), $"m.ham".as("ham_dist"))
-        val res = inHash.select($"doc_id")
-          .join(best, Seq("doc_id"), "left_outer")
-          .select($"doc_id",
-            when($"match_hid".isNotNull, "near_dup").otherwise("admitted").as("status"),
-            $"match_hid", $"ham_dist")
-        (res, () => ())
-      // finally, not success-path-only: a stream failure mid-run must not leak the
-      // index's checkpoint blocks until the next RDD sweep (ADVICE r14)
-      } finally Dedup.releaseLocalCheckpoint(exVals) // nothing reads it after the run
-      out.orderBy($"doc_id")
+      mediaAdmitStream(s, dir, imageTwinPerturb,
+        m => avgHashBands(encodeBmp(m, width = 8)))
+    },
+    // The AUDIO and VIDEO admission gates (r15, VERDICT r14 #4): the image gate's
+    // fingerprint slot generalized — all three modalities share the 4×16-bit
+    // [[ImageHash]] band layout and the value-level broadcast index, so the whole
+    // probe/verify/decide machinery is [[mediaAdmitStream]] verbatim; only the codec
+    // chain (BMP/aHash vs WAV/energy-fingerprint vs AVI/shot-envelope) and the
+    // fingerprint-invariant twin perturbation differ. Twins MUST flag near_dup at
+    // distance 0 (the perturbations are spec-proven invariant per modality); coarse
+    // audio/video fingerprints also legitimately flag organic same-value arrivals.
+    "dedup_audio_admit_stream" -> { (s, dir) =>
+      mediaAdmitStream(s, dir, audioTwinPerturb,
+        m => audioFingerprintBands(
+          encodeWav(m, id => 8000 + (id % 8).toInt * 1000), win = 64))
+    },
+    "dedup_video_admit_stream" -> { (s, dir) =>
+      mediaAdmitStream(s, dir, videoTwinPerturb,
+        m => videoFingerprintBands(encodeAvi(m, nFrames = 10)))
     },
     // VIDEO PARTIAL-COPY DETECTION (r14) — the shared-footage shape whole-clip
     // near-dup cannot see: a compilation clip that splices scenes from two sources
@@ -1095,48 +1059,199 @@ object Multimodal {
     // report with their shared-rare-frame count at >= [[VideoMinSharedFrames]].
     // 100 TB shape: one decode pass, signature-bucket equi-joins only, candidate
     // mass bounded at C(cap,2) per signature value regardless of corpus size.
-    "dedup_video_partial" -> { (s, dir) =>
-      import s.implicits._
-      val base = mediaFrame(s, dir)
-      val bdf = base.toDF()
-      val spliced = bdf.as("a")
-        .join(bdf.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
-        .filter(col("a.doc_id") % 7 === 3)
-        .select(col("a.doc_id").as("doc_id"), col("a.payload").as("pa"),
-          col("b.payload").as("pb"))
-        .as[(Long, Array[Byte], Array[Byte])]
-        .map { case (d, pa, pb) =>
-          val frames = (aviFrameSlices(pa, 10).take(5) ++ aviFrameSlices(pb, 10).drop(5))
-            .toIndexedSeq
-          MediaRow(d + SpliceOffset,
-            aviContainer(frames, math.max(1, frames.map(_.length).max)))
-        }
-      val clips = encodeAvi(base, nFrames = 10).union(spliced)
-      // the decode + signature pass feeds BOTH the rarity aggregate and the probe
-      // side, but no cache is needed: every consumer reads through the `distinct()`
-      // shuffle, whose map stage AQE reuses at runtime, so the dominant
-      // container-walk does not re-execute per branch — proven by measurement, not
-      // assumption: an explicit cache+localCheckpoint of this frame benched ~10%
-      // SLOWER at sf0.1 AND sf10 (materialization cost for no saved work), so the
-      // declarative form stands
-      val sigs = videoFrameSigs(clips).toDF()
-        .filter($"flen" > 0)
-        .distinct() // a frame repeated WITHIN a clip counts once toward df and sharing
-      val rare = sigs.groupBy($"flen", $"s0", $"s1")
-        .agg(count(lit(1)).as("df"))
-        .filter($"df" <= VideoSigMaxDf)
-        .select($"flen", $"s0", $"s1")
-      val ds = sigs.join(rare, Seq("flen", "s0", "s1"))
-      ds.as("x").join(ds.as("y"),
-          col("x.flen") === col("y.flen") && col("x.s0") === col("y.s0") &&
-            col("x.s1") === col("y.s1") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .groupBy($"doc_a", $"doc_b")
-        .agg(count(lit(1)).as("shared_frames"))
-        .filter($"shared_frames" >= VideoMinSharedFrames)
-        .orderBy($"doc_a", $"doc_b")
-    },
+    "dedup_video_partial" -> { (s, dir) => videoPartialPairs(s, dir, relativeCap = false) },
+    // The RELATIVE-rarity variant (r15, VERDICT r14 #3): same containment pipeline,
+    // but the frame-df bar scales with the clip corpus — max(VideoSigMaxDf,
+    // ceil(nClips / VideoSigRareDenom)) — via a ONE-ROW count broadcast crossJoined
+    // into the df filter (the dedup_winnow_pairs_rel discipline; the count rides the
+    // id-only clip frame, so sizing the cap never touches a payload or a decode).
+    "dedup_video_partial_rel" -> { (s, dir) => videoPartialPairs(s, dir, relativeCap = true) },
   )
+
+  /** The aHash-invariant twin perturbation (`dedup_image_phash`'s planted-copy rule):
+    * +1 mod 256 on every byte of a NON-sampled row — the 8×8 sample grid never reads a
+    * perturbed byte, so the aHash is provably unchanged while the payload differs. */
+  private val imageTwinPerturb: Array[Byte] => Array[Byte] = { p =>
+    val h = math.max(1, p.length / 8)
+    val sampledRows = (0 until 8).map(k => k * h / 8).toSet
+    val p2 = p.clone()
+    var j = 0
+    while (j < p2.length) {
+      if (!sampledRows(j / 8)) p2(j) = ((p2(j) + 1) & 0xff).toByte
+      j += 1
+    }
+    p2
+  }
+
+  /** The energy-fingerprint-invariant twin perturbation (`dedup_audio_fingerprint`'s
+    * planted-copy rule): swap every in-window byte pair (i ↔ i⊕1; win=64 is even so
+    * the partner shares i's window) — audibly reordered samples, identical per-window
+    * energies hence identical fingerprint (AudioFingerprintSpec). */
+  private val audioTwinPerturb: Array[Byte] => Array[Byte] = { p =>
+    val p2 = new Array[Byte](p.length)
+    var i = 0
+    while (i < p2.length) {
+      val j = i ^ 1
+      p2(i) = p(if (j < p2.length) j else i)
+      i += 1
+    }
+    p2
+  }
+
+  /** The shot-envelope-invariant twin perturbation (`dedup_video_phash`'s planted-copy
+    * rule): swap byte pairs only WITHIN a frame-segment — per-segment sums are
+    * preserved, so the 10×6 mean-threshold envelope is identical. */
+  private val videoTwinPerturb: Array[Byte] => Array[Byte] = { p =>
+    val len = p.length
+    val chunk = math.max(1, len / 10)
+    val p2 = p.clone()
+    var i = 0
+    while (i < len) {
+      val j = i ^ 1
+      val f = i / chunk
+      if (j < len && f == j / chunk && f < 10) {
+        val from = f * chunk
+        val flen = math.min(from + chunk, len) - from
+        if ((6 * (i - from) + 5) / flen == (6 * (j - from) + 5) / flen) p2(i) = p(j)
+      }
+      i += 1
+    }
+    p2
+  }
+
+  /** STREAMING MEDIA ADMISSION GATE — the shared machinery behind
+    * `dedup_{image,audio,video}_admit_stream` (r14 image shape, generalized r15):
+    * incoming media arrive as a stream and each is admitted or flagged near-dup
+    * against the EXISTING corpus's fingerprint index at ingestion. Per micro-batch
+    * (foreachBatch — full batch semantics, STATELESS across batches): decode +
+    * fingerprint in-row via the modality's codec chain, explode the 6 pair keys,
+    * probe the broadcast value-level index, verify candidates with the exact
+    * popcount, decide per doc by (min ham, min hid). Twins of existing docs (the
+    * modality's fingerprint-invariant perturbation) MUST flag near_dup at distance 0;
+    * fresh docs admit unless an organic collision sits within the Hamming bar. The
+    * index is snapshotted ONCE (localCheckpoint, released in finally). 100 TB: the
+    * index rides DISTINCT fingerprint values (bounded far below corpus cardinality on
+    * thumbnail/coarse-envelope corpora), the arriving batch is the small side, and
+    * the corpus is never re-scanned per batch. */
+  private def mediaAdmitStream(s: SparkSession, dir: String,
+      twinPerturb: Array[Byte] => Array[Byte],
+      fingerprint: Dataset[MediaRow] => Dataset[ImageHash]): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.Encoders
+    val docs = graft.engine.Tables(s, dir, "documents").select($"doc_id", $"text")
+    val existing = docs.filter($"doc_id" % 5 =!= 0)
+    val exMedia = existing
+      .select($"doc_id", encode($"text", "UTF-8").as("payload")).as[MediaRow]
+    val exVals = fingerprint(exMedia).toDF()
+      .groupBy($"band_0", $"band_1", $"band_2", $"band_3")
+      .agg(min($"doc_id").as("hid"))
+      .localCheckpoint() // snapshot ONCE before the stream starts (r14 discipline)
+    val exKeys = exVals
+      .select($"hid", posexplode(array(phashPairKeys: _*)).as(Seq("ci", "cv")))
+    val exBands = exVals.select($"hid",
+      $"band_0".as("xb0"), $"band_1".as("xb1"), $"band_2".as("xb2"), $"band_3".as("xb3"))
+    val feed = docs.filter($"doc_id" % 5 === 0)
+      .union(existing.filter($"doc_id" % 9 === 2)
+        .select(($"doc_id" + 2000000L).as("doc_id"), $"text"))
+      .as[(Long, String)].collect().toSeq // driver-side feed is inherent to MemoryStream
+      .sortBy(_._1)
+    val (w1, w2) = feed.partition(_._1 % 2 == 0)
+    val ham = Seq(("band_0", "xb0"), ("band_1", "xb1"), ("band_2", "xb2"),
+      ("band_3", "xb3")).map { case (a, b) => bit_count(col(a).bitwiseXOR(col(b))) }
+      .reduce(_ + _)
+    val out = try graft.engine.StreamGate.runBatchesForeach(s,
+        Encoders.tuple(Encoders.scalaLong, Encoders.STRING), Seq(w1, w2)) { (batch, _) =>
+      val media = batch.map { case (d, t) =>
+        val p = t.getBytes("UTF-8")
+        // twin membership by id ARITHMETIC, not magnitude: GenScale-derived corpora
+        // put real docs at c·10⁷ + orig (orig < 1M), so `d >= 2M` would misclassify
+        // every copy-band arrival — the same residue rule as Dedup.isOldDoc
+        MediaRow(d,
+          if (d % Dedup.CopyIdShift >= 2000000L) twinPerturb(p) else p)
+      }(Encoders.product[MediaRow])
+      val inHash = fingerprint(media).toDF()
+      val cand = inHash
+        .select($"doc_id", $"band_0", $"band_1", $"band_2", $"band_3",
+          posexplode(array(phashPairKeys: _*)).as(Seq("ci", "cv")))
+        .join(broadcast(exKeys), Seq("ci", "cv"))
+        .select($"doc_id", $"band_0", $"band_1", $"band_2", $"band_3", $"hid")
+        .distinct()
+        .join(broadcast(exBands), Seq("hid"))
+        .withColumn("ham", ham.cast("long"))
+        .filter($"ham" <= PhashMaxHamming)
+      val best = cand.groupBy($"doc_id")
+        .agg(min_by(struct($"hid", $"ham"), struct($"ham", $"hid")).as("m"))
+        .select($"doc_id", $"m.hid".as("match_hid"), $"m.ham".as("ham_dist"))
+      val res = inHash.select($"doc_id")
+        .join(best, Seq("doc_id"), "left_outer")
+        .select($"doc_id",
+          when($"match_hid".isNotNull, "near_dup").otherwise("admitted").as("status"),
+          $"match_hid", $"ham_dist")
+      (res, () => ())
+    // finally, not success-path-only: a stream failure mid-run must not leak the
+    // index's checkpoint blocks until the next RDD sweep (ADVICE r14)
+    } finally Dedup.releaseLocalCheckpoint(exVals) // nothing reads it after the run
+    out.orderBy($"doc_id")
+  }
+
+  /** Shared body of `dedup_video_partial` / `dedup_video_partial_rel` — the rarity cap
+    * (absolute [[VideoSigMaxDf]] vs the 10-ppm relative bar) is the only degree of
+    * freedom. */
+  private def videoPartialPairs(s: SparkSession, dir: String,
+      relativeCap: Boolean): DataFrame = {
+    import s.implicits._
+    val base = mediaFrame(s, dir)
+    val bdf = base.toDF()
+    val spliced = bdf.as("a")
+      .join(bdf.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .filter(col("a.doc_id") % 7 === 3)
+      .select(col("a.doc_id").as("doc_id"), col("a.payload").as("pa"),
+        col("b.payload").as("pb"))
+      .as[(Long, Array[Byte], Array[Byte])]
+      .map { case (d, pa, pb) =>
+        val frames = (aviFrameSlices(pa, 10).take(5) ++ aviFrameSlices(pb, 10).drop(5))
+          .toIndexedSeq
+        MediaRow(d + SpliceOffset,
+          aviContainer(frames, math.max(1, frames.map(_.length).max)))
+      }
+    val clips = encodeAvi(base, nFrames = 10).union(spliced)
+    // the decode + signature pass feeds BOTH the rarity aggregate and the probe
+    // side, but no cache is needed: every consumer reads through the `distinct()`
+    // shuffle, whose map stage AQE reuses at runtime, so the dominant
+    // container-walk does not re-execute per branch — proven by measurement, not
+    // assumption: an explicit cache+localCheckpoint of this frame benched ~10%
+    // SLOWER at sf0.1 AND sf10 (materialization cost for no saved work), so the
+    // declarative form stands
+    val sigs = videoFrameSigs(clips).toDF()
+      .filter($"flen" > 0)
+      .distinct() // a frame repeated WITHIN a clip counts once toward df and sharing
+    val dfreq = sigs.groupBy($"flen", $"s0", $"s1").agg(count(lit(1)).as("df"))
+    val rare =
+      if (!relativeCap) dfreq.filter($"df" <= VideoSigMaxDf).select($"flen", $"s0", $"s1")
+      else {
+        // clip count off the ID-ONLY frame (docs + the planted-splice ids): the cap is
+        // corpus arithmetic, not a decode product, so it costs one cheap scan + an
+        // id-equi-join, never a second container walk
+        val ids = bdf.select($"doc_id")
+        val spliceIds = ids.as("a")
+          .join(ids.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+          .filter(col("a.doc_id") % 7 === 3)
+          .select((col("a.doc_id") + SpliceOffset).as("doc_id"))
+        val capRow = ids.union(spliceIds).agg(greatest(lit(VideoSigMaxDf.toLong),
+          expr(s"(count(1) + ${VideoSigRareDenom - 1}) div $VideoSigRareDenom")).as("cap"))
+        dfreq.crossJoin(broadcast(capRow))
+          .filter($"df" <= $"cap").select($"flen", $"s0", $"s1")
+      }
+    val ds = sigs.join(rare, Seq("flen", "s0", "s1"))
+    ds.as("x").join(ds.as("y"),
+        col("x.flen") === col("y.flen") && col("x.s0") === col("y.s0") &&
+          col("x.s1") === col("y.s1") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter($"shared_frames" >= VideoMinSharedFrames)
+      .orderBy($"doc_a", $"doc_b")
+  }
 
   /** Shared value-level image near-dup pipeline behind `dedup_image_phash` /
     * `dedup_image_phash3` — the candidate KEY SCHEME (packed combo keys over the four
@@ -1436,7 +1551,19 @@ object Multimodal {
     * oracle computes every signature — originals AND splices — straight off the
     * sources' slice math, then replays the rarity cap, the distinct-per-clip rule and
     * the shared-count bar. */
-  private lazy val videoPartialOracleSql: String = {
+  private lazy val videoPartialOracleSql: String =
+    videoPartialOracleSqlCap(VideoSigMaxDf.toString)
+
+  /** The relative-cap rendering: nClips = documents + planted splices (successor
+    * present ∧ id%7==3), the same ceil-div arithmetic as the engine's capRow. */
+  private lazy val videoPartialRelOracleSql: String = videoPartialOracleSqlCap(
+    s"""greatest($VideoSigMaxDf,
+       |  ((SELECT count(*) FROM documents)
+       |   + (SELECT count(*) FROM documents da JOIN documents db
+       |        ON db.doc_id = da.doc_id + 1 WHERE da.doc_id % 7 = 3)
+       |   + ${VideoSigRareDenom - 1}) // $VideoSigRareDenom)""".stripMargin)
+
+  private def videoPartialOracleSqlCap(capSql: String): String = {
     val byte = "('0x' || substr(hex(p), 2*(ffrom + o) + 1, 2))::BIGINT"
     s"""WITH b AS (SELECT doc_id, encode(text) AS p, octet_length(encode(text)) AS len FROM documents),
       |c AS (SELECT doc_id, p, len, greatest(len // 10, 1) AS chunk FROM b),
@@ -1460,7 +1587,7 @@ object Multimodal {
       |         WHERE flen > 0),
       |rare AS (SELECT flen, s0, s1 FROM (
       |           SELECT flen, s0, s1, count(*) AS df FROM dsig GROUP BY 1, 2, 3)
-      |         WHERE df <= $VideoSigMaxDf),
+      |         WHERE df <= ($capSql)),
       |dr AS (SELECT dsig.* FROM dsig JOIN rare USING (flen, s0, s1))
       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, cast(count(*) AS BIGINT) AS shared_frames
       |FROM dr x JOIN dr y ON x.flen = y.flen AND x.s0 = y.s0 AND x.s1 = y.s1
@@ -1469,34 +1596,26 @@ object Multimodal {
       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  /** `dedup_image_admit_stream` replayed byte-by-byte: the SAME encode-grid /
-    * perturbation / hash CTEs as the image near-dup oracle over a three-way
-    * population (existing corpus pert=0, fresh arrivals pert=0, twins of existing at
-    * +2M pert=1), the value-level index from the existing side only, pair-key
-    * candidate arms on both sides, popcount verify, and the per-doc (min ham, min
-    * hid) decision joined back to every arrival. */
-  private lazy val imageAdmitOracleSql: String = {
-    val idx = aHashIdxSql
-    val byte = aHashByteSql
-    val pert = aHashPertSql
-    val bandDefs = aHashBandDefsSql
+  /** The three-way admission population rendered over a base CTE carrying
+    * `(doc_id, p, len, …)`: existing corpus (pert/sw = 0, side 'ex'), fresh arrivals
+    * (0, 'in'), twins of existing at +2M (1, 'in') — the `feed`/`existing` split of
+    * [[mediaAdmitStream]] verbatim. `pertCol` names the modality's perturbation flag. */
+  private def admitPopulationSql(src: String, extraCols: String, pertCol: String): String =
+    s"""m AS (SELECT doc_id, p, len$extraCols, 0 AS $pertCol, 'ex' AS side FROM $src WHERE doc_id % 5 <> 0
+      |      UNION ALL SELECT doc_id, p, len$extraCols, 0, 'in' FROM $src WHERE doc_id % 5 = 0
+      |      UNION ALL SELECT doc_id + 2000000, p, len$extraCols, 1, 'in' FROM $src
+      |        WHERE doc_id % 5 <> 0 AND doc_id % 9 = 2)""".stripMargin
+
+  /** The `dedup_*_admit_stream` oracle TAIL shared by all three modalities: from an
+    * `hh(doc_id, side, band_0..band_3)` fingerprint CTE, build the value-level index
+    * from the existing side only, run pair-key candidate arms on both sides, popcount
+    * verify, and join the per-doc (min ham, min hid) decision back to every arrival. */
+  private def admitOracleFrom(hashCtes: String): String = {
     def arms(src: String, id: String) = phashComboKeySql(4, 2, "//").zipWithIndex.map {
       case (keyExpr, c) => s"SELECT $id, $c AS ci, $keyExpr AS cv FROM $src" }
       .mkString(" UNION ALL ")
     val ham = (0 until 4).map(b => s"bit_count(xor(i2.band_$b, ev.band_$b))").mkString(" + ")
-    s"""WITH b AS (SELECT doc_id, encode(text) AS p, octet_length(encode(text)) AS len FROM documents),
-      |c AS (SELECT doc_id, p, len, greatest(len // 8, 1) AS h FROM b),
-      |m AS (SELECT doc_id, p, len, h, 0 AS pert, 'ex' AS side FROM c WHERE doc_id % 5 <> 0
-      |      UNION ALL SELECT doc_id, p, len, h, 0, 'in' FROM c WHERE doc_id % 5 = 0
-      |      UNION ALL SELECT doc_id + 2000000, p, len, h, 1, 'in' FROM c
-      |        WHERE doc_id % 5 <> 0 AND doc_id % 9 = 2),
-      |s AS (SELECT doc_id, side,
-      |  [CASE WHEN $idx < len THEN ($byte + $pert) % 256 ELSE 0 END
-      |   for k in range(0, 64)] AS sv FROM m),
-      |hb AS (SELECT doc_id, side, list_sum(sv) AS tot, sv FROM s),
-      |hh AS (SELECT doc_id, side,
-      |  $bandDefs
-      |  FROM hb),
+    s"""WITH $hashCtes,
       |exvals AS (SELECT band_0, band_1, band_2, band_3, min(doc_id) AS hid FROM hh
       |  WHERE side = 'ex' GROUP BY 1, 2, 3, 4),
       |inh AS (SELECT doc_id, band_0, band_1, band_2, band_3 FROM hh WHERE side = 'in'),
@@ -1516,6 +1635,94 @@ object Multimodal {
       |  best.hid AS match_hid, best.ham AS ham_dist
       |FROM inh i LEFT JOIN best USING (doc_id)
       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** `dedup_image_admit_stream` replayed byte-by-byte: the SAME encode-grid /
+    * perturbation / hash fragments as the image near-dup oracle over the three-way
+    * admission population, then the shared [[admitOracleFrom]] tail. */
+  private lazy val imageAdmitOracleSql: String = {
+    val idx = aHashIdxSql
+    val byte = aHashByteSql
+    val pert = aHashPertSql
+    val bandDefs = aHashBandDefsSql
+    admitOracleFrom(
+      s"""b AS (SELECT doc_id, encode(text) AS p, octet_length(encode(text)) AS len FROM documents),
+      |c AS (SELECT doc_id, p, len, greatest(len // 8, 1) AS h FROM b),
+      |${admitPopulationSql("c", ", h", "pert")},
+      |s AS (SELECT doc_id, side,
+      |  [CASE WHEN $idx < len THEN ($byte + $pert) % 256 ELSE 0 END
+      |   for k in range(0, 64)] AS sv FROM m),
+      |hb AS (SELECT doc_id, side, list_sum(sv) AS tot, sv FROM s),
+      |hh AS (SELECT doc_id, side,
+      |  $bandDefs
+      |  FROM hb)""".stripMargin)
+  }
+
+  /** `dedup_audio_admit_stream` replayed byte-by-byte: the audio near-dup oracle's
+    * swap rule / window energies / grid / band bits (sw = 1 rows read byte i⊕1 —
+    * exactly [[audioTwinPerturb]]) over the three-way admission population, then the
+    * shared [[admitOracleFrom]] tail. */
+  private lazy val audioAdmitOracleSql: String = {
+    val idx = "(CASE WHEN sw = 1 AND xor(i, 1) < len THEN xor(i, 1) ELSE i END)"
+    val byte = s"('0x' || substr(hex(p), 2*$idx + 1, 2))::BIGINT"
+    def bit(t: Int): String =
+      if (t < 32) s"gv[${t + 1}] * 32 >= tot"
+      else if (t == 32) "TRUE"
+      else s"gv[${t - 31}] >= gv[${t - 32}]"
+    val bandDefs = (0 until 4).map { b =>
+      val terms = (16 * b until 16 * (b + 1)).map(t =>
+        s"CASE WHEN ${bit(t)} THEN ${1L << (t - 16 * b)} ELSE 0 END").mkString(" + ")
+      s"CASE WHEN nw = 0 THEN 0 ELSE cast($terms AS BIGINT) END AS band_$b"
+    }.mkString(",\n      |  ")
+    admitOracleFrom(
+      s"""b AS (SELECT doc_id, encode(text) AS p, octet_length(encode(text)) AS len FROM documents),
+      |${admitPopulationSql("b", "", "sw")},
+      |sv AS (SELECT doc_id, side, len, [$byte for i in range(0, len)] AS v FROM m),
+      |e AS (SELECT doc_id, side, len,
+      |  [coalesce(list_sum([(v[i+1] - 128) * (v[i+1] - 128)
+      |     for i in range(w*64, least((w+1)*64, len))]), 0)
+      |   for w in range(0, (len + 63) // 64)] AS ew FROM sv),
+      |g AS (SELECT doc_id, side, len(ew) AS nw,
+      |  [ew[(k * len(ew)) // 32 + 1] for k in range(0, 32)] AS gv,
+      |  coalesce(list_sum([ew[(k * len(ew)) // 32 + 1] for k in range(0, 32)]), 0) AS tot
+      |  FROM e),
+      |hh AS (SELECT doc_id, side,
+      |  $bandDefs
+      |  FROM g)""".stripMargin)
+  }
+
+  /** `dedup_video_admit_stream` replayed byte-by-byte: the video near-dup oracle's
+    * within-frame-segment swap rule / frame slices / per-(frame, segment) sums /
+    * mean-threshold bits (sw = 1 is exactly [[videoTwinPerturb]]) over the three-way
+    * admission population, then the shared [[admitOracleFrom]] tail. */
+  private lazy val videoAdmitOracleSql: String = {
+    val fi = "(i // chunk)"
+    val flenI = s"(least($fi * chunk + chunk, len) - $fi * chunk)"
+    val idx = s"(CASE WHEN sw = 1 AND xor(i, 1) < len AND $fi = (xor(i, 1) // chunk) AND $fi < 10 AND (6 * (i - $fi * chunk) + 5) // $flenI = (6 * (xor(i, 1) - $fi * chunk) + 5) // $flenI THEN xor(i, 1) ELSE i END)"
+    val byte = s"('0x' || substr(hex(p), 2*$idx + 1, 2))::BIGINT"
+    val fFrom = "least((t // 6) * chunk, len)"
+    val flen = s"(least($fFrom + chunk, len) - $fFrom)"
+    val b0 = s"((t % 6) * $flen // 6)"
+    val b1 = s"(((t % 6) + 1) * $flen // 6)"
+    val segsum = s"coalesce(list_sum([v[$fFrom + o + 1] for o in range($b0, $b1)]), 0)"
+    val framesum = s"coalesce(list_sum([v[$fFrom + o + 1] for o in range(0, $flen)]), 0)"
+    val bandDefs = (0 until 4).map { b =>
+      val hi = math.min(16 * (b + 1), 60)
+      val terms = s"[CASE WHEN bv[k+1] = 1 THEN 1 << (k - ${16 * b}) ELSE 0 END for k in range(${16 * b}, $hi)]"
+      s"cast(coalesce(list_sum($terms), 0) AS BIGINT) AS band_$b"
+    }.mkString(",\n      |  ")
+    admitOracleFrom(
+      s"""b AS (SELECT doc_id, encode(text) AS p, octet_length(encode(text)) AS len FROM documents),
+      |c AS (SELECT doc_id, p, len, greatest(len // 10, 1) AS chunk FROM b),
+      |${admitPopulationSql("c", ", chunk", "sw")},
+      |sv AS (SELECT doc_id, side, len, chunk, [$byte for i in range(0, len)] AS v FROM m),
+      |bits AS (SELECT doc_id, side,
+      |  [CASE WHEN $flen > 0 AND $b1 > $b0
+      |        AND $segsum * $flen >= $framesum * ($b1 - $b0) THEN 1 ELSE 0 END
+      |   for t in range(0, 60)] AS bv FROM sv),
+      |hh AS (SELECT doc_id, side,
+      |  $bandDefs
+      |  FROM bits)""".stripMargin)
   }
 
   /** `dedup_image_canonical` replayed: the image near-dup oracle's hash/value/pair
@@ -1567,7 +1774,10 @@ object Multimodal {
     "dedup_image_canonical" -> imageCanonicalOracleSql,
     "dedup_video_phash" -> videoPhashOracleSql,
     "dedup_video_partial" -> videoPartialOracleSql,
+    "dedup_video_partial_rel" -> videoPartialRelOracleSql,
     "dedup_image_admit_stream" -> imageAdmitOracleSql,
+    "dedup_audio_admit_stream" -> audioAdmitOracleSql,
+    "dedup_video_admit_stream" -> videoAdmitOracleSql,
     "dedup_image_phash" -> imagePhashOracleSql,
     "dedup_image_phash3" -> imagePhash3OracleSql,
     "dedup_image_phash33" -> imagePhash33OracleSql,

@@ -48,6 +48,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "simsearch_ivf_append"   -> "k frozen centroids broadcast into the append batch (Similarity.scala, lloydOnce)",
     "dedup_winnow_pairs_rel" -> "1-row corpus-size rarity-cap broadcast (Dedup.scala, capRow crossJoin)",
     "simsearch_ivfpq"        -> "k seed centroids broadcast for the coarse quantizer (Similarity.scala, ivfPqRanked scoredC)",
+    "dedup_video_partial_rel" -> "1-row clip-count rarity-cap broadcast (Multimodal.scala, videoPartialPairs capRow)",
   )
 
   test("no query plan contains CartesianProduct; BNLJ only where allowlisted") {
