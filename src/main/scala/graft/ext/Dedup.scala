@@ -418,6 +418,13 @@ object Dedup {
     new java.io.File("target/graft_prior_labels/" +
       dir.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
 
+  /** The persisted winnow-admission index (`(fp, df)` parquet) of
+    * `dedup_winnow_admit_persist` — the restart artifact, same discipline as
+    * [[priorLabelsPath]]. */
+  private[ext] def admitIndexPath(dir: String): String =
+    new java.io.File("target/graft_admit_index/" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+
   /** The incremental maintenance fold, cost ∝ the TOUCHED slice (r12: the first cut
     * star-compressed ALL prior components into the propagation, so on a
     * mostly-size-2-cluster graph — |V_old| ≈ |E_old| — the fold cost stayed
@@ -1031,6 +1038,35 @@ object Dedup {
         .select($"doc_id", $"wave", $"status", $"n_rare_matched")
         .orderBy($"doc_id")
     },
+    // PERSISTED admission index across RUNS (r15, VERDICT r14 #6): the incremental
+    // gate folds its index through localCheckpoint swaps, which die with the session —
+    // a production restart reloads the index from storage. Same two-wave fold as
+    // dedup_winnow_admit_incremental, but the wave-1 folded index goes through a
+    // parquet WRITE + fresh READ before wave 2 (the dedup_components_incremental
+    // prior-labels discipline, Dedup.scala:614): wave 2's decisions ride a severed,
+    // persisted artifact — exactly the restart hand-off — and MUST equal the
+    // never-persisted run's (the oracle SQL is shared verbatim with the incremental
+    // gate; WinnowAdmitPersistSpec pins engine-side row equality too).
+    "dedup_winnow_admit_persist" -> { (s, dir) =>
+      import s.implicits._
+      val docs = graft.engine.Tables(s, dir, "documents").select($"doc_id", $"text")
+      val existing = docs.filter($"doc_id" % 5 =!= 0)
+      val feed = docs.filter($"doc_id" % 5 === 0)
+        .union(existing.filter($"doc_id" % 7 === 1)
+          .select(($"doc_id" + 2000000L).as("doc_id"),
+            concat($"text", lit(" graftdup")).as("text")))
+      val wave1 = feed.filter($"doc_id" % 2 === 0)
+      val wave2 = feed.filter($"doc_id" % 2 =!= 0)
+      val index0 = winnowDfCounts(s, existing)
+      val (dec1, index1) = winnowAdmitWave(s, wave1, index0)
+      // run 1 ends: persist the folded index; run 2 starts: reload and continue
+      index1.write.mode("overwrite").parquet(admitIndexPath(dir))
+      val (dec2, _) = winnowAdmitWave(s, wave2, s.read.parquet(admitIndexPath(dir)))
+      dec1.withColumn("wave", lit(1L))
+        .unionByName(dec2.withColumn("wave", lit(2L)))
+        .select($"doc_id", $"wave", $"status", $"n_rare_matched")
+        .orderBy($"doc_id")
+    },
     // The PRODUCTION combination of the two gates above (r14): the admission screen
     // runs as a STREAM — one foreachBatch per arriving micro-batch — and the index
     // folds INSIDE the stream: batch k screens against the index as folded through
@@ -1567,6 +1603,9 @@ object Dedup {
     // df counts, the admitted wave-1 docs' counts fold in (edf ∪ delta keyed sum),
     // wave 2 screens against the folded counts
     "dedup_winnow_admit_incremental" -> winnowAdmitIncrOracleSql,
+    // the persisted-index run must decide identically to the in-session fold — one
+    // oracle, three gates (incremental, in-stream, across-restart)
+    "dedup_winnow_admit_persist" -> winnowAdmitIncrOracleSql,
     // the streaming foreachBatch fold makes the SAME decisions, micro-batch = wave
     "dedup_winnow_admit_stream_incr" -> winnowAdmitIncrOracleSql,
   )

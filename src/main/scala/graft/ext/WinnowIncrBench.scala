@@ -93,11 +93,24 @@ object WinnowIncrBench {
       }
       sec
     }
+    // restart write-back (r15, VERDICT r14 #6): a run that ends must RE-PERSIST the
+    // folded index for the next run to reload — the full restart cycle is
+    // reload (scan_sec floor) + fold (fold_min) + write-back (persist_sec). Timed on
+    // the reloaded-and-folded frame, written beside the input index.
+    val (_, persistSec) = timed {
+      val idx = spark.read.parquet(idxPath)
+      val delta = TextOps.winnowFingerprints(spark, admittedDocs)
+        .select($"doc_id", $"fp").distinct()
+        .groupBy($"fp").agg(count(lit(1)).as("df"))
+      idx.unionByName(delta).groupBy($"fp").agg(sum($"df").as("df"))
+        .write.mode("overwrite").parquet(idxPath + "_next")
+    }
     Dedup.releaseLocalCheckpoint(admittedDocs)
 
     println(s"""{"metric":"incr_winnow_index","sf_dir":"$sfDir","incr_mod":$incrMod,""" +
       s""""index_sec":${num(idxSec)},"full_sec":${num(fullSec)},"scan_sec":${num(scanSec)},""" +
       s""""fold_secs":[${foldSecs.map(num).mkString(",")}],"fold_min":${num(foldSecs.min)},""" +
+      s""""persist_sec":${num(persistSec)},""" +
       s""""corpus_docs":$nCorpus,"delta_docs":$nDelta}""")
     spark.stop()
   }

@@ -179,7 +179,7 @@ def main():
           ORDER BY doc_a, doc_b"""
 
     # ---- admission gates: one staging over documents ∪ feed twins ----
-    if only is None or only & {"dedup_winnow_admit_stream", "dedup_winnow_admit_incremental", "dedup_winnow_admit_stream_incr"}:
+    if only is None or only & {"dedup_winnow_admit_stream", "dedup_winnow_admit_incremental", "dedup_winnow_admit_stream_incr", "dedup_winnow_admit_persist"}:
         stage_winnow("m",
                      f"SELECT doc_id, text FROM documents UNION ALL "
                      f"SELECT doc_id + {TWIN_OFFSET}, text || ' graftdup' FROM documents "
@@ -234,6 +234,8 @@ def main():
           ORDER BY doc_id"""
         # the streaming foreachBatch fold makes the SAME decisions (micro-batch = wave)
         queries["dedup_winnow_admit_stream_incr"] = queries["dedup_winnow_admit_incremental"]
+        # the persisted-index run (r15: parquet round-trip between waves) likewise
+        queries["dedup_winnow_admit_persist"] = queries["dedup_winnow_admit_incremental"]
 
     # ---- image phash33: verbatim r13 hh staging, (6,3) generator arms ----
     if only is None or "dedup_image_phash33" in only:
