@@ -492,6 +492,15 @@ object Multimodal {
     * corpus grows, exactly the degeneration the winnow family fixed in r14. The
     * per-value candidate bound stays Σ C(df,2) ≤ |rare|·cap/2. */
   private[ext] val VideoSigRareDenom = 100000L
+  /** `dedup_audio_partial` knobs (r15, VERDICT r14 #7 — the splice shape at WINDOW
+    * granularity over the WAV decode): the splice cut sits at 5 of the decode's
+    * 64-sample windows (= 320 samples — sources shorter than the cut can't splice and
+    * are filtered by length on BOTH sides, so every planted splice pairs with both),
+    * a clip pair reports at >= 3 shared rare window signatures, and the rarity bar is
+    * RELATIVE from the start (the r14 #3 lesson — no absolute-df variant to outgrow). */
+  private[ext] val AudioWin = 64
+  private[ext] val AudioSpliceWindows = 5
+  private[ext] val AudioMinSharedWindows = 3
   /** doc_id offset of the planted splice clips (distinct from the +1M near-dup copy
     * range; GenScale ids are c·10⁷ + orig with orig far below 2·10⁶, so the offset
     * cannot collide at any derived scale). */
@@ -754,6 +763,32 @@ object Multimodal {
           i += 1
         }
         FrameSig(m.doc_id, p.length.toLong, s0, s1)
+      }
+    }
+  }
+
+  /** Per-window signatures of every clip through the REAL WAV decode — the
+    * window-granularity analogue of [[videoFrameSigs]] (flen = window sample count,
+    * s0/s1 = the order-sensitive byte moments with window-relative weights), feeding
+    * the audio partial-copy containment query. Window w covers samples
+    * [w·win, min((w+1)·win, n)) — [[audioFeatures]]' windowing rule. */
+  def audioWindowSigs(media: Dataset[MediaRow], win: Int): Dataset[FrameSig] = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.flatMap { m =>
+      val samples = parseWav(m.doc_id, m.payload)._5
+      val n = samples.length
+      val nw = (n + win - 1) / win
+      (0 until nw).iterator.map { w =>
+        val from = w * win
+        val to = math.min(from + win, n)
+        var s0 = 0L; var s1 = 0L; var i = from
+        while (i < to) {
+          val v = (samples(i) & 0xff).toLong
+          s0 += v; s1 += (i - from + 1L) * v
+          i += 1
+        }
+        FrameSig(m.doc_id, (to - from).toLong, s0, s1)
       }
     }
   }
@@ -1059,6 +1094,41 @@ object Multimodal {
     // report with their shared-rare-frame count at >= [[VideoMinSharedFrames]].
     // 100 TB shape: one decode pass, signature-bucket equi-joins only, candidate
     // mass bounded at C(cap,2) per signature value regardless of corpus size.
+    // AUDIO PARTIAL-COPY DETECTION (r15, VERDICT r14 #7) — the splice shape at WINDOW
+    // granularity over the real WAV decode, completing the partial-copy matrix
+    // (video: dedup_video_partial*, audio: here): clip d (d % 7 == 3, successor d+1
+    // present, both at least the 320-sample cut — an equi self-join, never a product
+    // join) re-enters at d + [[SpliceOffset]] as samples 0..319 of d followed by
+    // samples 320.. of d+1. The cut is window-aligned and the e-side keeps its
+    // absolute offsets, so EVERY splice window is byte-identical to a source window —
+    // the oracle computes all signatures straight off the sources' slice math. The
+    // MOSS rarity discipline applies at window granularity with the RELATIVE 10-ppm
+    // bar from day one (r14 #3's lesson), and clip pairs report their shared-rare-
+    // window count at >= [[AudioMinSharedWindows]]. 100 TB shape: one decode pass,
+    // signature-bucket equi-joins only, candidate mass C(cap,2)-bounded per value.
+    "dedup_audio_partial" -> { (s, dir) =>
+      import s.implicits._
+      val base = mediaFrame(s, dir)
+      val bdf = base.toDF()
+      val cut = AudioSpliceWindows * AudioWin
+      val spliceSrc = bdf.as("a")
+        .join(bdf.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .filter(col("a.doc_id") % 7 === 3 &&
+          length(col("a.payload")) >= cut && length(col("b.payload")) > cut)
+      val spliced = spliceSrc
+        .select(col("a.doc_id").as("doc_id"), col("a.payload").as("pa"),
+          col("b.payload").as("pb"))
+        .as[(Long, Array[Byte], Array[Byte])]
+        .map { case (d, pa, pb) =>
+          MediaRow(d + SpliceOffset, pa.take(cut) ++ pb.drop(cut)) }
+      val clips = encodeWav(base.union(spliced), id => 8000 + (id % 8).toInt * 1000)
+      val sigs = audioWindowSigs(clips, AudioWin).toDF()
+      val capRow = capRowOf(
+        bdf.select($"doc_id")
+          .union(spliceSrc.select((col("a.doc_id") + SpliceOffset).as("doc_id"))),
+        VideoSigMaxDf, VideoSigRareDenom)
+      rareSigSharedPairs(sigs, Right(capRow), AudioMinSharedWindows, "shared_windows")
+    },
     "dedup_video_partial" -> { (s, dir) => videoPartialPairs(s, dir, relativeCap = false) },
     // The RELATIVE-rarity variant (r15, VERDICT r14 #3): same containment pipeline,
     // but the frame-df bar scales with the clip corpus — max(VideoSigMaxDf,
@@ -1223,33 +1293,55 @@ object Multimodal {
     // SLOWER at sf0.1 AND sf10 (materialization cost for no saved work), so the
     // declarative form stands
     val sigs = videoFrameSigs(clips).toDF()
+    val cap =
+      if (!relativeCap) Left(VideoSigMaxDf)
+      else Right(spliceCapRow(s, bdf.select($"doc_id"), VideoSigMaxDf, VideoSigRareDenom))
+    rareSigSharedPairs(sigs, cap, VideoMinSharedFrames, "shared_frames")
+  }
+
+  /** The 10-ppm relative rarity cap as a ONE-ROW broadcast frame: clip count off the
+    * ID-ONLY doc frame plus the planted-splice ids (successor present ∧ id%7==3) —
+    * corpus arithmetic, one cheap scan + an id equi-join, never a second decode. */
+  private def spliceCapRow(s: SparkSession, ids: DataFrame, absCap: Int,
+      denom: Long): DataFrame = {
+    import s.implicits._
+    val spliceIds = ids.as("a")
+      .join(ids.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .filter(col("a.doc_id") % 7 === 3)
+      .select((col("a.doc_id") + SpliceOffset).as("doc_id"))
+    capRowOf(ids.union(spliceIds), absCap, denom)
+  }
+
+  /** `greatest(absCap, ceil(|clipIds| / denom))` as a one-row `cap` frame. */
+  private def capRowOf(clipIds: DataFrame, absCap: Int, denom: Long): DataFrame =
+    clipIds.agg(greatest(lit(absCap.toLong),
+      expr(s"(count(1) + ${denom - 1}) div $denom")).as("cap"))
+
+  /** The shared rare-signature containment tail of the partial-copy queries
+    * (video frames / audio windows): distinct per-clip signatures → df rarity gate
+    * (absolute cap, or the relative bar via a one-row count broadcast) →
+    * signature-bucket equi self-join (candidate mass bounded at C(cap,2) per
+    * signature value regardless of corpus size) → shared-count bar. */
+  private def rareSigSharedPairs(sigsIn: DataFrame, cap: Either[Int, DataFrame],
+      minShared: Int, sharedCol: String): DataFrame = {
+    val s = sigsIn.sparkSession
+    import s.implicits._
+    val sigs = sigsIn
       .filter($"flen" > 0)
-      .distinct() // a frame repeated WITHIN a clip counts once toward df and sharing
+      .distinct() // a signature repeated WITHIN a clip counts once toward df and sharing
     val dfreq = sigs.groupBy($"flen", $"s0", $"s1").agg(count(lit(1)).as("df"))
-    val rare =
-      if (!relativeCap) dfreq.filter($"df" <= VideoSigMaxDf).select($"flen", $"s0", $"s1")
-      else {
-        // clip count off the ID-ONLY frame (docs + the planted-splice ids): the cap is
-        // corpus arithmetic, not a decode product, so it costs one cheap scan + an
-        // id-equi-join, never a second container walk
-        val ids = bdf.select($"doc_id")
-        val spliceIds = ids.as("a")
-          .join(ids.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
-          .filter(col("a.doc_id") % 7 === 3)
-          .select((col("a.doc_id") + SpliceOffset).as("doc_id"))
-        val capRow = ids.union(spliceIds).agg(greatest(lit(VideoSigMaxDf.toLong),
-          expr(s"(count(1) + ${VideoSigRareDenom - 1}) div $VideoSigRareDenom")).as("cap"))
-        dfreq.crossJoin(broadcast(capRow))
-          .filter($"df" <= $"cap").select($"flen", $"s0", $"s1")
-      }
+    val rare = (cap match {
+      case Left(c) => dfreq.filter($"df" <= c)
+      case Right(capRow) => dfreq.crossJoin(broadcast(capRow)).filter($"df" <= $"cap")
+    }).select($"flen", $"s0", $"s1")
     val ds = sigs.join(rare, Seq("flen", "s0", "s1"))
     ds.as("x").join(ds.as("y"),
         col("x.flen") === col("y.flen") && col("x.s0") === col("y.s0") &&
           col("x.s1") === col("y.s1") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .groupBy($"doc_a", $"doc_b")
-      .agg(count(lit(1)).as("shared_frames"))
-      .filter($"shared_frames" >= VideoMinSharedFrames)
+      .agg(count(lit(1)).as(sharedCol))
+      .filter(col(sharedCol) >= minShared)
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -1546,6 +1638,45 @@ object Multimodal {
       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** `dedup_audio_partial` replayed from the raw bytes: splice window w IS source
+    * window w byte-for-byte (the window-aligned cut keeps the e-side's absolute
+    * offsets), so every signature — originals AND splices — computes straight off the
+    * sources' slice math; then the relative rarity cap, the distinct-per-clip rule
+    * and the shared-count bar. */
+  private lazy val audioPartialOracleSql: String = {
+    val byte = s"('0x' || substr(hex(p), 2*(w * $AudioWin + o) + 1, 2))::BIGINT"
+    val wlen = s"(least(w * $AudioWin + $AudioWin, len) - w * $AudioWin)"
+    val cut = AudioSpliceWindows * AudioWin
+    s"""WITH b AS (SELECT doc_id, encode(text) AS p, octet_length(encode(text)) AS len FROM documents),
+      |so AS (SELECT doc_id, w, $wlen AS flen,
+      |         coalesce(list_sum([$byte for o in range(0, $wlen)]), 0) AS s0,
+      |         coalesce(list_sum([(o + 1) * $byte for o in range(0, $wlen)]), 0) AS s1
+      |       FROM (SELECT doc_id, p, len,
+      |               unnest(range((len + ${AudioWin - 1}) // $AudioWin)) AS w FROM b)),
+      |spl AS (SELECT a.doc_id AS sid, b2.doc_id AS eid FROM b a
+      |        JOIN b b2 ON b2.doc_id = a.doc_id + 1
+      |        WHERE a.doc_id % 7 = 3 AND a.len >= $cut AND b2.len > $cut),
+      |ss AS (SELECT spl.sid + $SpliceOffset AS doc_id, so.flen, so.s0, so.s1
+      |         FROM spl JOIN so ON so.doc_id = spl.sid WHERE so.w < $AudioSpliceWindows
+      |       UNION ALL
+      |       SELECT spl.sid + $SpliceOffset, so.flen, so.s0, so.s1
+      |         FROM spl JOIN so ON so.doc_id = spl.eid WHERE so.w >= $AudioSpliceWindows),
+      |dsig AS (SELECT DISTINCT doc_id, flen, s0, s1 FROM (
+      |           SELECT doc_id, flen, s0, s1 FROM so UNION ALL SELECT * FROM ss)
+      |         WHERE flen > 0),
+      |rare AS (SELECT flen, s0, s1 FROM (
+      |           SELECT flen, s0, s1, count(*) AS df FROM dsig GROUP BY 1, 2, 3)
+      |         WHERE df <= greatest($VideoSigMaxDf,
+      |           ((SELECT count(*) FROM documents) + (SELECT count(*) FROM spl)
+      |            + ${VideoSigRareDenom - 1}) // $VideoSigRareDenom)),
+      |dr AS (SELECT dsig.* FROM dsig JOIN rare USING (flen, s0, s1))
+      |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, cast(count(*) AS BIGINT) AS shared_windows
+      |FROM dr x JOIN dr y ON x.flen = y.flen AND x.s0 = y.s0 AND x.s1 = y.s1
+      |  AND x.doc_id < y.doc_id
+      |GROUP BY 1, 2 HAVING count(*) >= $AudioMinSharedWindows
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** `dedup_video_partial` replayed from the raw bytes: splice frame f IS source
     * frame f byte-for-byte (the [[aviContainer]] construction guarantees it), so the
     * oracle computes every signature — originals AND splices — straight off the
@@ -1773,6 +1904,7 @@ object Multimodal {
     "dedup_audio_fingerprint" -> audioFingerprintOracleSql,
     "dedup_image_canonical" -> imageCanonicalOracleSql,
     "dedup_video_phash" -> videoPhashOracleSql,
+    "dedup_audio_partial" -> audioPartialOracleSql,
     "dedup_video_partial" -> videoPartialOracleSql,
     "dedup_video_partial_rel" -> videoPartialRelOracleSql,
     "dedup_image_admit_stream" -> imageAdmitOracleSql,

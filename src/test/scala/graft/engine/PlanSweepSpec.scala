@@ -49,6 +49,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "dedup_winnow_pairs_rel" -> "1-row corpus-size rarity-cap broadcast (Dedup.scala, capRow crossJoin)",
     "simsearch_ivfpq"        -> "k seed centroids broadcast for the coarse quantizer (Similarity.scala, ivfPqRanked scoredC)",
     "dedup_video_partial_rel" -> "1-row clip-count rarity-cap broadcast (Multimodal.scala, videoPartialPairs capRow)",
+    "dedup_audio_partial"     -> "1-row clip-count rarity-cap broadcast (Multimodal.scala, capRowOf)",
   )
 
   test("no query plan contains CartesianProduct; BNLJ only where allowlisted") {

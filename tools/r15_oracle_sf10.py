@@ -285,6 +285,53 @@ def main():
             AND x.doc_id < y.doc_id
           GROUP BY 1, 2 HAVING count(*) >= 3"""
 
+    # ---- audio partial-copy: window moment signatures, relative cap (r15) ----
+    if only is None or "dedup_audio_partial" in only:
+        AUDIO_WIN, AUDIO_CUT_W, AUDIO_MIN_SHARED = 64, 5, 3
+        cut = AUDIO_CUT_W * AUDIO_WIN
+        abyte = f"('0x' || substr(hex(p), 2*(w * {AUDIO_WIN} + o) + 1, 2))::BIGINT"
+        awlen = f"(least(w * {AUDIO_WIN} + {AUDIO_WIN}, len) - w * {AUDIO_WIN})"
+        stage("apso", f"""
+          WITH b AS (SELECT doc_id, encode(text) AS p, octet_length(encode(text)) AS len FROM documents)
+          SELECT doc_id, w, {awlen} AS flen,
+            coalesce(list_sum([{abyte} for o in range(0, {awlen})]), 0) AS s0,
+            coalesce(list_sum([(o + 1) * {abyte} for o in range(0, {awlen})]), 0) AS s1
+          FROM (SELECT doc_id, p, len,
+                  unnest(range((len + {AUDIO_WIN - 1}) // {AUDIO_WIN})) AS w FROM b)""")
+        stage("apspl", f"""
+          SELECT a.doc_id AS sid, b2.doc_id AS eid
+          FROM (SELECT doc_id, octet_length(encode(text)) AS len FROM documents) a
+          JOIN (SELECT doc_id, octet_length(encode(text)) AS len FROM documents) b2
+            ON b2.doc_id = a.doc_id + 1
+          WHERE a.doc_id % 7 = 3 AND a.len >= {cut} AND b2.len > {cut}""")
+        stage("apdsig", f"""
+          SELECT DISTINCT doc_id, flen, s0, s1 FROM (
+            SELECT doc_id, flen, s0, s1 FROM apso
+            UNION ALL
+            SELECT spl.sid + {SPLICE_OFFSET} AS doc_id, so.flen, so.s0, so.s1
+              FROM apspl spl JOIN apso so ON so.doc_id = spl.sid WHERE so.w < {AUDIO_CUT_W}
+            UNION ALL
+            SELECT spl.sid + {SPLICE_OFFSET}, so.flen, so.s0, so.s1
+              FROM apspl spl JOIN apso so ON so.doc_id = spl.eid WHERE so.w >= {AUDIO_CUT_W})
+          WHERE flen > 0""")
+        acap = con.execute(f"""
+          SELECT greatest({VIDEO_SIG_MAX_DF},
+            ((SELECT count(*) FROM documents)
+             + (SELECT count(*) FROM (SELECT doc_id, octet_length(encode(text)) AS len FROM documents) a
+                JOIN (SELECT doc_id, octet_length(encode(text)) AS len FROM documents) b2
+                  ON b2.doc_id = a.doc_id + 1
+                WHERE a.doc_id % 7 = 3 AND a.len >= {cut} AND b2.len > {cut})
+             + {VIDEO_SIG_RARE_DENOM - 1}) // {VIDEO_SIG_RARE_DENOM})""").fetchone()[0]
+        print(f"[info] audio_partial cap={acap}", flush=True)
+        stage("aprare", "SELECT flen, s0, s1 FROM (SELECT flen, s0, s1, count(*) AS df "
+              f"FROM apdsig GROUP BY 1, 2, 3) WHERE df <= {acap}")
+        stage("apdr", "SELECT d.* FROM apdsig d JOIN aprare USING (flen, s0, s1)")
+        queries["dedup_audio_partial"] = f"""
+          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, cast(count(*) AS BIGINT) AS shared_windows
+          FROM apdr x JOIN apdr y ON x.flen = y.flen AND x.s0 = y.s0 AND x.s1 = y.s1
+            AND x.doc_id < y.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= {AUDIO_MIN_SHARED}"""
+
     # ---- shared admission tail over a staged {pfx}hh(doc_id, side, band_0..3) ----
     def admit_tail(pfx):
         stage(f"{pfx}exvals",
