@@ -113,10 +113,16 @@ object Similarity {
     * keep the [[CentroidIds]] default above. */
   private def lloydOnceFrom(s: SparkSession, q: DataFrame, cent0: DataFrame): DataFrame = {
     import s.implicits._
-    q.crossJoin(broadcast(cent0))
-      .withColumn("dot", dot($"qv", $"cvec"))
+    // assignment aggregates NARROW rows — (vec_id, cid, dot), never the 512-byte
+    // vector (r15, measured on dedup_semantic at sf10: first(qv) through the
+    // corpus × cells ObjectHashAggregate forced a sort fallback spilling ~1 TB; the
+    // narrow agg + one equi-join back to q for the vectors cut the query 77 → 44 s
+    // with zero spill)
+    val cellOf = q.crossJoin(broadcast(cent0))
+      .select($"vec_id", $"cid", dot($"qv", $"cvec").as("dot"))
       .groupBy($"vec_id")
-      .agg(max_by($"cid", struct($"dot", -$"cid")).as("cid"), first($"qv").as("qv"))
+      .agg(max_by($"cid", struct($"dot", -$"cid")).as("cid"))
+    q.join(cellOf, Seq("vec_id"))
       .select($"cid", posexplode($"qv").as(Seq("pos", "v")))
       .groupBy($"cid", $"pos")
       .agg(floor(sum($"v").cast("double") / count(lit(1))).cast("long").as("cd"))
@@ -141,11 +147,18 @@ object Similarity {
       .withColumn("rnk", row_number().over(w))
   }
 
-  /** The M-map-probe ADC score of a `codes` row against the joined query's `lut`. */
-  private def adcDist: Column = aggregate(
-    zip_with(col("codes"), sequence(lit(0), lit(PqM - 1)),
-      (c, sIdx) => element_at(col("lut"), (sIdx * PqK + c).cast("int"))),
-    lit(0L), (acc, x) => acc + x)
+  /** The M-map-probe ADC score of a `codes` row against the joined query's `lut` —
+    * UNROLLED over the M fixed subspaces as a sum of native element_at probes (r15):
+    * the previous `aggregate(zip_with(...))` fold is a nested HOF that evaluates
+    * INTERPRETED per row (the r13 winnow lesson), which dominated the streaming
+    * server's ~1e8-candidate-per-batch ADC scan; the unrolled form is whole-stage
+    * codegen end to end and value-identical (same integer adds, same key arithmetic,
+    * same ANSI missing-key semantics — M is a compile-time constant). */
+  private def adcDist: Column =
+    (0 until PqM).map { sIdx =>
+      element_at(col("lut"),
+        (lit(sIdx * PqK) + element_at(col("codes"), sIdx + 1)).cast("int"))
+    }.reduce(_ + _)
 
   /** The PQ index artifacts shared by the flat-ADC chain ([[pqAdcRanked]]) and the
     * IVF-composed chain (`simsearch_ivfpq`): the M×K codebook from fixed seed
@@ -648,11 +661,14 @@ object Similarity {
         .orderBy($"vec_id").limit(nCents.toInt)
         .select($"vec_id".as("cid"), $"qv".as("cvec"))
       val cents = lloydOnceFrom(s, q, seeds)
-      val assigned = q.crossJoin(broadcast(cents))
-        .withColumn("dot", dot($"qv", $"cvec"))
+      // narrow-row assignment + join-back for the vectors (see lloydOnceFrom's note:
+      // first(qv) through the corpus × cells agg spilled ~1 TB at sf10)
+      val cellOf = q.crossJoin(broadcast(cents))
+        .select($"vec_id", $"cid", dot($"qv", $"cvec").as("dot"))
         .groupBy($"vec_id")
-        .agg(max_by($"cid", struct($"dot", -$"cid")).as("cell"),
-          first($"qv").as("qv"), first($"vv").as("vv"))
+        .agg(max_by($"cid", struct($"dot", -$"cid")).as("cell"))
+      val assigned = q.join(cellOf, Seq("vec_id"))
+        .select($"vec_id", $"cell", $"qv", $"vv")
       val dropped = assigned.as("a").join(assigned.as("b"),
           col("a.cell") === col("b.cell") && col("a.vec_id") > col("b.vec_id"))
         .filter(col("a.vv") - lit(2L) * dot(col("a.qv"), col("b.qv")) + col("b.vv")
