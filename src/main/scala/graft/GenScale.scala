@@ -21,13 +21,19 @@ import org.apache.spark.sql.functions._
  * tokens keep copies mutually disjoint in shingle space, so the duplicate structure (and
  * every dedup workload) scales by exactly K. `n_chars` is recomputed from the new text.
  *
- * Usage: runMain graft.GenScale <srcSfDir> <outDir> <K>
+ * Usage: runMain graft.GenScale <srcSfDir> <outDir> <K> [tables]
+ * `tables` (optional, comma-separated) restricts the derivation — a decade-beyond
+ * probe of one family (e.g. K=1000 documents-only for the dedup matrix) shouldn't
+ * pay for 600M lineitem rows it never reads.
  */
 object GenScale {
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: GenScale <srcSfDir> <outDir> <K>")
-    val Array(src, out, kStr) = args
-    val k = kStr.toInt
+    require(args.length == 3 || args.length == 4,
+      "usage: GenScale <srcSfDir> <outDir> <K> [tables]")
+    val src = args(0); val out = args(1)
+    val k = args(2).toInt
+    val only: Option[Set[String]] = args.lift(3).map(_.split(",").toSet)
+    def want(t: String): Boolean = only.forall(_.contains(t))
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -45,10 +51,11 @@ object GenScale {
       df.write.mode("overwrite").parquet(s"$out/$t.parquet")
 
     // dims pass through unchanged
-    Seq("region", "nation", "supplier", "part").foreach(t => write(read(t), t))
+    Seq("region", "nation", "supplier", "part").filter(want)
+      .foreach(t => write(read(t), t))
 
     def scaled(t: String)(shift: (DataFrame, Int) => DataFrame): Unit =
-      write((0 until k).map(i => shift(read(t), i)).reduce(_ union _), t)
+      if (want(t)) write((0 until k).map(i => shift(read(t), i)).reduce(_ union _), t)
 
     val OrderShift = 100000000L
     // >= the ceiling of any CDC-script insert-key offset (CdcQueries.customerScript

@@ -84,6 +84,14 @@ object Similarity {
     * the fixed IVF seed set). Selection by order-and-limit, not an id-range assumption —
     * derived corpora (GenScale) have non-contiguous id blocks. */
   private val SemDedupSeedBase = CentroidIds.head
+  /** Per-batch arrival bound of the streaming search servers (r15): every per-batch
+    * broadcast side — the arrival id set, its (q_id, qv, vv) lookup, probe cells,
+    * ADC LUTs, the R-deep shortlist — is arrivals-sized or arrivals × constant, and
+    * the widest (the vector lookup at ~520 B/row) stays ~100 MB at this bound. A
+    * batch past it fails LOUDLY (TextOps.guardBroadcast) instead of OOMing the
+    * driver mid-broadcast; at that scale re-batch upstream or move the arrival side
+    * to a shuffle join. sf10's feed is 2,000/batch — 100× headroom. */
+  private val StreamQueryMaxBatch = 200000L
 
   /** Milli-quantized integer embeddings `(vec_id, qv, vv = |qv|²)` — the exact-arithmetic
     * domain shared by the k-means, PQ and trained-IVF chains. */
@@ -298,7 +306,8 @@ object Similarity {
     val wEx = Window.partitionBy($"q_id").orderBy($"d".asc, $"vec_id")
     val out = try graft.engine.StreamGate.runBatchesForeach(s, Encoders.scalaLong,
         waves) { (ids, _) =>
-      val arrivals = ids.toDF("q_id")
+      val arrivals = TextOps.guardBroadcast(ids.toDF("q_id"), "q_id",
+        StreamQueryMaxBatch, "simsearch_stream_ivfpq arrival batch")
       // arrival-sized artifacts only: qv/vv lookup, probe cells, flat ADC LUT
       val arrQ = q.join(broadcast(arrivals), $"vec_id" === $"q_id")
         .select($"q_id", $"qv", $"vv")
@@ -588,7 +597,8 @@ object Similarity {
       val w = Window.partitionBy($"q_id").orderBy($"d".asc, $"vec_id")
       val out = graft.engine.StreamGate.runBatchesForeach(s, Encoders.scalaLong,
           Seq(b1, b2)) { (ids, _) =>
-        val arrivals = ids.toDF("q_id")
+        val arrivals = TextOps.guardBroadcast(ids.toDF("q_id"), "q_id",
+          StreamQueryMaxBatch, "simsearch_stream arrival batch")
         val qs = q.join(broadcast(arrivals), $"vec_id" === $"q_id")
           .select($"q_id", $"qv".as("eqv"), $"vv".as("evv"))
         val res = q.join(broadcast(qs), $"vec_id" =!= $"q_id")
