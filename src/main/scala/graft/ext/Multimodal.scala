@@ -1094,6 +1094,19 @@ object Multimodal {
     // report with their shared-rare-frame count at >= [[VideoMinSharedFrames]].
     // 100 TB shape: one decode pass, signature-bucket equi-joins only, candidate
     // mass bounded at C(cap,2) per signature value regardless of corpus size.
+    // STAR-SHAPED image near-dup (r15 — the measured sf100 knee, closed): the
+    // all-pairs image output is itself QUADRATIC once fingerprint cardinality
+    // saturates — at sf100 (10M doubled docs over only 19,667 distinct aHash values,
+    // measured) same-value clusters average ~500 docs and full expansion is ~2.5e9
+    // rows; dedup_image_phash33 completed every decade through sf10 (85M rows,
+    // hash-verified) and hit the disk wall exactly there. Same fix the audio/video
+    // near-dups shipped in r14: canonical→member star edges + representative-level
+    // near pairs — the full pair set is their transitive closure, output linear in
+    // docs + value-pairs at any scale. (Measured sf100: the (6,3) candidate mass is
+    // a flat 40,863 — the value-level machinery was never the knee, the output was.)
+    "dedup_image_phash_stars" -> { (s, dir) =>
+      bandedNearDupStars(imageDoubledHashes(s, dir), phashPairKeys, PhashMaxHamming)
+    },
     // AUDIO PARTIAL-COPY DETECTION (r15, VERDICT r14 #7) — the splice shape at WINDOW
     // granularity over the real WAV decode, completing the partial-copy matrix
     // (video: dedup_video_partial*, audio: here): clip d (d % 7 == 3, successor d+1
@@ -1532,6 +1545,46 @@ object Multimodal {
   private lazy val imagePhash33OracleSql: String =
     imagePhashOracle(phashComboKeySql(6, 3, "//"), Phash33MaxHamming)
 
+  /** `dedup_image_phash_stars` replayed byte-by-byte: the image near-dup oracle's
+    * hash/value CTEs (shared aHash fragments), then the STAR tail of the audio/video
+    * oracles — canonical→member edges at distance 0 plus representative-level near
+    * pairs at the pair-scheme's bar. */
+  private lazy val imagePhashStarsOracleSql: String = {
+    val idx = aHashIdxSql
+    val byte = aHashByteSql
+    val pert = aHashPertSql
+    val bandDefs = aHashBandDefsSql
+    val bandsUnion = phashComboKeySql(4, 2, "//").zipWithIndex.map { case (keyExpr, c) =>
+      s"SELECT hid, $c AS ci, $keyExpr AS cv FROM pvals" }.mkString(" UNION ALL ")
+    val ham = (0 until 4).map(b => s"bit_count(xor(ha.band_$b, hb2.band_$b))").mkString(" + ")
+    s"""WITH b AS (SELECT doc_id, encode(text) AS p, octet_length(encode(text)) AS len FROM documents),
+      |c AS (SELECT doc_id, p, len, greatest(len // 8, 1) AS h FROM b),
+      |m AS (SELECT doc_id, p, len, h, 0 AS pert FROM c
+      |      UNION ALL SELECT doc_id + 1000000, p, len, h, 1 FROM c),
+      |s AS (SELECT doc_id,
+      |  [CASE WHEN $idx < len THEN ($byte + $pert) % 256 ELSE 0 END
+      |   for k in range(0, 64)] AS sv FROM m),
+      |hb AS (SELECT doc_id, list_sum(sv) AS tot, sv FROM s),
+      |hh AS (SELECT doc_id,
+      |  $bandDefs
+      |  FROM hb),
+      |pvals AS (SELECT band_0, band_1, band_2, band_3, min(doc_id) AS hid FROM hh
+      |  GROUP BY 1, 2, 3, 4),
+      |pdoc AS (SELECT h.doc_id, v.hid FROM hh h
+      |  JOIN pvals v USING (band_0, band_1, band_2, band_3)),
+      |bands AS ($bandsUnion),
+      |cand AS (SELECT DISTINCT a.hid AS hid_a, b.hid AS hid_b
+      |  FROM bands a JOIN bands b
+      |    ON a.ci = b.ci AND a.cv = b.cv AND a.hid < b.hid)
+      |SELECT hid AS doc_a, doc_id AS doc_b, cast(0 AS BIGINT) AS ham_dist
+      |FROM pdoc WHERE doc_id <> hid
+      |UNION ALL
+      |SELECT c.hid_a AS doc_a, c.hid_b AS doc_b, cast($ham AS BIGINT) AS ham_dist
+      |FROM cand c JOIN pvals ha ON ha.hid = c.hid_a JOIN pvals hb2 ON hb2.hid = c.hid_b
+      |WHERE $ham BETWEEN 1 AND $PhashMaxHamming
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** `dedup_audio_fingerprint` replayed byte-by-byte: the swapped-copy byte rule
     * (sw=1 reads byte i⊕1 when in range — in-window because 64 is even), window
     * energies, the 32-slot grid, threshold + delta bits into the 4-band layout, then
@@ -1911,6 +1964,7 @@ object Multimodal {
     "dedup_audio_admit_stream" -> audioAdmitOracleSql,
     "dedup_video_admit_stream" -> videoAdmitOracleSql,
     "dedup_image_phash" -> imagePhashOracleSql,
+    "dedup_image_phash_stars" -> imagePhashStarsOracleSql,
     "dedup_image_phash3" -> imagePhash3OracleSql,
     "dedup_image_phash33" -> imagePhash33OracleSql,
     // the same windows recomputed from the payload hex dump byte by byte

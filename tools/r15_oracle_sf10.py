@@ -285,6 +285,47 @@ def main():
             AND x.doc_id < y.doc_id
           GROUP BY 1, 2 HAVING count(*) >= 3"""
 
+    # ---- image near-dup, STAR output (r15 — the sf100 all-pairs knee closed) ----
+    if only is None or "dedup_image_phash_stars" in only:
+        idx = "((k // 8) * h // 8) * 8 + (k % 8)"
+        byte = f"('0x' || substr(hex(p), 2*({idx}) + 1, 2))::BIGINT"
+        pert = ("CASE WHEN pert = 1 AND NOT list_contains("
+                "[(j * h) // 8 for j in range(0, 8)], (k // 8) * h // 8) THEN 1 ELSE 0 END")
+        band_defs = ",\n".join(
+            f"cast(list_sum([CASE WHEN sv[k+1]*64 >= tot THEN (1 << (k - {16*b})) ELSE 0 END "
+            f"for k in range({16*b}, {16*(b+1)})]) AS BIGINT) AS band_{b}"
+            for b in range(4))
+        stage("ishh", f"""
+          WITH b AS (SELECT doc_id, encode(text) AS p, octet_length(encode(text)) AS len FROM documents),
+          c AS (SELECT doc_id, p, len, greatest(len // 8, 1) AS h FROM b),
+          m AS (SELECT doc_id, p, len, h, 0 AS pert FROM c
+                UNION ALL SELECT doc_id + {DUP_OFFSET}, p, len, h, 1 FROM c),
+          s AS (SELECT doc_id,
+            [CASE WHEN {idx} < len THEN ({byte} + {pert}) % 256 ELSE 0 END
+             for k in range(0, 64)] AS sv FROM m),
+          hb AS (SELECT doc_id, list_sum(sv) AS tot, sv FROM s)
+          SELECT doc_id, {band_defs} FROM hb""")
+        stage("isvals",
+              "SELECT band_0, band_1, band_2, band_3, min(doc_id) AS hid FROM ishh "
+              "GROUP BY 1, 2, 3, 4")
+        stage("isdoc",
+              "SELECT h.doc_id, v.hid FROM ishh h JOIN isvals v USING (band_0, band_1, band_2, band_3)")
+        isarms = " UNION ALL ".join(
+            f"SELECT hid, {ci} AS ci, {expr} AS cv FROM isvals"
+            for ci, expr in enumerate(phash_combo_key_sql(4, 2)))
+        stage("isbands", isarms)
+        stage("iscand",
+              "SELECT DISTINCT a.hid AS hid_a, b.hid AS hid_b FROM isbands a "
+              "JOIN isbands b ON a.ci = b.ci AND a.cv = b.cv AND a.hid < b.hid")
+        isham = " + ".join(f"bit_count(xor(va.band_{b}, vb.band_{b}))" for b in range(4))
+        queries["dedup_image_phash_stars"] = f"""
+          SELECT hid AS doc_a, doc_id AS doc_b, cast(0 AS BIGINT) AS ham_dist
+          FROM isdoc WHERE doc_id <> hid
+          UNION ALL
+          SELECT c.hid_a AS doc_a, c.hid_b AS doc_b, cast({isham} AS BIGINT) AS ham_dist
+          FROM iscand c JOIN isvals va ON va.hid = c.hid_a JOIN isvals vb ON vb.hid = c.hid_b
+          WHERE {isham} BETWEEN 1 AND {ADMIT_HAMMING}"""
+
     # ---- audio partial-copy: window moment signatures, relative cap (r15) ----
     if only is None or "dedup_audio_partial" in only:
         AUDIO_WIN, AUDIO_CUT_W, AUDIO_MIN_SHARED = 64, 5, 3
