@@ -23,7 +23,7 @@ object Explain {
     // them explicitly to include them
     val names =
       if (args.nonEmpty) args.toSeq
-      else SparkEntry.queries.keys.toSeq.filterNot(SparkEntry.streamingHarness).sorted
+      else SparkEntry.queries.keys.toSeq.filterNot(SparkEntry.constructSkip).sorted
     names.foreach { n =>
       println(s"\n======== $n ========")
       // NonFatal only: a LinkageError/OOM means the environment is broken for every

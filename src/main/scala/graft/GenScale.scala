@@ -32,7 +32,17 @@ object GenScale {
       "usage: GenScale <srcSfDir> <outDir> <K> [tables]")
     val src = args(0); val out = args(1)
     val k = args(2).toInt
+    val knownTables = Set("region", "nation", "supplier", "part", "customer",
+      "orders", "lineitem", "events", "embeddings", "documents")
     val only: Option[Set[String]] = args.lift(3).map(_.split(",").toSet)
+    // fail fast on a typo'd table name: an unknown name makes want() false for every
+    // real table and GenScale would silently write NOTHING, which a decade-probe
+    // script could misread as a completed derivation (ADVICE r15 #4)
+    only.foreach { ts =>
+      val unknown = ts -- knownTables
+      require(unknown.isEmpty,
+        s"unknown table(s) ${unknown.mkString(",")}; known: ${knownTables.toSeq.sorted.mkString(",")}")
+    }
     def want(t: String): Boolean = only.forall(_.contains(t))
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")

@@ -40,7 +40,18 @@ object SparkEntry {
       "dedup_winnow_admit_stream", "dedup_winnow_admit_stream_incr", "simsearch_stream",
       "simsearch_stream_ivfpq",
       "dedup_image_admit_stream", "dedup_audio_admit_stream", "dedup_video_admit_stream",
+      "dedup_image_admit_stream_incr",
       "cdc_pipeline_restart") // runs runBatchesWithRestarts (checkpointed restarts) at construction
+
+  /** BATCH queries whose CONSTRUCTION nonetheless executes actions (the restart-artifact
+    * gates persist + reload an index mid-build, so "constructing" them runs a full corpus
+    * fold AND clobbers the on-disk artifact — ADVICE r15 #1). Plan printers and sweep
+    * specs must skip these like the streaming harnesses. */
+  val constructActions: Set[String] =
+    Set("dedup_winnow_admit_persist", "dedup_image_admit_persist")
+
+  /** Everything a construct-only caller (Explain, PlanSweepSpec) should skip. */
+  val constructSkip: Set[String] = streamingHarness ++ constructActions
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -55,7 +55,7 @@ class PlanSweepSpec extends AnyFunSuite {
   test("no query plan contains CartesianProduct; BNLJ only where allowlisted") {
     val spark = graft.SparkTestSession.spark
     val names = graft.SparkEntry.queries.keys.toSeq
-      .filterNot(graft.SparkEntry.streamingHarness).sorted
+      .filterNot(graft.SparkEntry.constructSkip).sorted
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     names.foreach { n =>
       val p = graft.SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString

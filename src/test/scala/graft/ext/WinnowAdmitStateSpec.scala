@@ -89,7 +89,10 @@ class WinnowAdmitStateSpec extends AnyFunSuite {
         assert(out(0).getString(1) === "near_dup")
         assert(out(0).getLong(2) > 0)
         assert(out(1).getString(1) === "admitted" && out(1).getLong(2) === 0L)
-      } finally { cleanup(); destroyed = true }
+      // cleanup() owns destruction the moment it is INVOKED: if it throws mid-destroy,
+      // the fallback rareIdx.destroy() on an already-partially-destroyed broadcast
+      // would raise a secondary SparkException masking the original (ADVICE r15 #5)
+      } finally { destroyed = true; cleanup() }
     } finally if (!destroyed) rareIdx.destroy()
   }
 

@@ -47,8 +47,11 @@ sha, ctrl_path = sys.argv[1], sys.argv[2]
 ctrl = json.load(open(ctrl_path))
 # sort by the extracted integer round number, not lexically: a lexical sort picks the
 # wrong artifact as soon as a round number is unpadded or reaches 3 digits (ADVICE r14)
-target = max(glob.glob("BENCH_full_r*.json"),
-             key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
+# skip stray files whose suffix after _r is non-numeric instead of raising
+# AttributeError on NoneType.group (ADVICE r15 #3)
+target = max((p for p in glob.glob("BENCH_full_r*.json")
+              if re.search(r"_r(\d+)\.json$", p)),
+             key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)))
 cur = json.load(open(target))
 common = sorted(set(cur["queries"]) & set(ctrl["queries"]))
 cur_min = sum(cur["queries"][q]["min"] for q in common)

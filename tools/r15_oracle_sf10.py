@@ -124,6 +124,16 @@ def main():
         mod = 1
         while mod <= nc:
             mod <<= 1
+        # the engine selects seeds from the FULL doubled pool; the vec_id < DUP_OFFSET
+        # restriction here is only safe while the copy-0 id pool covers nc seeds —
+        # assert it, or a big-K / small-corpus run would silently stage different
+        # seeds and report a spurious FAIL (ADVICE r15 #2)
+        pool = con.execute(
+            f"SELECT count(*) FROM qq WHERE vec_id >= {SEED_BASE} AND vec_id < {DUP_OFFSET}"
+        ).fetchone()[0]
+        assert nc <= pool, (
+            f"nCents={nc} exceeds the copy-0 seed pool ({pool} ids in "
+            f"[{SEED_BASE}, {DUP_OFFSET})); drop the < DUP_OFFSET filter for this corpus")
         stage("c0", f"""
           SELECT cid, cvec, rn FROM (
             SELECT vec_id AS cid, qv AS cvec,
