@@ -60,7 +60,12 @@ object StreamGate {
    * harness-inherent, exactly as bounded as the MemoryStream feed itself.
    */
   def runBatchesForeach[T](spark: SparkSession, enc: Encoder[T],
-                           batches: Seq[Seq[T]])
+                           batches: Seq[Seq[T]],
+                           // per-wave serving-latency probe (r16, VERDICT r15 #5):
+                           // called after each wave fully drains with (waveIdx,
+                           // seconds from addData to drained) — submit-to-answer
+                           // latency, the number a serving tier is judged on
+                           onWaveDone: (Long, Double) => Unit = (_, _) => ())
                           (onBatch: (Dataset[T], Long) => (DataFrame, () => Unit)): DataFrame = {
     import scala.jdk.CollectionConverters._
     val input = MemoryStream[T](enc, spark)
@@ -91,8 +96,10 @@ object StreamGate {
     try {
       batches.zipWithIndex.foreach { case (b, i) =>
         waveIdx = i.toLong
+        val t0 = System.nanoTime()
         input.addData(b)
         query.processAllAvailable()
+        onWaveDone(i.toLong, (System.nanoTime() - t0) / 1e9)
       }
     } finally query.stop()
     require(schema != null,

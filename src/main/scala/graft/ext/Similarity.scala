@@ -36,12 +36,12 @@ object Similarity {
 
   private def toDouble(c: Column): Column = transform(c, _.cast("double"))
 
-  private val NumQueries = 3
+  private[ext] val NumQueries = 3
   private val TopK = 10
   private val PlaneIds = Seq(10L, 11L, 12L, 13L)
   // near-dup path: more planes -> smaller buckets -> pairs ~ n^2 / (2 * 2^planes)
   private val DupPlaneIds = (10L to 19L).toSeq
-  private val DupIdOffset = 1000000L
+  private[ext] val DupIdOffset = 1000000L
   // IVF: fixed "centroid" set (base vectors 20..27), nprobe = 1
   private val CentroidIds = (20L to 27L).toSeq
   private val IvfTopK = 5
@@ -66,7 +66,7 @@ object Similarity {
   private val RagPackBudget = 256L
   /** `vec_id % 11` residue of the `simsearch_ivf_append` incoming batch — chosen so the
     * Lloyd seed ids (20..27 ≡ 9,10,0,1,2,3,4,5 mod 11) ALL stay in the base corpus. */
-  private val IvfAppendResidue = 6L
+  private[ext] val IvfAppendResidue = 6L
   /** SemDeDup near-dup radius in integer milli² units — far below the ~1.3e8 distance of
     * a random 64-dim pair, so only genuine copies fall inside. */
   private val SemDedupEpsMilli = 1000000L
@@ -193,24 +193,62 @@ object Similarity {
       : (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     graft.functions.VecDot.ensureRegistered(s) // analyze against THIS session (ADVICE r6)
-    val q = graft.engine.Tables(s, dir, "embeddings")
+    pqArtifactsOver(graft.engine.Tables(s, dir, "embeddings")
       .select($"vec_id",
-        transform($"embedding", x => (x.cast("double") * 1000).cast("long")).as("qv"))
-    val subs = q.select($"vec_id", posexplode(
-        transform(sequence(lit(0), lit(PqM - 1)),
-          i => slice($"qv", i * PqSubDim + 1, lit(PqSubDim)))).as(Seq("sub", "sv")))
-      .withColumn("svv", dot($"sv", $"sv"))
+        transform($"embedding", x => (x.cast("double") * 1000).cast("long")).as("qv")))
+  }
+
+  /** [[pqArtifacts]] over an explicit `(vec_id, qv)` corpus frame — the streaming
+    * append server and its spec build the same artifacts over corpora that are not a
+    * plain table scan (base ∪ already-appended copies); one definition, so "the codes
+    * the batch chain ranks" and "the codes the fold appends" cannot drift. The seed
+    * rows (PqSeedBase..+PqK-1) must be present in `q`. */
+  private def pqArtifactsOver(q: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val s = q.sparkSession
+    import s.implicits._
+    val subs = pqSubs(q)
     val cb = subs.filter($"vec_id".between(PqSeedBase, PqSeedBase + PqK - 1))
       .select($"sub", ($"vec_id" - PqSeedBase).cast("int").as("code"),
         $"sv".as("cw"), $"svv".as("cc"))
-    val codes = subs.join(broadcast(cb), Seq("sub"))
+    (subs, cb, pqEncodeSubs(subs, cb))
+  }
+
+  /** One row per (vector, subspace) of a `(vec_id, qv, …)` frame: `sv` = the contiguous
+    * PqSubDim-slice, `svv` = |sv|². */
+  private def pqSubs(q: DataFrame): DataFrame = {
+    val s = q.sparkSession
+    import s.implicits._
+    q.select($"vec_id", posexplode(
+        transform(sequence(lit(0), lit(PqM - 1)),
+          i => slice($"qv", i * PqSubDim + 1, lit(PqSubDim)))).as(Seq("sub", "sv")))
+      .withColumn("svv", dot($"sv", $"sv"))
+  }
+
+  /** Nearest-codeword encoding of a subspace frame against a codebook: exact integer
+    * L2² = svv - 2·sv·cw + cc per (vector, subspace, codeword), tie-break lowest code,
+    * assembled into one codes array per vector in subspace order. The codebook
+    * broadcasts (M×K rows). */
+  private def pqEncodeSubs(subs: DataFrame, cb: DataFrame): DataFrame = {
+    val s = subs.sparkSession
+    import s.implicits._
+    subs.join(broadcast(cb), Seq("sub"))
       .withColumn("d", $"svv" - lit(2L) * dot($"sv", $"cw") + $"cc")
       .groupBy($"vec_id", $"sub")
       .agg(min_by($"code", struct($"d", $"code")).as("code"))
       .groupBy($"vec_id")
       .agg(transform(array_sort(collect_list(struct($"sub", $"code"))),
         x => x.getField("code")).as("codes"))
-    (subs, cb, codes)
+  }
+
+  /** Max-dot cell assignment of `(vec_id, qv, …)` rows against a tiny `(cid, cvec)`
+    * centroid frame (broadcast; ties to the lower cid) → `(vec_id, cell)`. */
+  private def assignCells(q: DataFrame, cents: DataFrame): DataFrame = {
+    val s = q.sparkSession
+    import s.implicits._
+    q.crossJoin(broadcast(cents))
+      .select($"vec_id", $"cid", dot($"qv", $"cvec").as("dot"))
+      .groupBy($"vec_id")
+      .agg(max_by($"cid", struct($"dot", -$"cid")).as("cell"))
   }
 
   /** The flat per-query ADC lookup map from a `(q_id, sub, sv, svv)` subspace frame —
@@ -231,9 +269,15 @@ object Similarity {
     * survivors in the compressed domain, the shortlist re-ranks exactly), with
     * `nprobe` exposed so IvfPqSpec can set it to |cells| and prove the full-coverage
     * degeneration: probing every cell must reproduce `simsearch_pq_rerank` exactly. */
-  private[ext] def ivfPqRanked(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+  private[ext] def ivfPqRanked(s: SparkSession, dir: String, nprobe: Int): DataFrame =
+    ivfPqRankedOver(s, milliQ(s, dir).cache(), nprobe)
+
+  /** [[ivfPqRanked]] over an explicit `(vec_id, qv, vv)` corpus frame — the streaming
+    * append spec replays the chain over base ∪ already-appended copies to prove the
+    * fold computes exactly what a batch recompute would. Seed/centroid/query rows must
+    * be present in `q` (they are: appended copies shift ids by +DupIdOffset). */
+  private[ext] def ivfPqRankedOver(s: SparkSession, q: DataFrame, nprobe: Int): DataFrame = {
     import s.implicits._
-    val q = milliQ(s, dir).cache()
     // coarse quantizer: fixed seed centroids, max-dot assignment (the integer-IVF
     // discipline); scoredC feeds BOTH the corpus-side assignment and the probe list
     val cents = q.filter($"vec_id".isin(CentroidIds: _*))
@@ -247,7 +291,10 @@ object Similarity {
       .withColumn("rn", row_number().over(wProbe))
       .filter($"rn" <= nprobe)
       .select($"vec_id".as("q_id"), $"cid".as("p_cell"))
-    val (codes, lut) = pqCodesAndLut(s, dir)
+    val (subs, cb, codes) = pqArtifactsOver(q.select($"vec_id", $"qv"))
+    val lut = pqLutFrom(
+      subs.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("q_id"), $"sub", $"sv", $"svv"), cb)
     // cell gate BEFORE any scoring: only vectors in a probed cell meet the ADC scan
     // (each vector lives in exactly one cell, so one probe row per query can match —
     // no dedup stage); the probe list (queries × nprobe rows) broadcasts, the corpus
@@ -287,7 +334,8 @@ object Similarity {
     * row-identical to one wave and the nprobe = |cells| degeneration equal to the
     * batch [[ivfPqRanked]] chain on the same query set. */
   private[ext] def ivfPqStream(s: SparkSession, dir: String, nprobe: Int,
-      waves: Seq[Seq[Long]]): DataFrame = {
+      waves: Seq[Seq[Long]],
+      onWaveDone: (Long, Double) => Unit = (_, _) => ()): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.Encoders
     val q = milliQ(s, dir).cache()
@@ -305,7 +353,7 @@ object Similarity {
     val wAdc = Window.partitionBy($"q_id").orderBy($"adist".asc, $"vec_id")
     val wEx = Window.partitionBy($"q_id").orderBy($"d".asc, $"vec_id")
     val out = try graft.engine.StreamGate.runBatchesForeach(s, Encoders.scalaLong,
-        waves) { (ids, _) =>
+        waves, onWaveDone) { (ids, _) =>
       val arrivals = TextOps.guardBroadcast(ids.toDF("q_id"), "q_id",
         StreamQueryMaxBatch, "simsearch_stream_ivfpq arrival batch")
       // arrival-sized artifacts only: qv/vv lookup, probe cells, flat ADC LUT
@@ -342,6 +390,151 @@ object Similarity {
       q.unpersist(blocking = false)
     }
     out.orderBy($"q_id", $"rnk")
+  }
+
+  /** The `simsearch_stream` / `simsearch_stream_ivfpq` arrival feed — the `% 50`
+    * query-id slice split into two waves by `% 100` parity — factored out so the
+    * latency harness ([[graft.StreamLatency]]) can re-split the same population into
+    * many waves. */
+  private[ext] def streamFeedWaves(s: SparkSession, dir: String): Seq[Seq[Long]] = {
+    import s.implicits._
+    val feed = graft.engine.Tables(s, dir, "embeddings")
+      .filter($"vec_id" % 50 === 7).select($"vec_id")
+      .as[Long].collect().toSeq.sorted // driver-side feed is inherent to MemoryStream
+    val (b1, b2) = feed.partition(_ % 100 < 50)
+    Seq(b1, b2)
+  }
+
+  /** The exact-serving stream behind `simsearch_stream` (r14) — per micro-batch, the
+    * arriving query ids answer with the exact integer-L2 top-k against the static
+    * corpus; stateless across batches. Factored out of the registry entry (r16) so the
+    * latency harness can drive it with many waves and a per-wave timing probe. */
+  private[ext] def exactStream(s: SparkSession, dir: String, waves: Seq[Seq[Long]],
+      onWaveDone: (Long, Double) => Unit = (_, _) => ()): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.Encoders
+    val q = milliQ(s, dir).cache()
+    val w = Window.partitionBy($"q_id").orderBy($"d".asc, $"vec_id")
+    val out = graft.engine.StreamGate.runBatchesForeach(s, Encoders.scalaLong,
+        waves, onWaveDone) { (ids, _) =>
+      val arrivals = TextOps.guardBroadcast(ids.toDF("q_id"), "q_id",
+        StreamQueryMaxBatch, "simsearch_stream arrival batch")
+      val qs = q.join(broadcast(arrivals), $"vec_id" === $"q_id")
+        .select($"q_id", $"qv".as("eqv"), $"vv".as("evv"))
+      val res = q.join(broadcast(qs), $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id",
+          ($"vv" - lit(2L) * dot($"qv", $"eqv") + $"evv").as("d"))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= TopK)
+        .select($"q_id", $"rnk".cast("long").as("rnk"), $"vec_id", $"d")
+      (res, () => ())
+    }
+    out.orderBy($"q_id", $"rnk")
+  }
+
+  /** STREAMING IVF INDEX MAINTENANCE behind `simsearch_stream_append` (r16, VERDICT
+    * r15 #6): [[ivfPqStream]]'s serving posture, but arriving VECTORS append to the
+    * serving store INSIDE the stream — the winnow-admission fold discipline
+    * (Dedup.scala `dedup_winnow_admit_stream_incr`) applied to the ANN index. Each
+    * micro-batch of `waves` carries ids of vectors to ingest (id − DupIdOffset names
+    * the corpus vector being copied in); the batch first SERVES the fixed query set
+    * against the store as folded through the PREVIOUS waves, then (post-collect hook)
+    * encodes its arrivals against the FROZEN codebook/centroids — nothing retrains,
+    * the `simsearch_ivf_append` posture — and folds them in via a localCheckpoint
+    * swap, releasing the superseded generation. A vector appended in batch k is
+    * therefore served from batch k+1 on: the feed plants copies of the queries
+    * themselves in wave 1, so wave 2 MUST rank each planted copy at rnk 1 with d = 0
+    * (SimStreamAppendSpec pins that, plus wave-by-wave equality with the batch chain
+    * [[ivfPqRankedOver]] recomputed over base ∪ appended-so-far).
+    *
+    * 100 TB shape: the store is the corpus-sized serving artifact every vector store
+    * maintains — per batch it does ONE arrival-sized encode (arrivals × M·K codebook
+    * probes + arrivals × k centroid dots, all against broadcast artifacts) and one
+    * union fold; the in-session localCheckpoint swap is the analogue of an appendable
+    * index store (the persisted-gate discipline of `dedup_image_admit_persist` applies
+    * verbatim when the store must survive a restart). Serving work per batch is the
+    * cell-gated compressed-domain scan — identical to [[ivfPqStream]]. */
+  private[ext] def ivfPqStreamAppend(s: SparkSession, dir: String, nprobe: Int,
+      waves: Seq[Seq[Long]],
+      onWaveDone: (Long, Double) => Unit = (_, _) => ()): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.Encoders
+    val q = milliQ(s, dir).cache()
+    val cents = q.filter($"vec_id".isin(CentroidIds: _*))
+      .select($"vec_id".as("cid"), $"qv".as("cvec"))
+    val (_, cb0, codes) = pqArtifacts(s, dir)
+    val cb = cb0.localCheckpoint() // M×K rows; frozen codebook — appends never retrain
+    // the combined serving store: codes+cell gate the compressed scan, qv+vv feed the
+    // exact re-rank (appended vectors must be re-rankable too, so the store carries
+    // the full row — the artifact a production vector store persists)
+    var store = codes
+      .join(assignCells(q, cents), Seq("vec_id"))
+      .join(q, Seq("vec_id"))
+      .select($"vec_id", $"codes", $"cell", $"qv", $"vv")
+      .localCheckpoint()
+    // the query set is FIXED across waves — its probes, ADC LUTs and exact-side
+    // vectors are stream-constant artifacts (only the store changes per batch)
+    val wProbe = Window.partitionBy($"q_id").orderBy($"dot".desc, $"cid")
+    val arrQ = q.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"qv", $"vv")
+    val probes = arrQ.crossJoin(broadcast(cents))
+      .withColumn("dot", dot($"qv", $"cvec"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter($"rn" <= nprobe)
+      .select($"q_id", $"cid".as("p_cell"))
+      .localCheckpoint()
+    val lut = pqLutFrom(
+      pqSubs(arrQ.select($"q_id".as("vec_id"), $"qv"))
+        .select($"vec_id".as("q_id"), $"sub", $"sv", $"svv"), cb)
+      .localCheckpoint()
+    val qs = arrQ.select($"q_id", $"qv".as("eqv"), $"vv".as("evv")).localCheckpoint()
+    val wAdc = Window.partitionBy($"q_id").orderBy($"adist".asc, $"vec_id")
+    val wEx = Window.partitionBy($"q_id").orderBy($"d".asc, $"vec_id")
+    val out = try graft.engine.StreamGate.runBatchesForeach(s, Encoders.scalaLong,
+        waves, onWaveDone) { (ids, waveIdx) =>
+      val arrivals = TextOps.guardBroadcast(ids.toDF("app_id"), "app_id",
+        StreamQueryMaxBatch, "simsearch_stream_append arrival batch")
+      // serve FIRST, against the store as folded through waves < this one — the
+      // batch's own arrivals become visible from the NEXT wave (the hook ordering)
+      val shortlist = store
+        .join(broadcast(probes), $"cell" === $"p_cell" && $"vec_id" =!= $"q_id")
+        .join(broadcast(lut), Seq("q_id"))
+        .withColumn("adist", adcDist)
+        .withColumn("rnk", row_number().over(wAdc))
+        .filter($"rnk" <= PqRerankR)
+        .select($"q_id", $"vec_id", $"adist")
+      val res = store.join(broadcast(shortlist), Seq("vec_id"))
+        .join(broadcast(qs), Seq("q_id"))
+        .withColumn("d", $"vv" - lit(2L) * dot($"qv", $"eqv") + $"evv")
+        .withColumn("rnk", row_number().over(wEx))
+        .filter($"rnk" <= TopK)
+        .select($"q_id", lit(waveIdx + 1L).as("wave"),
+          $"rnk".cast("long").as("rnk"), $"vec_id", $"d", $"adist")
+      (res, () => {
+        // post-collect: encode the arrivals (copies of corpus vectors, id-shifted by
+        // +DupIdOffset) against the frozen artifacts and fold them into the store
+        val vecs = q.join(broadcast(arrivals), $"vec_id" === $"app_id" - DupIdOffset)
+          .select($"app_id".as("vec_id"), $"qv", $"vv")
+        val delta = pqEncodeSubs(pqSubs(vecs), cb)
+          .join(assignCells(vecs, cents), Seq("vec_id"))
+          .join(vecs, Seq("vec_id"))
+          .select($"vec_id", $"codes", $"cell", $"qv", $"vv")
+        val newStore = store.unionByName(delta).localCheckpoint()
+        graft.ext.Dedup.releaseLocalCheckpoint(store)
+        store = newStore
+      })
+    // finally, not success-path-only: a stream failure mid-run must not leak the
+    // current store generation's checkpoint blocks; `store` always points at the
+    // latest live generation — superseded ones release in the hook
+    } finally {
+      graft.ext.Dedup.releaseLocalCheckpoint(store)
+      graft.ext.Dedup.releaseLocalCheckpoint(cb)
+      graft.ext.Dedup.releaseLocalCheckpoint(probes)
+      graft.ext.Dedup.releaseLocalCheckpoint(lut)
+      graft.ext.Dedup.releaseLocalCheckpoint(qs)
+      q.unpersist(blocking = false)
+    }
+    out.orderBy($"q_id", $"wave", $"rnk")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -587,29 +780,7 @@ object Similarity {
     // the exact scorer for the ivfPqRanked chain is a per-batch plan change, not an
     // architecture change.
     "simsearch_stream" -> { (s, dir) =>
-      import s.implicits._
-      import org.apache.spark.sql.Encoders
-      val q = milliQ(s, dir).cache()
-      val feed = graft.engine.Tables(s, dir, "embeddings")
-        .filter($"vec_id" % 50 === 7).select($"vec_id")
-        .as[Long].collect().toSeq.sorted // driver-side feed is inherent to MemoryStream
-      val (b1, b2) = feed.partition(_ % 100 < 50)
-      val w = Window.partitionBy($"q_id").orderBy($"d".asc, $"vec_id")
-      val out = graft.engine.StreamGate.runBatchesForeach(s, Encoders.scalaLong,
-          Seq(b1, b2)) { (ids, _) =>
-        val arrivals = TextOps.guardBroadcast(ids.toDF("q_id"), "q_id",
-          StreamQueryMaxBatch, "simsearch_stream arrival batch")
-        val qs = q.join(broadcast(arrivals), $"vec_id" === $"q_id")
-          .select($"q_id", $"qv".as("eqv"), $"vv".as("evv"))
-        val res = q.join(broadcast(qs), $"vec_id" =!= $"q_id")
-          .select($"q_id", $"vec_id",
-            ($"vv" - lit(2L) * dot($"qv", $"eqv") + $"evv").as("d"))
-          .withColumn("rnk", row_number().over(w))
-          .filter($"rnk" <= TopK)
-          .select($"q_id", $"rnk".cast("long").as("rnk"), $"vec_id", $"d")
-        (res, () => ())
-      }
-      out.orderBy($"q_id", $"rnk")
+      exactStream(s, dir, streamFeedWaves(s, dir))
     },
     // ONLINE IVFADC-R SERVING (r15, VERDICT r14 #5): `simsearch_stream` swaps its
     // per-batch exact scan for the composed IVF+PQ+exact-re-rank chain — the
@@ -617,12 +788,27 @@ object Similarity {
     // simsearch_stream; the serving index is built offline (once, pre-stream) and
     // each batch does only arrival-sized probe work — see [[ivfPqStream]].
     "simsearch_stream_ivfpq" -> { (s, dir) =>
+      ivfPqStream(s, dir, IvfNProbe, streamFeedWaves(s, dir))
+    },
+    // STREAMING IVF INDEX MAINTENANCE (r16, VERDICT r15 #6): the serving server of
+    // `simsearch_stream_ivfpq`, but the arriving stream carries VECTORS TO INGEST —
+    // id-shifted copies of the `% 11` append slice (the `simsearch_ivf_append`
+    // corpus) PLUS copies of the query vectors themselves. Each batch serves the
+    // fixed query set against the store as folded through the previous batches, then
+    // folds its own arrivals in (frozen centroids + codebook — nothing retrains).
+    // Wave 1 plants copies of queries 0 and 2, so wave 2's serve MUST surface each
+    // planted copy at rnk 1 / d 0 — the fold is load-bearing by construction, not by
+    // data luck. Decisions ≡ a per-wave batch recompute over base ∪ appended-so-far
+    // (the oracle re-runs the whole chain per wave; SimStreamAppendSpec pins the
+    // engine-side equality with ivfPqRankedOver too). See [[ivfPqStreamAppend]].
+    "simsearch_stream_append" -> { (s, dir) =>
       import s.implicits._
       val feed = graft.engine.Tables(s, dir, "embeddings")
-        .filter($"vec_id" % 50 === 7).select($"vec_id")
+        .filter($"vec_id" % 11 === IvfAppendResidue || $"vec_id" < NumQueries)
+        .select(($"vec_id" + DupIdOffset).as("app_id"))
         .as[Long].collect().toSeq.sorted // driver-side feed is inherent to MemoryStream
-      val (b1, b2) = feed.partition(_ % 100 < 50)
-      ivfPqStream(s, dir, IvfNProbe, Seq(b1, b2))
+      val (b1, b2) = feed.partition(id => (id - DupIdOffset) % 2 == 0)
+      ivfPqStreamAppend(s, dir, IvfNProbe, Seq(b1, b2))
     },
     // HYBRID RANK FUSION (reciprocal-rank fusion, Cormack et al.): ensemble the two
     // heterogeneous rankers — exact cosine top-k and compressed-domain PQ L2 — by
@@ -1244,6 +1430,9 @@ object Similarity {
     // batch-invariant (stateless per batch, index frozen pre-stream), so the oracle
     // is the static IVFADC-R computation on the arrival ids
     "simsearch_stream_ivfpq" -> ivfPqOracleSql("vec_id % 50 = 7"),
+    // per-wave batch recompute of the whole IVFADC-R chain over the store as it stood
+    // at that wave's serve time — see streamAppendOracleSql
+    "simsearch_stream_append" -> streamAppendOracleSql,
     // both ranker chains restated (cosine with c-prefixed CTEs, PQ-ADC with the pq
     // oracle's CTEs), fused by scaled-integer reciprocal ranks over a full outer join
     "simsearch_rrf_fusion" ->
@@ -1347,9 +1536,22 @@ object Similarity {
     * the fixed chain, the streaming feed's `vec_id % 50 = 7` for the server — the
     * serving output is batch-invariant, so the static computation IS the oracle). */
   private def ivfPqOracleSql(qSet: String): String =
-      s"""WITH e AS (SELECT vec_id,
-         |  list_transform(embedding, x -> CAST(trunc(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-         |  FROM embeddings),
+    ivfPqChainSql(qSet, milliCorpusSql) + " ORDER BY q_id, rnk"
+
+  /** The milli-quantized corpus scan every similarity oracle opens with — also the
+    * base term of the append server's per-wave corpus bodies. A `def`, NOT a `val`:
+    * the `oracle` map val initializes before this point in the file, and a forward
+    * val reference would silently interpolate null into every chain oracle. */
+  private def milliCorpusSql: String =
+    s"""SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(trunc(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+       |  FROM embeddings""".stripMargin
+
+  /** [[ivfPqOracleSql]] with the corpus CTE body as a parameter (no final ORDER BY, so
+    * callers can compose per-wave chains under a UNION): the streaming append oracle
+    * re-runs this whole chain once per wave with e := base ∪ appended-so-far. */
+  private def ivfPqChainSql(qSet: String, eBody: String): String =
+      s"""WITH e AS ($eBody),
          |sub AS (SELECT vec_id, s, list_slice(qv, s*$PqSubDim + 1, s*$PqSubDim + $PqSubDim) AS sv
          |  FROM e, (SELECT unnest(range($PqM)) AS s) ss),
          |svv AS (SELECT vec_id, s, sv, CAST(list_dot_product(sv, sv) AS BIGINT) AS svv FROM sub),
@@ -1388,5 +1590,27 @@ object Similarity {
          |  FROM shortl sl JOIN qq q ON sl.vec_id = q.vec_id JOIN qs ON sl.q_id = qs.q_id)
          |SELECT q_id, rnk, vec_id, d, adist FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d, vec_id) AS rnk FROM rr)
-         |WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin
+         |WHERE rnk <= $TopK""".stripMargin
+
+  /** The `simsearch_stream_append` oracle: the [[ivfPqChainSql]] chain re-run once per
+    * wave with the corpus as the server's store stood at that wave's SERVE time —
+    * wave 1 sees the base corpus only, wave 2 sees base ∪ wave-1 appends (orig % 2 = 0
+    * of the `% 11` slice plus the planted query copies). A wave's own arrivals fold in
+    * AFTER its serve, so they never appear in their own wave — exactly the engine's
+    * hook ordering. */
+  private def streamAppendOracleSql: String = {
+    val appPred =
+      s"(vec_id % 11 = $IvfAppendResidue OR vec_id < $NumQueries)"
+    val wave2Body =
+      s"""$milliCorpusSql
+         |UNION ALL
+         |SELECT vec_id + $DupIdOffset AS vec_id, qv
+         |FROM ($milliCorpusSql) WHERE $appPred AND vec_id % 2 = 0""".stripMargin
+    s"""SELECT CAST(1 AS BIGINT) AS wave, * FROM (
+       |${ivfPqChainSql(qSetSql, milliCorpusSql)})
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT) AS wave, * FROM (
+       |${ivfPqChainSql(qSetSql, wave2Body)})
+       |ORDER BY q_id, wave, rnk""".stripMargin
+  }
 }

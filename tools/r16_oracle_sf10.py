@@ -79,7 +79,7 @@ def main():
     os.makedirs("target/duck_tmp", exist_ok=True)
     con.execute("PRAGMA temp_directory='target/duck_tmp'")
 
-    for t in ("documents",):
+    for t in ("documents", "embeddings"):
         p = f"{sfdir}/{t}.parquet"
         src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
@@ -167,6 +167,18 @@ def main():
           FROM (SELECT * FROM imdec1 UNION ALL SELECT * FROM imdec2)"""
         queries["dedup_image_admit_stream_incr"] = incr_sql
         queries["dedup_image_admit_persist"] = incr_sql
+
+    # simsearch_stream_append (r16, VERDICT r15 #6): the REGISTERED oracle is pure
+    # chain SQL that DuckDB runs directly at sf10 (no staging needed) — read it from
+    # the engine dump's oracle_sql.json so tool and registry cannot drift
+    sa = "simsearch_stream_append"
+    if only is None or sa in only:
+        import json
+        osql_path = os.path.join(outdir, "oracle_sql.json")
+        if os.path.exists(osql_path):
+            queries[sa] = json.load(open(osql_path))[sa]
+        else:
+            print(f"SKIP {sa}: no oracle_sql.json at {outdir}", flush=True)
 
     npass = nfail = 0
     for name, sql in queries.items():
