@@ -38,7 +38,7 @@ object SparkEntry {
       "dedup_incremental_stream", "events_enrich_stream", "cdc_txn_timeout",
       "cdc_scd2_stream", "events_topk_stream", "events_heavy_hitters_stream",
       "dedup_winnow_admit_stream", "dedup_winnow_admit_stream_incr", "simsearch_stream",
-      "simsearch_stream_ivfpq", "simsearch_stream_append",
+      "simsearch_stream_ivfpq", "simsearch_stream_ivfpq_cells", "simsearch_stream_append",
       "dedup_image_admit_stream", "dedup_audio_admit_stream", "dedup_video_admit_stream",
       "dedup_image_admit_stream_incr",
       "cdc_pipeline_restart") // runs runBatchesWithRestarts (checkpointed restarts) at construction

@@ -121,15 +121,11 @@ object Similarity {
     * keep the [[CentroidIds]] default above. */
   private def lloydOnceFrom(s: SparkSession, q: DataFrame, cent0: DataFrame): DataFrame = {
     import s.implicits._
-    // assignment aggregates NARROW rows — (vec_id, cid, dot), never the 512-byte
-    // vector (r15, measured on dedup_semantic at sf10: first(qv) through the
-    // corpus × cells ObjectHashAggregate forced a sort fallback spilling ~1 TB; the
-    // narrow agg + one equi-join back to q for the vectors cut the query 77 → 44 s
-    // with zero spill)
-    val cellOf = q.crossJoin(broadcast(cent0))
-      .select($"vec_id", $"cid", dot($"qv", $"cvec").as("dot"))
-      .groupBy($"vec_id")
-      .agg(max_by($"cid", struct($"dot", -$"cid")).as("cid"))
+    // assignment aggregates NARROW packed rows, never the 512-byte vector (r15: wide
+    // first(qv) through the corpus × cells agg spilled ~1 TB; r16: the packed-argmax
+    // HashAggregate of assignCells replaced the narrow max_by, whose SortAggregate
+    // fallback died at sf100 — see assignCells' scaladoc for both measurements)
+    val cellOf = assignCells(q, cent0).withColumnRenamed("cell", "cid")
     q.join(cellOf, Seq("vec_id"))
       .select($"cid", posexplode($"qv").as(Seq("pos", "v")))
       .groupBy($"cid", $"pos")
@@ -240,15 +236,48 @@ object Similarity {
         x => x.getField("code")).as("codes"))
   }
 
+  /** Low-field width of the packed argmax (see [[assignCells]]): up to 2^21 centroids,
+    * leaving 42 high bits for the dot. Milli-quantized 64-dim dots are bounded by
+    * 64·(|q|·|c|) ≤ 64·(2^13)² = 2^32 ≪ 2^42, so the product can never overflow. */
+  private val CellIdxBits = 21
+  private val CellIdxMask = (1L << CellIdxBits) - 1L
+
   /** Max-dot cell assignment of `(vec_id, qv, …)` rows against a tiny `(cid, cvec)`
-    * centroid frame (broadcast; ties to the lower cid) → `(vec_id, cell)`. */
+    * centroid frame (broadcast; ties to the lower cid) → `(vec_id, cell)`.
+    *
+    * PACKED-ARGMAX FORM (r16, measured): `max_by(cid, struct(dot, -cid))` is a
+    * declarative aggregate with a STRUCT buffer, which UnsafeRow cannot mutate in
+    * place, so Spark plans a **SortAggregate** — every (vector × centroid) narrow row
+    * is sorted per task before the partial collapse. With cells ∝ n (`dedup_semantic`)
+    * that sort input is quadratic: at sf100 (4M vectors × 8k cells = 3.2·10¹⁰ rows)
+    * the partial sort wrote >100 GB of spill in two minutes and died
+    * SPILL_OUT_OF_MEMORY, where sf10 (100× fewer rows) completed with a 3 GB spill.
+    * Packing the monotone key `(dot, -cidIdx)` into ONE BIGINT —
+    * `dot·2^21 + (mask - cidIdx)` — turns the aggregate into plain `max` over a
+    * mutable long buffer → HashAggregate, fully pipelined with the broadcast
+    * nested-loop join: zero sort, zero materialization, bit-identical argmax (highest
+    * dot, ties to the LOWEST cid: lower idx → larger low field). The low field is
+    * non-negative, so two's-complement `& mask` decodes it for negative dots too.
+    * `cidx ≥ 2^21` fails loudly at build time via `raise_error` on the tiny frame. */
   private def assignCells(q: DataFrame, cents: DataFrame): DataFrame = {
     val s = q.sparkSession
     import s.implicits._
-    q.crossJoin(broadcast(cents))
-      .select($"vec_id", $"cid", dot($"qv", $"cvec").as("dot"))
+    val wIdx = Window.orderBy($"cid") // tiny frame: single-partition window is fine
+    val centsIdx = cents
+      .withColumn("cidx", row_number().over(wIdx).cast("long") - 1L)
+      .withColumn("cidx", when($"cidx" > CellIdxMask,
+        raise_error(concat(lit("assignCells: centroid count exceeds packed-argmax " +
+          s"capacity ${CellIdxMask + 1} at cid="), $"cid".cast("string"))))
+        .otherwise($"cidx"))
+    q.crossJoin(broadcast(centsIdx))
+      .select($"vec_id",
+        (dot($"qv", $"cvec") * (CellIdxMask + 1L) + (lit(CellIdxMask) - $"cidx"))
+          .as("pack"))
       .groupBy($"vec_id")
-      .agg(max_by($"cid", struct($"dot", -$"cid")).as("cell"))
+      .agg(max($"pack").as("pack"))
+      .select($"vec_id", (lit(CellIdxMask) - $"pack".bitwiseAND(CellIdxMask)).as("cidx"))
+      .join(broadcast(centsIdx.select($"cidx", $"cid")), Seq("cidx"))
+      .select($"vec_id", $"cid".as("cell"))
   }
 
   /** The flat per-query ADC lookup map from a `(q_id, sub, sv, svv)` subspace frame —
@@ -279,13 +308,13 @@ object Similarity {
   private[ext] def ivfPqRankedOver(s: SparkSession, q: DataFrame, nprobe: Int): DataFrame = {
     import s.implicits._
     // coarse quantizer: fixed seed centroids, max-dot assignment (the integer-IVF
-    // discipline); scoredC feeds BOTH the corpus-side assignment and the probe list
+    // discipline, packed-argmax HashAggregate — see assignCells); the probe list
+    // re-scores only the query rows
     val cents = q.filter($"vec_id".isin(CentroidIds: _*))
       .select($"vec_id".as("cid"), $"qv".as("cvec"))
+    val assigned = assignCells(q, cents)
     val scoredC = q.crossJoin(broadcast(cents))
       .withColumn("dot", dot($"qv", $"cvec"))
-    val assigned = scoredC.groupBy($"vec_id")
-      .agg(max_by($"cid", struct($"dot", -$"cid")).as("cell"))
     val wProbe = Window.partitionBy($"vec_id").orderBy($"dot".desc, $"cid")
     val probes = scoredC.filter($"vec_id" < NumQueries)
       .withColumn("rn", row_number().over(wProbe))
@@ -335,19 +364,31 @@ object Similarity {
     * batch [[ivfPqRanked]] chain on the same query set. */
   private[ext] def ivfPqStream(s: SparkSession, dir: String, nprobe: Int,
       waves: Seq[Seq[Long]],
-      onWaveDone: (Long, Double) => Unit = (_, _) => ()): DataFrame = {
+      onWaveDone: (Long, Double) => Unit = (_, _) => (),
+      scaledCells: Boolean = false): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.Encoders
     val q = milliQ(s, dir).cache()
-    val cents = q.filter($"vec_id".isin(CentroidIds: _*))
-      .select($"vec_id".as("cid"), $"qv".as("cvec"))
+    // scaledCells (r16, the measured sf100 knee): the fixed 8-seed coarse quantizer
+    // makes every query's compressed-domain scan N/8 rows, and the arrival feed is a
+    // fixed corpus SLICE (∝ n), so per-wave ADC mass grows QUADRATICALLY per decade —
+    // at sf100 (2M vectors, 20k arrivals/wave) the scan wrote 75 GB of shuffle before
+    // the run was killed. k = ⌈√N⌉ cells (the classic IVF sizing) makes the per-query
+    // scan nprobe·√N and the offline assignment N·√N — both n^1.5 per decade, the
+    // measured path past the knee. Seeds: the lowest k ids ≥ SemDedupSeedBase, raw
+    // (FROZEN, no Lloyd round) — `dedup_semantic`'s seed discipline.
+    val cents =
+      if (scaledCells) {
+        val k = math.max(8L, math.ceil(math.sqrt(
+          graft.engine.Tables(s, dir, "embeddings").count().toDouble)).toLong)
+        q.filter($"vec_id" >= SemDedupSeedBase).orderBy($"vec_id").limit(k.toInt)
+          .select($"vec_id".as("cid"), $"qv".as("cvec"))
+      } else q.filter($"vec_id".isin(CentroidIds: _*))
+        .select($"vec_id".as("cid"), $"qv".as("cvec"))
     val (_, cb0, codes) = pqArtifacts(s, dir)
     val cb = cb0.localCheckpoint() // M×K rows; frozen codebook for the stream's LUTs
     val index = codes
-      .join(q.crossJoin(broadcast(cents))
-        .withColumn("dot", dot($"qv", $"cvec"))
-        .groupBy($"vec_id")
-        .agg(max_by($"cid", struct($"dot", -$"cid")).as("cell")), Seq("vec_id"))
+      .join(assignCells(q, cents), Seq("vec_id"))
       .localCheckpoint() // (vec_id, codes, cell) — the offline-built serving index
     val wProbe = Window.partitionBy($"q_id").orderBy($"dot".desc, $"cid")
     val wAdc = Window.partitionBy($"q_id").orderBy($"adist".asc, $"vec_id")
@@ -790,6 +831,14 @@ object Similarity {
     "simsearch_stream_ivfpq" -> { (s, dir) =>
       ivfPqStream(s, dir, IvfNProbe, streamFeedWaves(s, dir))
     },
+    // SCALED-CELL IVFADC-R SERVING — the measured path past simsearch_stream_ivfpq's
+    // sf100 knee (see ivfPqStream's scaledCells note): k = ⌈√N⌉ frozen seed cells
+    // instead of 8, so the per-query compressed scan is nprobe·√N rows, not nprobe·N/8.
+    // Same feed, same chain, same output shape; recall at a given nprobe differs (the
+    // quality/cost point moves with k — the oracle defines the exact semantics).
+    "simsearch_stream_ivfpq_cells" -> { (s, dir) =>
+      ivfPqStream(s, dir, IvfNProbe, streamFeedWaves(s, dir), scaledCells = true)
+    },
     // STREAMING IVF INDEX MAINTENANCE (r16, VERDICT r15 #6): the serving server of
     // `simsearch_stream_ivfpq`, but the arriving stream carries VECTORS TO INGEST —
     // id-shifted copies of the `% 11` append slice (the `simsearch_ivf_append`
@@ -857,13 +906,11 @@ object Similarity {
         .orderBy($"vec_id").limit(nCents.toInt)
         .select($"vec_id".as("cid"), $"qv".as("cvec"))
       val cents = lloydOnceFrom(s, q, seeds)
-      // narrow-row assignment + join-back for the vectors (see lloydOnceFrom's note:
-      // first(qv) through the corpus × cells agg spilled ~1 TB at sf10)
-      val cellOf = q.crossJoin(broadcast(cents))
-        .select($"vec_id", $"cid", dot($"qv", $"cvec").as("dot"))
-        .groupBy($"vec_id")
-        .agg(max_by($"cid", struct($"dot", -$"cid")).as("cell"))
-      val assigned = q.join(cellOf, Seq("vec_id"))
+      // packed-argmax assignment + join-back for the vectors (r15 killed the wide
+      // first(qv) agg's ~1 TB sf10 spill; r16's packed HashAggregate killed the
+      // narrow max_by's SortAggregate, which died SPILL_OUT_OF_MEMORY at sf100 —
+      // measurements in assignCells' scaladoc)
+      val assigned = q.join(assignCells(q, cents), Seq("vec_id"))
         .select($"vec_id", $"cell", $"qv", $"vv")
       val dropped = assigned.as("a").join(assigned.as("b"),
           col("a.cell") === col("b.cell") && col("a.vec_id") > col("b.vec_id"))
@@ -899,6 +946,50 @@ object Similarity {
         .filter($"sim" >= 0.999)
         .orderBy($"vec_a", $"vec_b")
     },
+    // RELATIVE-PLANE embedding near-dup — the scale path past dedup_embedding_cosine's
+    // measured knee (r16 sf100 probe): the base operator's FIXED 10 planes mean 1,024
+    // buckets whatever the corpus, so per-bucket occupancy grows ∝ n and the verify
+    // pair mass (Σ C(occ,2) per bucket ≈ n²/2^(p+1)) grows QUADRATICALLY per decade —
+    // 7.6·10⁷ pairs at sf10 becomes 7.6·10⁹ at sf100. Here the plane count scales with
+    // the corpus: the smallest p ≥ 10 with 2^(p+1) ≥ n (integer rule, replicated
+    // exactly by the DuckDB oracle) keeps occupancy ≈ constant (≈4 at sf0.1, ≈3.4 at
+    // sf10, ≈3.8 at sf100), so pair mass stays LINEAR — the same relative-cap
+    // discipline as dedup_winnow_pairs_rel / dedup_video_partial_rel. At bench scale
+    // (n ≤ 2,000) p floors at 10 and the output ≡ dedup_embedding_cosine. The planted
+    // exact copies collide at ANY p (identical signs); genuinely-near 0.999 pairs pay
+    // the standard sign-LSH recall factor (1-θ/π)^p ≈ 0.75 at p = 20 — the documented
+    // trade; a banded multi-probe (the dedup_image (6,3) scheme) is the recall path if
+    // it is ever needed. The bucket agg is NARROW (vec_id, bitval only — the base
+    // query's first(v) plans a wide SortAggregate, the exact sf100 killer assignCells
+    // documents); vectors join back by vec_id for the verify dots.
+    "dedup_embedding_cosine_rel" -> { (s, dir) =>
+      import s.implicits._
+      graft.functions.VecDot.ensureRegistered(s)
+      val n = graft.engine.Tables(s, dir, "embeddings").count()
+      val p = (10 to 61).find(b => (1L << (b + 1)) >= n).getOrElse(
+        sys.error(s"dedup_embedding_cosine_rel: corpus $n exceeds 2^62 bucket space"))
+      val planeIds = (DupPlaneIds.head until DupPlaneIds.head + p).map(Long.box)
+      val base = graft.engine.Tables(s, dir, "embeddings")
+        .select($"vec_id", toDouble($"embedding").as("v"))
+      val emb = base.union(base.select(($"vec_id" + DupIdOffset).as("vec_id"), $"v"))
+      val planes = base.filter($"vec_id".isin(planeIds: _*))
+        .select($"vec_id".as("p_id"), $"v".as("pv"))
+      val buckets = emb.crossJoin(broadcast(planes))
+        .select($"vec_id",
+          when(dot($"v", $"pv") >= 0,
+            expr(s"cast(shiftleft(1L, cast(p_id - ${DupPlaneIds.head} as int)) as bigint)"))
+            .otherwise(0L).as("bitval"))
+        .groupBy($"vec_id").agg(sum($"bitval").as("bucket"))
+      val bucketed = emb.join(buckets, Seq("vec_id"))
+        .withColumn("norm", sqrt(dot($"v", $"v")))
+        .cache()
+      bucketed.as("a").join(bucketed.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6).as("sim"))
+        .filter($"sim" >= 0.999)
+        .orderBy($"vec_a", $"vec_b")
+    },
     // IVF INDEX MAINTENANCE — the append path every vector store needs between retrains:
     // centroids train on the EXISTING corpus only (one Lloyd round, then FROZEN), and the
     // new batch (a disjoint %11 slice; the seed ids all live in the base) is assigned to
@@ -911,10 +1002,7 @@ object Similarity {
       val q = milliQ(s, dir)
       val base = q.filter($"vec_id" % 11 =!= IvfAppendResidue)
       val appended = q.filter($"vec_id" % 11 === IvfAppendResidue)
-      val assigned = appended.crossJoin(broadcast(lloydOnce(s, base)))
-        .withColumn("dot", dot($"qv", $"cvec"))
-        .groupBy($"vec_id")
-        .agg(max_by($"cid", struct($"dot", -$"cid")).as("cell"))
+      val assigned = assignCells(appended, lloydOnce(s, base))
       assigned.groupBy($"cell")
         .agg(count(lit(1)).as("n_appended"), sum($"vec_id").as("vec_id_sum"))
         .orderBy($"cell")
@@ -1005,9 +1093,10 @@ object Similarity {
         .select($"vec_id".as("cid"), $"qv".as("cvec"))
     val scoredC = q.crossJoin(broadcast(cents))
       .withColumn("dot", dot($"qv", $"cvec"))
-    val assigned = scoredC.groupBy($"vec_id")
-      .agg(max_by($"cid", struct($"dot", -$"cid")).as("cell"),
-        first($"qv").as("qv"), first($"vv").as("vv"))
+    // packed-argmax assignment + join-back (see assignCells): the wide first(qv)
+    // variant planned a SortAggregate over every corpus × cells row
+    val assigned = q.join(assignCells(q, cents), Seq("vec_id"))
+      .select($"vec_id", $"cell", $"qv", $"vv")
     val wProbe = Window.partitionBy($"vec_id").orderBy($"dot".desc, $"cid")
     val probes = scoredC.filter($"vec_id" < NumQueries)
       .withColumn("rn", row_number().over(wProbe))
@@ -1050,11 +1139,12 @@ object Similarity {
                                   nprobes: Seq[Int], k: Int): DataFrame = {
     import s.implicits._
     val q = milliQ(s, dir).cache()
-    val scoredC = q.crossJoin(broadcast(lloydOnce(s, q)))
+    val cents = lloydOnce(s, q)
+    val scoredC = q.crossJoin(broadcast(cents))
       .withColumn("dot", dot($"qv", $"cvec"))
-    val assigned = scoredC.groupBy($"vec_id")
-      .agg(max_by($"cid", struct($"dot", -$"cid")).as("cell"),
-        first($"qv").as("qv"), first($"vv").as("vv"))
+    // packed-argmax assignment + join-back (see assignCells)
+    val assigned = q.join(assignCells(q, cents), Seq("vec_id"))
+      .select($"vec_id", $"cell", $"qv", $"vv")
     val wProbe = Window.partitionBy($"vec_id").orderBy($"dot".desc, $"cid")
     val sweep = array(nprobes.map(n => lit(n.toLong)): _*)
     val probes = scoredC.filter($"vec_id" < NumQueries)
@@ -1430,6 +1520,9 @@ object Similarity {
     // batch-invariant (stateless per batch, index frozen pre-stream), so the oracle
     // is the static IVFADC-R computation on the arrival ids
     "simsearch_stream_ivfpq" -> ivfPqOracleSql("vec_id % 50 = 7"),
+    "simsearch_stream_ivfpq_cells" ->
+      (ivfPqChainSql("vec_id % 50 = 7", milliCorpusSql, scaledC0Sql) +
+        " ORDER BY q_id, rnk"),
     // per-wave batch recompute of the whole IVFADC-R chain over the store as it stood
     // at that wave's serve time — see streamAppendOracleSql
     "simsearch_stream_append" -> streamAppendOracleSql,
@@ -1526,6 +1619,27 @@ object Similarity {
          |FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) >= 0.999
          |ORDER BY vec_a, vec_b""".stripMargin,
+    // the relative-plane variant: plane count = smallest p >= 10 with 2^(p+1) >= n
+    // (pure-integer rule — no LOG2 float boundary risk), planes = base vectors
+    // [head, head+p); otherwise identical to dedup_embedding_cosine
+    "dedup_embedding_cosine_rel" ->
+      s"""WITH pc AS (SELECT MIN(p) AS p FROM range(10, 62) t(p)
+         |  WHERE (1::BIGINT << ((p + 1)::INT)) >= (SELECT COUNT(*) FROM embeddings)),
+         |e0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |e AS (SELECT vec_id, v FROM e0 UNION ALL SELECT vec_id + $DupIdOffset AS vec_id, v FROM e0),
+         |p AS (SELECT vec_id AS p_id, v AS pv FROM e0
+         |  WHERE vec_id >= ${DupPlaneIds.head} AND vec_id < ${DupPlaneIds.head} + (SELECT p FROM pc)),
+         |signs AS (SELECT e.vec_id,
+         |  CASE WHEN list_dot_product(v, pv) >= 0 THEN (1::BIGINT << (p_id - ${DupPlaneIds.head})::INT) ELSE 0 END AS bitval
+         |  FROM e, p),
+         |bk AS (SELECT vec_id, cast(sum(bitval) AS BIGINT) AS bucket FROM signs GROUP BY vec_id),
+         |bv AS (SELECT bk.vec_id, bucket, v, sqrt(list_dot_product(v, v)) AS norm
+         |       FROM bk JOIN e ON bk.vec_id = e.vec_id)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) AS sim
+         |FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) >= 0.999
+         |ORDER BY vec_a, vec_b""".stripMargin,
   )
 
   /** The `simsearch_ivfpq` / `simsearch_stream_ivfpq` oracle — the pq_rerank chain
@@ -1547,10 +1661,26 @@ object Similarity {
        |  list_transform(embedding, x -> CAST(trunc(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
        |  FROM embeddings""".stripMargin
 
+  /** The scaled-cell centroid CTE body (simsearch_stream_ivfpq_cells): the lowest
+    * ⌈√N⌉ (floor 8) corpus ids ≥ SemDedupSeedBase, raw — exactly the engine's
+    * scaledCells seed rule. IEEE-correctly-rounded SQRT never crosses an integer
+    * boundary wrongly, so CEIL(SQRT(n)) agrees with the engine's math.ceil(math.sqrt). */
+  private def scaledC0Sql: String =
+    s"""SELECT cid, cvec FROM (
+       |  SELECT vec_id AS cid, qv AS cvec, row_number() OVER (ORDER BY vec_id) AS crn
+       |  FROM e WHERE vec_id >= $SemDedupSeedBase)
+       |  WHERE crn <= (SELECT GREATEST(8, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))
+       |                FROM embeddings)""".stripMargin
+
   /** [[ivfPqOracleSql]] with the corpus CTE body as a parameter (no final ORDER BY, so
     * callers can compose per-wave chains under a UNION): the streaming append oracle
-    * re-runs this whole chain once per wave with e := base ∪ appended-so-far. */
-  private def ivfPqChainSql(qSet: String, eBody: String): String =
+    * re-runs this whole chain once per wave with e := base ∪ appended-so-far. The
+    * coarse-quantizer CTE body is also parameterizable ([[scaledC0Sql]]); it defaults
+    * to the fixed 8-seed set. */
+  private def ivfPqChainSql(qSet: String, eBody: String, c0Body: String = ""): String = {
+      val c0 = if (c0Body.nonEmpty) c0Body
+        else s"""SELECT vec_id AS cid, qv AS cvec FROM e
+           |  WHERE vec_id IN ${CentroidIds.mkString("(", ", ", ")")}""".stripMargin
       s"""WITH e AS ($eBody),
          |sub AS (SELECT vec_id, s, list_slice(qv, s*$PqSubDim + 1, s*$PqSubDim + $PqSubDim) AS sv
          |  FROM e, (SELECT unnest(range($PqM)) AS s) ss),
@@ -1564,8 +1694,7 @@ object Similarity {
          |  SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
          |  FROM enc0) WHERE rn = 1),
          |lut AS (SELECT vec_id AS q_id, s, code, d FROM enc0 WHERE $qSet),
-         |c0 AS (SELECT vec_id AS cid, qv AS cvec FROM e
-         |  WHERE vec_id IN ${CentroidIds.mkString("(", ", ", ")")}),
+         |c0 AS ($c0),
          |s1 AS (SELECT e.vec_id, c0.cid,
          |  CAST(list_dot_product(e.qv, c0.cvec) AS BIGINT) AS dot FROM e CROSS JOIN c0),
          |a1 AS (SELECT vec_id, cid FROM (
@@ -1591,6 +1720,7 @@ object Similarity {
          |SELECT q_id, rnk, vec_id, d, adist FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d, vec_id) AS rnk FROM rr)
          |WHERE rnk <= $TopK""".stripMargin
+  }
 
   /** The `simsearch_stream_append` oracle: the [[ivfPqChainSql]] chain re-run once per
     * wave with the corpus as the server's store stood at that wave's SERVE time —
