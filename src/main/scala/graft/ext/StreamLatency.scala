@@ -24,7 +24,8 @@ object StreamLatency {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val nWaves = args.headOption.map(_.toInt).getOrElse(8)
     val servers = if (args.length > 1) args.drop(1).toSeq
-      else Seq("simsearch_stream", "simsearch_stream_ivfpq", "simsearch_stream_append")
+      else Seq("simsearch_stream", "simsearch_stream_ivfpq",
+        "simsearch_stream_ivfpq_cells", "simsearch_stream_append")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -56,6 +57,10 @@ object StreamLatency {
           val waves = reSplit(Similarity.streamFeedWaves(spark, sfDir).flatten)
           Similarity.ivfPqStream(spark, sfDir,
             Similarity.IvfNProbe, waves, onWave).count()
+        case "simsearch_stream_ivfpq_cells" =>
+          val waves = reSplit(Similarity.streamFeedWaves(spark, sfDir).flatten)
+          Similarity.ivfPqStream(spark, sfDir,
+            Similarity.IvfNProbe, waves, onWave, scaledCells = true).count()
         case "simsearch_stream_append" =>
           val feed = graft.engine.Tables(spark, sfDir, "embeddings")
             .filter($"vec_id" % 11 === Similarity.IvfAppendResidue ||

@@ -218,17 +218,24 @@ def main():
             SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
             FROM icenc0) WHERE rn = 1""")
         stage("iclut", f"SELECT vec_id AS q_id, s, code, d FROM icenc0 WHERE {FEED}")
+        # candidates FIRST (query x probed-cell occupancy), then the 8-sub LUT sum —
+        # one flat join tree DuckDB cannot reorder into the enc x lut
+        # low-selectivity pairing it picked (and hung on) from the nested form
+        stage("iccand", """
+          SELECT pr.q_id, a.vec_id FROM icassign a
+          JOIN icprobes pr ON a.cell = pr.p_cell
+          WHERE a.vec_id <> pr.q_id""")
+        stage("icadist", """
+          SELECT c.q_id, c.vec_id, CAST(sum(lut.d) AS BIGINT) AS adist
+          FROM iccand c
+          JOIN icenc enc ON enc.vec_id = c.vec_id
+          JOIN iclut lut ON lut.q_id = c.q_id AND lut.s = enc.s
+            AND lut.code = enc.code
+          GROUP BY c.q_id, c.vec_id""")
         stage("icshortl", """
           SELECT q_id, vec_id, adist FROM (
             SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rnk
-            FROM (
-              SELECT lut.q_id, enc.vec_id, CAST(sum(lut.d) AS BIGINT) AS adist
-              FROM icenc enc JOIN icassign a ON enc.vec_id = a.vec_id
-              JOIN icprobes pr ON a.cell = pr.p_cell
-              JOIN iclut lut ON enc.s = lut.s AND enc.code = lut.code
-                AND lut.q_id = pr.q_id
-              WHERE enc.vec_id <> pr.q_id
-              GROUP BY lut.q_id, enc.vec_id)) WHERE rnk <= 30""")
+            FROM icadist) WHERE rnk <= 30""")
         queries[ic] = """
           WITH qq AS (SELECT vec_id, qv,
               CAST(list_dot_product(qv, qv) AS BIGINT) AS vv FROM icq),
