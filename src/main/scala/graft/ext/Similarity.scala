@@ -921,6 +921,64 @@ object Similarity {
         .select($"vec_id", $"cell", coalesce($"dropped", lit(false)).as("dropped"))
         .orderBy($"vec_id")
     },
+    // TIERED SemDeDup — the n^1.5 path past dedup_semantic's measured n² assignment
+    // (r16 sf100: packed-argmax fixed the SPILL death, but the flat corpus × cells
+    // scan is still N·k dots with k ∝ n — 765 s at sf100, 100× per decade). The
+    // classic hierarchical-quantizer move (IMI / hierarchical k-means): the k raw
+    // seeds split into g = ⌈√k⌉ balanced groups (cidx % g), each group's integer
+    // floor-mean is its coarse rep, and every vector assigns coarse-first
+    // (N·g dots) then fine WITHIN its group (N·k/g dots) — N·2√k total. The
+    // two-level rule is deterministic (max dot, ties to the lower grp/cid at each
+    // level — the packed-argmax tie rule) and replicated exactly by the oracle;
+    // cells differ from dedup_semantic's single-level Lloyd cells by design (no
+    // Lloyd round either — the serving discipline: raw frozen seeds). Identical
+    // vectors take identical paths at both levels, so planted copies always share
+    // a cell; the per-cell pair verify + epsilon tail is dedup_semantic's.
+    "dedup_semantic_tiered" -> { (s, dir) =>
+      import s.implicits._
+      val q0 = milliQ(s, dir)
+      val q = q0.union(q0.select(($"vec_id" + DupIdOffset).as("vec_id"), $"qv", $"vv"))
+      val k = math.max(8L,
+        graft.engine.Tables(s, dir, "embeddings").count() / SemDedupCellDivisor)
+      val g = math.ceil(math.sqrt(k.toDouble)).toLong
+      val wIdx = Window.orderBy($"cid") // k rows: single-partition window is fine
+      val seeds = q.filter($"vec_id" >= SemDedupSeedBase)
+        .orderBy($"vec_id").limit(k.toInt)
+        .select($"vec_id".as("cid"), $"qv".as("cvec"))
+        .withColumn("cidx", row_number().over(wIdx).cast("long") - 1L)
+        .withColumn("grp", $"cidx" % g)
+      // coarse reps: per-group integer floor-mean of the member seeds (g × 64 rows)
+      val coarse = seeds.select($"grp", posexplode($"cvec").as(Seq("pos", "v")))
+        .groupBy($"grp", $"pos")
+        .agg(floor(sum($"v").cast("double") / count(lit(1))).cast("long").as("cd"))
+        .groupBy($"grp")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"cd"))),
+          x => x.getField("cd")).as("cvec"))
+        .select($"grp".as("cid"), $"cvec")
+      val grpOf = assignCells(q, coarse).withColumnRenamed("cell", "grp")
+      // fine assignment within the chosen group: the same packed argmax, candidate
+      // seeds bounded to k/g ≈ √k per vector by the grp equi-join
+      val fine = q.join(grpOf, Seq("vec_id"))
+        .join(broadcast(seeds.select($"grp", $"cidx", $"cvec")), Seq("grp"))
+        .select($"vec_id",
+          (dot($"qv", $"cvec") * (CellIdxMask + 1L) + (lit(CellIdxMask) - $"cidx"))
+            .as("pack"))
+        .groupBy($"vec_id").agg(max($"pack").as("pack"))
+        .select($"vec_id",
+          (lit(CellIdxMask) - $"pack".bitwiseAND(CellIdxMask)).as("cidx"))
+        .join(broadcast(seeds.select($"cidx", $"cid")), Seq("cidx"))
+        .select($"vec_id", $"cid".as("cell"))
+      val assigned = q.join(fine, Seq("vec_id"))
+        .select($"vec_id", $"cell", $"qv", $"vv")
+      val dropped = assigned.as("a").join(assigned.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") > col("b.vec_id"))
+        .filter(col("a.vv") - lit(2L) * dot(col("a.qv"), col("b.qv")) + col("b.vv")
+          <= SemDedupEpsMilli)
+        .select(col("a.vec_id").as("vec_id")).distinct()
+      assigned.join(dropped.withColumn("dropped", lit(true)), Seq("vec_id"), "left_outer")
+        .select($"vec_id", $"cell", coalesce($"dropped", lit(false)).as("dropped"))
+        .orderBy($"vec_id")
+    },
     // embedding-cosine near-dup: double the corpus with identical copies, bucket by
     // 10 sign-projections (identical vectors land together by construction), verify by
     // exact cosine within buckets only — never an all-pairs crossJoin. Norms precomputed
@@ -1597,6 +1655,45 @@ object Similarity {
          |a2 AS (SELECT vec_id, qv, vv, cid AS cell FROM (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) AS rn
          |  FROM s2) WHERE rn = 1),
+         |pr AS (SELECT DISTINCT a.vec_id FROM a2 a JOIN a2 b
+         |  ON a.cell = b.cell AND a.vec_id > b.vec_id
+         |  AND a.vv - 2 * CAST(list_dot_product(a.qv, b.qv) AS BIGINT) + b.vv
+         |      <= $SemDedupEpsMilli)
+         |SELECT a2.vec_id, a2.cell, (pr.vec_id IS NOT NULL) AS dropped
+         |FROM a2 LEFT JOIN pr ON a2.vec_id = pr.vec_id
+         |ORDER BY a2.vec_id""".stripMargin,
+    // tiered: raw seeds (no Lloyd) split into g = ceil(sqrt(k)) balanced groups
+    // (cidx % g), coarse = per-group floor-mean, assignment coarse-first then fine
+    // within the group; ties to the lower grp/cid at each level
+    "dedup_semantic_tiered" ->
+      s"""WITH q0 AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(trunc(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |qd AS (SELECT vec_id, qv FROM q0
+         |  UNION ALL SELECT vec_id + $DupIdOffset AS vec_id, qv FROM q0),
+         |qq AS (SELECT vec_id, qv, CAST(list_dot_product(qv, qv) AS BIGINT) AS vv FROM qd),
+         |kk AS (SELECT greatest(8, (SELECT count(*) FROM embeddings) // $SemDedupCellDivisor) AS k),
+         |gg AS (SELECT CAST(ceil(sqrt(k)) AS BIGINT) AS g FROM kk),
+         |c0 AS (SELECT cid, cvec, rn - 1 AS cidx, (rn - 1) % (SELECT g FROM gg) AS grp FROM (
+         |  SELECT vec_id AS cid, qv AS cvec, row_number() OVER (ORDER BY vec_id) AS rn
+         |  FROM qd WHERE vec_id >= $SemDedupSeedBase)
+         |  WHERE rn <= (SELECT k FROM kk)),
+         |gu AS (SELECT grp, unnest(cvec) AS v, generate_subscripts(cvec, 1) AS pos FROM c0),
+         |gd AS (SELECT grp, pos,
+         |  CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS cd
+         |  FROM gu GROUP BY grp, pos),
+         |gc AS (SELECT grp, list(cd ORDER BY pos) AS gvec FROM gd GROUP BY grp),
+         |sg AS (SELECT qq.vec_id, gc.grp,
+         |  CAST(list_dot_product(qq.qv, gc.gvec) AS BIGINT) AS dot FROM qq CROSS JOIN gc),
+         |ag AS (SELECT vec_id, grp FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, grp ASC) AS rn
+         |  FROM sg) WHERE rn = 1),
+         |sf AS (SELECT qq.vec_id, qq.qv, qq.vv, c0.cid,
+         |  CAST(list_dot_product(qq.qv, c0.cvec) AS BIGINT) AS dot
+         |  FROM qq JOIN ag ON qq.vec_id = ag.vec_id JOIN c0 ON c0.grp = ag.grp),
+         |a2 AS (SELECT vec_id, qv, vv, cid AS cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) AS rn
+         |  FROM sf) WHERE rn = 1),
          |pr AS (SELECT DISTINCT a.vec_id FROM a2 a JOIN a2 b
          |  ON a.cell = b.cell AND a.vec_id > b.vec_id
          |  AND a.vv - 2 * CAST(list_dot_product(a.qv, b.qv) AS BIGINT) + b.vv

@@ -41,7 +41,9 @@ class PlanSweepSpec extends AnyFunSuite {
     "simsearch_rrf_fusion"   -> "two bounded rankers fused (Similarity.scala:88,179)",
     "simsearch_filtered"     -> "query-vector constant on the filtered scan (Similarity.scala:88)",
     "dedup_semantic"         -> "one-round Lloyd centroids (Similarity.scala:401)",
+    "dedup_semantic_tiered"  -> "broadcast coarse-group reps, g = ceil(sqrt(k)) rows",
     "dedup_embedding_cosine" -> "sign-projection hyperplanes (Similarity.scala:427)",
+    "dedup_embedding_cosine_rel" -> "sign-projection hyperplanes, p = O(log n) rows",
     "events_heavy_hitters"   -> "1-row global-count scalar crossJoin (Temporal.scala, heavy hitters)",
     "simsearch_quantize_int8" -> "1-row trained-codec broadcast: [mins,maxs,rng] arrays (Similarity.scala)",
     "rag_context_pack"       -> "query-vector constant shortlist scoring (Similarity.scala, same as simsearch_topk)",
