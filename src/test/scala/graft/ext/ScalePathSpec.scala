@@ -1,0 +1,74 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Pins the r16 scale-path operators to their base operators — each `_rel` /
+ * `_tiered` / `_cells` variant exists because its base op kneed at the sf100 probe
+ * (BASELINE.md round 16), and each claim below is what makes the variant a VALID
+ * substitute rather than a different answer:
+ *
+ *  1. `dedup_embedding_cosine_rel` ≡ `dedup_embedding_cosine` at bench scale — the
+ *     relative plane count floors at the base op's 10 planes for n ≤ 2,048, so the
+ *     scale path is a strict extension, not a fork.
+ *  2. `dedup_semantic_tiered` drops EXACTLY the rows `dedup_semantic` drops —
+ *     the planted exact copies. The two operators partition the space differently
+ *     (tiered: raw seeds, two levels; flat: one Lloyd round), but identical vectors
+ *     take identical assignment paths in both, so the epsilon-pair drop set (the
+ *     operator's ANSWER — which rows to discard) must agree wherever duplicates are
+ *     exact. Cells are allowed to differ; decisions are not.
+ *  3. `simsearch_stream_ivfpq_cells` is batch-invariant — stateless per batch over
+ *     a frozen √N-cell index, the same property IvfPqStreamSpec pins for the
+ *     8-cell server, re-proven here because the index construction changed.
+ */
+class ScalePathSpec extends AnyFunSuite {
+
+  private def spark = graft.SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("relative-plane cosine dedup equals the fixed-plane base op at bench scale") {
+    val s = spark
+    val base = graft.ext.Similarity.queries("dedup_embedding_cosine")(s, dir)
+      .collect().map(_.toSeq).toSeq
+    val rel = graft.ext.Similarity.queries("dedup_embedding_cosine_rel")(s, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(rel === base,
+      "p floors at 10 below 2,048 vectors: the scale path must be a strict extension")
+    s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
+
+  test("tiered SemDeDup's drop decisions equal flat SemDeDup's on planted exact copies") {
+    val s = spark
+    import s.implicits._
+    def drops(q: String): Set[Long] =
+      graft.ext.Similarity.queries(q)(s, dir)
+        .filter($"dropped").select($"vec_id").as[Long].collect().toSet
+    val flat = drops("dedup_semantic")
+    val tiered = drops("dedup_semantic_tiered")
+    assert(tiered === flat,
+      "identical vectors take identical paths at both levels: the drop set is the " +
+        "operator's answer and must not depend on how the space was partitioned")
+    // and the answer is the planted structure itself: exactly one of each copy pair
+    val n = graft.engine.Tables(s, dir, "embeddings").count()
+    assert(flat.size === n,
+      "every planted pair must drop exactly its higher-id member")
+    s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
+
+  test("scaled-cell serving is batch-invariant (two waves ≡ one wave)") {
+    val s = spark
+    import s.implicits._
+    val feed = graft.engine.Tables(s, dir, "embeddings")
+      .filter($"vec_id" % 50 === 7).select($"vec_id")
+      .as[Long].collect().toSeq.sorted
+    assert(feed.size >= 2, "the spec needs a splittable arrival feed")
+    val (w1, w2) = feed.partition(_ % 100 < 50)
+    val split = Similarity.ivfPqStream(s, dir, Similarity.IvfNProbe, Seq(w1, w2),
+        scaledCells = true).collect().map(_.toSeq).toSeq
+    val once = Similarity.ivfPqStream(s, dir, Similarity.IvfNProbe, Seq(feed),
+        scaledCells = true).collect().map(_.toSeq).toSeq
+    assert(split === once,
+      "a stateless frozen-index server must be batch-invariant at any cell count")
+    s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
+}
