@@ -53,6 +53,32 @@ object SparkEntry {
   /** Everything a construct-only caller (Explain, PlanSweepSpec) should skip. */
   val constructSkip: Set[String] = streamingHarness ++ constructActions
 
+  /** MACHINE-READABLE SCALE PATHS (r17, VERDICT r16 #2): base operator → the
+    * hash-verified substitute a large-corpus user should run instead. Three keys are
+    * MEASURED-FATAL at sf100 (their probes died: 1200 s timeout / 75 GB shuffle kill /
+    * disk-full — BASELINE.md r15/r16) and now carry a corpus-count `raise_error` gate
+    * ([[graft.engine.ScaleGuard]]); the rest are documented-expensive parity anchors
+    * (fixed-parameter or n²-CPU shapes whose substitute is the measured sub-quadratic
+    * path). Every key and value resolves in [[queries]]; ScalePathSpec pins that, the
+    * gate wiring, and each pair's output contract. */
+  val scalePath: Map[String, String] = Map(
+    // measured-fatal at sf100, count-gated:
+    "dedup_embedding_cosine" -> "dedup_embedding_cosine_rel",
+    "simsearch_stream_ivfpq" -> "simsearch_stream_ivfpq_cells",
+    "dedup_image_phash33" -> "dedup_image_phash_stars",
+    // documented-expensive anchors (complete at sf100, but a worse curve than the
+    // substitute: flat SemDeDup 765 s vs tiered 130 s; exact serving priced ~3 h):
+    "dedup_semantic" -> "dedup_semantic_tiered",
+    "simsearch_stream" -> "simsearch_stream_ivfpq_cells",
+    // absolute-cap → relative-cap pairs (fixed df/pair caps degenerate as the corpus
+    // grows; the _rel forms size their caps from the corpus — r14/r15):
+    "dedup_winnow_pairs" -> "dedup_winnow_pairs_rel",
+    "dedup_video_partial" -> "dedup_video_partial_rel",
+    // all-pairs output → star output (same knee as phash33 — the all-pairs OUTPUT
+    // shape at saturated fingerprint cardinality; the star closure is the scale form):
+    "dedup_image_phash" -> "dedup_image_phash_stars",
+    "dedup_image_phash3" -> "dedup_image_phash_stars")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

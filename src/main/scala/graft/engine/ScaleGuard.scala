@@ -1,0 +1,84 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-count gates for base operators with a MEASURED scale knee (r15/r16 sf100
+  * probes, BASELINE.md). Three registered queries died at sf100 in their probes —
+  * `dedup_embedding_cosine` (fixed 10 planes → quadratic verify pair mass, killed at
+  * its 1200 s timeout), `simsearch_stream_ivfpq` (fixed 8-cell quantizer → 75 GB of
+  * per-wave ADC shuffle, killed), `dedup_image_phash33` (all-pairs output at saturated
+  * fingerprint cardinality → ~2.5·10⁹ output rows, disk-full) — and each has a
+  * hash-verified substitute named in [[graft.SparkEntry.scalePath]]. The base ops stay
+  * registered (they are the parity anchors their oracles pin), but a 100 TB user who
+  * picks one from the registry must get a NAMED error at the measured-fatal scale, not
+  * the silent death the probe measured — the `guardBroadcast` discipline applied to
+  * plan choice.
+  *
+  * Thresholds sit between the largest measured-passing scale (sf10: 200k embeddings /
+  * 500k documents — every gate is hash-verified there) and the measured-death scale
+  * (sf100: 2M embeddings / 5M documents), so nothing green today can trip, and the
+  * probe-fatal scale reliably does. */
+object ScaleGuard {
+  /** Largest embeddings corpus (base-table rows) the fixed-parameter embedding ops may
+    * see: sf10 (200k) passed both probes; sf100 (2M) killed both. */
+  val EmbeddingKneeRows = 1000000L
+
+  /** Largest documents corpus for the all-pairs image near-dup output: sf10 (500k docs,
+    * 85M output rows) completed; sf100 (5M docs, ~2.5·10⁹ output rows) filled the disk. */
+  val ImageAllPairsKneeRows = 2500000L
+
+  /** Measured-fatal base op → (gated table, knee threshold). Spec-pinned against
+    * [[graft.SparkEntry.scalePath]]: every key here must have a named substitute. */
+  val gates: Map[String, (String, Long)] = Map(
+    "dedup_embedding_cosine" -> (("embeddings", EmbeddingKneeRows)),
+    "simsearch_stream_ivfpq" -> (("embeddings", EmbeddingKneeRows)),
+    "dedup_image_phash33" -> (("documents", ImageAllPairsKneeRows)))
+
+  /** In-plan gate: one metadata-cheap `count` of the base table, folded into the plan
+    * as a broadcast single-row frame whose `raise_error` fires while the broadcast is
+    * built — i.e. within seconds of the action, long before the knee's hours of work.
+    * Lazy and side-effect-free at construction (the plan-sweep discipline); the join
+    * is a 1-row broadcast, never a CartesianProduct; output rows/schema unchanged. */
+  def gate(df: DataFrame, s: SparkSession, dir: String, op: String): DataFrame = {
+    val (table, maxRows) = gates(op)
+    gateAt(df, s, dir, table, maxRows, op)
+  }
+
+  /** [[gate]] with an explicit threshold — the spec hook (maxRows = 0 makes any corpus
+    * trip, proving the raise_error path without a million-row fixture). */
+  private[graft] def gateAt(df: DataFrame, s: SparkSession, dir: String,
+      table: String, maxRows: Long, op: String): DataFrame = {
+    import s.implicits._
+    // The raise_error must live in a FILTER, not a projected-then-dropped column —
+    // column pruning would eliminate a dead projection (and its error) entirely. The
+    // filter always passes below the knee (the when yields 0), so the guard is one row
+    // and the cross join is an identity; past the knee the predicate evaluation itself
+    // raises. Either way the expression cannot be pruned.
+    val guard = Tables(s, dir, table).groupBy().count()
+      .select(when($"count" > maxRows, raise_error(concat(
+          lit(s"$op: $table corpus of "), $"count".cast("string"),
+          lit(s" rows is past this operator's measured sf100 knee (> $maxRows; " +
+            s"BASELINE.md r15/r16 probes) — use its scale path " +
+            s"'${graft.SparkEntry.scalePath(op)}' (SparkEntry.scalePath)"))))
+        .otherwise(lit(0L)).as("_scale_gate"))
+      .filter($"_scale_gate" === 0L)
+    df.crossJoin(broadcast(guard)).drop("_scale_gate")
+  }
+
+  /** Driver-side form for the streaming harness (whose CONSTRUCTION runs the stream —
+    * an in-plan gate on the collected output frame would fire after the death). */
+  def require(s: SparkSession, dir: String, op: String): Unit = {
+    val (table, maxRows) = gates(op)
+    requireAt(s, dir, table, maxRows, op)
+  }
+
+  private[graft] def requireAt(s: SparkSession, dir: String, table: String,
+      maxRows: Long, op: String): Unit = {
+    val n = Tables(s, dir, table).count()
+    if (n > maxRows) throw new IllegalArgumentException(
+      s"$op: $table corpus of $n rows is past this operator's measured sf100 knee " +
+        s"(> $maxRows; BASELINE.md r15/r16 probes) — use its scale path " +
+        s"'${graft.SparkEntry.scalePath(op)}' (SparkEntry.scalePath)")
+  }
+}

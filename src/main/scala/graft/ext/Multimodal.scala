@@ -954,8 +954,15 @@ object Multimodal {
     // whose fingerprint-value count keeps expected collisions (|vals|²/2^33 per arm)
     // below the fan-out saving. Instantiating it is ONE constant pair — the point of
     // the generator.
+    // count-gated (r17): the all-pairs OUTPUT at saturated fingerprint cardinality is
+    // a MEASURED sf100 knee (~2.5·10⁹ rows, disk-full, killed) — past the knee the
+    // query raises a named error pointing at dedup_image_phash_stars. Re-sorted after
+    // the gate: a join above a Sort un-sorts the output.
     "dedup_image_phash33" -> ((s, dir) =>
-      imageNearDupPairs(s, dir, phashComboKeysGen(6, 3), Phash33MaxHamming)),
+      graft.engine.ScaleGuard.gate(
+        imageNearDupPairs(s, dir, phashComboKeysGen(6, 3), Phash33MaxHamming),
+        s, dir, "dedup_image_phash33")
+        .orderBy(col("doc_a"), col("doc_b"))),
     // IMAGE NEAR-DUP COMPONENTS + CANONICAL SELECTION (r14) — the cluster/canonical
     // step text dedup has had since r5 (dedup_components / dedup_canonical), closing
     // the family asymmetry for media: the near-dup graph collapses into connected

@@ -242,6 +242,34 @@ object Similarity {
   private val CellIdxBits = 21
   private val CellIdxMask = (1L << CellIdxBits) - 1L
 
+  /** Loud capacity guard on a tiny candidate frame before a packed argmax: every `cid`
+    * must fit the low field, i.e. sit in `[0, 2^21)`. All current centroid frames carry
+    * small seed vec_ids or dense group indices, so the guard never fires in practice —
+    * it exists so a future caller whose ids exceed the field fails with a NAMED error
+    * instead of a silently corrupted argmax (negative low field breaks both the max
+    * ordering and the `& mask` decode). Shared by [[assignCells]] and the tiered fine
+    * stage (r16 ADVICE: the inline pack there previously skipped the guard). */
+  private def guardCellIds(cands: DataFrame): DataFrame = {
+    val s = cands.sparkSession
+    import s.implicits._
+    cands.withColumn("cid", when($"cid" < 0L || $"cid" > CellIdxMask,
+      raise_error(concat(lit("packed-argmax: cell id outside [0, " +
+        s"${CellIdxMask + 1}) at cid="), $"cid".cast("string"))))
+      .otherwise($"cid"))
+  }
+
+  /** The packed argmax key: `dot·2^21 + (mask − cid)` — one BIGINT whose plain `max`
+    * is bit-identical to `max_by(cid, struct(dot, −cid))` (highest dot, ties to the
+    * LOWEST cid: lower cid → larger low field). `cid` must be pre-guarded into
+    * `[0, 2^21)` via [[guardCellIds]]. */
+  private def packCell(dotCol: Column, cid: Column): Column =
+    dotCol * (CellIdxMask + 1L) + (lit(CellIdxMask) - cid)
+
+  /** Decode of [[packCell]]'s winner back to its cid. The low field is non-negative,
+    * so two's-complement `& mask` decodes it for negative dots too. */
+  private def unpackCell(pack: Column): Column =
+    (lit(CellIdxMask) - pack.bitwiseAND(CellIdxMask)).cast("long")
+
   /** Max-dot cell assignment of `(vec_id, qv, …)` rows against a tiny `(cid, cvec)`
     * centroid frame (broadcast; ties to the lower cid) → `(vec_id, cell)`.
     *
@@ -252,32 +280,28 @@ object Similarity {
     * that sort input is quadratic: at sf100 (4M vectors × 8k cells = 3.2·10¹⁰ rows)
     * the partial sort wrote >100 GB of spill in two minutes and died
     * SPILL_OUT_OF_MEMORY, where sf10 (100× fewer rows) completed with a 3 GB spill.
-    * Packing the monotone key `(dot, -cidIdx)` into ONE BIGINT —
-    * `dot·2^21 + (mask - cidIdx)` — turns the aggregate into plain `max` over a
-    * mutable long buffer → HashAggregate, fully pipelined with the broadcast
-    * nested-loop join: zero sort, zero materialization, bit-identical argmax (highest
-    * dot, ties to the LOWEST cid: lower idx → larger low field). The low field is
-    * non-negative, so two's-complement `& mask` decodes it for negative dots too.
-    * `cidx ≥ 2^21` fails loudly at build time via `raise_error` on the tiny frame. */
+    * Packing the monotone key into ONE BIGINT (see [[packCell]]) turns the aggregate
+    * into plain `max` over a mutable long buffer → HashAggregate, fully pipelined with
+    * the broadcast nested-loop join: zero sort, zero materialization, bit-identical
+    * argmax.
+    *
+    * CID-DIRECT FORM (r17): r16 packed a dense `row_number` index and joined the
+    * winner's index back to its cid — two extra tiny-frame stages whose fixed
+    * ~0.1–0.35 s per assignment was the round's only bench regression (isolated by a
+    * committed min-of-5 A/B, BASELINE.md r16). Every caller's cids are small seed
+    * vec_ids or dense group indices, all far below the 2^21 field, so the pack now
+    * carries `cid` itself under [[guardCellIds]]'s loud capacity check — the window
+    * and the decode join are gone. The argmax winner is unchanged: the r16 index was
+    * `row_number() over (order by cid)`, order-isomorphic to cid, so "lowest index
+    * wins" ≡ "lowest cid wins". */
   private def assignCells(q: DataFrame, cents: DataFrame): DataFrame = {
     val s = q.sparkSession
     import s.implicits._
-    val wIdx = Window.orderBy($"cid") // tiny frame: single-partition window is fine
-    val centsIdx = cents
-      .withColumn("cidx", row_number().over(wIdx).cast("long") - 1L)
-      .withColumn("cidx", when($"cidx" > CellIdxMask,
-        raise_error(concat(lit("assignCells: centroid count exceeds packed-argmax " +
-          s"capacity ${CellIdxMask + 1} at cid="), $"cid".cast("string"))))
-        .otherwise($"cidx"))
-    q.crossJoin(broadcast(centsIdx))
-      .select($"vec_id",
-        (dot($"qv", $"cvec") * (CellIdxMask + 1L) + (lit(CellIdxMask) - $"cidx"))
-          .as("pack"))
+    q.crossJoin(broadcast(guardCellIds(cents)))
+      .select($"vec_id", packCell(dot($"qv", $"cvec"), $"cid").as("pack"))
       .groupBy($"vec_id")
       .agg(max($"pack").as("pack"))
-      .select($"vec_id", (lit(CellIdxMask) - $"pack".bitwiseAND(CellIdxMask)).as("cidx"))
-      .join(broadcast(centsIdx.select($"cidx", $"cid")), Seq("cidx"))
-      .select($"vec_id", $"cid".as("cell"))
+      .select($"vec_id", unpackCell($"pack").as("cell"))
   }
 
   /** The flat per-query ADC lookup map from a `(q_id, sub, sv, svv)` subspace frame —
@@ -829,6 +853,11 @@ object Similarity {
     // simsearch_stream; the serving index is built offline (once, pre-stream) and
     // each batch does only arrival-sized probe work — see [[ivfPqStream]].
     "simsearch_stream_ivfpq" -> { (s, dir) =>
+      // count-gated (r17), driver-side: constructing this query RUNS the stream, so
+      // the fixed 8-cell quantizer's measured sf100 knee (75 GB per-wave ADC shuffle,
+      // killed) must be refused BEFORE the harness starts — named error pointing at
+      // simsearch_stream_ivfpq_cells
+      graft.engine.ScaleGuard.require(s, dir, "simsearch_stream_ivfpq")
       ivfPqStream(s, dir, IvfNProbe, streamFeedWaves(s, dir))
     },
     // SCALED-CELL IVFADC-R SERVING — the measured path past simsearch_stream_ivfpq's
@@ -956,18 +985,15 @@ object Similarity {
           x => x.getField("cd")).as("cvec"))
         .select($"grp".as("cid"), $"cvec")
       val grpOf = assignCells(q, coarse).withColumnRenamed("cell", "grp")
-      // fine assignment within the chosen group: the same packed argmax, candidate
+      // fine assignment within the chosen group: the same guarded packed argmax as
+      // assignCells (cid-direct, r17 — the seeds frame now passes guardCellIds, closing
+      // the r16 ADVICE gap where the inline pack skipped the capacity check), candidate
       // seeds bounded to k/g ≈ √k per vector by the grp equi-join
       val fine = q.join(grpOf, Seq("vec_id"))
-        .join(broadcast(seeds.select($"grp", $"cidx", $"cvec")), Seq("grp"))
-        .select($"vec_id",
-          (dot($"qv", $"cvec") * (CellIdxMask + 1L) + (lit(CellIdxMask) - $"cidx"))
-            .as("pack"))
+        .join(broadcast(guardCellIds(seeds.select($"grp", $"cid", $"cvec"))), Seq("grp"))
+        .select($"vec_id", packCell(dot($"qv", $"cvec"), $"cid").as("pack"))
         .groupBy($"vec_id").agg(max($"pack").as("pack"))
-        .select($"vec_id",
-          (lit(CellIdxMask) - $"pack".bitwiseAND(CellIdxMask)).as("cidx"))
-        .join(broadcast(seeds.select($"cidx", $"cid")), Seq("cidx"))
-        .select($"vec_id", $"cid".as("cell"))
+        .select($"vec_id", unpackCell($"pack").as("cell"))
       val assigned = q.join(fine, Seq("vec_id"))
         .select($"vec_id", $"cell", $"qv", $"vv")
       val dropped = assigned.as("a").join(assigned.as("b"),
@@ -997,11 +1023,17 @@ object Similarity {
         .groupBy($"vec_id").agg(sum($"bitval").as("bucket"), first($"v").as("v"))
         .withColumn("norm", sqrt(dot($"v", $"v")))
         .cache()
-      bucketed.as("a").join(bucketed.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6).as("sim"))
-        .filter($"sim" >= 0.999)
+      // count-gated (r17): the fixed 10 planes are a MEASURED sf100 knee (quadratic
+      // verify pair mass, killed at the 1200 s probe timeout) — past the knee the
+      // query raises a named error pointing at dedup_embedding_cosine_rel. The gate
+      // sits BELOW the final orderBy (a join above a Sort un-sorts the output).
+      graft.engine.ScaleGuard.gate(
+        bucketed.as("a").join(bucketed.as("b"),
+            col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6).as("sim"))
+          .filter($"sim" >= 0.999),
+        s, dir, "dedup_embedding_cosine")
         .orderBy($"vec_a", $"vec_b")
     },
     // RELATIVE-PLANE embedding near-dup — the scale path past dedup_embedding_cosine's

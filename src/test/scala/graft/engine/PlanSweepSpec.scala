@@ -52,6 +52,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "simsearch_ivfpq"        -> "k seed centroids broadcast for the coarse quantizer (Similarity.scala, ivfPqRanked scoredC)",
     "dedup_video_partial_rel" -> "1-row clip-count rarity-cap broadcast (Multimodal.scala, videoPartialPairs capRow)",
     "dedup_audio_partial"     -> "1-row clip-count rarity-cap broadcast (Multimodal.scala, capRowOf)",
+    "dedup_image_phash33"     -> "1-row corpus-count scale gate broadcast (engine/ScaleGuard.gateAt)",
   )
 
   test("no query plan contains CartesianProduct; BNLJ only where allowlisted") {

@@ -55,6 +55,59 @@ class ScalePathSpec extends AnyFunSuite {
     s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
   }
 
+  test("scalePath registry: every key and value resolves; measured-fatal ops are gated") {
+    val qs = graft.SparkEntry.queries.keySet
+    graft.SparkEntry.scalePath.foreach { case (base, subst) =>
+      assert(qs.contains(base), s"scalePath key '$base' must be a registered query")
+      assert(qs.contains(subst), s"scalePath value '$subst' must be a registered query")
+      assert(base !== subst, s"scalePath must map '$base' to a DIFFERENT operator")
+    }
+    // the three sf100-fatal ops each carry a count gate, and every gate's op has a
+    // named substitute to point its error at
+    assert(graft.engine.ScaleGuard.gates.keySet ===
+      Set("dedup_embedding_cosine", "simsearch_stream_ivfpq", "dedup_image_phash33"))
+    graft.engine.ScaleGuard.gates.keySet.foreach { op =>
+      assert(graft.SparkEntry.scalePath.contains(op),
+        s"gated op '$op' must name its scale path")
+    }
+    // thresholds sit strictly between the measured-passing (sf10) and measured-fatal
+    // (sf100) corpus sizes, so green gates cannot trip and the fatal scale must
+    graft.engine.ScaleGuard.gates.values.foreach { case (table, maxRows) =>
+      val (sf10, sf100) = if (table == "embeddings") (200000L, 2000000L)
+        else (500000L, 5000000L)
+      assert(maxRows >= sf10 && maxRows < sf100,
+        s"$table knee $maxRows must sit in [$sf10, $sf100)")
+    }
+  }
+
+  test("the corpus-count gates raise a NAMED error past the knee and pass below it") {
+    val s = spark
+    import s.implicits._
+    val base = graft.engine.Tables(s, dir, "embeddings").select($"vec_id")
+    // in-plan form: threshold 0 → any corpus trips; the error names op + scale path
+    val tripped = intercept[Exception] {
+      graft.engine.ScaleGuard.gateAt(base, s, dir, "embeddings", 0L,
+        "dedup_embedding_cosine").collect()
+    }
+    val msg = Option(tripped.getMessage).getOrElse("") +
+      Option(tripped.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("dedup_embedding_cosine") &&
+      msg.contains("dedup_embedding_cosine_rel"),
+      s"gate error must name the op and its scale path, got: $msg")
+    // below the knee the gate is a pass-through: identical rows, identical schema
+    val gated = graft.engine.ScaleGuard.gate(base, s, dir, "dedup_embedding_cosine")
+    assert(gated.schema === base.schema)
+    assert(gated.collect().map(_.getLong(0)).sorted ===
+      base.collect().map(_.getLong(0)).sorted)
+    // driver-side form: same contract
+    val dTripped = intercept[IllegalArgumentException] {
+      graft.engine.ScaleGuard.requireAt(s, dir, "embeddings", 0L,
+        "simsearch_stream_ivfpq")
+    }
+    assert(dTripped.getMessage.contains("simsearch_stream_ivfpq_cells"))
+    graft.engine.ScaleGuard.require(s, dir, "simsearch_stream_ivfpq") // must not throw
+  }
+
   test("scaled-cell serving is batch-invariant (two waves ≡ one wave)") {
     val s = spark
     import s.implicits._
