@@ -304,6 +304,44 @@ object Similarity {
       .select($"vec_id", unpackCell($"pack").as("cell"))
   }
 
+  /** TWO-LEVEL (tiered) max-dot assignment of `(vec_id, qv, …)` rows against a `(cid,
+    * cvec)` seed frame of k rows — the n^1.25 assignment path shared by
+    * `dedup_semantic_tiered` and the √N-cell server's offline index build (r17,
+    * VERDICT r16 #4). The k seeds split into g = ⌈√k⌉ balanced groups (cidx % g, cidx
+    * the rank of cid), each group's integer floor-mean is its coarse rep, and every
+    * vector assigns coarse-first (N·g dots) then fine WITHIN its group (N·k/g dots) —
+    * N·2√k total instead of flat's N·k. Both levels are the guarded packed argmax
+    * (max dot, ties to the lower grp/cid). Identical vectors take identical paths at
+    * both levels, so planted copies always share a cell; the assignment is NOT
+    * guaranteed equal to the flat argmax (a vector's best seed can sit outside its
+    * coarse group) — callers' oracles replicate this exact two-level rule. */
+  private def assignCellsTiered(q: DataFrame, seeds: DataFrame, k: Long): DataFrame = {
+    val s = q.sparkSession
+    import s.implicits._
+    val g = math.ceil(math.sqrt(k.toDouble)).toLong
+    val wIdx = Window.orderBy($"cid") // k rows: single-partition window is fine
+    val seedsIdx = seeds
+      .withColumn("cidx", row_number().over(wIdx).cast("long") - 1L)
+      .withColumn("grp", $"cidx" % g)
+    // coarse reps: per-group integer floor-mean of the member seeds (g × 64 rows)
+    val coarse = seedsIdx.select($"grp", posexplode($"cvec").as(Seq("pos", "v")))
+      .groupBy($"grp", $"pos")
+      .agg(floor(sum($"v").cast("double") / count(lit(1))).cast("long").as("cd"))
+      .groupBy($"grp")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"cd"))),
+        x => x.getField("cd")).as("cvec"))
+      .select($"grp".as("cid"), $"cvec")
+    val grpOf = assignCells(q, coarse).withColumnRenamed("cell", "grp")
+    // fine assignment within the chosen group: the same guarded packed argmax as
+    // assignCells (cid-direct), candidate seeds bounded to k/g ≈ √k per vector by the
+    // grp equi-join
+    q.join(grpOf, Seq("vec_id"))
+      .join(broadcast(guardCellIds(seedsIdx.select($"grp", $"cid", $"cvec"))), Seq("grp"))
+      .select($"vec_id", packCell(dot($"qv", $"cvec"), $"cid").as("pack"))
+      .groupBy($"vec_id").agg(max($"pack").as("pack"))
+      .select($"vec_id", unpackCell($"pack").as("cell"))
+  }
+
   /** The flat per-query ADC lookup map from a `(q_id, sub, sv, svv)` subspace frame —
     * ONE rendering shared by the fixed-query chains (corpus `subs` filtered to the
     * query ids) and the streaming server (the arriving batch's slices). */
@@ -401,18 +439,34 @@ object Similarity {
     // scan nprobe·√N and the offline assignment N·√N — both n^1.5 per decade, the
     // measured path past the knee. Seeds: the lowest k ids ≥ SemDedupSeedBase, raw
     // (FROZEN, no Lloyd round) — `dedup_semantic`'s seed discipline.
+    //
+    // TIERED OFFLINE BUILD (r17, VERDICT r16 #4): the r16 flat assignment was N·√N
+    // dots — n^1.5 per decade, the projected next knee at sf1000 (81.9 s at sf100).
+    // The index assignment now goes through assignCellsTiered (dedup_semantic_tiered's
+    // two-level rule over the SAME frozen seeds): N·2·N^¼ dots, n^1.25 per decade. The
+    // per-batch SERVING path is untouched (same probe rule — per-query exact top-nprobe
+    // over the k cents — same ADC scan, same re-rank). Note the tiered cell of a vector
+    // is NOT always its flat-argmax cell (the best seed can sit outside the coarse
+    // group), so this moves the operator's quality/cost point exactly as introducing
+    // √N cells did in r16 — the oracle defines the exact semantics and replicates the
+    // two-level rule; identical vectors still share cells by construction.
+    val scaledK =
+      if (scaledCells) math.max(8L, math.ceil(math.sqrt(
+        graft.engine.Tables(s, dir, "embeddings").count().toDouble)).toLong)
+      else 0L
     val cents =
-      if (scaledCells) {
-        val k = math.max(8L, math.ceil(math.sqrt(
-          graft.engine.Tables(s, dir, "embeddings").count().toDouble)).toLong)
-        q.filter($"vec_id" >= SemDedupSeedBase).orderBy($"vec_id").limit(k.toInt)
+      if (scaledCells)
+        q.filter($"vec_id" >= SemDedupSeedBase).orderBy($"vec_id").limit(scaledK.toInt)
           .select($"vec_id".as("cid"), $"qv".as("cvec"))
-      } else q.filter($"vec_id".isin(CentroidIds: _*))
+      else q.filter($"vec_id".isin(CentroidIds: _*))
         .select($"vec_id".as("cid"), $"qv".as("cvec"))
     val (_, cb0, codes) = pqArtifacts(s, dir)
     val cb = cb0.localCheckpoint() // M×K rows; frozen codebook for the stream's LUTs
+    val assignedCell =
+      if (scaledCells) assignCellsTiered(q, cents, scaledK)
+      else assignCells(q, cents)
     val index = codes
-      .join(assignCells(q, cents), Seq("vec_id"))
+      .join(assignedCell, Seq("vec_id"))
       .localCheckpoint() // (vec_id, codes, cell) — the offline-built serving index
     val wProbe = Window.partitionBy($"q_id").orderBy($"dot".desc, $"cid")
     val wAdc = Window.partitionBy($"q_id").orderBy($"adist".asc, $"vec_id")
@@ -969,31 +1023,13 @@ object Similarity {
       val q = q0.union(q0.select(($"vec_id" + DupIdOffset).as("vec_id"), $"qv", $"vv"))
       val k = math.max(8L,
         graft.engine.Tables(s, dir, "embeddings").count() / SemDedupCellDivisor)
-      val g = math.ceil(math.sqrt(k.toDouble)).toLong
-      val wIdx = Window.orderBy($"cid") // k rows: single-partition window is fine
       val seeds = q.filter($"vec_id" >= SemDedupSeedBase)
         .orderBy($"vec_id").limit(k.toInt)
         .select($"vec_id".as("cid"), $"qv".as("cvec"))
-        .withColumn("cidx", row_number().over(wIdx).cast("long") - 1L)
-        .withColumn("grp", $"cidx" % g)
-      // coarse reps: per-group integer floor-mean of the member seeds (g × 64 rows)
-      val coarse = seeds.select($"grp", posexplode($"cvec").as(Seq("pos", "v")))
-        .groupBy($"grp", $"pos")
-        .agg(floor(sum($"v").cast("double") / count(lit(1))).cast("long").as("cd"))
-        .groupBy($"grp")
-        .agg(transform(array_sort(collect_list(struct($"pos", $"cd"))),
-          x => x.getField("cd")).as("cvec"))
-        .select($"grp".as("cid"), $"cvec")
-      val grpOf = assignCells(q, coarse).withColumnRenamed("cell", "grp")
-      // fine assignment within the chosen group: the same guarded packed argmax as
-      // assignCells (cid-direct, r17 — the seeds frame now passes guardCellIds, closing
-      // the r16 ADVICE gap where the inline pack skipped the capacity check), candidate
-      // seeds bounded to k/g ≈ √k per vector by the grp equi-join
-      val fine = q.join(grpOf, Seq("vec_id"))
-        .join(broadcast(guardCellIds(seeds.select($"grp", $"cid", $"cvec"))), Seq("grp"))
-        .select($"vec_id", packCell(dot($"qv", $"cvec"), $"cid").as("pack"))
-        .groupBy($"vec_id").agg(max($"pack").as("pack"))
-        .select($"vec_id", unpackCell($"pack").as("cell"))
+      // the shared two-level guarded packed argmax (assignCellsTiered, r17 — the seeds
+      // frame now passes guardCellIds, closing the r16 ADVICE gap where the inline
+      // pack skipped the capacity check)
+      val fine = assignCellsTiered(q, seeds, k)
       val assigned = q.join(fine, Seq("vec_id"))
         .select($"vec_id", $"cell", $"qv", $"vv")
       val dropped = assigned.as("a").join(assigned.as("b"),
@@ -1610,8 +1646,12 @@ object Similarity {
     // batch-invariant (stateless per batch, index frozen pre-stream), so the oracle
     // is the static IVFADC-R computation on the arrival ids
     "simsearch_stream_ivfpq" -> ivfPqOracleSql("vec_id % 50 = 7"),
+    // same chain, √N-cell quantizer, and (r17) the TIERED offline index assignment —
+    // the two-level rule spliced into the a1 CTE (tieredA1); probes/ADC/re-rank tail
+    // unchanged. This oracle defines the operator's exact semantics, as it did when
+    // √N cells replaced the fixed 8 in r16.
     "simsearch_stream_ivfpq_cells" ->
-      (ivfPqChainSql("vec_id % 50 = 7", milliCorpusSql, scaledC0Sql) +
+      (ivfPqChainSql("vec_id % 50 = 7", milliCorpusSql, scaledC0Sql, tieredA1 = true) +
         " ORDER BY q_id, rnk"),
     // per-wave batch recompute of the whole IVFADC-R chain over the store as it stood
     // at that wave's serve time — see streamAppendOracleSql
@@ -1805,11 +1845,46 @@ object Similarity {
     * callers can compose per-wave chains under a UNION): the streaming append oracle
     * re-runs this whole chain once per wave with e := base ∪ appended-so-far. The
     * coarse-quantizer CTE body is also parameterizable ([[scaledC0Sql]]); it defaults
-    * to the fixed 8-seed set. */
-  private def ivfPqChainSql(qSet: String, eBody: String, c0Body: String = ""): String = {
+    * to the fixed 8-seed set. `tieredA1` swaps the index-assignment CTE for the
+    * two-level rule (the `_cells` r17 offline build — groups of cidx % ⌈√k⌉, per-group
+    * floor-mean coarse reps, coarse-then-fine max-dot with the lower-grp/lower-cid tie
+    * rule, exactly [[assignCellsTiered]]); the probe CTE is untouched, and the corpus ×
+    * cells cross join shrinks to corpus × ⌈√k⌉ reps + corpus × k/⌈√k⌉ group members —
+    * which is also what lets DuckDB run this oracle at sf10 without staging. */
+  private def ivfPqChainSql(qSet: String, eBody: String, c0Body: String = "",
+      tieredA1: Boolean = false): String = {
       val c0 = if (c0Body.nonEmpty) c0Body
         else s"""SELECT vec_id AS cid, qv AS cvec FROM e
            |  WHERE vec_id IN ${CentroidIds.mkString("(", ", ", ")")}""".stripMargin
+      val assign = if (!tieredA1)
+        s"""s1 AS (SELECT e.vec_id, c0.cid,
+           |  CAST(list_dot_product(e.qv, c0.cvec) AS BIGINT) AS dot FROM e CROSS JOIN c0),
+           |a1 AS (SELECT vec_id, cid FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+           |  FROM s1) WHERE rn = 1),""".stripMargin
+      else
+        s"""gg AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS g FROM c0),
+           |c0i AS (SELECT cid, cvec, rn - 1 AS cidx, (rn - 1) % (SELECT g FROM gg) AS grp
+           |  FROM (SELECT cid, cvec, row_number() OVER (ORDER BY cid) AS rn FROM c0)),
+           |gu AS (SELECT grp, unnest(cvec) AS v, generate_subscripts(cvec, 1) AS pos FROM c0i),
+           |gd AS (SELECT grp, pos,
+           |  CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS cd
+           |  FROM gu GROUP BY grp, pos),
+           |gc AS (SELECT grp, list(cd ORDER BY pos) AS gvec FROM gd GROUP BY grp),
+           |sg AS (SELECT e.vec_id, gc.grp,
+           |  CAST(list_dot_product(e.qv, gc.gvec) AS BIGINT) AS dot FROM e CROSS JOIN gc),
+           |ag AS (SELECT vec_id, grp FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, grp ASC) AS rn
+           |  FROM sg) WHERE rn = 1),
+           |sf AS (SELECT e.vec_id, c0i.cid,
+           |  CAST(list_dot_product(e.qv, c0i.cvec) AS BIGINT) AS dot
+           |  FROM e JOIN ag ON e.vec_id = ag.vec_id JOIN c0i ON c0i.grp = ag.grp),
+           |a1 AS (SELECT vec_id, cid FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) AS rn
+           |  FROM sf) WHERE rn = 1),
+           |s1 AS (SELECT e.vec_id, c0.cid,
+           |  CAST(list_dot_product(e.qv, c0.cvec) AS BIGINT) AS dot
+           |  FROM e CROSS JOIN c0 WHERE $qSet),""".stripMargin
       s"""WITH e AS ($eBody),
          |sub AS (SELECT vec_id, s, list_slice(qv, s*$PqSubDim + 1, s*$PqSubDim + $PqSubDim) AS sv
          |  FROM e, (SELECT unnest(range($PqM)) AS s) ss),
@@ -1824,11 +1899,7 @@ object Similarity {
          |  FROM enc0) WHERE rn = 1),
          |lut AS (SELECT vec_id AS q_id, s, code, d FROM enc0 WHERE $qSet),
          |c0 AS ($c0),
-         |s1 AS (SELECT e.vec_id, c0.cid,
-         |  CAST(list_dot_product(e.qv, c0.cvec) AS BIGINT) AS dot FROM e CROSS JOIN c0),
-         |a1 AS (SELECT vec_id, cid FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
-         |  FROM s1) WHERE rn = 1),
+         |$assign
          |probes AS (SELECT vec_id AS q_id, cid AS p_cell FROM (
          |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
          |  FROM s1 WHERE $qSet) WHERE rn <= $IvfNProbe),
