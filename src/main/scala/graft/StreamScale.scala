@@ -47,7 +47,7 @@ object StreamScale {
     * evicted early batches from the peak fold). The listener sees EVERY progress event
     * exactly once; entries are keyed by batchId so a re-posted progress overwrites rather
     * than double-counts. Scoped to one query id; remove() in a finally. */
-  private final class ProgressCapture(spark: SparkSession) {
+  private[graft] final class ProgressCapture(spark: SparkSession) {
     import org.apache.spark.sql.streaming.StreamingQueryListener
     private val byBatch =
       new java.util.concurrent.ConcurrentHashMap[

@@ -1109,40 +1109,13 @@ object Multimodal {
     // One modality proves the builder (the three gates share [[mediaAdmitWave]]).
     "dedup_image_admit_stream_incr" -> { (s, dir) =>
       import s.implicits._
-      import org.apache.spark.sql.Encoders
       val docs = graft.engine.Tables(s, dir, "documents").select($"doc_id", $"text")
       val existing = docs.filter($"doc_id" % 5 =!= 0)
       val feed = admitIncrFeed(docs, existing)
         .as[(Long, String)].collect().toSeq // driver-side feed is inherent to MemoryStream
         .sortBy(_._1)
       val (w1, w2) = feed.partition(_._1 % 2 == 0)
-      val fingerprint = (m: Dataset[MediaRow]) => avgHashBands(encodeBmp(m, width = 8))
-      val exMedia = existing
-        .select($"doc_id", encode($"text", "UTF-8").as("payload")).as[MediaRow]
-      var index = mediaAdmitIndex(fingerprint(exMedia).toDF(),
-        MediaAdmitMaxIndexValues, "image admission gate (incremental)")
-      val out = try graft.engine.StreamGate.runBatchesForeach(s,
-          Encoders.tuple(Encoders.scalaLong, Encoders.STRING), Seq(w1, w2)) { (batch, id) =>
-        // the wave's fingerprints feed the decision probe AND the fold — checkpoint so
-        // the decode chain runs once per wave (wave-sized, released in the hook)
-        val inHash = fingerprint(twinMediaRows(batch, imageTwinPerturb)).toDF()
-          .localCheckpoint()
-        val (dec, folded) = mediaAdmitWave(inHash, index,
-          "image admission gate (incremental)")
-        val result = dec.withColumn("wave", lit(id + 1L))
-          .select($"doc_id", $"wave", $"status", $"match_hid", $"ham_dist")
-        (result, () => {
-          // post-collect: fold the admitted delta in, swap, release the superseded
-          // generation — the decisions were materialized against the OLD index above
-          val newIdx = folded.localCheckpoint()
-          Dedup.releaseLocalCheckpoint(index)
-          Dedup.releaseLocalCheckpoint(inHash)
-          index = newIdx
-        })
-      // finally, not success-path-only (ADVICE r14): `index` always points at the
-      // latest live generation — superseded ones release in the hook
-      } finally Dedup.releaseLocalCheckpoint(index)
-      out.orderBy($"doc_id")
+      imageAdmitIncrStream(s, dir, Seq(w1, w2)).orderBy($"doc_id")
     },
     // PERSISTED media admission index across RUNS (r16, VERDICT r15 #4): the winnow
     // gate has dedup_winnow_admit_persist; the media gates' index died with the
@@ -1313,6 +1286,60 @@ object Multimodal {
     * index rides DISTINCT fingerprint values (bounded far below corpus cardinality on
     * thumbnail/coarse-envelope corpora), the arriving batch is the small side, and
     * the corpus is never re-scanned per batch. */
+  /** The incremental image gate's stream over EXPLICIT waves — the registered two-wave
+    * query and the per-batch latency harness (StreamLatency, r17 VERDICT r16 #5) share
+    * this one body, so the measured path IS the gated path. Per wave: decode + hash
+    * the arrivals, screen against the index as folded through the previous waves, then
+    * fold the admitted fingerprints in (localCheckpoint swap in the post-materialize
+    * hook — external index state, no state store). */
+  private[ext] def imageAdmitIncrStream(s: SparkSession, dir: String,
+      waves: Seq[Seq[(Long, String)]],
+      onWaveDone: (Long, Double) => Unit = (_, _) => ()): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.Encoders
+    val docs = graft.engine.Tables(s, dir, "documents").select($"doc_id", $"text")
+    val existing = docs.filter($"doc_id" % 5 =!= 0)
+    val fingerprint = (m: Dataset[MediaRow]) => avgHashBands(encodeBmp(m, width = 8))
+    val exMedia = existing
+      .select($"doc_id", encode($"text", "UTF-8").as("payload")).as[MediaRow]
+    var index = mediaAdmitIndex(fingerprint(exMedia).toDF(),
+      MediaAdmitMaxIndexValues, "image admission gate (incremental)")
+    val out = try graft.engine.StreamGate.runBatchesForeach(s,
+        Encoders.tuple(Encoders.scalaLong, Encoders.STRING), waves, onWaveDone) {
+        (batch, id) =>
+      // the wave's fingerprints feed the decision probe AND the fold — checkpoint so
+      // the decode chain runs once per wave (wave-sized, released in the hook)
+      val inHash = fingerprint(twinMediaRows(batch, imageTwinPerturb)).toDF()
+        .localCheckpoint()
+      val (dec, folded) = mediaAdmitWave(inHash, index,
+        "image admission gate (incremental)")
+      val result = dec.withColumn("wave", lit(id + 1L))
+        .select($"doc_id", $"wave", $"status", $"match_hid", $"ham_dist")
+      (result, () => {
+        // post-collect: fold the admitted delta in, swap, release the superseded
+        // generation — the decisions were materialized against the OLD index above
+        val newIdx = folded.localCheckpoint()
+        Dedup.releaseLocalCheckpoint(index)
+        Dedup.releaseLocalCheckpoint(inHash)
+        index = newIdx
+      })
+    // finally, not success-path-only (ADVICE r14): `index` always points at the
+    // latest live generation — superseded ones release in the hook
+    } finally Dedup.releaseLocalCheckpoint(index)
+    out
+  }
+
+  /** The incremental gate's arrival population for the latency harness: the registered
+    * feed (fresh ∪ twins-of-existing ∪ twins-of-wave-1-fresh), collected and sorted by
+    * (parity, id) so originals precede their +4000001 twins under sequential chunking. */
+  private[ext] def imageAdmitIncrFeed(s: SparkSession, dir: String): Seq[(Long, String)] = {
+    import s.implicits._
+    val docs = graft.engine.Tables(s, dir, "documents").select($"doc_id", $"text")
+    val existing = docs.filter($"doc_id" % 5 =!= 0)
+    admitIncrFeed(docs, existing).as[(Long, String)].collect().toSeq
+      .sortBy(t => (t._1 % 2, t._1))
+  }
+
   private def mediaAdmitStream(s: SparkSession, dir: String,
       twinPerturb: Array[Byte] => Array[Byte],
       fingerprint: Dataset[MediaRow] => Dataset[ImageHash],

@@ -69,6 +69,15 @@ object StreamLatency {
             .as[Long].collect().toSeq.sorted
           Similarity.ivfPqStreamAppend(spark, sfDir,
             Similarity.IvfNProbe, reSplit(feed), onWave).count()
+        case "dedup_image_admit_stream_incr" =>
+          // SEQUENTIAL chunks, not round-robin: the feed is sorted (parity, id) so the
+          // +4000001 twins of wave-1 fresh arrivals land in LATER waves than their
+          // originals — the fold-probe structure of the registered two-wave gate,
+          // stretched over nWaves for the steady-arrival posture
+          val feed = Multimodal.imageAdmitIncrFeed(spark, sfDir)
+          val per = math.max(1, (feed.size + nWaves - 1) / nWaves)
+          Multimodal.imageAdmitIncrStream(spark, sfDir,
+            feed.grouped(per).toSeq, onWave).count()
         case other => sys.error(s"unknown server $other")
       }
       val total = (System.nanoTime() - t0) / 1e9
