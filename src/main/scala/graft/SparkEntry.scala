@@ -77,7 +77,19 @@ object SparkEntry {
     // all-pairs output → star output (same knee as phash33 — the all-pairs OUTPUT
     // shape at saturated fingerprint cardinality; the star closure is the scale form):
     "dedup_image_phash" -> "dedup_image_phash_stars",
-    "dedup_image_phash3" -> "dedup_image_phash_stars")
+    "dedup_image_phash3" -> "dedup_image_phash_stars",
+    // r17 sf100 probe, measured-fatal (disk watchdog kills), count-gated: the batch
+    // assembly's feed-sized xid shuffle → the streaming assembler (whose file-fed
+    // full-chain form is graft.CdcThroughput); prefold's 3× state materialization →
+    // the default native envelope fold:
+    "cdc_txn_reconstruct" -> "cdc_txn_reconstruct_stream",
+    "cdc_apply_merge_prefold" -> "cdc_apply_merge",
+    // r17 in-place fix shipped for events_range_join (prefix-sum form, value-identical,
+    // 1500 s timeout → 14.6 s at sf100), so it needs no scale-path entry; the
+    // documented-expensive cdc_scd2_incremental anchor reuses its persisted prior
+    // (fingerprint-validated) rather than substituting an operator.
+    // cdc_scd2_history stays the rebuild anchor:
+    "cdc_scd2_history" -> "cdc_scd2_incremental")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -3,12 +3,15 @@ package graft.engine
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Corpus-count gates for base operators with a MEASURED scale knee (r15/r16 sf100
-  * probes, BASELINE.md). Three registered queries died at sf100 in their probes —
+/** Corpus-count gates for base operators with a MEASURED scale knee (r15–r17 sf100
+  * probes, BASELINE.md). Five registered queries died at sf100 in their probes —
   * `dedup_embedding_cosine` (fixed 10 planes → quadratic verify pair mass, killed at
   * its 1200 s timeout), `simsearch_stream_ivfpq` (fixed 8-cell quantizer → 75 GB of
   * per-wave ADC shuffle, killed), `dedup_image_phash33` (all-pairs output at saturated
-  * fingerprint cardinality → ~2.5·10⁹ output rows, disk-full) — and each has a
+  * fingerprint cardinality → ~2.5·10⁹ output rows, disk-full), and the two r17
+  * CDC batch shapes `cdc_txn_reconstruct` / `cdc_apply_merge_prefold` (feed-sized
+  * xid shuffle / 3× prefolded-state materialization, both disk-watchdog-killed) —
+  * and each has a
   * hash-verified substitute named in [[graft.SparkEntry.scalePath]]. The base ops stay
   * registered (they are the parity anchors their oracles pin), but a 100 TB user who
   * picks one from the registry must get a NAMED error at the measured-fatal scale, not
@@ -28,12 +31,21 @@ object ScaleGuard {
     * 85M output rows) completed; sf100 (5M docs, ~2.5·10⁹ output rows) filled the disk. */
   val ImageAllPairsKneeRows = 2500000L
 
+  /** Largest orders corpus for the two disk-fatal CDC batch shapes (r17 probe):
+    * sf10 (15M orders) completed both — txn_reconstruct with a 1.45 GB disk spill,
+    * prefold in 35 s; sf100 (150M orders) killed BOTH by the disk watchdog (the batch
+    * assembly shuffles the feed-sized wire history on xid, ~250 GB at sf100; prefold
+    * materializes per-key prefolded state ~3× the native fold's footprint). */
+  val CdcBatchKneeRows = 50000000L
+
   /** Measured-fatal base op → (gated table, knee threshold). Spec-pinned against
     * [[graft.SparkEntry.scalePath]]: every key here must have a named substitute. */
   val gates: Map[String, (String, Long)] = Map(
     "dedup_embedding_cosine" -> (("embeddings", EmbeddingKneeRows)),
     "simsearch_stream_ivfpq" -> (("embeddings", EmbeddingKneeRows)),
-    "dedup_image_phash33" -> (("documents", ImageAllPairsKneeRows)))
+    "dedup_image_phash33" -> (("documents", ImageAllPairsKneeRows)),
+    "cdc_txn_reconstruct" -> (("orders", CdcBatchKneeRows)),
+    "cdc_apply_merge_prefold" -> (("orders", CdcBatchKneeRows)))
 
   /** In-plan gate: one metadata-cheap `count` of the base table, folded into the plan
     * as a broadcast single-row frame whose `raise_error` fires while the broadcast is

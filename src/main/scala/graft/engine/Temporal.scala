@@ -65,33 +65,60 @@ object Temporal {
           sum(cents($"value")).as("value_cents"))
         .orderBy($"user_id", $"session_id")
     },
-    // BANDED RANGE JOIN (batch) — the pure time-range join with NO equi key: every
-    // purchase counts the clicks of ANY user in its preceding hour. Naively that's a
-    // cartesian/BNLJ (O(n²) comparisons, undistributable); the banding rewrite makes it
-    // an EQUI join: clicks key on their hour-bucket (ts div band), each purchase probes
-    // exactly the two buckets its window can span (range length == band), and the band
-    // predicate re-filters inside the matched bucket. At 100 TB the join shuffles on the
-    // uniform time-bucket key — parallelism = time span / band, skew bounded by the event
-    // rate per band, zero pairs outside adjacent buckets ever materialize. Each (purchase,
-    // click) pair matches exactly once (a click has ONE bucket; the two probe buckets are
-    // distinct). The left_outer re-join keeps zero-click purchases in the report.
-    // PlanAuditSpec pins the no-product shape.
+    // RANGE JOIN AS DISTRIBUTED PREFIX SUMS (r17) — the pure time-range join with NO
+    // equi key: every purchase counts the clicks of ANY user in its preceding hour.
+    // The r11–r16 form was the classic BANDING rewrite (clicks key on their hour
+    // bucket, each purchase probes its two adjacent buckets, band predicate re-filters
+    // inside the match) — an equi join, but its CANDIDATE MASS is purchases ×
+    // clicks-per-band, and clicks-per-band grows with the corpus when the time span
+    // doesn't (event RATE ∝ n): the r17 sf100 probe measured 36×/decade at sf10 on the
+    // way to a quadratic blowup. The fix drops the pair mass entirely: the window
+    // count is a DIFFERENCE OF PREFIX SUMS — with F(x) = #clicks before x and G(x) =
+    // their cents, click_cnt = F(t) − F(t−B) and click_cents = G(t) − G(t−B). Clicks
+    // and two signed probe rows per purchase union into ONE time stream; per-band
+    // running sums (the same hour banding, now only for PARTITIONING a window — rows
+    // per band ∝ rate, sorted not paired) plus an exclusive per-band offset ladder
+    // (tiny frame, #bands rows, broadcast back) yield F/G at every probe row; a
+    // groupBy(event_id) of sign·F collapses the two probes. Strictness is encoded in
+    // the sort key (probes order BEFORE same-timestamp clicks, so c_us < t exactly):
+    // value-identical to the banded form and to the oracle's direct range join. At
+    // 100 TB: one shuffle on the band key, per-band sort ∝ rate·band, zero pair mass.
     "events_range_join" -> { (s, dir) =>
       import s.implicits._
       val e = Tables(s, dir, "events")
         .select($"event_id", $"event_type", expr("ts div 1000").as("ts_us"), $"value")
-      val clicks = e.filter($"event_type" === "click")
-        .select(expr(s"ts_us div $RangeBandUs").as("bucket"),
-          $"ts_us".as("c_us"), cents($"value").as("c_cents"))
       val purchases = e.filter($"event_type" === "purchase")
         .select($"event_id", $"ts_us")
-      val probes = purchases.select($"event_id", $"ts_us",
-        explode(array(expr(s"ts_us div $RangeBandUs - 1"),
-          expr(s"ts_us div $RangeBandUs"))).as("bucket"))
-      val counts = probes.join(clicks, Seq("bucket"))
-        .filter($"c_us" >= $"ts_us" - RangeBandUs && $"c_us" < $"ts_us")
-        .groupBy($"event_id")
-        .agg(count(lit(1)).as("click_cnt"), sum($"c_cents").as("click_cents"))
+      val clicks = e.filter($"event_type" === "click")
+        .select($"ts_us".as("t"), lit(1L).as("is_click"), cents($"value").as("cents"),
+          lit(null).cast("long").as("p_id"), lit(0L).as("sign"))
+      val probeRows = purchases.select($"event_id", explode(array(
+          struct($"ts_us".as("t"), lit(1L).as("sign")),
+          struct(($"ts_us" - RangeBandUs).as("t"), lit(-1L).as("sign")))).as("p"))
+        .select($"p.t".as("t"), lit(0L).as("is_click"), lit(0L).as("cents"),
+          $"event_id".as("p_id"), $"p.sign".as("sign"))
+      val stream = clicks.unionByName(probeRows)
+        .withColumn("bucket", expr(s"t div $RangeBandUs"))
+      val wRun = Window.partitionBy($"bucket").orderBy($"t", $"is_click")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val inBand = stream
+        .withColumn("cnt_in", sum($"is_click").over(wRun))
+        .withColumn("cents_in", sum($"cents").over(wRun))
+      // exclusive per-band offsets: cumulative totals of STRICTLY earlier bands —
+      // #bands rows (time span / band), a broadcast-sized ladder by construction
+      val wOff = Window.orderBy($"bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = stream.groupBy($"bucket")
+        .agg(sum($"is_click").as("b_cnt"), sum($"cents").as("b_cents"))
+        .select($"bucket",
+          coalesce(sum($"b_cnt").over(wOff), lit(0L)).as("off_cnt"),
+          coalesce(sum($"b_cents").over(wOff), lit(0L)).as("off_cents"))
+      val counts = inBand.filter($"is_click" === 0L)
+        .join(broadcast(offsets), Seq("bucket"))
+        .groupBy($"p_id")
+        .agg(sum($"sign" * ($"cnt_in" + $"off_cnt")).as("click_cnt"),
+          sum($"sign" * ($"cents_in" + $"off_cents")).as("click_cents"))
+        .withColumnRenamed("p_id", "event_id")
       purchases.join(counts, Seq("event_id"), "left_outer")
         .select($"event_id", $"ts_us",
           coalesce($"click_cnt", lit(0L)).as("click_cnt"),

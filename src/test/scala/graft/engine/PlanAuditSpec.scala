@@ -233,14 +233,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"no shuffle join may appear:\n$p")
   }
 
-  test("events_range_join: the banding rewrite keeps the time-range join an equi join") {
+  test("events_range_join: prefix-sum form — no product, no purchase × click pair join") {
     val p = plan("events_range_join")
-    // a pure range predicate with no equi key would plan as a nested-loop product over
-    // every (purchase, click) pair; the bucket key must make it a hash/merge equi join
+    // a pure range predicate with no equi key would plan as a nested-loop product; the
+    // r11 banding rewrite fixed that but still materialized purchases × clicks-per-band
+    // candidate pairs (measured 36×/decade at the r17 probe — rate ∝ n at fixed span).
+    // The prefix-sum form materializes NO pair: per-band running sums (Window over the
+    // band partitioning) + a broadcast offsets ladder + the final left join back to
+    // purchases. Pin: no product join, the offsets ladder joins as a BROADCAST hash
+    // join (a shuffle join there would mean the tiny frame got data-shaped), and the
+    // per-band window partitioning is present.
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"range join must not materialize a product:\n$p")
-    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
-      p.contains("ShuffledHashJoin"), s"expected an equi join on the band bucket:\n$p")
+    assert(p.contains("Window"), s"expected per-band running-sum windows:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the offsets ladder to broadcast:\n$p")
   }
 
   test("events_anomaly_p99: exact percentile + exceedance in ONE scan, no join") {

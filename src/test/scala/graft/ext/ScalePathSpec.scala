@@ -62,10 +62,11 @@ class ScalePathSpec extends AnyFunSuite {
       assert(qs.contains(subst), s"scalePath value '$subst' must be a registered query")
       assert(base !== subst, s"scalePath must map '$base' to a DIFFERENT operator")
     }
-    // the three sf100-fatal ops each carry a count gate, and every gate's op has a
+    // the sf100-fatal ops each carry a count gate, and every gate's op has a
     // named substitute to point its error at
     assert(graft.engine.ScaleGuard.gates.keySet ===
-      Set("dedup_embedding_cosine", "simsearch_stream_ivfpq", "dedup_image_phash33"))
+      Set("dedup_embedding_cosine", "simsearch_stream_ivfpq", "dedup_image_phash33",
+        "cdc_txn_reconstruct", "cdc_apply_merge_prefold"))
     graft.engine.ScaleGuard.gates.keySet.foreach { op =>
       assert(graft.SparkEntry.scalePath.contains(op),
         s"gated op '$op' must name its scale path")
@@ -73,8 +74,11 @@ class ScalePathSpec extends AnyFunSuite {
     // thresholds sit strictly between the measured-passing (sf10) and measured-fatal
     // (sf100) corpus sizes, so green gates cannot trip and the fatal scale must
     graft.engine.ScaleGuard.gates.values.foreach { case (table, maxRows) =>
-      val (sf10, sf100) = if (table == "embeddings") (200000L, 2000000L)
-        else (500000L, 5000000L)
+      val (sf10, sf100) = table match {
+        case "embeddings" => (200000L, 2000000L)
+        case "orders" => (15000000L, 150000000L)
+        case _ => (500000L, 5000000L)
+      }
       assert(maxRows >= sf10 && maxRows < sf100,
         s"$table knee $maxRows must sit in [$sf10, $sf100)")
     }

@@ -168,86 +168,24 @@ def main():
         queries["dedup_image_admit_stream_incr"] = incr_sql
         queries["dedup_image_admit_persist"] = incr_sql
 
-    # simsearch_stream_ivfpq_cells (r16, the sf100 serving knee's fix): the registered
-    # chain SQL materializes the corpus × cells CROSS JOIN with full list columns in
-    # DuckDB (9e7 rows x 512-byte lists at sf10 -> 60+ GB of temp), so stage it NARROW:
-    # the same packed-argmax trick the engine uses (dot*2^21 + (mask - cidx), plain MAX,
-    # two's-complement & decode), then the probe/ADC/rerank tail over candidate-sized
-    # frames only. Semantics identical to the registered oracle by construction.
+    # simsearch_stream_ivfpq_cells: SUPERSEDED STAGING (r17, ADVICE r16 #2). The r16
+    # staged chain replicated the engine's then-flat packed-argmax assignment with
+    # HARDCODED engine constants (nprobe, PQ geometry, codebook/seed id ranges) that
+    # could silently desynchronize from Similarity.scala. r17 (a) re-keyed the oracle's
+    # assignment CTE to the TIERED two-level rule, which removes the corpus x cells
+    # CROSS JOIN that forced staging (DuckDB runs the registered SQL at sf10 directly,
+    # <60 s, no temp blowup), and (b) this tool therefore now reads the REGISTERED SQL
+    # from the engine dump's oracle_sql.json -- the same drift-proof pattern the
+    # simsearch_stream_append block below has always used. No constant lives here.
     ic = "simsearch_stream_ivfpq_cells"
     if only is None or ic in only:
-        MASK, BASE = (1 << 21) - 1, 1 << 21
-        FEED = "vec_id % 50 = 7"
-        stage("icq", """
-          SELECT vec_id,
-            list_transform(embedding, x -> CAST(trunc(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-          FROM embeddings""")
-        stage("iccells", """
-          SELECT cid, cvec, crn - 1 AS cidx FROM (
-            SELECT vec_id AS cid, qv AS cvec, row_number() OVER (ORDER BY vec_id) AS crn
-            FROM icq WHERE vec_id >= 20)
-          WHERE crn <= (SELECT GREATEST(8, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))
-                        FROM embeddings)""")
-        stage("icassign", f"""
-          SELECT vec_id, c2.cid AS cell FROM (
-            SELECT m.vec_id,
-              {MASK} - (max(CAST(list_dot_product(m.qv, c.cvec) AS BIGINT) * {BASE}
-                            + ({MASK} - c.cidx)) & {MASK}) AS cidx
-            FROM icq m CROSS JOIN iccells c GROUP BY m.vec_id) a
-          JOIN iccells c2 USING (cidx)""")
-        stage("icprobes", f"""
-          SELECT q_id, cid AS p_cell FROM (
-            SELECT m.vec_id AS q_id, c.cid,
-              row_number() OVER (PARTITION BY m.vec_id
-                ORDER BY CAST(list_dot_product(m.qv, c.cvec) AS BIGINT) DESC, c.cid) AS rn
-            FROM icq m CROSS JOIN iccells c WHERE m.{FEED})
-          WHERE rn <= 2""")
-        stage("icsvv", """
-          SELECT vec_id, s, sv, CAST(list_dot_product(sv, sv) AS BIGINT) AS svv FROM (
-            SELECT vec_id, s, list_slice(qv, s*8 + 1, s*8 + 8) AS sv
-            FROM icq, (SELECT unnest(range(8)) AS s) ss)""")
-        stage("iccb", """
-          SELECT s, CAST(vec_id - 30 AS INT) AS code, sv AS cw, svv AS cc
-          FROM icsvv WHERE vec_id BETWEEN 30 AND 33""")
-        stage("icenc0", """
-          SELECT v.vec_id, v.s, cb.code,
-            v.svv - 2 * CAST(list_dot_product(v.sv, cb.cw) AS BIGINT) + cb.cc AS d
-          FROM icsvv v JOIN iccb cb ON v.s = cb.s""")
-        stage("icenc", """
-          SELECT vec_id, s, code FROM (
-            SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
-            FROM icenc0) WHERE rn = 1""")
-        stage("iclut", f"SELECT vec_id AS q_id, s, code, d FROM icenc0 WHERE {FEED}")
-        # candidates FIRST (query x probed-cell occupancy), then the 8-sub LUT sum —
-        # one flat join tree DuckDB cannot reorder into the enc x lut
-        # low-selectivity pairing it picked (and hung on) from the nested form
-        stage("iccand", """
-          SELECT pr.q_id, a.vec_id FROM icassign a
-          JOIN icprobes pr ON a.cell = pr.p_cell
-          WHERE a.vec_id <> pr.q_id""")
-        stage("icadist", """
-          SELECT c.q_id, c.vec_id, CAST(sum(lut.d) AS BIGINT) AS adist
-          FROM iccand c
-          JOIN icenc enc ON enc.vec_id = c.vec_id
-          JOIN iclut lut ON lut.q_id = c.q_id AND lut.s = enc.s
-            AND lut.code = enc.code
-          GROUP BY c.q_id, c.vec_id""")
-        stage("icshortl", """
-          SELECT q_id, vec_id, adist FROM (
-            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rnk
-            FROM icadist) WHERE rnk <= 30""")
-        queries[ic] = """
-          WITH qq AS (SELECT vec_id, qv,
-              CAST(list_dot_product(qv, qv) AS BIGINT) AS vv FROM icq),
-          qs AS (SELECT vec_id AS q_id, qv AS eqv, vv AS evv FROM qq
-                 WHERE vec_id % 50 = 7),
-          rr AS (SELECT sl.q_id, sl.vec_id, sl.adist,
-            q.vv - 2 * CAST(list_dot_product(q.qv, qs.eqv) AS BIGINT) + qs.evv AS d
-            FROM icshortl sl JOIN qq q ON sl.vec_id = q.vec_id
-            JOIN qs ON sl.q_id = qs.q_id)
-          SELECT q_id, rnk, vec_id, d, adist FROM (
-            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d, vec_id) AS rnk
-            FROM rr) WHERE rnk <= 10"""
+        import json
+        osql_path = os.path.join(outdir, "oracle_sql.json")
+        if os.path.exists(osql_path):
+            queries[ic] = json.load(open(osql_path))[ic]
+        else:
+            sys.exit(f"{ic}: no oracle_sql.json in {outdir} -- run graft.Verify first "
+                     "(the staged chain was removed; the registered SQL is the oracle)")
 
     # simsearch_stream_append (r16, VERDICT r15 #6): the REGISTERED oracle is pure
     # chain SQL that DuckDB runs directly at sf10 (no staging needed) — read it from
