@@ -30,10 +30,19 @@ import graft.engine.Tables
  * state-store peak/final rows (assembler buffers + replica fold) via the same
  * StreamingQueryListener capture StreamScale uses.
  *
- * Correctness ride-along: after the timed drain the folded replica is compared
- * (except-both-ways) against the directly computed expected final state — the script's
- * arithmetic (status 'U' for k%5, else the original; rollback pairs cancel) — so the
- * throughput number can never silently measure a wrong chain.
+ * Correctness ride-along (both untimed): (a) a SECOND drain persists the streamed
+ * emissions and folds the replica from that emit log — stream-only defects (wrong
+ * cross-batch assembly, partial commits, abandoned buffers) land in
+ * `stream_replica_diff_rows`; (b) the batch assembler recomputes the replica over the
+ * same feed into `replica_diff_rows`. Both compare except-both-ways against the
+ * directly computed expected final state — the script's arithmetic (status 'U' for
+ * k%5, else the original; rollback pairs cancel) — so the throughput number can never
+ * silently measure a wrong chain, streamed or batch (ADVICE r17 #1).
+ *
+ * State-store posture: SPARK_GRAFT_STATESTORE=rocksdb switches the assembler + replica
+ * fold state to Spark's RocksDB provider (state ≫ heap — the posture a 100 TB replica
+ * needs; the default in-heap HDFS-backed store ceilings at live-keys × row-image in
+ * executor memory, measured 11.7 GB at 15M keys in r17).
  *
  * Usage: tools/run.sh graft.CdcThroughput <sfDir> [waves=8] [filesPerWave=8]
  */
@@ -78,14 +87,18 @@ object CdcThroughput {
     val waves = args.lift(1).map(_.toInt).getOrElse(8)
     val filesPerWave = args.lift(2).map(_.toInt).getOrElse(8)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    val stateStore = sys.env.getOrElse("SPARK_GRAFT_STATESTORE", "hdfs")
+    val builder = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    val spark = (if (stateStore == "rocksdb")
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
@@ -98,19 +111,27 @@ object CdcThroughput {
       .select($"o_orderkey", $"o_orderstatus").as[(Long, String)]
       .flatMap { case (k, st) => script(k, st) }
     // wave of a frame: txn k lands in wave k%waves; k%13 txns shift every frame after
-    // the head INSERT one wave forward (mod waves) — deliberate mid-transaction cuts
+    // the head INSERT one wave forward — deliberate mid-transaction cuts. The shift is
+    // CLAMPED at the last wave, never wrapped (ADVICE r17 #1): pmod(k+1, waves) sent
+    // last-wave tails (incl. COMMIT) back to wave 0 BEFORE their START/INSERT, so the
+    // COMMIT emitted a partial txn and the late START opened a buffer that never
+    // cleared (abandonedTxnTimeout=None) — silently violating the harness's
+    // every-txn-commits / assembler-must-DRAIN invariant for ~1% of txns.
     val wire = graft.sources.RedoEventSource.toKafkaValue(events)
       .withColumn("k", expr("offset div 10"))
       .withColumn("wave",
-        pmod($"k" + when($"k" % 13 === 0 && $"offset" % 10 >= 3, 1).otherwise(0), lit(waves)))
+        least(pmod($"k", lit(waves)) +
+            when($"k" % 13 === 0 && $"offset" % 10 >= 3, 1).otherwise(0),
+          lit(waves - 1L)))
       .select($"key", $"value", $"offset", $"wave")
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    val fs = new java.io.File(feedDir)
-    if (fs.exists()) { // clean rebuild: stale waves would double-feed the stream
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
-      rm(fs)
-    }
+    // clean rebuild: stale waves would double-feed the stream, and a stale CHECKPOINT
+    // (ADVICE r17 #2) would resume the prior run's file-source log + state store,
+    // polluting emit_rows, batch count, and the state peak/final metrics
+    def rm(f: java.io.File): Unit = if (f.exists()) {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+    Seq(feedDir, s"$feedDir-ckpt", s"$feedDir-vckpt", s"$feedDir-emits")
+      .foreach(p => rm(new java.io.File(p)))
     // one wave at a time so modTime order encodes wave order (the file source's
     // oldest-first pickup = arrival order); per-wave parts stamped monotonically
     var stamp = 1000000000000L
@@ -163,29 +184,61 @@ object CdcThroughput {
     val (peakRows, peakMem, finalRows) = capture.fold()
     capture.close()
 
-    // ---- 3. correctness ride-along (untimed): replica ≡ the script's arithmetic.
-    // Recomputed batch-side over the SAME feed (batch/stream apply parity is pinned by
-    // the cdc_apply_merge family's gates and the 300-scenario property spec).
-    val batchEnv = CdcPipeline.stream(
-      graft.sources.RedoEventSource.fromKafka(spark.read.parquet(feedDir)),
-      cfg, streaming = false)
-    val replica = EnvelopeApply(
-      Tables(spark, sfDir, "orders").select($"o_orderkey", $"o_orderstatus")
-        .filter(lit(false)), // empty snapshot: every key arrives via its INSERT
-      batchEnv, schema)
+    // ---- 3a. STREAMED-path correctness ride-along (untimed — ADVICE r17 #1): a second
+    // drain of the same feed with a fresh checkpoint, whose foreachBatch PERSISTS the
+    // emissions; the replica is then folded from that streamed emit log
+    // (latestChanges → applyChanges), so stream-only defects — a wrong cross-batch
+    // assembly, a partial commit, an abandoned buffer — land in the diff. Kept out of
+    // the timed drain so the headline prices the chain, not the verification sink.
+    val tv0 = System.nanoTime()
+    val emitDir = s"$feedDir-emits"
+    val vQuery = EnvelopeApply.applyStreaming(CdcPipeline.stream(
+        graft.sources.RedoEventSource.fromKafka(spark.readStream
+          .schema("key binary, value binary, offset long")
+          .option("maxFilesPerTrigger", filesPerWave)
+          .parquet(feedDir)), cfg, streaming = true), schema)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$feedDir-vckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.cdc.EnvelopeApply.ReplicaEmit], _: Long) =>
+        df.write.mode("append").parquet(emitDir); ()
+      }
+      .start()
+    vQuery.awaitTermination()
+    val emptySnapshot = Tables(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_orderstatus")
+      .filter(lit(false)) // empty snapshot: every key arrives via its INSERT
+    val streamReplica = EnvelopeApply.applyChanges(emptySnapshot,
+      EnvelopeApply.latestChanges(spark.read.parquet(emitDir), schema), schema)
     val expected = Tables(spark, sfDir, "orders")
       .select($"o_orderkey",
         when($"o_orderkey" % 5 === 0, lit("U")).otherwise($"o_orderstatus")
           .as("o_orderstatus"))
+    val streamDiff = streamReplica.exceptAll(expected).count() +
+      expected.exceptAll(streamReplica).count()
+    val verifySec = (System.nanoTime() - tv0) / 1e9
+
+    // ---- 3b. batch-side ride-along (untimed): replica ≡ the script's arithmetic,
+    // recomputed over the SAME feed through the BATCH assembler — the two diffs
+    // together pin both engines against the independent expectation (batch/stream
+    // apply parity is also pinned by the cdc_apply_merge gates and the 300-scenario
+    // property spec).
+    val batchEnv = CdcPipeline.stream(
+      graft.sources.RedoEventSource.fromKafka(spark.read.parquet(feedDir)),
+      cfg, streaming = false)
+    val replica = EnvelopeApply(emptySnapshot, batchEnv, schema)
     val diff = replica.exceptAll(expected).count() + expected.exceptAll(replica).count()
 
-    println(s"""{"harness":"cdc_throughput","sf_dir":"$sfDir","frames":$frames,""" +
+    println(s"""{"harness":"cdc_throughput","state_store":"$stateStore",""" +
+      s""""sf_dir":"$sfDir","frames":$frames,""" +
       s""""waves":${nBatches.get()},"feed_build_sec":${fmt(feedSec)},""" +
       s""""stream_sec":${fmt(streamSec)},""" +
       s""""events_per_sec":${fmt(frames / streamSec)},""" +
       s""""emit_rows":${emitRows.get()},"state_peak_rows":$peakRows,""" +
       s""""state_final_rows":$finalRows,"state_peak_mb":${fmt(peakMem / 1e6)},""" +
-      s""""replica_diff_rows":$diff}""")
+      s""""replica_diff_rows":$diff,"stream_replica_diff_rows":$streamDiff,""" +
+      s""""verify_stream_sec":${fmt(verifySec)}}""")
     spark.stop()
   }
 }

@@ -843,7 +843,13 @@ object CdcQueries {
       // them. Every term pmod-bounded BEFORE the sum (ANSI mode overflows a raw sum
       // at derived-scale key magnitudes: keys reach ~1e11 at sf100); count + two
       // independent residue sums make accidental cross-dataset collision negligible.
-      val fp = Tables(s, dir, "orders").agg(
+      // The format-version token covers CODE staleness, not just data staleness
+      // (ADVICE r17 #3): the data terms only fingerprint source identity, so a
+      // persisted artifact written by an older derivation/schema would still match
+      // them after a code change and silently serve. Bump the token whenever the
+      // scd2 derivation (scd2Input, Scd2.versionFrame, Scd2Cols) or the prior-frame
+      // parquet schema changes — the mismatch forces a rebuild.
+      val fp = Scd2PriorFormatVersion + "," + Tables(s, dir, "orders").agg(
           count(lit(1)).cast("long"),
           sum(pmod($"o_orderkey".cast("long"), lit(999983L))).cast("long"),
           sum(pmod(crc32(concat_ws("|", $"o_orderkey", $"o_orderstatus",
@@ -1022,6 +1028,13 @@ object CdcQueries {
     * `cdc_scd2_restate`'s correction path — not maintenance). */
   private def scd2DeltaCond: Column =
     col("operation") =!= "BASE" && col("o_orderkey") % 13 === 0 && col("scn") % 10 >= 3
+
+  /** Prior-frame FORMAT version for `cdc_scd2_incremental`'s fingerprint (ADVICE r17
+    * #3): bump on any change to the scd2 derivation code or the persisted frame's
+    * schema, so artifacts written by an older binary can never match and silently
+    * serve. v2 = the r18 bump that introduced the token (v1 = the unversioned r17
+    * artifacts, which v2 deliberately invalidates once). */
+  private[engine] val Scd2PriorFormatVersion = "scd2prior-v2"
 
   /** Where the incremental-SCD2 query persists (and re-reads) the prior version frame —
     * in production, yesterday's history table; the parquet round-trip makes the fold

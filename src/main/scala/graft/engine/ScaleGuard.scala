@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   * fingerprint cardinality → ~2.5·10⁹ output rows, disk-full), and the two r17
   * CDC batch shapes `cdc_txn_reconstruct` / `cdc_apply_merge_prefold` (feed-sized
   * xid shuffle / 3× prefolded-state materialization, both disk-watchdog-killed) —
-  * and each has a
+  * plus `dedup_image_phash` / `dedup_image_phash3`, which share phash33's measured
+  * knee exactly (the death is the all-pairs OUTPUT shape, not the banding scheme;
+  * all three emit ~85M rows at sf10 — VERDICT r17 #1) — and each has a
   * hash-verified substitute named in [[graft.SparkEntry.scalePath]]. The base ops stay
   * registered (they are the parity anchors their oracles pin), but a 100 TB user who
   * picks one from the registry must get a NAMED error at the measured-fatal scale, not
@@ -28,7 +30,11 @@ object ScaleGuard {
   val EmbeddingKneeRows = 1000000L
 
   /** Largest documents corpus for the all-pairs image near-dup output: sf10 (500k docs,
-    * 85M output rows) completed; sf100 (5M docs, ~2.5·10⁹ output rows) filled the disk. */
+    * 85M output rows) completed; sf100 (5M docs, ~2.5·10⁹ output rows) filled the disk.
+    * The knee is the OUTPUT shape (saturated fingerprint cardinality → all-pairs
+    * expansion), identical across the three phash banding schemes — sf10 outputs are
+    * 84.3M / 85.0M / 85.0M rows for phash / phash3 / phash33 — so all three carry the
+    * gate even though the r15 probe measured the death on phash33 (VERDICT r17 #1). */
   val ImageAllPairsKneeRows = 2500000L
 
   /** Largest orders corpus for the two disk-fatal CDC batch shapes (r17 probe):
@@ -38,14 +44,21 @@ object ScaleGuard {
     * materializes per-key prefolded state ~3× the native fold's footprint). */
   val CdcBatchKneeRows = 50000000L
 
-  /** Measured-fatal base op → (gated table, knee threshold). Spec-pinned against
-    * [[graft.SparkEntry.scalePath]]: every key here must have a named substitute. */
-  val gates: Map[String, (String, Long)] = Map(
-    "dedup_embedding_cosine" -> (("embeddings", EmbeddingKneeRows)),
-    "simsearch_stream_ivfpq" -> (("embeddings", EmbeddingKneeRows)),
-    "dedup_image_phash33" -> (("documents", ImageAllPairsKneeRows)),
-    "cdc_txn_reconstruct" -> (("orders", CdcBatchKneeRows)),
-    "cdc_apply_merge_prefold" -> (("orders", CdcBatchKneeRows)))
+  /** Measured-fatal base op → (gated table, knee threshold, probe evidence). The probe
+    * string names the BASELINE.md round whose measurement set the threshold, carried per
+    * gate so the operator-facing error cites the right evidence (ADVICE r17 #4).
+    * Spec-pinned against [[graft.SparkEntry.scalePath]]: every key here must have a
+    * named substitute. */
+  val gates: Map[String, (String, Long, String)] = Map(
+    "dedup_embedding_cosine" -> (("embeddings", EmbeddingKneeRows, "r16 probe")),
+    "simsearch_stream_ivfpq" -> (("embeddings", EmbeddingKneeRows, "r16 probe")),
+    "dedup_image_phash33" -> (("documents", ImageAllPairsKneeRows, "r15 probe")),
+    "dedup_image_phash" ->
+      (("documents", ImageAllPairsKneeRows, "r15 probe of phash33, identical output shape")),
+    "dedup_image_phash3" ->
+      (("documents", ImageAllPairsKneeRows, "r15 probe of phash33, identical output shape")),
+    "cdc_txn_reconstruct" -> (("orders", CdcBatchKneeRows, "r17 probe")),
+    "cdc_apply_merge_prefold" -> (("orders", CdcBatchKneeRows, "r17 probe")))
 
   /** In-plan gate: one metadata-cheap `count` of the base table, folded into the plan
     * as a broadcast single-row frame whose `raise_error` fires while the broadcast is
@@ -53,14 +66,14 @@ object ScaleGuard {
     * Lazy and side-effect-free at construction (the plan-sweep discipline); the join
     * is a 1-row broadcast, never a CartesianProduct; output rows/schema unchanged. */
   def gate(df: DataFrame, s: SparkSession, dir: String, op: String): DataFrame = {
-    val (table, maxRows) = gates(op)
-    gateAt(df, s, dir, table, maxRows, op)
+    val (table, maxRows, probe) = gates(op)
+    gateAt(df, s, dir, table, maxRows, op, probe)
   }
 
   /** [[gate]] with an explicit threshold — the spec hook (maxRows = 0 makes any corpus
     * trip, proving the raise_error path without a million-row fixture). */
   private[graft] def gateAt(df: DataFrame, s: SparkSession, dir: String,
-      table: String, maxRows: Long, op: String): DataFrame = {
+      table: String, maxRows: Long, op: String, probe: String = "probe"): DataFrame = {
     import s.implicits._
     // The raise_error must live in a FILTER, not a projected-then-dropped column —
     // column pruning would eliminate a dead projection (and its error) entirely. The
@@ -71,7 +84,7 @@ object ScaleGuard {
       .select(when($"count" > maxRows, raise_error(concat(
           lit(s"$op: $table corpus of "), $"count".cast("string"),
           lit(s" rows is past this operator's measured sf100 knee (> $maxRows; " +
-            s"BASELINE.md r15/r16 probes) — use its scale path " +
+            s"BASELINE.md $probe) — use its scale path " +
             s"'${graft.SparkEntry.scalePath(op)}' (SparkEntry.scalePath)"))))
         .otherwise(lit(0L)).as("_scale_gate"))
       .filter($"_scale_gate" === 0L)
@@ -81,16 +94,16 @@ object ScaleGuard {
   /** Driver-side form for the streaming harness (whose CONSTRUCTION runs the stream —
     * an in-plan gate on the collected output frame would fire after the death). */
   def require(s: SparkSession, dir: String, op: String): Unit = {
-    val (table, maxRows) = gates(op)
-    requireAt(s, dir, table, maxRows, op)
+    val (table, maxRows, probe) = gates(op)
+    requireAt(s, dir, table, maxRows, op, probe)
   }
 
   private[graft] def requireAt(s: SparkSession, dir: String, table: String,
-      maxRows: Long, op: String): Unit = {
+      maxRows: Long, op: String, probe: String = "probe"): Unit = {
     val n = Tables(s, dir, table).count()
     if (n > maxRows) throw new IllegalArgumentException(
       s"$op: $table corpus of $n rows is past this operator's measured sf100 knee " +
-        s"(> $maxRows; BASELINE.md r15/r16 probes) — use its scale path " +
+        s"(> $maxRows; BASELINE.md $probe) — use its scale path " +
         s"'${graft.SparkEntry.scalePath(op)}' (SparkEntry.scalePath)")
   }
 }

@@ -938,15 +938,27 @@ object Multimodal {
     // pair), and each candidate verifies with the exact popcount distance. See
     // [[imageNearDupPairs]] for the shared value-level pipeline and the planted-pair
     // construction.
+    // count-gated (r18, VERDICT r17 #1): shares dedup_image_phash33's MEASURED sf100
+    // knee — the all-pairs OUTPUT at saturated fingerprint cardinality (~2.5·10⁹ rows,
+    // disk-full) is the banding-scheme-independent death; sf10 emits 84.3M rows here vs
+    // phash33's 85.0M. Past the knee the query raises a named error pointing at
+    // dedup_image_phash_stars. Re-sorted after the gate: a join above a Sort un-sorts.
     "dedup_image_phash" -> ((s, dir) =>
-      imageNearDupPairs(s, dir, phashPairKeys, PhashMaxHamming)),
+      graft.engine.ScaleGuard.gate(
+        imageNearDupPairs(s, dir, phashPairKeys, PhashMaxHamming),
+        s, dir, "dedup_image_phash")
+        .orderBy(col("doc_a"), col("doc_b"))),
     // The Manku-WIDENED variant (r13): same fingerprints and pipeline, candidate keys
     // on C(8,5) byte-block subsets — 40-bit packed keys, lossless at Hamming <= 3
     // ([[Phash3BlockCombos]]). The d=3-spread pairs invisible to the pair scheme by
     // construction are exactly what this query must (and ImagePhashSpec proves it
     // does) surface.
+    // count-gated like dedup_image_phash above: same output-shape knee (85.0M sf10 rows).
     "dedup_image_phash3" -> ((s, dir) =>
-      imageNearDupPairs(s, dir, phash3ComboKeys, Phash3MaxHamming)),
+      graft.engine.ScaleGuard.gate(
+        imageNearDupPairs(s, dir, phash3ComboKeys, Phash3MaxHamming),
+        s, dir, "dedup_image_phash3")
+        .orderBy(col("doc_a"), col("doc_b"))),
     // The (6,3) scheme off the r14 generator: same Hamming <= 3 losslessness as the
     // (8,5) byte scheme (pigeonhole over 6 blocks, PhashSchemeSpec) with 20 combo arms
     // instead of 56 — a 2.8× smaller banding fan-out bought with 33-bit keys (vs 40),

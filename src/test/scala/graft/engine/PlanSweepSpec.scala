@@ -53,6 +53,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "dedup_video_partial_rel" -> "1-row clip-count rarity-cap broadcast (Multimodal.scala, videoPartialPairs capRow)",
     "dedup_audio_partial"     -> "1-row clip-count rarity-cap broadcast (Multimodal.scala, capRowOf)",
     "dedup_image_phash33"     -> "1-row corpus-count scale gate broadcast (engine/ScaleGuard.gateAt)",
+    "dedup_image_phash"       -> "1-row corpus-count scale gate broadcast (engine/ScaleGuard.gateAt)",
+    "dedup_image_phash3"      -> "1-row corpus-count scale gate broadcast (engine/ScaleGuard.gateAt)",
     "cdc_txn_reconstruct"     -> "1-row corpus-count scale gate broadcast (engine/ScaleGuard.gateAt)",
     "cdc_apply_merge_prefold" -> "1-row corpus-count scale gate broadcast (engine/ScaleGuard.gateAt)",
   )

@@ -66,14 +66,24 @@ class ScalePathSpec extends AnyFunSuite {
     // named substitute to point its error at
     assert(graft.engine.ScaleGuard.gates.keySet ===
       Set("dedup_embedding_cosine", "simsearch_stream_ivfpq", "dedup_image_phash33",
+        "dedup_image_phash", "dedup_image_phash3",
         "cdc_txn_reconstruct", "cdc_apply_merge_prefold"))
     graft.engine.ScaleGuard.gates.keySet.foreach { op =>
       assert(graft.SparkEntry.scalePath.contains(op),
         s"gated op '$op' must name its scale path")
     }
+    // the three all-pairs image variants share phash33's measured knee exactly — the
+    // death is the output shape, not the banding scheme (VERDICT r17 #1)
+    assert(Seq("dedup_image_phash", "dedup_image_phash3").map(
+        graft.engine.ScaleGuard.gates).map(g => (g._1, g._2)).distinct ===
+      Seq(("documents", graft.engine.ScaleGuard.ImageAllPairsKneeRows)))
+    // every gate names the BASELINE.md probe round its threshold came from (ADVICE r17)
+    graft.engine.ScaleGuard.gates.values.foreach { case (_, _, probe) =>
+      assert(probe.matches("r\\d+ probe.*"), s"probe evidence must name a round: $probe")
+    }
     // thresholds sit strictly between the measured-passing (sf10) and measured-fatal
     // (sf100) corpus sizes, so green gates cannot trip and the fatal scale must
-    graft.engine.ScaleGuard.gates.values.foreach { case (table, maxRows) =>
+    graft.engine.ScaleGuard.gates.values.foreach { case (table, maxRows, _) =>
       val (sf10, sf100) = table match {
         case "embeddings" => (200000L, 2000000L)
         case "orders" => (15000000L, 150000000L)
