@@ -46,14 +46,33 @@ object Tables {
   * tmpdir warehouse, registers it in the session catalog, and reuses it on every later
   * call — the organize-on-write that lets fact-fact joins run with zero exchanges.
   *
-  * 8 buckets matches the suite's shuffle parallelism at test scale; a production layout
-  * picks bucket count from target file size (~SF × rows/8 per bucket file). The write is
-  * serialized JVM-wide: parallel test suites share one SparkSession, and two racing
-  * saveAsTable calls to the same path would corrupt the layout.
+  * BUCKET COUNT SCALES WITH THE DIR (r18, VERDICT r17 #5): a fixed 8 buckets meant the
+  * sf100 join ran 8 fat tasks over 750M rows — 8/32 cores idle and a ~94M-row sort per
+  * task — the measured super-linear row of the r17 table (184.9 s, ~21 GB spill). The
+  * count derives from the dir's LARGEST fact table (lineitem) at ~4M rows per bucket,
+  * floored at 8 so every test-scale dir keeps the exact historical layout; both join
+  * sides must agree on the count (one dir-level number, not per-table) or the SMJ
+  * re-shuffles. The WRITE reads the source at 32 MB splits: the bucketed write sorts
+  * each input slice by (bucketId, key) in task memory, and 128 MB parquet slices
+  * (~0.5-1 GB of rows) overflow a 1/32nd-of-heap sort buffer — the other measured
+  * spill term. The write is serialized JVM-wide: parallel test suites share one
+  * SparkSession, and two racing saveAsTable calls to the same path would corrupt the
+  * layout.
   */
 object BucketedTables {
   private val lock = new Object
-  private val NumBuckets = 8
+  private val MinBuckets = 8
+  private val MaxBuckets = 1024L
+  private val TargetRowsPerBucket = 4000000L
+  private val buckets = scala.collection.mutable.Map.empty[String, Int]
+
+  private def numBuckets(spark: SparkSession, sfDir: String): Int =
+    buckets.getOrElseUpdate(sfDir, {
+      // parquet count() short-circuits on row-group metadata — cheap at any scale
+      val rows = Tables(spark, sfDir, "lineitem").count()
+      math.max(MinBuckets.toLong,
+        math.min(MaxBuckets, (rows + TargetRowsPerBucket - 1) / TargetRowsPerBucket)).toInt
+    })
 
   def ensure(spark: SparkSession, sfDir: String, table: String, key: String): String =
     lock.synchronized {
@@ -61,10 +80,14 @@ object BucketedTables {
       val name = s"graft_${table}_b$tag"
       if (!spark.catalog.tableExists(name)) {
         val path = s"${System.getProperty("java.io.tmpdir")}/graft_buckets_$tag/$name"
-        Tables(spark, sfDir, table).write
-          .bucketBy(NumBuckets, key).sortBy(key)
+        val splitKey = "spark.sql.files.maxPartitionBytes"
+        val prev = spark.conf.get(splitKey)
+        spark.conf.set(splitKey, (32L * 1024 * 1024).toString)
+        try Tables(spark, sfDir, table).write
+          .bucketBy(numBuckets(spark, sfDir), key).sortBy(key)
           .option("path", path).mode("overwrite")
           .format("parquet").saveAsTable(name)
+        finally spark.conf.set(splitKey, prev)
       }
       name
     }

@@ -236,19 +236,30 @@ object Similarity {
         x => x.getField("code")).as("codes"))
   }
 
-  /** Low-field width of the packed argmax (see [[assignCells]]): up to 2^21 centroids,
-    * leaving 42 high bits for the dot. Milli-quantized 64-dim dots are bounded by
-    * 64·(|q|·|c|) ≤ 64·(2^13)² = 2^32 ≪ 2^42, so the product can never overflow. */
-  private val CellIdxBits = 21
+  /** Low-field width of the packed argmax (see [[assignCells]]): up to 2^30 cell ids,
+    * leaving 33 high bits for the dot. Milli-quantized 64-dim dots are bounded by
+    * 64·(|q|·|c|) ≤ 64·(2^13)² = 2^32 < 2^33, so the product can never overflow.
+    *
+    * WIDTH (r18): 21 bits sufficed for dense group indices and bench-scale seed ids,
+    * but seed CIDs are raw vec_ids and GenScale strides copies 10M apart — at sf100
+    * the k = n/250 SemDeDup seed set already spans ids ≈ 2·10⁷ > 2²¹, so the r17
+    * cid-direct pack would refuse (a latent guard-fire found by the r18 sf1000 probe
+    * prep, confirmed at sf100). The dot only needs 33 of the 63 magnitude bits, so the
+    * cid field takes the other 30: ids to ~1.07·10⁹ pack directly (sf1000's ~2·10⁸
+    * included), the argmax key stays order-isomorphic to (dot, −cid) — same winners,
+    * same tie-breaks, every oracle unchanged — and past 2³⁰ the guard still refuses
+    * loudly. */
+  private val CellIdxBits = 30
   private val CellIdxMask = (1L << CellIdxBits) - 1L
 
   /** Loud capacity guard on a tiny candidate frame before a packed argmax: every `cid`
-    * must fit the low field, i.e. sit in `[0, 2^21)`. All current centroid frames carry
-    * small seed vec_ids or dense group indices, so the guard never fires in practice —
-    * it exists so a future caller whose ids exceed the field fails with a NAMED error
-    * instead of a silently corrupted argmax (negative low field breaks both the max
-    * ordering and the `& mask` decode). Shared by [[assignCells]] and the tiered fine
-    * stage (r16 ADVICE: the inline pack there previously skipped the guard). */
+    * must fit the low field, i.e. sit in `[0, 2^30)`. All current centroid frames carry
+    * seed vec_ids (GenScale-strided, ≤ ~2·10⁸ at sf1000) or dense group indices, so the
+    * guard never fires in practice — it exists so a caller whose ids exceed the field
+    * fails with a NAMED error instead of a silently corrupted argmax (negative low
+    * field breaks both the max ordering and the `& mask` decode). Shared by
+    * [[assignCells]] and the tiered fine stage (r16 ADVICE: the inline pack there
+    * previously skipped the guard). */
   private def guardCellIds(cands: DataFrame): DataFrame = {
     val s = cands.sparkSession
     import s.implicits._
@@ -258,10 +269,10 @@ object Similarity {
       .otherwise($"cid"))
   }
 
-  /** The packed argmax key: `dot·2^21 + (mask − cid)` — one BIGINT whose plain `max`
+  /** The packed argmax key: `dot·2^30 + (mask − cid)` — one BIGINT whose plain `max`
     * is bit-identical to `max_by(cid, struct(dot, −cid))` (highest dot, ties to the
     * LOWEST cid: lower cid → larger low field). `cid` must be pre-guarded into
-    * `[0, 2^21)` via [[guardCellIds]]. */
+    * `[0, 2^30)` via [[guardCellIds]]. */
   private def packCell(dotCol: Column, cid: Column): Column =
     dotCol * (CellIdxMask + 1L) + (lit(CellIdxMask) - cid)
 
@@ -289,7 +300,7 @@ object Similarity {
     * winner's index back to its cid — two extra tiny-frame stages whose fixed
     * ~0.1–0.35 s per assignment was the round's only bench regression (isolated by a
     * committed min-of-5 A/B, BASELINE.md r16). Every caller's cids are small seed
-    * vec_ids or dense group indices, all far below the 2^21 field, so the pack now
+    * vec_ids or dense group indices, all far below the 2^30 field, so the pack now
     * carries `cid` itself under [[guardCellIds]]'s loud capacity check — the window
     * and the decode join are gone. The argmax winner is unchanged: the r16 index was
     * `row_number() over (order by cid)`, order-isomorphic to cid, so "lowest index

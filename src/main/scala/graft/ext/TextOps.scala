@@ -323,14 +323,25 @@ object TextOps {
       val K = 16
       val wins = graft.engine.Tables(s, dir, "documents")
         .select($"doc_id", tokens($"text").as("toks"))
-        .withColumn("n_toks", size($"toks").cast("long"))
+        // NARROW window frame (r18 sf100 probe: 18×/decade, 111 GB of in-memory spill
+        // mass): the cached/shuffled per-window row is (doc_id, start, h) ONLY — the
+        // constant-per-doc n_toks used to ride every one of the ~85 window rows per
+        // doc through the cache, the dup-hash shuffle AND the span windows; it now
+        // joins back once per DOC after span aggregation (a ~85× narrower frame
+        // re-derived from the scan — cheaper than widening 10⁸ window rows by a column)
         .filter(size($"toks") >= K)
-        .select($"doc_id", $"n_toks", explode(sequence(lit(0), size($"toks") - K)).as("start"), $"toks")
-        .select($"doc_id", $"n_toks", $"start",
+        .select($"doc_id", explode(sequence(lit(0), size($"toks") - K)).as("start"), $"toks")
+        .select($"doc_id", $"start",
           hash32(concat_ws("\u0001", slice($"toks", $"start" + 1, lit(K)))).as("h"))
         .cache()
-      val dupH = wins.groupBy($"h").agg(count_distinct($"doc_id").as("nd"))
-        .filter($"nd" >= 2).select($"h")
+      // cross-doc duplication as min(doc_id) < max(doc_id) — equivalent to
+      // count_distinct(doc_id) >= 2 but a plain min/max HashAggregate with full
+      // map-side combine; the distinct form expanded every window row into a
+      // two-phase (h, doc_id) distinct shuffle — a dominant term of the r18 sf100
+      // probe's 111 GB spill mass
+      val dupH = wins.groupBy($"h")
+        .agg(min($"doc_id").as("mn"), max($"doc_id").as("mx"))
+        .filter($"mn" < $"mx").select($"h")
       val w = Window.partitionBy($"doc_id").orderBy($"start")
       val spans = wins.join(dupH, "h")
         .withColumn("end", $"start" + K)
@@ -339,10 +350,14 @@ object TextOps {
         .withColumn("new_span",
           ($"prev_max_end".isNull || $"start" > $"prev_max_end").cast("long"))
         .withColumn("span_id", sum($"new_span").over(w))
-        .groupBy($"doc_id", $"n_toks", $"span_id")
+        .groupBy($"doc_id", $"span_id")
         .agg(min($"start").as("s"), max($"end").as("e"))
-      spans.groupBy($"doc_id", $"n_toks")
+      val perDoc = spans.groupBy($"doc_id")
         .agg(count(lit(1)).as("dup_span_cnt"), sum($"e" - $"s").as("dup_tokens"))
+      graft.engine.Tables(s, dir, "documents")
+        .select($"doc_id", size(tokens($"text")).cast("long").as("n_toks"))
+        .filter($"n_toks" >= K)
+        .join(perDoc, Seq("doc_id"))
         .select($"doc_id", $"n_toks", $"dup_span_cnt", $"dup_tokens",
           expr("dup_tokens * 10000 div n_toks").as("dup_ratio_bp"))
         .orderBy($"doc_id")
