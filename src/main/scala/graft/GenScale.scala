@@ -102,19 +102,32 @@ object GenScale {
     // masquerading as engine super-linearity, same rationale as the documents token
     // suffix. Pure element permutation + float negation: no float arithmetic, so the
     // written file (which both engines read) is the single source of truth.
-    scaled("embeddings") { (d, i) =>
-      if (i == 0) d
-      else {
-        val remixed = transform(sequence(lit(0), lit(63)), j => {
-          val src = element_at($"embedding", pmod(j + lit(7 * i), lit(64)) + 1)
-          // parity of a middle-mixed multiplicative hash over the (copy, position)
-          // pair — NOT (j + i) % 2, whose sign pattern would repeat every 2 copies
-          val h = pmod((lit(i.toLong * 64L) + j + 1L) * lit(2654435761L), lit(1000000007L))
-          when(pmod(h, lit(97)) < 48, -src).otherwise(src)
-        })
-        d.withColumn("vec_id", $"vec_id" + i * DocShift)
-          .withColumn("embedding", remixed)
-      }
+    // VECTORIZED copy fan-out (r18): a K-way union plan is fine to a few thousand
+    // children but super-linear to ANALYZE past that (the sf1000e probe needs
+    // K = 10000), so the copy index becomes a COLUMN — one scan, one explode of
+    // sequence(0, K-1), the same shift/rotation/sign math evaluated per (row, copy).
+    // Value-identical to the per-copy loop: every `i` below is the exploded column
+    // where the loop form had a literal.
+    if (want("embeddings")) {
+      val iCol = $"_copy"
+      val remixed = transform(sequence(lit(0), lit(63)), j => {
+        val src = element_at($"embedding",
+          (pmod(j + lit(7) * iCol, lit(64)) + 1).cast("int"))
+        // parity of a middle-mixed multiplicative hash over the (copy, position)
+        // pair — NOT (j + i) % 2, whose sign pattern would repeat every 2 copies
+        val h = pmod((iCol * 64L + j + 1L) * lit(2654435761L), lit(1000000007L))
+        when(pmod(h, lit(97)) < 48, -src).otherwise(src)
+      })
+      val d = read("embeddings")
+      val rest = d.columns.filterNot(Set("vec_id", "embedding")).toSeq
+        .map(org.apache.spark.sql.functions.col)
+      write(d
+        .select(Seq($"vec_id", $"embedding") ++ rest :+
+          explode(sequence(lit(0L), lit(k.toLong - 1L))).as("_copy"): _*)
+        .select(Seq(($"vec_id" + iCol * DocShift).as("vec_id"),
+          when(iCol === 0L, $"embedding").otherwise(remixed).as("embedding")) ++
+          rest: _*),
+        "embeddings")
     }
     scaled("documents") { (d, i) =>
       if (i == 0) d

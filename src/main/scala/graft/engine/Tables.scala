@@ -52,10 +52,14 @@ object Tables {
   * count derives from the dir's LARGEST fact table (lineitem) at ~4M rows per bucket,
   * floored at 8 so every test-scale dir keeps the exact historical layout; both join
   * sides must agree on the count (one dir-level number, not per-table) or the SMJ
-  * re-shuffles. The WRITE reads the source at 32 MB splits: the bucketed write sorts
-  * each input slice by (bucketId, key) in task memory, and 128 MB parquet slices
-  * (~0.5-1 GB of rows) overflow a 1/32nd-of-heap sort buffer — the other measured
-  * spill term. The write is serialized JVM-wide: parallel test suites share one
+  * re-shuffles. The WRITE repartitions on the bucket key into exactly numBuckets
+  * partitions first: Spark's repartition hash IS the bucket-id function (murmur3
+  * pmod n), so each write task holds exactly one bucket and emits ONE sorted file —
+  * without it, every scan task sorts its own slice (the r17 ~21 GB spill at 128 MB
+  * slices) or, at smaller splits, sprays numBuckets small files per task (~70k files
+  * measured in the first r18 attempt, 432 s). The shuffle is the honest cluster cost
+  * of organize-on-write — paid once per layout, amortized over every later join.
+  * The write is serialized JVM-wide: parallel test suites share one
   * SparkSession, and two racing saveAsTable calls to the same path would corrupt the
   * layout.
   */
@@ -63,6 +67,10 @@ object BucketedTables {
   private val lock = new Object
   private val MinBuckets = 8
   private val MaxBuckets = 1024L
+  // ~4M lineitem rows per bucket — the measured optimum of the r18 sf100 A/B:
+  // 2M/bucket (300 buckets) cost MORE on both phases (write+join 268 s / join 43 s,
+  // 21.5 GB spill) than 4M (238 s / 13.8 s, 16.5 GB) — the extra file count and
+  // reduce-task overhead outweigh the smaller per-task sorts
   private val TargetRowsPerBucket = 4000000L
   private val buckets = scala.collection.mutable.Map.empty[String, Int]
 
@@ -80,14 +88,13 @@ object BucketedTables {
       val name = s"graft_${table}_b$tag"
       if (!spark.catalog.tableExists(name)) {
         val path = s"${System.getProperty("java.io.tmpdir")}/graft_buckets_$tag/$name"
-        val splitKey = "spark.sql.files.maxPartitionBytes"
-        val prev = spark.conf.get(splitKey)
-        spark.conf.set(splitKey, (32L * 1024 * 1024).toString)
-        try Tables(spark, sfDir, table).write
-          .bucketBy(numBuckets(spark, sfDir), key).sortBy(key)
+        val n = numBuckets(spark, sfDir)
+        Tables(spark, sfDir, table)
+          .repartition(n, org.apache.spark.sql.functions.col(key))
+          .write
+          .bucketBy(n, key).sortBy(key)
           .option("path", path).mode("overwrite")
           .format("parquet").saveAsTable(name)
-        finally spark.conf.set(splitKey, prev)
       }
       name
     }

@@ -1112,6 +1112,14 @@ object Similarity {
     // it is ever needed. The bucket agg is NARROW (vec_id, bitval only — the base
     // query's first(v) plans a wide SortAggregate, the exact sf100 killer assignCells
     // documents); vectors join back by vec_id for the verify dots.
+    // FLOAT-CARRIED shuffle rows (r18 sf1000 probe: the 20M-vector corpus was killed
+    // by the disk watchdog — the pair mass is linear as designed (occupancy ≈ const),
+    // but the 64-DOUBLE `v` rode the cache AND both sides of the bucket self-join,
+    // ~70-90 GB of scratch at 40M doubled rows). The raw float32 vectors now ride the
+    // cache/shuffles (half the bytes) and every dot casts float→double AT USE — an
+    // EXACT conversion, so dots, norms, sims and the oracle hashes are bit-identical
+    // to the double-carried form. The same 100 TB rule as the narrow-bitval agg:
+    // never widen a vector before an exchange.
     "dedup_embedding_cosine_rel" -> { (s, dir) =>
       import s.implicits._
       graft.functions.VecDot.ensureRegistered(s)
@@ -1120,23 +1128,24 @@ object Similarity {
         sys.error(s"dedup_embedding_cosine_rel: corpus $n exceeds 2^62 bucket space"))
       val planeIds = (DupPlaneIds.head until DupPlaneIds.head + p).map(Long.box)
       val base = graft.engine.Tables(s, dir, "embeddings")
-        .select($"vec_id", toDouble($"embedding").as("v"))
-      val emb = base.union(base.select(($"vec_id" + DupIdOffset).as("vec_id"), $"v"))
+        .select($"vec_id", $"embedding".as("vf"))
+      val emb = base.union(base.select(($"vec_id" + DupIdOffset).as("vec_id"), $"vf"))
       val planes = base.filter($"vec_id".isin(planeIds: _*))
-        .select($"vec_id".as("p_id"), $"v".as("pv"))
+        .select($"vec_id".as("p_id"), toDouble($"vf").as("pv"))
       val buckets = emb.crossJoin(broadcast(planes))
         .select($"vec_id",
-          when(dot($"v", $"pv") >= 0,
+          when(dot(toDouble($"vf"), $"pv") >= 0,
             expr(s"cast(shiftleft(1L, cast(p_id - ${DupPlaneIds.head} as int)) as bigint)"))
             .otherwise(0L).as("bitval"))
         .groupBy($"vec_id").agg(sum($"bitval").as("bucket"))
       val bucketed = emb.join(buckets, Seq("vec_id"))
-        .withColumn("norm", sqrt(dot($"v", $"v")))
+        .withColumn("norm", sqrt(dot(toDouble($"vf"), toDouble($"vf"))))
         .cache()
       bucketed.as("a").join(bucketed.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6).as("sim"))
+          round(dot(toDouble(col("a.vf")), toDouble(col("b.vf"))) /
+            (col("a.norm") * col("b.norm")), 6).as("sim"))
         .filter($"sim" >= 0.999)
         .orderBy($"vec_a", $"vec_b")
     },

@@ -14,7 +14,7 @@ for q in "$@"; do
   PID=$!
   while kill -0 $PID 2>/dev/null; do
     USE=$(df --output=pcent / | tail -1 | tr -dc '0-9')
-    if [ "$USE" -ge 70 ]; then
+    if [ "$USE" -ge 80 ]; then
       echo "PROBE $q KILLED: disk watchdog at ${USE}%"
       kill -9 $PID
       sleep 2
