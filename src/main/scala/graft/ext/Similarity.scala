@@ -249,8 +249,8 @@ object Similarity {
     * included), the argmax key stays order-isomorphic to (dot, −cid) — same winners,
     * same tie-breaks, every oracle unchanged — and past 2³⁰ the guard still refuses
     * loudly. */
-  private val CellIdxBits = 30
-  private val CellIdxMask = (1L << CellIdxBits) - 1L
+  private[ext] val CellIdxBits = 30
+  private[ext] val CellIdxMask = (1L << CellIdxBits) - 1L
 
   /** Loud capacity guard on a tiny candidate frame before a packed argmax: every `cid`
     * must fit the low field, i.e. sit in `[0, 2^30)`. All current centroid frames carry
@@ -260,7 +260,7 @@ object Similarity {
     * field breaks both the max ordering and the `& mask` decode). Shared by
     * [[assignCells]] and the tiered fine stage (r16 ADVICE: the inline pack there
     * previously skipped the guard). */
-  private def guardCellIds(cands: DataFrame): DataFrame = {
+  private[ext] def guardCellIds(cands: DataFrame): DataFrame = {
     val s = cands.sparkSession
     import s.implicits._
     cands.withColumn("cid", when($"cid" < 0L || $"cid" > CellIdxMask,

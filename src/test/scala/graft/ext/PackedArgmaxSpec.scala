@@ -1,0 +1,58 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Pins the packed-argmax key's two load-bearing properties (ext/Similarity.scala).
+ * The r17→r18 lesson: the 21-bit cid field was an UNTESTED capacity assumption, and
+ * GenScale-strided seed vec_ids silently outgrew it at sf100 (the guard fired —
+ * BASELINE.md r18) — so the field width, the guard, and the order-isomorphism that
+ * justifies packing at all are now spec-pinned rather than asserted in comments.
+ *
+ *  1. ORDER-ISOMORPHISM: `dot·2^30 + (mask − cid)` compares exactly like the tuple
+ *     `(dot, −cid)` for every |dot| ≤ 2^32 (the milli-quantized 64-dim bound:
+ *     64·(2^13)² — Similarity.scala's width derivation) and cid ∈ [0, 2^30) — max
+ *     of the packed key IS argmax-by-dot with ties to the LOWEST cid, including
+ *     negative dots (two's-complement low field).
+ *  2. CAPACITY GUARD: cids at exactly 2^30 refuse with a NAMED error; 2^30 − 1
+ *     passes untouched.
+ */
+class PackedArgmaxSpec extends AnyFunSuite {
+
+  private val Mask = (1L << 30) - 1L
+  private def pack(dot: Long, cid: Long): Long = dot * (Mask + 1L) + (Mask - cid)
+
+  test("the packed key is order-isomorphic to (dot, -cid) across the full dot bound") {
+    val dotBound = 1L << 32 // 64·(2^13)²: the documented milli-dot magnitude ceiling
+    val rnd = new scala.util.Random(18181818L)
+    def rndDot(): Long = { val m = rnd.nextLong() % (dotBound + 1); m } // ±2^32 incl.
+    def rndCid(): Long = (rnd.nextLong() & Long.MaxValue) % (Mask + 1)
+    (1 to 200000).foreach { _ =>
+      val (d1, c1) = (rndDot(), rndCid())
+      val (d2, c2) = (rndDot(), rndCid())
+      val tupleCmp = implicitly[Ordering[(Long, Long)]].compare((d1, -c1), (d2, -c2))
+      val packCmp = java.lang.Long.compare(pack(d1, c1), pack(d2, c2))
+      assert(math.signum(tupleCmp) === math.signum(packCmp),
+        s"pack order diverged from (dot, -cid) at ($d1,$c1) vs ($d2,$c2)")
+    }
+    // the boundary cells exactly: equal dots tie to the LOWER cid
+    assert(pack(0L, 0L) > pack(0L, Mask))
+    assert(pack(-dotBound, 0L) < pack(-dotBound + 1, Mask)) // dot dominates cid always
+    assert(pack(dotBound, Mask) > pack(dotBound - 1, 0L))
+  }
+
+  test("guardCellIds refuses cid = 2^30 with a named error and passes 2^30 - 1") {
+    val s = graft.SparkTestSession.spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val fits = Seq(0L, 7L, Mask).toDF("cid").withColumn("cvec", array(lit(1L)))
+    assert(Similarity.guardCellIds(fits).select($"cid").as[Long].collect().sorted
+      === Array(0L, 7L, Mask))
+    val over = Seq(Mask + 1L).toDF("cid").withColumn("cvec", array(lit(1L)))
+    val e = intercept[Exception] { Similarity.guardCellIds(over).collect() }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("packed-argmax") && msg.contains((Mask + 1L).toString),
+      s"guard must name the scheme and the offending cid, got: $msg")
+  }
+}
