@@ -88,6 +88,11 @@ object CdcThroughput {
     val filesPerWave = args.lift(2).map(_.toInt).getOrElse(8)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val stateStore = sys.env.getOrElse("SPARK_GRAFT_STATESTORE", "hdfs")
+    // r18 ADVICE: anything other than exactly "rocksdb" used to silently fall back to
+    // the in-heap store while the output JSON echoed the raw string — a typo'd run
+    // masqueraded as a valid posture measurement. Fail loudly before the session.
+    require(Set("hdfs", "rocksdb").contains(stateStore),
+      s"SPARK_GRAFT_STATESTORE must be 'hdfs' or 'rocksdb', got '$stateStore'")
     val builder = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))

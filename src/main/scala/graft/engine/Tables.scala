@@ -74,8 +74,17 @@ object BucketedTables {
   private val TargetRowsPerBucket = 4000000L
   private val buckets = scala.collection.mutable.Map.empty[String, Int]
 
+  /** Bucket count for a data dir, sized off lineitem (the largest table) and CACHED
+    * per sfDir string for the JVM lifetime — a dir regenerated in place mid-JVM keeps
+    * its first-computed count (fine for the bench/verify callers, where dirs are
+    * immutable within a run; r18 ADVICE notes the assumption). Fails with a NAMED
+    * error when lineitem.parquet is absent rather than an unnamed AnalysisException
+    * from a caller for a dims-only dir. */
   private def numBuckets(spark: SparkSession, sfDir: String): Int =
     buckets.getOrElseUpdate(sfDir, {
+      require(new java.io.File(s"$sfDir/lineitem.parquet").exists(),
+        s"BucketedTables: bucket sizing reads $sfDir/lineitem.parquet (the largest " +
+          "table), which is absent — pass a dir with the full relational layout")
       // parquet count() short-circuits on row-group metadata — cheap at any scale
       val rows = Tables(spark, sfDir, "lineitem").count()
       math.max(MinBuckets.toLong,

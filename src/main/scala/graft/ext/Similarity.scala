@@ -263,10 +263,33 @@ object Similarity {
   private[ext] def guardCellIds(cands: DataFrame): DataFrame = {
     val s = cands.sparkSession
     import s.implicits._
-    cands.withColumn("cid", when($"cid" < 0L || $"cid" > CellIdxMask,
-      raise_error(concat(lit("packed-argmax: cell id outside [0, " +
-        s"${CellIdxMask + 1}) at cid="), $"cid".cast("string"))))
+    guardDotMagnitude(cands, "cvec")
+      .withColumn("cid", when($"cid" < 0L || $"cid" > CellIdxMask,
+        raise_error(concat(lit("packed-argmax: cell id outside [0, " +
+          s"${CellIdxMask + 1}) at cid="), $"cid".cast("string"))))
       .otherwise($"cid"))
+  }
+
+  /** Squared-norm bound for the packed argmax's dot field: with `|v|² ≤ 2^32` on BOTH
+    * sides of every dot, Cauchy–Schwarz bounds every cross dot by `√(2^32·2^32) = 2^32
+    * < 2^33`, the high field's capacity. */
+  private[ext] val DotNormSqBound = 1L << 32
+
+  /** Loud capacity guard on the dot-magnitude side of the packed argmax (r18 ADVICE):
+    * widening the cid field to 30 bits shrank dot headroom to 2^33, and the
+    * milli-component magnitude assumption (`|x|·1000 ≤ 2^13`, so 64-dim |v|² ≤ 2^32)
+    * was comment-only — a corpus with larger components would silently corrupt the
+    * pack. This checks `v·v ≤ 2^32` per row as a FILTER predicate (a projected-then-
+    * dropped guard column gets column-pruned and never fires), placed BELOW the
+    * cross/equi join so it runs once per input row, not once per candidate pair —
+    * one extra 64-mult dot against the k dots the row is about to do. */
+  private[ext] def guardDotMagnitude(df: DataFrame, vec: String): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.filter(dot(col(vec), col(vec)) <= lit(DotNormSqBound) ||
+      raise_error(concat(lit("packed-argmax: |" + vec + "|^2 > 2^32 (dot headroom " +
+        "2^33 with the 30-bit cid field) — squared norm "),
+        dot(col(vec), col(vec)).cast("string"))).cast("boolean"))
   }
 
   /** The packed argmax key: `dot·2^30 + (mask − cid)` — one BIGINT whose plain `max`
@@ -308,7 +331,7 @@ object Similarity {
   private def assignCells(q: DataFrame, cents: DataFrame): DataFrame = {
     val s = q.sparkSession
     import s.implicits._
-    q.crossJoin(broadcast(guardCellIds(cents)))
+    guardDotMagnitude(q, "qv").crossJoin(broadcast(guardCellIds(cents)))
       .select($"vec_id", packCell(dot($"qv", $"cvec"), $"cid").as("pack"))
       .groupBy($"vec_id")
       .agg(max($"pack").as("pack"))
@@ -346,7 +369,7 @@ object Similarity {
     // fine assignment within the chosen group: the same guarded packed argmax as
     // assignCells (cid-direct), candidate seeds bounded to k/g ≈ √k per vector by the
     // grp equi-join
-    q.join(grpOf, Seq("vec_id"))
+    guardDotMagnitude(q, "qv").join(grpOf, Seq("vec_id"))
       .join(broadcast(guardCellIds(seedsIdx.select($"grp", $"cid", $"cvec"))), Seq("grp"))
       .select($"vec_id", packCell(dot($"qv", $"cvec"), $"cid").as("pack"))
       .groupBy($"vec_id").agg(max($"pack").as("pack"))
