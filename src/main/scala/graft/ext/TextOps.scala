@@ -75,7 +75,7 @@ object TextOps {
       .drop("_bg_n")
   }
 
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+  private[ext] val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
   /** Marker tokens of the four language heuristics — the "language identified" signal
     * shared by the funnel and the composed curation pipeline (and their oracles). */
@@ -128,16 +128,19 @@ object TextOps {
           max($"n_chars").as("max_chars"))
         .orderBy($"lang")
     },
-    // quality scoring: per-doc boolean flags aggregated to exact counts per language
+    // quality scoring: per-doc boolean flags aggregated to exact counts per language.
+    // Flags come from the fused text_scan byte loop (r19 — see text_quality_model;
+    // same single-pass replacement for split+filter+regexp_replace, oracle unchanged).
     "text_quality" -> { (s, dir) =>
       import s.implicits._
-      val toks = tokens($"text")
+      graft.functions.TextScan.ensureRegistered(s)
       graft.engine.Tables(s, dir, "documents")
+        .select($"lang", $"n_chars", call_function("text_scan", $"text").as("sc"))
         .select($"lang",
           ($"n_chars" >= MinChars).cast("int").as("long_enough"),
-          (size(toks) >= MinToks).cast("int").as("enough_tokens"),
-          (stopwordCount(toks) * 10 >= size(toks)).cast("int").as("stopword_heavy"),
-          (length(regexp_replace($"text", "[a-z0-9\\s]", "")) > 0).cast("int").as("has_punct"))
+          ($"sc.n_toks" >= MinToks).cast("int").as("enough_tokens"),
+          ($"sc.stop_cnt" * 10 >= $"sc.n_toks").cast("int").as("stopword_heavy"),
+          ($"sc.punct_cnt" > 0).cast("int").as("has_punct"))
         .groupBy($"lang")
         .agg(count(lit(1)).as("doc_cnt"),
           sum($"long_enough").cast("long").as("long_cnt"),
@@ -156,15 +159,26 @@ object TextOps {
     // shuffle before the per-doc emit): at 100 TB this is a pure map stage that rides
     // the same pass as tokenization — the model upgrade path (real learned weights,
     // more features) keeps this exact plan shape.
+    //
+    // FUSED SCAN (r19, VERDICT r18 #5): the Column form paid two regexp_replace
+    // passes (each allocating a stripped copy of the document) plus split+filter
+    // tokenization per doc — the most expensive registered query at sf100 (376.8 s),
+    // pure map-side CPU. All four counts now come out of ONE allocation-free byte
+    // loop (functions/TextScanExpr.scala, the WinnowSelect pattern); the oracle SQL
+    // still computes the regex way, so the hash gate proves value identity. The
+    // struct lands in its own projection (CollapseProject keeps a non-cheap
+    // multi-referenced producer separate), so the scan runs once per row.
     "text_quality_model" -> { (s, dir) =>
       import s.implicits._
-      val toksC = tokens($"text")
+      graft.functions.TextScan.ensureRegistered(s)
       graft.engine.Tables(s, dir, "documents")
-        .select($"doc_id", $"n_chars", $"text",
-          size(toksC).as("n_toks"),
-          stopwordCount(toksC).as("stop_cnt"),
-          length(regexp_replace($"text", "[a-z0-9\\s]", "")).as("punct_cnt"),
-          length(regexp_replace($"text", "[^0-9]", "")).as("digit_cnt"))
+        .select($"doc_id", $"n_chars",
+          call_function("text_scan", $"text").as("sc"))
+        .select($"doc_id", $"n_chars",
+          $"sc.n_toks".as("n_toks"),
+          $"sc.stop_cnt".as("stop_cnt"),
+          $"sc.punct_cnt".as("punct_cnt"),
+          $"sc.digit_cnt".as("digit_cnt"))
         .select($"doc_id",
           expr("cast(stop_cnt as bigint) * 10000 div greatest(n_toks, 1)").as("stop_bp"),
           expr("cast(n_chars as bigint) * 100 div greatest(n_toks, 1)").as("wlen_c"),

@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * `text_scan(text)` — the fused surface-feature scan behind the curation quality
+ * queries: ONE pass over the document's UTF-8 bytes computing every count the linear
+ * scorer and the boolean gates need, returned as
+ * `struct<n_toks, stop_cnt, punct_cnt, digit_cnt>`.
+ *
+ * Why a native expression (VERDICT r18 #5, the WinnowSelect lesson applied): the
+ * Column-algebra form of `text_quality_model` was the most expensive registered query
+ * at sf100 (376.8 s) and PURE map-side — per document it paid
+ *  - `split(trim(text), "\\s+")` + a filter lambda: a regex pass that ALLOCATES one
+ *    String per token plus the array;
+ *  - `size(filter(toks, 6-way equality))`: six UTF8String comparisons per token over
+ *    that array;
+ *  - `length(regexp_replace(text, "[a-z0-9\\s]", ""))`: a full regex pass that builds
+ *    a stripped COPY of the document just to count its length;
+ *  - `length(regexp_replace(text, "[^0-9]", ""))`: a second such pass and copy.
+ * Here all four counts come out of one allocation-free byte loop. `CodegenFallback`
+ * (not `doGenCode`) is the right tier, as with `winnow_select`: the expression runs
+ * once per row and does all its work inside that call.
+ *
+ * Semantics are BIT-IDENTICAL to the Column form (and the DuckDB oracle SQL, which
+ * still computes the regex way — the 179-query hash gate is the proof):
+ *  - tokens are maximal runs of non-whitespace CODE POINTS, whitespace being Java
+ *    regex `\s` = the six ASCII chars `[ \t\n\x0B\f\r]` — exactly what
+ *    `filter(split(trim(text), "\\s+"), _ =!= "")` yields (trim only strips spaces;
+ *    the empty-token filter makes leading/trailing/multiple separators equivalent);
+ *  - `stop_cnt` counts tokens byte-equal to one of the six fixed stopwords
+ *    (the/a/of/and/to/in — all ASCII, so byte equality IS string equality);
+ *  - `punct_cnt` counts code points outside `[a-z0-9\s]`: non-ASCII code points are
+ *    never lowercase-ASCII/digit/`\s`, so each LEADER byte (not `10xxxxxx`) above
+ *    0x7F counts exactly one, matching `length()`'s code-point count of the
+ *    regex-stripped copy;
+ *  - `digit_cnt` counts `[0-9]` code points.
+ */
+case class TextScan(child: Expression) extends UnaryExpression with CodegenFallback {
+  import TextScan._
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = OutType
+  override def prettyName: String = "text_scan"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val n = s.numBytes()
+    var nToks = 0L
+    var stopCnt = 0L
+    var punctCnt = 0L
+    var digitCnt = 0L
+    var tokStart = -1 // byte index of the current token's first byte, -1 outside tokens
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b >= 0) { // ASCII
+        val ws = b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+        if (ws) {
+          if (tokStart >= 0) {
+            nToks += 1
+            if (isStopword(s, tokStart, i - tokStart)) stopCnt += 1
+            tokStart = -1
+          }
+        } else {
+          if (b >= '0' && b <= '9') digitCnt += 1
+          else if (b < 'a' || b > 'z') punctCnt += 1
+          if (tokStart < 0) tokStart = i
+        }
+      } else { // non-ASCII: every leader byte is one code point, never \s/digit/[a-z]
+        if ((b & 0xC0) != 0x80) punctCnt += 1
+        if (tokStart < 0) tokStart = i
+      }
+      i += 1
+    }
+    if (tokStart >= 0) {
+      nToks += 1
+      if (isStopword(s, tokStart, n - tokStart)) stopCnt += 1
+    }
+    InternalRow(nToks, stopCnt, punctCnt, digitCnt)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TextScan =
+    copy(child = newChild)
+}
+
+object TextScan {
+  val OutType: DataType = StructType(Seq(
+    StructField("n_toks", LongType, nullable = false),
+    StructField("stop_cnt", LongType, nullable = false),
+    StructField("punct_cnt", LongType, nullable = false),
+    StructField("digit_cnt", LongType, nullable = false)))
+
+  /** The fixed curation stopword set (mirrors `TextOps.stopwords` — the specs pin the
+    * two lists against each other so they cannot drift). All ASCII, lengths 1–3. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Byte-equality stopword test on the token's byte span (ASCII-only words, so byte
+    * equality is string equality; a multi-byte-prefixed token can never match because
+    * its leader byte is negative). */
+  private def isStopword(s: UTF8String, off: Int, len: Int): Boolean = (len: @annotation.switch) match {
+    case 1 => s.getByte(off) == 'a'
+    case 2 =>
+      val b0 = s.getByte(off); val b1 = s.getByte(off + 1)
+      (b0 == 'o' && b1 == 'f') || (b0 == 't' && b1 == 'o') || (b0 == 'i' && b1 == 'n')
+    case 3 =>
+      val b0 = s.getByte(off); val b1 = s.getByte(off + 1); val b2 = s.getByte(off + 2)
+      (b0 == 't' && b1 == 'h' && b2 == 'e') || (b0 == 'a' && b1 == 'n' && b2 == 'd')
+    case _ => false
+  }
+
+  private def unary(name: String)(children: Seq[Expression]): Expression = {
+    if (children.size != 1)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map("functionName" -> name, "expectedNum" -> "1",
+          "actualNum" -> children.size.toString, "docroot" -> ""))
+    TextScan(children.head)
+  }
+
+  private[graft] val registrations
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("text_scan"),
+      new ExpressionInfo(classOf[TextScan].getName, "text_scan"),
+      unary("text_scan") _))
+
+  /** Idempotent session-registry registration — same mechanism as
+    * [[VecDot.ensureRegistered]]. */
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
+    Registrations.ensure(spark, registrations)
+}

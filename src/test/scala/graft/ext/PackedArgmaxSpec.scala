@@ -55,4 +55,27 @@ class PackedArgmaxSpec extends AnyFunSuite {
     assert(msg.contains("packed-argmax") && msg.contains((Mask + 1L).toString),
       s"guard must name the scheme and the offending cid, got: $msg")
   }
+
+  test("guardDotMagnitude refuses |v|^2 > 2^32 with a named error and passes the bound") {
+    // r18 ADVICE: the milli-component magnitude assumption (|x|·1000 ≤ 2^13 → 64-dim
+    // |v|² ≤ 2^32) was comment-only; larger components would silently corrupt the
+    // pack's 33-bit dot field. The guard checks v·v ≤ 2^32 per row, loudly.
+    val s = graft.SparkTestSession.spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.VecDot.ensureRegistered(s)
+    val bound = 1L << 32
+    // 64 components of 2^13 exactly: |v|² = 64·2^26 = 2^32 — ON the bound, passes
+    val atBound = Seq(1L).toDF("vec_id")
+      .withColumn("qv", array_repeat(lit(1L << 13), 64))
+    assert(Similarity.guardDotMagnitude(atBound, "qv").count() === 1L)
+    // one component nudged over: |v|² > 2^32 — refuses with the scheme named
+    val over = Seq(2L).toDF("vec_id")
+      .withColumn("qv", concat(array(lit((1L << 13) + 1L)), array_repeat(lit(1L << 13), 63)))
+    val e2 = intercept[Exception] { Similarity.guardDotMagnitude(over, "qv").collect() }
+    val m2 = Option(e2.getMessage).getOrElse("") +
+      Option(e2.getCause).map(_.getMessage).getOrElse("")
+    assert(m2.contains("packed-argmax") && m2.contains("2^32"),
+      s"guard must name the scheme and the bound, got: $m2")
+  }
 }

@@ -1,0 +1,77 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Pins the fused `text_scan` byte loop (functions/TextScanExpr.scala) against the
+ * exact Column-algebra formulas it replaced in `text_quality` / `text_quality_model`
+ * (r19, VERDICT r18 #5): tokens = `filter(split(trim(text), "\\s+"), _ != "")`,
+ * stopwords = the six fixed words, punct = code points outside `[a-z0-9\s]`,
+ * digits = `[0-9]`. Three pins:
+ *  1. a 2000-case property sweep vs a JVM-regex reference over strings drawn from a
+ *     hostile alphabet (all six `\s` chars, digits, letters, punctuation, multi-byte
+ *     code points incl. a supplementary-plane emoji, stopwords at boundaries);
+ *  2. the expression's stopword list is byte-for-byte `TextOps.stopwords` (the two
+ *     definitions cannot drift);
+ *  3. the Spark plans of the old and new forms agree row-for-row on a corpus slice.
+ */
+class TextScanSpec extends AnyFunSuite {
+  import graft.functions.TextScan
+
+  private val ws = "\t\n\f\r "
+  private def refCounts(text: String): (Long, Long, Long, Long) = {
+    val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+    val nToks = toks.length.toLong
+    val stopCnt = toks.count(TextOps.stopwords.contains).toLong
+    val punctCnt = text.replaceAll("[a-z0-9\\s]", "").codePointCount(0,
+      text.replaceAll("[a-z0-9\\s]", "").length).toLong
+    val digitCnt = text.replaceAll("[^0-9]", "").length.toLong
+    (nToks, stopCnt, punctCnt, digitCnt)
+  }
+
+  private def evalScan(text: String): (Long, Long, Long, Long) = {
+    val row = TextScan(org.apache.spark.sql.catalyst.expressions.Literal(
+      org.apache.spark.unsafe.types.UTF8String.fromString(text),
+      org.apache.spark.sql.types.StringType))
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+  }
+
+  test("property sweep: text_scan == the regex reference on a hostile alphabet") {
+    val alphabet: Array[String] =
+      (ws.map(_.toString) ++ "abcxyz019".map(_.toString) ++
+        Seq(".", ",", "!", "_", "é", "ß", "世", "界", new String(Character.toChars(0x1F600))) ++
+        TextOps.stopwords).toArray
+    val rnd = new scala.util.Random(19191919L)
+    val cases = Seq("", " ", "a", "the", "the the", " the ", "a\tof\nin", "x1y2",
+      "é世😀", "no stop words here?!", ws, "0123456789") ++
+      (1 to 2000).map(_ => (0 until rnd.nextInt(40)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    cases.foreach { t =>
+      assert(evalScan(t) === refCounts(t), s"diverged on ${t.map(c => f"\\u${c.toInt}%04x").mkString}")
+    }
+  }
+
+  test("the expression's stopword list IS TextOps.stopwords") {
+    assert(TextScan.Stopwords === TextOps.stopwords)
+  }
+
+  test("old Column form and fused form agree row-for-row on the sf0.001 corpus") {
+    val s = graft.SparkTestSession.spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.TextScan.ensureRegistered(s)
+    val docs = graft.engine.Tables(s, "/root/testdata/sf0.001", "documents").limit(400)
+    val toks = TextOps.tokens($"text")
+    val old = docs.select($"doc_id",
+      size(toks).cast("long").as("n_toks"),
+      size(filter(toks, t => TextOps.stopwords.map(t === _).reduce(_ || _)))
+        .cast("long").as("stop_cnt"),
+      length(regexp_replace($"text", "[a-z0-9\\s]", "")).cast("long").as("punct_cnt"),
+      length(regexp_replace($"text", "[^0-9]", "")).cast("long").as("digit_cnt"))
+    val fused = docs.select($"doc_id", call_function("text_scan", $"text").as("sc"))
+      .select($"doc_id", $"sc.n_toks".as("n_toks"), $"sc.stop_cnt".as("stop_cnt"),
+        $"sc.punct_cnt".as("punct_cnt"), $"sc.digit_cnt".as("digit_cnt"))
+    assert(old.exceptAll(fused).isEmpty && fused.exceptAll(old).isEmpty)
+  }
+}
