@@ -129,14 +129,30 @@ object GenScale {
           rest: _*),
         "embeddings")
     }
-    scaled("documents") { (d, i) =>
-      if (i == 0) d
-      else d
-        .withColumn("doc_id", $"doc_id" + i * DocShift)
-        .withColumn("text", array_join(
-          transform(filter(split(trim($"text"), "\\s+"), t => t =!= ""),
-            t => concat(t, lit(s"_$i"))), " "))
-        .withColumn("n_chars", length($"text").cast("long"))
+    // VECTORIZED documents fan-out (r19, same rationale as embeddings above): the
+    // K-way union chokes analysis at the sf1000 probe's K = 10000, so the copy index
+    // is a COLUMN. Value-identical per (row, copy) to the r18 loop form — copy 0
+    // passes through verbatim, copy i > 0 shifts doc_id and suffixes every token with
+    // `_i` (the same split/trim/filter pipeline, `i` now a cast column instead of an
+    // interpolated literal) and recomputes n_chars from the new text. Set-equality vs
+    // the loop-built target/sf10e documents validated at K=100 (BASELINE.md r19);
+    // only row ORDER in the written file differs (copies interleave per source row).
+    if (want("documents")) {
+      val iCol = $"_copy"
+      val suffixed = array_join(
+        transform(filter(split(trim($"text"), "\\s+"), t => t =!= ""),
+          t => concat(t, lit("_"), iCol.cast("string"))), " ")
+      val d = read("documents")
+      val srcCols = d.columns.toSeq
+      write(d
+        .select(srcCols.map(org.apache.spark.sql.functions.col) :+
+          explode(sequence(lit(0L), lit(k.toLong - 1L))).as("_copy"): _*)
+        .withColumn("doc_id", $"doc_id" + iCol * DocShift)
+        .withColumn("text", when(iCol === 0L, $"text").otherwise(suffixed))
+        .withColumn("n_chars",
+          when(iCol === 0L, $"n_chars").otherwise(length($"text").cast("long")))
+        .select(srcCols.map(org.apache.spark.sql.functions.col): _*),
+        "documents")
     }
     spark.stop()
   }

@@ -3,7 +3,7 @@ package graft.engine
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Corpus-count gates for base operators with a MEASURED scale knee (r15–r17 sf100
+/** Corpus-count gates for base operators with a MEASURED scale knee (r15–r19 decade
   * probes, BASELINE.md). Five registered queries died at sf100 in their probes —
   * `dedup_embedding_cosine` (fixed 10 planes → quadratic verify pair mass, killed at
   * its 1200 s timeout), `simsearch_stream_ivfpq` (fixed 8-cell quantizer → 75 GB of
@@ -18,12 +18,15 @@ import org.apache.spark.sql.functions._
   * registered (they are the parity anchors their oracles pin), but a 100 TB user who
   * picks one from the registry must get a NAMED error at the measured-fatal scale, not
   * the silent death the probe measured — the `guardBroadcast` discipline applied to
-  * plan choice.
+  * plan choice. The r19 additions are the two FLAT ANCHORS (`dedup_semantic`,
+  * `simsearch_stream`): both pass at sf100 (documented-expensive — 736.8 s / priced
+  * ~3 h) and are measured-fatal one decade up at sf1000 (VERDICT r18 #2), so their
+  * gate sits a decade HIGHER than the r16 embedding gates. Both stay registered as
+  * the ≤sf100 parity oracles of their substitutes (the phash33 pattern).
   *
-  * Thresholds sit between the largest measured-passing scale (sf10: 200k embeddings /
-  * 500k documents — every gate is hash-verified there) and the measured-death scale
-  * (sf100: 2M embeddings / 5M documents), so nothing green today can trip, and the
-  * probe-fatal scale reliably does. */
+  * Thresholds sit between each gate's largest measured-passing scale and its
+  * measured-death scale (per-gate bounds spec-pinned in ScalePathSpec), so nothing
+  * green today can trip, and the probe-fatal scale reliably does. */
 object ScaleGuard {
   /** Largest embeddings corpus (base-table rows) the fixed-parameter embedding ops may
     * see: sf10 (200k) passed both probes; sf100 (2M) killed both. */
@@ -44,6 +47,13 @@ object ScaleGuard {
     * materializes per-key prefolded state ~3× the native fold's footprint). */
   val CdcBatchKneeRows = 50000000L
 
+  /** Largest embeddings corpus for the two FLAT anchors (r19 probe, VERDICT r18 #2):
+    * sf100 (2M vectors) completed both — flat SemDeDup in 736.8 s, exact serving
+    * priced ~3 h; sf1000 (20M) is measured-fatal for both (the flat n²/k assignment
+    * and the per-batch full-corpus exact scan — BASELINE.md r19). One decade above
+    * their documented-expensive sf100 evidence, a decade under the measured death. */
+  val FlatAnchorKneeRows = 6000000L
+
   /** Measured-fatal base op → (gated table, knee threshold, probe evidence). The probe
     * string names the BASELINE.md round whose measurement set the threshold, carried per
     * gate so the operator-facing error cites the right evidence (ADVICE r17 #4).
@@ -58,7 +68,9 @@ object ScaleGuard {
     "dedup_image_phash3" ->
       (("documents", ImageAllPairsKneeRows, "r15 probe of phash33, identical output shape")),
     "cdc_txn_reconstruct" -> (("orders", CdcBatchKneeRows, "r17 probe")),
-    "cdc_apply_merge_prefold" -> (("orders", CdcBatchKneeRows, "r17 probe")))
+    "cdc_apply_merge_prefold" -> (("orders", CdcBatchKneeRows, "r17 probe")),
+    "dedup_semantic" -> (("embeddings", FlatAnchorKneeRows, "r19 probe (sf1000)")),
+    "simsearch_stream" -> (("embeddings", FlatAnchorKneeRows, "r19 probe (sf1000)")))
 
   /** In-plan gate: one metadata-cheap `count` of the base table, folded into the plan
     * as a broadcast single-row frame whose `raise_error` fires while the broadcast is
@@ -83,7 +95,7 @@ object ScaleGuard {
     val guard = Tables(s, dir, table).groupBy().count()
       .select(when($"count" > maxRows, raise_error(concat(
           lit(s"$op: $table corpus of "), $"count".cast("string"),
-          lit(s" rows is past this operator's measured sf100 knee (> $maxRows; " +
+          lit(s" rows is past this operator's measured scale knee (> $maxRows; " +
             s"BASELINE.md $probe) — use its scale path " +
             s"'${graft.SparkEntry.scalePath(op)}' (SparkEntry.scalePath)"))))
         .otherwise(lit(0L)).as("_scale_gate"))
@@ -102,7 +114,7 @@ object ScaleGuard {
       maxRows: Long, op: String, probe: String = "probe"): Unit = {
     val n = Tables(s, dir, table).count()
     if (n > maxRows) throw new IllegalArgumentException(
-      s"$op: $table corpus of $n rows is past this operator's measured sf100 knee " +
+      s"$op: $table corpus of $n rows is past this operator's measured scale knee " +
         s"(> $maxRows; BASELINE.md $probe) — use its scale path " +
         s"'${graft.SparkEntry.scalePath(op)}' (SparkEntry.scalePath)")
   }

@@ -946,6 +946,11 @@ object Similarity {
     // the exact scorer for the ivfPqRanked chain is a per-batch plan change, not an
     // architecture change.
     "simsearch_stream" -> { (s, dir) =>
+      // count-gated (r19, VERDICT r18 #2), driver-side: constructing this query RUNS
+      // the stream, and each batch's exact scorer reads the FULL corpus per arrival
+      // wave — priced ~3 h at sf100 and measured-fatal at sf1000 (BASELINE.md r19).
+      // The √N-cell server is the serving path at scale.
+      graft.engine.ScaleGuard.require(s, dir, "simsearch_stream")
       exactStream(s, dir, streamFeedWaves(s, dir))
     },
     // ONLINE IVFADC-R SERVING (r15, VERDICT r14 #5): `simsearch_stream` swaps its
@@ -1047,8 +1052,15 @@ object Similarity {
         .filter(col("a.vv") - lit(2L) * dot(col("a.qv"), col("b.qv")) + col("b.vv")
           <= SemDedupEpsMilli)
         .select(col("a.vec_id").as("vec_id")).distinct()
-      assigned.join(dropped.withColumn("dropped", lit(true)), Seq("vec_id"), "left_outer")
-        .select($"vec_id", $"cell", coalesce($"dropped", lit(false)).as("dropped"))
+      // count-gated (r19, VERDICT r18 #2): the flat N·k assignment with k ∝ n is
+      // n²/250 dots — measured 736.8 s at sf100 and measured-FATAL at sf1000 (20M
+      // vectors: watchdog-killed in the Lloyd round, BASELINE.md r19). The gate sits
+      // BELOW the final orderBy (a crossJoin above it would un-sort the output);
+      // ≤sf100 corpora pass untouched, so this stays the tiered path's parity oracle.
+      graft.engine.ScaleGuard.gate(
+          assigned.join(dropped.withColumn("dropped", lit(true)), Seq("vec_id"), "left_outer")
+            .select($"vec_id", $"cell", coalesce($"dropped", lit(false)).as("dropped")),
+          s, dir, "dedup_semantic")
         .orderBy($"vec_id")
     },
     // TIERED SemDeDup — the n^1.5 path past dedup_semantic's measured n² assignment

@@ -67,7 +67,8 @@ class ScalePathSpec extends AnyFunSuite {
     assert(graft.engine.ScaleGuard.gates.keySet ===
       Set("dedup_embedding_cosine", "simsearch_stream_ivfpq", "dedup_image_phash33",
         "dedup_image_phash", "dedup_image_phash3",
-        "cdc_txn_reconstruct", "cdc_apply_merge_prefold"))
+        "cdc_txn_reconstruct", "cdc_apply_merge_prefold",
+        "dedup_semantic", "simsearch_stream"))
     graft.engine.ScaleGuard.gates.keySet.foreach { op =>
       assert(graft.SparkEntry.scalePath.contains(op),
         s"gated op '$op' must name its scale path")
@@ -81,16 +82,21 @@ class ScalePathSpec extends AnyFunSuite {
     graft.engine.ScaleGuard.gates.values.foreach { case (_, _, probe) =>
       assert(probe.matches("r\\d+ probe.*"), s"probe evidence must name a round: $probe")
     }
-    // thresholds sit strictly between the measured-passing (sf10) and measured-fatal
-    // (sf100) corpus sizes, so green gates cannot trip and the fatal scale must
-    graft.engine.ScaleGuard.gates.values.foreach { case (table, maxRows, _) =>
-      val (sf10, sf100) = table match {
-        case "embeddings" => (200000L, 2000000L)
-        case "orders" => (15000000L, 150000000L)
+    // thresholds sit strictly between each gate's measured-passing and measured-fatal
+    // corpus sizes, so green gates cannot trip and the fatal scale must. Bounds are
+    // PER GATE since r19: the flat anchors pass at sf100 (2M embeddings,
+    // documented-expensive) and die at sf1000 (20M), one decade above the r16-gated
+    // fixed-parameter embedding ops (pass sf10 = 200k, die sf100 = 2M).
+    graft.engine.ScaleGuard.gates.foreach { case (op, (table, maxRows, _)) =>
+      val (passing, fatal) = (op, table) match {
+        case ("dedup_semantic" | "simsearch_stream", "embeddings") =>
+          (2000000L, 20000000L) // r19 probe decade
+        case (_, "embeddings") => (200000L, 2000000L)
+        case (_, "orders") => (15000000L, 150000000L)
         case _ => (500000L, 5000000L)
       }
-      assert(maxRows >= sf10 && maxRows < sf100,
-        s"$table knee $maxRows must sit in [$sf10, $sf100)")
+      assert(maxRows >= passing && maxRows < fatal,
+        s"$op knee $maxRows must sit in [$passing, $fatal)")
     }
   }
 
