@@ -79,7 +79,7 @@ object TextOps {
 
   /** Marker tokens of the four language heuristics — the "language identified" signal
     * shared by the funnel and the composed curation pipeline (and their oracles). */
-  private val langMarkers =
+  private[ext] val langMarkers =
     Seq("the", "and", "of", "der", "und", "die", "le", "et", "la", "el", "y", "los")
   private val langMarkerSql = langMarkers.map(w => s"x = '$w'").mkString(" OR ")
 
@@ -194,17 +194,18 @@ object TextOps {
           ($"logit_milli" >= 0L).cast("int").as("keep"))
         .orderBy($"doc_id")
     },
-    // language ID by marker-token voting with deterministic tie-break (en > de > fr > es)
+    // language ID by marker-token voting with deterministic tie-break (en > de > fr > es).
+    // Scores come from the fused text_langid_scan byte loop (r19 — the four
+    // filter-lambda traversals were a 17.9 s map at sf100; oracle still votes the
+    // regex/list way, hash gate proves identity).
     "text_langid" -> { (s, dir) =>
       import s.implicits._
-      val toks = tokens($"text")
-      def score(words: Seq[String]) = size(filter(toks, t => words.map(t === _).reduce(_ || _)))
+      graft.functions.TextLangIdScan.ensureRegistered(s)
       graft.engine.Tables(s, dir, "documents")
+        .select($"doc_id", $"lang", call_function("text_langid_scan", $"text").as("sc"))
         .select($"doc_id", $"lang",
-          score(Seq("the", "and", "of")).as("en_score"),
-          score(Seq("der", "und", "die")).as("de_score"),
-          score(Seq("le", "et", "la")).as("fr_score"),
-          score(Seq("el", "y", "los")).as("es_score"))
+          $"sc.en_score".as("en_score"), $"sc.de_score".as("de_score"),
+          $"sc.fr_score".as("fr_score"), $"sc.es_score".as("es_score"))
         .withColumn("lang_guess",
           when($"en_score" >= $"de_score" && $"en_score" >= $"fr_score" && $"en_score" >= $"es_score", "en")
             .when($"de_score" >= $"fr_score" && $"de_score" >= $"es_score", "de")
@@ -215,12 +216,15 @@ object TextOps {
         .orderBy($"lang", $"lang_guess")
     },
     // BPE-ish regex tokenization: letter runs / digit runs / single non-space symbols —
-    // the pre-tokenizer split a byte-pair encoder sees, counted per language
+    // the pre-tokenizer split a byte-pair encoder sees, counted per language. The
+    // count comes from the fused text_bpe_count byte loop (r19 — the regex form was a
+    // 69.4 s pure map at sf100; the DuckDB oracle still runs the regex, so the hash
+    // gate proves value identity).
     "text_token_regex" -> { (s, dir) =>
       import s.implicits._
+      graft.functions.TextBpeCount.ensureRegistered(s)
       graft.engine.Tables(s, dir, "documents")
-        .select($"lang",
-          size(regexp_extract_all($"text", lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("tok_cnt"))
+        .select($"lang", call_function("text_bpe_count", $"text").as("tok_cnt"))
         .groupBy($"lang")
         .agg(count(lit(1)).as("doc_cnt"),
           sum($"tok_cnt").cast("long").as("sum_regex_tokens"),

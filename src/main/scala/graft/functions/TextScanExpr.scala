@@ -95,6 +95,182 @@ case class TextScan(child: Expression) extends UnaryExpression with CodegenFallb
     copy(child = newChild)
 }
 
+/**
+ * `text_bpe_count(text)` — the BPE-pretokenizer token count
+ * `size(regexp_extract_all(text, "[a-z]+|[0-9]+|[^a-z0-9\s]"))` as one pass over the
+ * UTF-8 bytes (r19, the same fusion as [[TextScan]]: at sf100 the regex form was a
+ * 69.4 s pure map stage). Match semantics of the Java alternation, replicated
+ * exactly: at each scan position the matcher takes a GREEDY maximal `[a-z]+` run, else
+ * a maximal `[0-9]+` run, else — if the code point is not `\s` — one single-code-point
+ * symbol match; whitespace advances without matching. So the count is
+ * (#maximal letter runs) + (#maximal digit runs) + (#other non-whitespace code
+ * points), which one previous-class state machine computes per byte; non-ASCII
+ * leader bytes are symbol code points (never `[a-z]`/`[0-9]`/`\s`), continuation
+ * bytes count nothing. The DuckDB oracle still runs the regex — the hash gate is
+ * the value-identity proof; TextScanSpec property-sweeps this against the JVM
+ * regex on the hostile alphabet.
+ */
+case class TextBpeCount(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "text_bpe_count"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val n = s.numBytes()
+    var cnt = 0L
+    // previous byte's class for run folding: 0 = none/ws/symbol, 1 = letter, 2 = digit
+    var prev = 0
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b >= 0) {
+        if (b >= 'a' && b <= 'z') { if (prev != 1) cnt += 1; prev = 1 }
+        else if (b >= '0' && b <= '9') { if (prev != 2) cnt += 1; prev = 2 }
+        else if (b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r')
+          prev = 0
+        else { cnt += 1; prev = 0 } // single-symbol match
+      } else {
+        if ((b & 0xC0) != 0x80) cnt += 1 // one symbol per non-ASCII code point
+        prev = 0
+      }
+      i += 1
+    }
+    cnt
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TextBpeCount =
+    copy(child = newChild)
+}
+
+object TextBpeCount {
+  private def unary(name: String)(children: Seq[Expression]): Expression = {
+    if (children.size != 1)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map("functionName" -> name, "expectedNum" -> "1",
+          "actualNum" -> children.size.toString, "docroot" -> ""))
+    TextBpeCount(children.head)
+  }
+
+  private[graft] val registrations
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("text_bpe_count"),
+      new ExpressionInfo(classOf[TextBpeCount].getName, "text_bpe_count"),
+      unary("text_bpe_count") _))
+
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
+    Registrations.ensure(spark, registrations)
+}
+
+/**
+ * `text_langid_scan(text)` — the four language-marker vote counts of `text_langid`
+ * (`size(filter(tokens(text), t => words.map(t === _).reduce(_ || _)))` per language)
+ * as one pass over the UTF-8 bytes, returned as
+ * `struct<en_score, de_score, fr_score, es_score>` (r19; the filter-lambda form was a
+ * 17.9 s map stage at sf100 — four token-array traversals per doc on top of the
+ * split). Tokenization is [[TextScan]]'s: maximal non-`\s` code-point runs. Marker
+ * sets are the fixed en/de/fr/es triples (all ASCII, byte equality) — the canonical
+ * list lives here as [[TextLangIdScan.Markers]] and the spec pins it against
+ * TextOps' own langMarkers.
+ */
+case class TextLangIdScan(child: Expression) extends UnaryExpression with CodegenFallback {
+  import TextLangIdScan._
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = OutType
+  override def prettyName: String = "text_langid_scan"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val n = s.numBytes()
+    val scores = new Array[Long](4)
+    var tokStart = -1
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      val ws = b >= 0 &&
+        (b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r')
+      if (ws) {
+        if (tokStart >= 0) { vote(s, tokStart, i - tokStart, scores); tokStart = -1 }
+      } else if (tokStart < 0) tokStart = i
+      i += 1
+    }
+    if (tokStart >= 0) vote(s, tokStart, n - tokStart, scores)
+    InternalRow(scores(0), scores(1), scores(2), scores(3))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TextLangIdScan =
+    copy(child = newChild)
+}
+
+object TextLangIdScan {
+  val OutType: DataType = StructType(Seq(
+    StructField("en_score", LongType, nullable = false),
+    StructField("de_score", LongType, nullable = false),
+    StructField("fr_score", LongType, nullable = false),
+    StructField("es_score", LongType, nullable = false)))
+
+  /** The four marker triples, in en/de/fr/es score order — pinned against
+    * `TextOps`' lists by TextScanSpec. */
+  val Markers: Seq[Seq[String]] = Seq(
+    Seq("the", "and", "of"), Seq("der", "und", "die"),
+    Seq("le", "et", "la"), Seq("el", "y", "los"))
+
+  /** Adds this token's marker votes (a token can only match one language's set —
+    * the twelve markers are distinct words). ASCII-only words: byte equality. */
+  private def vote(s: UTF8String, off: Int, len: Int, scores: Array[Long]): Unit = {
+    (len: @annotation.switch) match {
+      case 1 =>
+        if (s.getByte(off) == 'y') scores(3) += 1
+      case 2 =>
+        val b0 = s.getByte(off); val b1 = s.getByte(off + 1)
+        if (b0 == 'o' && b1 == 'f') scores(0) += 1
+        else if (b0 == 'l' && b1 == 'e') scores(2) += 1
+        else if (b0 == 'e' && b1 == 't') scores(2) += 1
+        else if (b0 == 'l' && b1 == 'a') scores(2) += 1
+        else if (b0 == 'e' && b1 == 'l') scores(3) += 1
+      case 3 =>
+        val b0 = s.getByte(off); val b1 = s.getByte(off + 1); val b2 = s.getByte(off + 2)
+        if ((b0 == 't' && b1 == 'h' && b2 == 'e') ||
+            (b0 == 'a' && b1 == 'n' && b2 == 'd')) scores(0) += 1
+        else if ((b0 == 'd' && b1 == 'e' && b2 == 'r') ||
+            (b0 == 'u' && b1 == 'n' && b2 == 'd') ||
+            (b0 == 'd' && b1 == 'i' && b2 == 'e')) scores(1) += 1
+        else if (b0 == 'l' && b1 == 'o' && b2 == 's') scores(3) += 1
+      case _ => ()
+    }
+  }
+
+  private def unary(name: String)(children: Seq[Expression]): Expression = {
+    if (children.size != 1)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map("functionName" -> name, "expectedNum" -> "1",
+          "actualNum" -> children.size.toString, "docroot" -> ""))
+    TextLangIdScan(children.head)
+  }
+
+  private[graft] val registrations
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("text_langid_scan"),
+      new ExpressionInfo(classOf[TextLangIdScan].getName, "text_langid_scan"),
+      unary("text_langid_scan") _))
+
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
+    Registrations.ensure(spark, registrations)
+}
+
 object TextScan {
   val OutType: DataType = StructType(Seq(
     StructField("n_toks", LongType, nullable = false),

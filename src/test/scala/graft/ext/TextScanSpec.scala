@@ -56,6 +56,64 @@ class TextScanSpec extends AnyFunSuite {
     assert(TextScan.Stopwords === TextOps.stopwords)
   }
 
+  test("property sweep: text_bpe_count == size(regexp_extract_all) on the hostile alphabet") {
+    import graft.functions.TextBpeCount
+    val re = java.util.regex.Pattern.compile("[a-z]+|[0-9]+|[^a-z0-9\\s]")
+    def refBpe(text: String): Long = {
+      val m = re.matcher(text); var c = 0L; while (m.find()) c += 1; c
+    }
+    def evalBpe(text: String): Long =
+      TextBpeCount(org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text),
+        org.apache.spark.sql.types.StringType)).eval(null).asInstanceOf[Long]
+    val alphabet: Array[String] =
+      (ws.map(_.toString) ++ "abcxyz019".map(_.toString) ++
+        Seq(".", ",", "!", "_", "é", "ß", "世", new String(Character.toChars(0x1F600)))).toArray
+    val rnd = new scala.util.Random(20202020L)
+    val cases = Seq("", " ", "a1b2", "abc 123", "a.b,c", "..!!", "1 2 3", "é世😀x9",
+      ws, "run0n9letters") ++
+      (1 to 2000).map(_ => (0 until rnd.nextInt(40)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    cases.foreach { t =>
+      assert(evalBpe(t) === refBpe(t), s"diverged on ${t.map(c => f"\\u${c.toInt}%04x").mkString}")
+    }
+  }
+
+  test("text_langid_scan: marker table pinned and fused scores equal the filter-lambda form") {
+    import graft.functions.TextLangIdScan
+    // the expression's en/de/fr/es triples, flattened in score order, ARE TextOps'
+    // canonical marker list (the funnel's "language identified" signal) — no drift
+    assert(TextLangIdScan.Markers.flatten === TextOps.langMarkers)
+    val s = graft.SparkTestSession.spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    TextLangIdScan.ensureRegistered(s)
+    val docs = graft.engine.Tables(s, "/root/testdata/sf0.001", "documents").limit(400)
+    val toks = TextOps.tokens($"text")
+    def score(words: Seq[String]) =
+      size(filter(toks, t => words.map(t === _).reduce(_ || _))).cast("long")
+    val old = docs.select($"doc_id",
+      score(Seq("the", "and", "of")).as("en_score"),
+      score(Seq("der", "und", "die")).as("de_score"),
+      score(Seq("le", "et", "la")).as("fr_score"),
+      score(Seq("el", "y", "los")).as("es_score"))
+    val fused = docs.select($"doc_id", call_function("text_langid_scan", $"text").as("sc"))
+      .select($"doc_id", $"sc.en_score".as("en_score"), $"sc.de_score".as("de_score"),
+        $"sc.fr_score".as("fr_score"), $"sc.es_score".as("es_score"))
+    assert(old.exceptAll(fused).isEmpty && fused.exceptAll(old).isEmpty)
+    // and on hostile inputs (markers at boundaries, multi-byte neighbours, all-ws)
+    val hostile = Seq("", "the", " the ", "thé the und y los l e t", "le.et,la",
+      "y y y", "the_fr und", "世 the 界 et", "losla el").toDF("text")
+      .withColumn("doc_id", monotonically_increasing_id())
+    val h1 = hostile.select($"doc_id", score(Seq("the", "and", "of")).as("en"),
+      score(Seq("der", "und", "die")).as("de"), score(Seq("le", "et", "la")).as("fr"),
+      score(Seq("el", "y", "los")).as("es"))
+    val h2 = hostile.select($"doc_id", call_function("text_langid_scan", $"text").as("sc"))
+      .select($"doc_id", $"sc.en_score".as("en"), $"sc.de_score".as("de"),
+        $"sc.fr_score".as("fr"), $"sc.es_score".as("es"))
+    assert(h1.exceptAll(h2).isEmpty && h2.exceptAll(h1).isEmpty)
+  }
+
   test("old Column form and fused form agree row-for-row on the sf0.001 corpus") {
     val s = graft.SparkTestSession.spark
     import s.implicits._
