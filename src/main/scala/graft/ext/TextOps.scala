@@ -263,28 +263,26 @@ object TextOps {
     // document's trigram occurrences taken by its single most frequent trigram, in
     // integer basis points. Trigrams are counted by their 32-bit md5-prefix hash —
     // identical in both engines, so even hash collisions (which merge a pair of distinct
-    // trigrams) reproduce bit-exactly in the oracle. The hash matters for SCALE: the
-    // per-(doc, trigram) aggregate keys on (long, long) instead of (long, ~30-byte
-    // string), which keeps the hash table compact and the shuffle narrow (the string-key
-    // variant was 4x slower at sf0.1; a sorted-array per-row fold was 7x slower — HOF
-    // lambdas evaluate interpreted). Partial aggregation collapses repeats map-side.
+    // trigrams) reproduce bit-exactly in the oracle.
+    // NON-distinct trigram repetition per doc (repetition is exactly what
+    // array_distinct would erase), grouped by the 32-bit md5-prefix hash. FUSED (r19):
+    // the aggregation never leaves the document, so the exploded form's ~85 trigram
+    // rows/doc, per-occurrence conv(substr(md5)) and corpus-sized (doc_id, h) shuffle
+    // collapse into the text_tri_rep byte loop — per-doc hash counts in a small map,
+    // md5 over token spans without building trigram strings, ZERO shuffle before the
+    // presentation sort (73.3 s → 23.0 s at sf100 with the 10 GB spill gone — the
+    // retained cost is the md5 per trigram, which IS the declared grouping semantics;
+    // BASELINE.md r19). Docs with <3
+    // tokens yield NULL ≡ the exploded form's absent rows; grouping is BY HASH in
+    // both forms, so the oracle (unchanged) proves value identity.
     "text_repetition" -> { (s, dir) =>
       import s.implicits._
-      // toks is materialized as a column FIRST (same discipline as Dedup.signatures): the
-      // trigram lambda references it three times, and inlined that would re-run the
-      // regex split per reference
-      val toks = $"toks"
-      // NON-distinct trigrams: repetition is exactly what array_distinct would erase
-      val tris = slice(
-        transform(toks, (t, i) =>
-          concat_ws(" ", t, try_element_at(toks, i + lit(2)), try_element_at(toks, i + lit(3)))),
-        lit(1), greatest(size(toks) - 2, lit(0)))
+      graft.functions.TextTriRep.ensureRegistered(s)
       graft.engine.Tables(s, dir, "documents")
-        .select($"doc_id", tokens($"text").as("toks"))
-        .select($"doc_id", explode(tris).as("tri"))
-        .groupBy($"doc_id", hash32($"tri").as("h")).agg(count(lit(1)).as("cnt"))
-        .groupBy($"doc_id").agg(max($"cnt").as("max_cnt"), sum($"cnt").as("tri_cnt"))
-        .select($"doc_id", $"tri_cnt", expr("max_cnt * 10000 div tri_cnt").as("rep_bp"))
+        .select($"doc_id", call_function("text_tri_rep", $"text").as("sc"))
+        .filter($"sc".isNotNull)
+        .select($"doc_id", $"sc.tri_cnt".as("tri_cnt"),
+          expr("sc.max_cnt * 10000 div sc.tri_cnt").as("rep_bp"))
         .orderBy($"doc_id")
     },
     // SNAPSHOT DIFF — the corpus-versioning primitive: classify every document across two

@@ -271,6 +271,110 @@ object TextLangIdScan {
     Registrations.ensure(spark, registrations)
 }
 
+/**
+ * `text_tri_rep(text)` — `text_repetition`'s per-document trigram-repetition counts
+ * as one pass per document: `struct<tri_cnt, max_cnt>` where `tri_cnt` is the number
+ * of (non-distinct) token trigrams and `max_cnt` the largest per-document count after
+ * grouping trigrams by the 32-bit md5-prefix hash — NULL when the document has fewer
+ * than 3 tokens (such documents produce no exploded rows in the Column form and are
+ * absent from the output; callers filter nulls).
+ *
+ * Why (r19): the Column form exploded ~85 trigram rows per document (~450M at sf100),
+ * computed `conv(substr(md5(tri),1,8),16,10)` per OCCURRENCE, and shuffled every row
+ * for a (doc_id, h) groupBy — 73.3 s and 10 GB of window/agg spill at sf100 for an
+ * aggregation that never leaves the document. Here the trigram hash counts fold in a
+ * small per-doc map (the grouping is BY HASH, exactly the oracle's semantics — two
+ * distinct trigrams whose 32-bit prefixes collide merge in both engines), the md5
+ * runs over the token spans without building trigram strings, and the only shuffle
+ * left in the query is the final presentation sort.
+ */
+case class TextTriRep(child: Expression) extends UnaryExpression with CodegenFallback {
+  import TextTriRep._
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = OutType
+  override def nullable: Boolean = true
+  override def prettyName: String = "text_tri_rep"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val bytes = s.getBytes
+    // token spans: maximal runs of non-\s bytes (TextScan's tokenization)
+    val starts = new scala.collection.mutable.ArrayBuffer[Int]()
+    val ends = new scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 0
+    val n = bytes.length
+    var inTok = false
+    while (i < n) {
+      val b = bytes(i)
+      val ws = b >= 0 &&
+        (b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r')
+      if (ws) { if (inTok) { ends += i; inTok = false } }
+      else if (!inTok) { starts += i; inTok = true }
+      i += 1
+    }
+    if (inTok) ends += n
+    val nt = starts.length
+    if (nt < 3) return null
+    val md = digest.get()
+    val counts = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    var maxCnt = 0L
+    var t = 0
+    while (t + 2 < nt) {
+      md.reset()
+      md.update(bytes, starts(t), ends(t) - starts(t)); md.update(' '.toByte)
+      md.update(bytes, starts(t + 1), ends(t + 1) - starts(t + 1)); md.update(' '.toByte)
+      md.update(bytes, starts(t + 2), ends(t + 2) - starts(t + 2))
+      val d = md.digest()
+      // first 8 hex chars of the md5 = the first 4 bytes, big-endian, unsigned —
+      // exactly conv(substr(md5(tri),1,8),16,10)
+      val h: java.lang.Long = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+      val c = counts.merge(h, 1L, (a, b2) => a + b2)
+      if (c > maxCnt) maxCnt = c
+      t += 1
+    }
+    InternalRow((nt - 2).toLong, maxCnt)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TextTriRep =
+    copy(child = newChild)
+}
+
+object TextTriRep {
+  val OutType: DataType = StructType(Seq(
+    StructField("tri_cnt", LongType, nullable = false),
+    StructField("max_cnt", LongType, nullable = false)))
+
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private def unary(name: String)(children: Seq[Expression]): Expression = {
+    if (children.size != 1)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map("functionName" -> name, "expectedNum" -> "1",
+          "actualNum" -> children.size.toString, "docroot" -> ""))
+    TextTriRep(children.head)
+  }
+
+  private[graft] val registrations
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("text_tri_rep"),
+      new ExpressionInfo(classOf[TextTriRep].getName, "text_tri_rep"),
+      unary("text_tri_rep") _))
+
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
+    Registrations.ensure(spark, registrations)
+}
+
 object TextScan {
   val OutType: DataType = StructType(Seq(
     StructField("n_toks", LongType, nullable = false),

@@ -114,6 +114,36 @@ class TextScanSpec extends AnyFunSuite {
     assert(h1.exceptAll(h2).isEmpty && h2.exceptAll(h1).isEmpty)
   }
 
+  test("text_tri_rep equals the exploded md5-hash-grouped Column form, incl. <3-token nulls") {
+    import graft.functions.TextTriRep
+    val s = graft.SparkTestSession.spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    TextTriRep.ensureRegistered(s)
+    // real corpus slice PLUS hostile rows: <3 tokens (must be NULL/absent), exact
+    // repeats, all-same-token (max repetition), multi-byte tokens, separators
+    val hostile = Seq("", "a", "a b", "a b c", "a b a b a b a b", "x x x x x",
+      "é世 é世 é世 wow", "one two three two three four").toDF("text")
+      .withColumn("doc_id", monotonically_increasing_id() + 1000000L)
+    val docs = graft.engine.Tables(s, "/root/testdata/sf0.001", "documents")
+      .limit(300).select($"doc_id", $"text").unionByName(hostile.select($"doc_id", $"text"))
+    val toksC = $"toks"
+    val tris = slice(
+      transform(toksC, (t, i) =>
+        concat_ws(" ", t, try_element_at(toksC, i + lit(2)), try_element_at(toksC, i + lit(3)))),
+      lit(1), greatest(size(toksC) - 2, lit(0)))
+    val old = docs.select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id", explode(tris).as("tri"))
+      .groupBy($"doc_id", TextOps.hash32($"tri").as("h")).agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id").agg(max($"cnt").as("max_cnt"), sum($"cnt").as("tri_cnt"))
+      .select($"doc_id", $"tri_cnt", $"max_cnt")
+    val fused = docs.select($"doc_id", call_function("text_tri_rep", $"text").as("sc"))
+      .filter($"sc".isNotNull)
+      .select($"doc_id", $"sc.tri_cnt".as("tri_cnt"), $"sc.max_cnt".as("max_cnt"))
+    assert(old.exceptAll(fused).isEmpty && fused.exceptAll(old).isEmpty)
+    assert(fused.count() === old.count())
+  }
+
   test("old Column form and fused form agree row-for-row on the sf0.001 corpus") {
     val s = graft.SparkTestSession.spark
     import s.implicits._
