@@ -229,11 +229,20 @@ object CdcThroughput {
     // together pin both engines against the independent expectation (batch/stream
     // apply parity is also pinned by the cdc_apply_merge gates and the 300-scenario
     // property spec).
-    val batchEnv = CdcPipeline.stream(
-      graft.sources.RedoEventSource.fromKafka(spark.read.parquet(feedDir)),
-      cfg, streaming = false)
-    val replica = EnvelopeApply(emptySnapshot, batchEnv, schema)
-    val diff = replica.exceptAll(expected).count() + expected.exceptAll(replica).count()
+    // SKIPPABLE past the batch assembler's own measured knee (r20, VERDICT r19 #6):
+    // the batch shape IS the gated-fatal cdc_txn_reconstruct plan (feed-sized xid
+    // shuffle, disk-watchdog-killed at 150M orders in the r17 probe, ScaleGuard knee
+    // 50M) — an sf100 ladder run must not die in its own untimed verification. The
+    // streamed-path except-both-ways check (3a) stays on unconditionally; the skip is
+    // recorded in the JSON as diff = -1, never silently folded into a passing 0.
+    val skipBatchCheck = sys.env.get("SPARK_GRAFT_SKIP_BATCH_CHECK").contains("1")
+    val diff = if (skipBatchCheck) -1L else {
+      val batchEnv = CdcPipeline.stream(
+        graft.sources.RedoEventSource.fromKafka(spark.read.parquet(feedDir)),
+        cfg, streaming = false)
+      val replica = EnvelopeApply(emptySnapshot, batchEnv, schema)
+      replica.exceptAll(expected).count() + expected.exceptAll(replica).count()
+    }
 
     println(s"""{"harness":"cdc_throughput","state_store":"$stateStore",""" +
       s""""sf_dir":"$sfDir","frames":$frames,""" +

@@ -78,6 +78,12 @@ object SparkEntry {
     // shape at saturated fingerprint cardinality; the star closure is the scale form):
     "dedup_image_phash" -> "dedup_image_phash_stars",
     "dedup_image_phash3" -> "dedup_image_phash_stars",
+    // r20 (VERDICT r19 #1): the broadcast boilerplate anti-join REFUSES past
+    // guardBroadcast's 10M-row bound (r19 sf1000 probe: named trip at 54.5M segments);
+    // the _rel form runs the same anti-join as a shuffled sort-merge join on the
+    // segment key — no broadcast bound, same oracle, row-identical at every scale
+    // both can run (LineDedupScalePathSpec):
+    "text_line_dedup" -> "text_line_dedup_rel",
     // r17 sf100 probe, measured-fatal (disk watchdog kills), count-gated: the batch
     // assembly's feed-sized xid shuffle → the streaming assembler (whose file-fed
     // full-chain form is graft.CdcThroughput); prefold's 3× state materialization →

@@ -371,9 +371,22 @@ object StreamScale {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: StreamScale <sfDir> [histMult]")
+    require(args.nonEmpty, "usage: StreamScale <sfDir> [histMult] [workloads-csv]")
     val sfDir = args(0)
     val hist = if (args.length > 1) args(1).toInt else 0
+    // optional workload filter (r20, VERDICT r19 #5): a posture-delta attribution run
+    // (e.g. join_stream hdfs-vs-rocksdb, repeated for variance) shouldn't pay for the
+    // other six workloads every rep. Unknown names fail loudly — a typo'd filter must
+    // not masquerade as "ran and emitted nothing" (the GenScale tables-arg rule).
+    val allWorkloads = Seq("apply_stream", "scd2_stream", "txn_stream", "session_stream",
+      "dedup_wm_stream", "join_stream", "heavy_hitters_stream")
+    val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
+    only.foreach { ws =>
+      val unknown = ws -- allWorkloads.toSet
+      require(unknown.isEmpty,
+        s"unknown workload(s) ${unknown.mkString(",")}; known: ${allWorkloads.mkString(",")}")
+    }
+    def want(w: String): Boolean = only.forall(_.contains(w))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // State-store posture knob (r19, VERDICT r18 #6 — extending the CdcThroughput r18
     // RocksDB row to the replica/apply and SCD2 stateful workloads): rocksdb switches
@@ -404,19 +417,18 @@ object StreamScale {
         Long.box(m.outRows), Long.box(m.peakRows), Long.box(m.finalRows),
         Double.box(m.peakMemMb)))
 
-    emit("apply_stream", applyWorkload(spark, sfDir, hist))
-    spark.catalog.clearCache()
-    emit("scd2_stream", scd2Workload(spark, sfDir, hist))
-    spark.catalog.clearCache()
-    emit("txn_stream", txnWorkload(spark, sfDir))
-    spark.catalog.clearCache()
-    emit("session_stream", sessionWorkload(spark, sfDir))
-    spark.catalog.clearCache()
-    emit("dedup_wm_stream", dedupWmWorkload(spark, sfDir, hist))
-    spark.catalog.clearCache()
-    emit("join_stream", joinWorkload(spark, sfDir))
-    spark.catalog.clearCache()
-    emit("heavy_hitters_stream", heavyHittersWorkload(spark, sfDir, hist))
+    val runs: Seq[(String, () => Metrics)] = Seq(
+      "apply_stream" -> (() => applyWorkload(spark, sfDir, hist)),
+      "scd2_stream" -> (() => scd2Workload(spark, sfDir, hist)),
+      "txn_stream" -> (() => txnWorkload(spark, sfDir)),
+      "session_stream" -> (() => sessionWorkload(spark, sfDir)),
+      "dedup_wm_stream" -> (() => dedupWmWorkload(spark, sfDir, hist)),
+      "join_stream" -> (() => joinWorkload(spark, sfDir)),
+      "heavy_hitters_stream" -> (() => heavyHittersWorkload(spark, sfDir, hist)))
+    runs.filter(r => want(r._1)).foreach { case (name, run) =>
+      emit(name, run())
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }

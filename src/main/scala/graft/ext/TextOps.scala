@@ -114,6 +114,58 @@ object TextOps {
     val wlenCenter = 550L // |avg word length - 5.5 chars| in centichars, weight -1
   }
 
+  /** CORPUS-LEVEL LINE DEDUP shared builder — the CCNet/RefinedWeb boilerplate-removal
+    * step behind `text_line_dedup` (broadcast form) and `text_line_dedup_rel` (shuffled
+    * scale form). Documents segment into fixed [[LineDedupWindow]]-token windows (this
+    * corpus's "lines" — the flat synthetic text has no newlines); any segment whose
+    * exact text repeats [[LineDedupMinRepeats]]+ times ACROSS the corpus is dropped
+    * everywhere, and survivors reassemble in document order (empty docs kept, text='').
+    *
+    * The two forms differ ONLY in how the boilerplate membership test executes:
+    *  - `shuffled = false`: the high-repetition tail (tiny by construction on a natural
+    *    corpus) BROADCASTS into a left_anti join — no shuffle on the skewed segment key
+    *    at all; [[guardBroadcast]] refuses loudly past [[MaxBroadcastRows]] (the r19
+    *    sf1000 probe tripped it at 54.5M segments) and its error names the `_rel` form.
+    *  - `shuffled = true`: a sort-merge anti-join on `seg` — both sides shuffle once on
+    *    the segment key (the boiler side is already map-side-combined down to distinct
+    *    repeated segments by its aggregate; AQE handles probe-side skew), so there is
+    *    no corpus-dependent broadcast bound and the plan survives any corpus size. The
+    *    join hint pins the shuffled plan against auto-broadcast.
+    * Either way ONE map-side-combined shuffle builds the segment spectrum, and the only
+    * other exchange is the per-doc rebuild on the uniform doc_id key. */
+  private[ext] def lineDedup(s: SparkSession, dir: String, shuffled: Boolean): DataFrame = {
+    import s.implicits._
+    val W = LineDedupWindow
+    val toks = $"toks"
+    val segsOf = transform(
+      sequence(lit(0), floor((size(toks) - 1) / W).cast("int")),
+      i => array_join(slice(toks, i * W + 1, lit(W)), " "))
+    val segs = graft.engine.Tables(s, dir, "documents")
+      .select($"doc_id", tokens($"text").as("toks"))
+      .select($"doc_id", posexplode(segsOf))
+      .withColumnRenamed("col", "seg")
+    val boiler0 = segs.groupBy($"seg").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" >= LineDedupMinRepeats).select($"seg")
+    val pruned =
+      if (shuffled) segs.join(boiler0.hint("shuffle_merge"), Seq("seg"), "left_anti")
+      else segs.join(broadcast(guardBroadcast(boiler0, "seg", MaxBroadcastRows,
+        "line-dedup boilerplate segment set (use its registered scale path " +
+          "'text_line_dedup_rel' — SparkEntry.scalePath)")), Seq("seg"), "left_anti")
+    val rebuilt = pruned
+      .groupBy($"doc_id").agg(
+        array_join(transform(array_sort(collect_list(struct($"pos", $"seg"))),
+          x => x.getField("seg")), " ").as("clean_text"),
+        count(lit(1)).as("kept_segs"))
+    graft.engine.Tables(s, dir, "documents")
+      .select($"doc_id",
+        (floor((size(tokens($"text")) - 1) / W).cast("long") + 1L).as("total_segs"))
+      .join(rebuilt, Seq("doc_id"), "left_outer")
+      .select($"doc_id", coalesce($"clean_text", lit("")).as("clean_text"),
+        coalesce($"kept_segs", lit(0L)).as("kept_segs"),
+        ($"total_segs" - coalesce($"kept_segs", lit(0L))).as("dropped_segs"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // token counting + length stats per language partition
     "text_stats" -> { (s, dir) =>
@@ -446,35 +498,20 @@ object TextOps {
     // (a count-over-window here would shuffle every row with NO partial aggregation and
     // hot-spot on exactly the repeated segments); the only other shuffle is the per-doc
     // rebuild on the uniform doc_id key.
-    "text_line_dedup" -> { (s, dir) =>
-      import s.implicits._
-      val W = LineDedupWindow
-      val toks = $"toks"
-      val segsOf = transform(
-        sequence(lit(0), floor((size(toks) - 1) / W).cast("int")),
-        i => array_join(slice(toks, i * W + 1, lit(W)), " "))
-      val segs = graft.engine.Tables(s, dir, "documents")
-        .select($"doc_id", tokens($"text").as("toks"))
-        .select($"doc_id", posexplode(segsOf))
-        .withColumnRenamed("col", "seg")
-      val boiler = guardBroadcast(
-        segs.groupBy($"seg").agg(count(lit(1)).as("cnt"))
-          .filter($"cnt" >= LineDedupMinRepeats).select($"seg"),
-        "seg", MaxBroadcastRows, "line-dedup boilerplate segment set")
-      val rebuilt = segs.join(broadcast(boiler), Seq("seg"), "left_anti")
-        .groupBy($"doc_id").agg(
-          array_join(transform(array_sort(collect_list(struct($"pos", $"seg"))),
-            x => x.getField("seg")), " ").as("clean_text"),
-          count(lit(1)).as("kept_segs"))
-      graft.engine.Tables(s, dir, "documents")
-        .select($"doc_id",
-          (floor((size(tokens($"text")) - 1) / W).cast("long") + 1L).as("total_segs"))
-        .join(rebuilt, Seq("doc_id"), "left_outer")
-        .select($"doc_id", coalesce($"clean_text", lit("")).as("clean_text"),
-          coalesce($"kept_segs", lit(0L)).as("kept_segs"),
-          ($"total_segs" - coalesce($"kept_segs", lit(0L))).as("dropped_segs"))
-        .orderBy($"doc_id")
-    },
+    "text_line_dedup" -> { (s, dir) => lineDedup(s, dir, shuffled = false) },
+    // POST-TRIP SCALE PATH of text_line_dedup (r20, VERDICT r19 #1): same operator, same
+    // oracle, but the boilerplate membership test is a SHUFFLED sort-merge anti-join on
+    // the segment key instead of a driver broadcast. The broadcast form REFUSES — by
+    // design — once the boilerplate set passes guardBroadcast's 10M-row bound (the r19
+    // sf1000 probe tripped it at 54.5M segments); this form has no broadcast-side bound
+    // at all: the segment spectrum stays distributed, the anti-join shuffles both sides
+    // on `seg` (map-side-combined boiler build; AQE splits skewed probe partitions),
+    // and per-partition cost is flat in corpus size. The `hint("shuffle_merge")` PINS
+    // the shuffled plan so small-corpus auto-broadcast can't silently turn this back
+    // into the refused shape — the registered substitute must BE the scale plan it
+    // claims to be. Row-identical to the base form at every scale both can run
+    // (same DuckDB oracle; LineDedupScalePathSpec pins frame equality).
+    "text_line_dedup_rel" -> { (s, dir) => lineDedup(s, dir, shuffled = true) },
     // TRAINING SEQUENCE PACKING — the step that turns a filtered corpus into fixed-budget
     // training sequences: docs are laid out in a deterministic order and each is assigned
     // to the pack its running token offset falls in (pack = floor(prev_cumsum / budget),
@@ -813,6 +850,28 @@ object TextOps {
       |${p}sel AS (SELECT DISTINCT doc_id, i, hv FROM ${p}sel0 WHERE rn = 1)""".stripMargin
   }
 
+  /** One oracle for BOTH line-dedup forms: `text_line_dedup_rel` is a plan-level scale
+    * substitute, not a different operator, so it must hash-match the same SQL. */
+  private val lineDedupOracleSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |  list_filter(string_split_regex(trim(text),'\\s+'), x -> x <> '') AS w
+       |  FROM documents),
+       |idx AS (SELECT doc_id, w,
+       |  unnest(range(((len(w) - 1) // $LineDedupWindow) + 1)) AS i FROM t),
+       |segs AS (SELECT doc_id, i, array_to_string(
+       |  list_slice(w, i * $LineDedupWindow + 1, i * $LineDedupWindow + $LineDedupWindow),
+       |  ' ') AS seg FROM idx),
+       |boiler AS (SELECT seg FROM segs GROUP BY seg
+       |  HAVING count(*) >= $LineDedupMinRepeats),
+       |kept AS (SELECT * FROM segs WHERE seg NOT IN (SELECT seg FROM boiler)),
+       |reb AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY i) AS clean_text,
+       |  cast(count(*) AS BIGINT) AS kept_segs FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id, coalesce(reb.clean_text, '') AS clean_text,
+       |  coalesce(reb.kept_segs, cast(0 AS BIGINT)) AS kept_segs,
+       |  cast(((len(t.w) - 1) // $LineDedupWindow) + 1
+       |    - coalesce(reb.kept_segs, 0) AS BIGINT) AS dropped_segs
+       |FROM t LEFT JOIN reb ON t.doc_id = reb.doc_id ORDER BY t.doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // the same ranked-counts cumulative coverage
     "text_vocab_coverage" ->
@@ -922,25 +981,9 @@ object TextOps {
         |SELECT doc_id, cast(sum(cnt) AS BIGINT) AS tri_cnt,
         |  cast(max(cnt) * 10000 // sum(cnt) AS BIGINT) AS rep_bp
         |FROM cnts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "text_line_dedup" ->
-      s"""WITH t AS (SELECT doc_id,
-         |  list_filter(string_split_regex(trim(text),'\\s+'), x -> x <> '') AS w
-         |  FROM documents),
-         |idx AS (SELECT doc_id, w,
-         |  unnest(range(((len(w) - 1) // $LineDedupWindow) + 1)) AS i FROM t),
-         |segs AS (SELECT doc_id, i, array_to_string(
-         |  list_slice(w, i * $LineDedupWindow + 1, i * $LineDedupWindow + $LineDedupWindow),
-         |  ' ') AS seg FROM idx),
-         |boiler AS (SELECT seg FROM segs GROUP BY seg
-         |  HAVING count(*) >= $LineDedupMinRepeats),
-         |kept AS (SELECT * FROM segs WHERE seg NOT IN (SELECT seg FROM boiler)),
-         |reb AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY i) AS clean_text,
-         |  cast(count(*) AS BIGINT) AS kept_segs FROM kept GROUP BY doc_id)
-         |SELECT t.doc_id, coalesce(reb.clean_text, '') AS clean_text,
-         |  coalesce(reb.kept_segs, cast(0 AS BIGINT)) AS kept_segs,
-         |  cast(((len(t.w) - 1) // $LineDedupWindow) + 1
-         |    - coalesce(reb.kept_segs, 0) AS BIGINT) AS dropped_segs
-         |FROM t LEFT JOIN reb ON t.doc_id = reb.doc_id ORDER BY t.doc_id""".stripMargin,
+    "text_line_dedup" -> lineDedupOracleSql,
+    // the shuffled scale path answers the SAME question — one oracle, two plans
+    "text_line_dedup_rel" -> lineDedupOracleSql,
     "text_pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, source,
         |  len(list_filter(string_split_regex(trim(text),'\\s+'), x -> x <> '')) AS n_toks

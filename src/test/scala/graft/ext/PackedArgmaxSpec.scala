@@ -78,4 +78,32 @@ class PackedArgmaxSpec extends AnyFunSuite {
     assert(m2.contains("packed-argmax") && m2.contains("2^32"),
       s"guard must name the scheme and the bound, got: $m2")
   }
+
+  test("guardDotMagnitude gives a null vector a TRUTHFUL named error, not the overflow one") {
+    // ADVICE r19 #2: a null vector makes v·v null; under the old Or-based predicate the
+    // null left side fell through to the overflow raise_error with a misleading
+    // "squared norm null ... > 2^32" message. The CaseWhen branch must name the actual
+    // condition — and valid rows must still pass without the error arm evaluating.
+    val s = graft.SparkTestSession.spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.VecDot.ensureRegistered(s)
+    val nul = Seq(1L).toDF("vec_id")
+      .withColumn("qv", lit(null).cast("array<bigint>"))
+    val e = intercept[Exception] { Similarity.guardDotMagnitude(nul, "qv").collect() }
+    val m = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(m.contains("null") && !m.contains("2^32"),
+      s"null input must get the null-branch error, not the overflow one, got: $m")
+    // a null COMPONENT also nulls the dot — same truthful branch
+    val nulComp = Seq(2L).toDF("vec_id")
+      .withColumn("qv", array(lit(1L), lit(null).cast("bigint")))
+    val e2 = intercept[Exception] { Similarity.guardDotMagnitude(nulComp, "qv").collect() }
+    val m2 = Option(e2.getMessage).getOrElse("") +
+      Option(e2.getCause).map(_.getMessage).getOrElse("")
+    assert(m2.contains("null"), s"null component must hit the null branch, got: $m2")
+    // mixed frame: the valid row passes — the error arms stay unevaluated for it
+    val mixed = Seq(3L).toDF("vec_id").withColumn("qv", array_repeat(lit(2L), 64))
+    assert(Similarity.guardDotMagnitude(mixed, "qv").count() === 1L)
+  }
 }

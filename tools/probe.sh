@@ -16,7 +16,12 @@ cd "$(dirname "$0")/.." || exit 1
 SFDIR="$1"; TMO="$2"; shift 2
 SCRATCH_ROOT="${SPARK_GRAFT_PROBE_SCRATCH:-/tmp}"
 for q in "$@"; do
-  LOCALDIR=$(mktemp -d "$SCRATCH_ROOT/graft-probe-${q}-XXXXXX")
+  # fail THIS query loudly if the scratch root is unusable — an empty LOCALDIR would
+  # hand the JVM a broken spark.local.dir AND silently disable the df watchdog
+  # (its -n guard skips the check when df "" fails), leaving the probe unprotected
+  # against disk fill (ADVICE r19 #1)
+  LOCALDIR=$(mktemp -d "$SCRATCH_ROOT/graft-probe-${q}-XXXXXX") || {
+    echo "PROBE $q SKIPPED: scratch dir unavailable under $SCRATCH_ROOT"; continue; }
   setsid timeout --signal=KILL "$TMO" \
     env SPARK_GRAFT_SF_DIR="$SFDIR" \
     tools/run.sh "-Dspark.local.dir=$LOCALDIR" graft.BenchOne "$q" \
