@@ -73,7 +73,7 @@ object CdcQueries {
   private def mergeScript(s: SparkSession, dir: String,
                           keyFilter: Column): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val base = Tables(s, dir, "orders").select($"o_orderkey".cast("long").as("k")).filter(keyFilter)
+    val base = Tables.par(s, dir, "orders").select($"o_orderkey".cast("long").as("k")).filter(keyFilter)
     // ONE orders scan: every key derives all its script ops in a single explode (a
     // per-branch union would scan + parse-project the table six times)
     def op(flt: Column, scnOff: Int, op: String, redo: Column) =
@@ -107,7 +107,7 @@ object CdcQueries {
     * %35 key is gone), insert of a fresh key for %11. */
   private def customerScript(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val base = Tables(s, dir, "customer").select($"c_custkey".cast("long").as("k"))
+    val base = Tables.par(s, dir, "customer").select($"c_custkey".cast("long").as("k"))
     def op(flt: Column, scnOff: Int, op: String, redo: Column) =
       when(flt, struct(lit(scnOff).as("off"), lit(op).as("operation"), redo.as("sql_redo")))
     val ops = array(
@@ -212,7 +212,7 @@ object CdcQueries {
     // Gate below the final 1-row-per-status sort (a join above a Sort un-sorts).
     "cdc_txn_reconstruct" -> { (s, dir) =>
       import s.implicits._
-      val events = Tables(s, dir, "orders").select($"o_orderkey", $"o_orderstatus")
+      val events = Tables.par(s, dir, "orders").select($"o_orderkey", $"o_orderstatus")
         .as[(Long, String)]
         .flatMap { case (k, st) => txnEvents(k, st) }
       ScaleGuard.gate(
@@ -258,7 +258,7 @@ object CdcQueries {
           operation = op, timestamp = new java.sql.Timestamp(0L), commitTimestamp = None,
           segOwner = "GRAFT", tableName = "ORDERS", sqlRedo = redo, csf = false,
           rollback = false, info = "", rbasqn = 1L, seq = k * 100 + off)
-      val events = Tables(s, dir, "orders").select($"o_orderkey".cast("long")).as[Long]
+      val events = Tables.par(s, dir, "orders").select($"o_orderkey".cast("long")).as[Long]
         .flatMap { k =>
           val n = 1 + (k % 13).toInt
           val dmls = (1 to n).map(i => mk(k, i.toLong, RedoEvent.Insert,
@@ -333,7 +333,7 @@ object CdcQueries {
     // A8+A9+A10+A11+A15+A22: the filter/routing stack over a stream synthesized from events.
     "cdc_filters_routing" -> { (s, dir) =>
       import s.implicits._
-      val stream = Tables(s, dir, "events").select(
+      val stream = Tables.par(s, dir, "events").select(
         $"event_id",
         when($"event_id" % 11 === 0, "DDL")
           .when($"event_id" % 11 === 1, "UPDATE")
@@ -401,7 +401,7 @@ object CdcQueries {
     // frame, parseable DML must not (Thread:305-308 made observable).
     "cdc_dead_letters" -> { (s, dir) =>
       import s.implicits._
-      val frame = Tables(s, dir, "part")
+      val frame = Tables.par(s, dir, "part")
         .select($"p_partkey".cast("long").as("scn"), lit("x").as("xid"),
           lit("APP").as("seg_owner"), lit("T1").as("table_name"),
           lit(RedoEvent.Insert).as("operation"),
@@ -427,7 +427,7 @@ object CdcQueries {
     // (Thread:198-211,334-338).
     "cdc_heartbeat" -> { (s, dir) =>
       import s.implicits._
-      val redo = Tables(s, dir, "customer")
+      val redo = Tables.par(s, dir, "customer")
         .filter($"c_custkey" % 3 === 0)
         .select(
           $"c_custkey".cast("long").as("scn"), lit("hb").as("xid"), lit("r").as("row_id"),
@@ -767,7 +767,7 @@ object CdcQueries {
     // A18: envelope null rules per operation + routing, from customer-derived redo.
     "cdc_envelope" -> { (s, dir) =>
       import s.implicits._
-      val redo = Tables(s, dir, "customer").select(
+      val redo = Tables.par(s, dir, "customer").select(
         $"c_custkey",
         when($"c_custkey" % 4 === 0, "DELETE")
           .when($"c_custkey" % 4 === 1, "INSERT")

@@ -31,6 +31,27 @@ object Tables {
     }
   }
 
+  /** [[apply]] plus a SCAN-PARALLELISM FLOOR for CPU-DENSE consumers (optimization guide
+    * §2.5 "input skew: one huge unsplittable file ... repartition immediately after the
+    * read"): the driver testdata ships each table as ONE parquet file with ONE row group,
+    * so the scan plans ONE task regardless of cores and every expensive scan-side map
+    * (tokenize/shingle/minhash, redo-SQL synthesis + parse, JSON parse, codec walks,
+    * vector math) serializes on a single core while the rest idle — measured r20:
+    * 1-task stages of 1.5-3 s inside the component/CDC-batch queries at sf0.1 on 32
+    * cores. When the PLANNED scan parallelism is below the session's default parallelism,
+    * round-robin repartition up to it; a multi-file input at cluster scale already plans
+    * >= cores splits and takes NO extra exchange, so the floor is scale-adaptive, not a
+    * local-mode constant. Round-robin keeps Spark's sort-before-repartition determinism
+    * (deterministic parquet input → reproducible row-to-partition assignment under
+    * retry). Use ONLY where the downstream is CPU-dense per row: a metadata-only
+    * `count()` must stay on [[apply]] (the floor's shuffle would defeat the row-group
+    * short-circuit), and MemoryStream feed builders keep [[apply]]'s scan order. */
+  def par(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = apply(spark, sfDir, name)
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Money as integer cents — THE cross-engine determinism invariant for currency math
     * (see the Relational/Temporal file headers): summing doubles is order-dependent, so
     * Spark's partial aggregates and DuckDB's serial fold would drift in the last bits;

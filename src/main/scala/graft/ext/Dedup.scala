@@ -105,7 +105,7 @@ object Dedup {
   private[ext] def bloomAdmitParts(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, org.apache.spark.util.sketch.BloomFilter) = {
     import s.implicits._
-    val docs = graft.engine.Tables(s, dir, "documents").select($"doc_id", $"text")
+    val docs = graft.engine.Tables.par(s, dir, "documents").select($"doc_id", $"text")
     val existing = docs.filter($"doc_id" % 5 =!= 0)
     val incoming = docs.filter($"doc_id" % 5 === 0)
       .union(existing.filter($"doc_id" % 7 === 1)
@@ -239,7 +239,7 @@ object Dedup {
   /** documents ∪ near-dup copies (doc_id shifted, ' graftdup' appended). */
   private[ext] def doubledDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val d = graft.engine.Tables(s, dir, "documents").select($"doc_id", $"text")
+    val d = graft.engine.Tables.par(s, dir, "documents").select($"doc_id", $"text")
     d.union(d.select(($"doc_id" + DupIdOffset).as("doc_id"), concat($"text", lit(" graftdup")).as("text")))
   }
 
@@ -485,7 +485,7 @@ object Dedup {
     // content hash, keep the lowest id — every group must collapse to the original doc
     "dedup_exact" -> { (s, dir) =>
       import s.implicits._
-      val d = graft.engine.Tables(s, dir, "documents").select($"doc_id", $"text")
+      val d = graft.engine.Tables.par(s, dir, "documents").select($"doc_id", $"text")
       d.union(d.select(($"doc_id" + DupIdOffset).as("doc_id"), $"text"))
         .groupBy(md5($"text").as("fp"))
         .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("dup_cnt"))
@@ -495,7 +495,7 @@ object Dedup {
     "dedup_minhash_sig" -> { (s, dir) =>
       import s.implicits._
       val sig = withBands(signatures(
-        graft.engine.Tables(s, dir, "documents").select($"doc_id", $"text")))
+        graft.engine.Tables.par(s, dir, "documents").select($"doc_id", $"text")))
       sig.select($"doc_id" +: (0 until NumBands).map(b => col(s"band_$b")): _*)
         .orderBy($"doc_id")
     },
@@ -657,7 +657,7 @@ object Dedup {
       val fingerprint = (0 until 16)
         .map(j => when(col(s"b$j") >= 0, lit(1L << j)).otherwise(0L))
         .reduce(_ + _)
-      graft.engine.Tables(s, dir, "documents")
+      graft.engine.Tables.par(s, dir, "documents")
         .select($"doc_id", explode(array_distinct(TextOps.tokens($"text"))).as("tok"))
         .select($"doc_id", TextOps.hash32($"tok").as("hv"))
         .groupBy($"doc_id").agg(bitsums.head, bitsums.tail: _*)
@@ -674,7 +674,7 @@ object Dedup {
     // all; production interns shingles to 64-bit hashes, identical plan.
     "decontam_ngram" -> { (s, dir) =>
       import s.implicits._
-      val docs = graft.engine.Tables(s, dir, "documents")
+      val docs = graft.engine.Tables.par(s, dir, "documents")
         .select($"doc_id", TextOps.tokens($"text").as("toks"))
       val train = docs.select($"doc_id", explode(shinglesN($"toks", 5)).as("sh"))
       val bench = TextOps.guardBroadcast(
@@ -695,7 +695,7 @@ object Dedup {
     // matrix aggregate is benchmark×source-sized (tiny).
     "decontam_matrix" -> { (s, dir) =>
       import s.implicits._
-      val docs = graft.engine.Tables(s, dir, "documents")
+      val docs = graft.engine.Tables.par(s, dir, "documents")
         .select($"doc_id", $"source", TextOps.tokens($"text").as("toks"))
       val train = docs.select($"doc_id", $"source", explode(shinglesN($"toks", 5)).as("sh"))
       val bench = TextOps.guardBroadcast(
@@ -723,7 +723,7 @@ object Dedup {
     // doc surfaced.
     "dedup_incremental" -> { (s, dir) =>
       import s.implicits._
-      val docs = graft.engine.Tables(s, dir, "documents").select($"doc_id", $"text")
+      val docs = graft.engine.Tables.par(s, dir, "documents").select($"doc_id", $"text")
       val existing = docs.filter($"doc_id" % 5 =!= 0).cache()
       val incoming = docs.filter($"doc_id" % 5 === 0)
         .union(existing.filter($"doc_id" % 7 === 1)
@@ -773,7 +773,7 @@ object Dedup {
     "dedup_incremental_stream" -> { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.Encoders
-      val docs = graft.engine.Tables(s, dir, "documents").select($"doc_id", $"text")
+      val docs = graft.engine.Tables.par(s, dir, "documents").select($"doc_id", $"text")
       val existing = docs.filter($"doc_id" % 5 =!= 0)
       val exIdx = existing.groupBy(md5($"text").as("fp")).agg(min($"doc_id").as("ex_id"))
       val feed = docs.filter($"doc_id" % 5 === 0)
@@ -855,7 +855,7 @@ object Dedup {
     },
     "dedup_url_canonical" -> { (s, dir) =>
       import s.implicits._
-      val messy = graft.engine.Tables(s, dir, "documents")
+      val messy = graft.engine.Tables.par(s, dir, "documents")
         .select($"doc_id",
           concat(
             when($"doc_id" % 3 === 0, "https").when($"doc_id" % 3 === 1, "HTTPS").otherwise("Https"),
@@ -887,7 +887,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val d = graft.engine.Tables(s, dir, "documents")
+      val d = graft.engine.Tables.par(s, dir, "documents")
         .select($"doc_id", $"lang", $"source", array_distinct(TextOps.tokens($"text")).as("toks"))
         .withColumn("sz", size($"toks"))
         .cache()
@@ -986,7 +986,7 @@ object Dedup {
     "dedup_winnow_admit_stream" -> { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.Encoders
-      val docs = graft.engine.Tables(s, dir, "documents").select($"doc_id", $"text")
+      val docs = graft.engine.Tables.par(s, dir, "documents").select($"doc_id", $"text")
       val existing = docs.filter($"doc_id" % 5 =!= 0)
       val rare = TextOps.winnowFingerprints(s, existing)
         .select($"doc_id", $"fp").distinct()
@@ -1022,7 +1022,7 @@ object Dedup {
     // caught, which the frozen r13 index could never do.
     "dedup_winnow_admit_incremental" -> { (s, dir) =>
       import s.implicits._
-      val docs = graft.engine.Tables(s, dir, "documents").select($"doc_id", $"text")
+      val docs = graft.engine.Tables.par(s, dir, "documents").select($"doc_id", $"text")
       val existing = docs.filter($"doc_id" % 5 =!= 0)
       val feed = docs.filter($"doc_id" % 5 === 0)
         .union(existing.filter($"doc_id" % 7 === 1)
@@ -1049,7 +1049,7 @@ object Dedup {
     // gate; WinnowAdmitPersistSpec pins engine-side row equality too).
     "dedup_winnow_admit_persist" -> { (s, dir) =>
       import s.implicits._
-      val docs = graft.engine.Tables(s, dir, "documents").select($"doc_id", $"text")
+      val docs = graft.engine.Tables.par(s, dir, "documents").select($"doc_id", $"text")
       val existing = docs.filter($"doc_id" % 5 =!= 0)
       val feed = docs.filter($"doc_id" % 5 === 0)
         .union(existing.filter($"doc_id" % 7 === 1)
@@ -1078,7 +1078,7 @@ object Dedup {
     "dedup_winnow_admit_stream_incr" -> { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.Encoders
-      val docs = graft.engine.Tables(s, dir, "documents").select($"doc_id", $"text")
+      val docs = graft.engine.Tables.par(s, dir, "documents").select($"doc_id", $"text")
       val existing = docs.filter($"doc_id" % 5 =!= 0)
       val feed = docs.filter($"doc_id" % 5 === 0)
         .union(existing.filter($"doc_id" % 7 === 1)

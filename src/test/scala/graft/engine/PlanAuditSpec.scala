@@ -63,8 +63,11 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("cdc_apply_merge_folded")
     // exchanges: events-side shuffle into the fold aggregate, snapshot-side shuffle into
     // the join, final ORDER BY range exchange — the changes side of the full-outer join
-    // must NOT add a fourth (the aggregate's hashpartitioning on the pk is the join's)
-    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    // must NOT add a fourth (the aggregate's hashpartitioning on the pk is the join's).
+    // Tables.par's scan-parallelism floor (RoundRobinPartitioning; a no-op at cluster
+    // scale where the input plans >= cores splits) is not a key shuffle — excluded.
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") &&
+      !l.contains("Reused") && !l.contains("RoundRobinPartitioning"))
     assert(exchanges <= 3, s"expected <=3 exchanges (agg partitioning reused by join):\n$p")
     assert(p.contains("FullOuter"), s"expected a full-outer MERGE join:\n$p")
   }
@@ -170,8 +173,10 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("corpus_funnel")
     // all five stage counts (incl. the dedup distinct-count) fold into one aggregation
     // pipeline: exchanges are the distinct/final agg shuffles + the tiny ORDER BY of 5
-    // rows — nothing per-stage
-    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    // rows — nothing per-stage. The scan-parallelism floor's round-robin exchange
+    // (Tables.par, absent at cluster scale) is not a per-stage pass — excluded.
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") &&
+      !l.contains("Reused") && !l.contains("RoundRobinPartitioning"))
     assert(exchanges <= 3, s"expected <=3 exchanges (single aggregation pipeline):\n$p")
     assert(count(p, "FileScan") <= 2, s"the doubled corpus should scan at most twice:\n$p")
   }
@@ -305,8 +310,10 @@ class PlanAuditSpec extends AnyFunSuite {
   test("text_chunk_windows: chunking is pure map-side work — no shuffle before the final sort") {
     val p = plan("text_chunk_windows")
     assert(!p.contains("Join"), s"chunking must not join:\n$p")
-    // the only exchange is the final ORDER BY's range partitioning
-    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    // the only KEY exchange is the final ORDER BY's range partitioning; the scan floor's
+    // round-robin exchange (Tables.par, no-op at cluster scale) is excluded
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") &&
+      !l.contains("Reused") && !l.contains("RoundRobinPartitioning"))
     assert(exchanges <= 1, s"expected <=1 exchange (output ORDER BY only):\n$p")
   }
 
@@ -412,10 +419,12 @@ class PlanAuditSpec extends AnyFunSuite {
   test("text_winnow_fingerprint: the native kernel shuffles NOTHING but the output sort") {
     val p = plan("text_winnow_fingerprint")
     // the whole selection runs inside the scan projection (winnow_select + explode);
-    // the only exchange is the output ORDER BY's range partitioning — no gram
+    // the only KEY exchange is the output ORDER BY's range partitioning — no gram
     // shuffle, no window operator, no distinct aggregate (distinct is per-document
-    // inside the expression)
-    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    // inside the expression). The scan floor's round-robin exchange (Tables.par,
+    // no-op at cluster scale) is excluded.
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") &&
+      !l.contains("Reused") && !l.contains("RoundRobinPartitioning"))
     assert(exchanges <= 1, s"expected only the output-sort exchange:\n$p")
     assert(!p.contains("Window"), s"no window operator expected:\n$p")
   }
