@@ -544,17 +544,23 @@ object Relational {
     // driver-side data movement).
     "graph_pagerank" -> { (s, dir) =>
       import s.implicits._
-      val raw = Tables(s, dir, "events")
+      // Tables.par: the JSON parse + distinct otherwise runs on the single scan split
+      // (r20 profile: a 1.3 s one-task stage). raw and deg are LOOP INVARIANTS: every
+      // round's broadcast build re-derived scan→parse→distinct→degree without the
+      // caches (measured r20: the 1.3 s stage ran once per round per action — 3× per
+      // execution); released by the bench's post-rep sweep like the other cached
+      // builders (dedup_ngram_jaccard precedent).
+      val raw = Tables.par(s, dir, "events")
         .select($"user_id",
           from_json($"props", org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
             .getField("k").as("k"))
         .filter($"k".isNotNull)
-        .select($"user_id".as("u"), $"k").distinct()
+        .select($"user_id".as("u"), $"k").distinct().cache()
       val edges = raw
         .select(lit("u").as("sk"), $"u".as("sid"), lit("k").as("dk"), $"k".as("did"))
         .unionByName(raw
           .select(lit("k").as("sk"), $"k".as("sid"), lit("u").as("dk"), $"u".as("did")))
-      val deg = edges.groupBy($"sk", $"sid").agg(count(lit(1)).as("deg"))
+      val deg = edges.groupBy($"sk", $"sid").agg(count(lit(1)).as("deg")).cache()
       val ed = edges.join(deg, Seq("sk", "sid")).cache()
       val nodes = deg.select($"sk".as("kind"), $"sid".as("id"))
       var ranks = nodes.select($"kind", $"id", lit(PrScale).as("r"))

@@ -288,17 +288,22 @@ object Dedup {
                                thresholdBp: Long): DataFrame = {
     val s = hashed.sparkSession
     import s.implicits._
-    val sh = hashed.select($"doc_id", $"hv").distinct()
-    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.as("sa"), $"doc_a" === col("sa.doc_id"))
-      .select($"doc_a", $"doc_b", col("sa.hv").as("hv_a"))
-      .join(sh.as("sb"), $"doc_b" === col("sb.doc_id") && $"hv_a" === col("sb.hv"))
-      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("i"))
-    inter
-      .join(sz.as("za"), $"doc_a" === col("za.doc_id"))
-      .join(sz.as("zb"), $"doc_b" === col("zb.doc_id"))
-      .filter(expr(s"i * 10000 div (za.n + zb.n - i) >= $thresholdBp"))
+    // Per-doc DISTINCT shingle-hash SET as one map-side-combined aggregate (collect_set
+    // dedups in the partial, so the exchange carries one bounded set per doc per map
+    // partition), replacing the r19 shape's three corpus-cardinality passes — a 1M-row
+    // (doc, hv) distinct, a per-doc size aggregate, and an exploded Σ|A|-row
+    // intersection join + per-pair count aggregate (r20, guide §2.3 "aggregate before
+    // you shuffle" / §2.4): the candidate joins now move ONE array row per pair side
+    // instead of one row per shingle occurrence, and the intersection/threshold run in
+    // the join projection with no further shuffle. Same integer basis points, same
+    // floor div, same distinct-set semantics (DedupVerifiedSpec pins the boundary
+    // cases); dedup_minhash_estimate already uses this set-array shape.
+    val sets = hashed.groupBy($"doc_id").agg(collect_set($"hv").as("sh"))
+    cand
+      .join(sets.select($"doc_id".as("doc_a"), $"sh".as("sha")), "doc_a")
+      .join(sets.select($"doc_id".as("doc_b"), $"sh".as("shb")), "doc_b")
+      .withColumn("i", size(array_intersect($"sha", $"shb")).cast("long"))
+      .filter(expr(s"i * 10000 div (size(sha) + size(shb) - i) >= $thresholdBp"))
       .select($"doc_a", $"doc_b")
   }
 
@@ -352,52 +357,86 @@ object Dedup {
   private[ext] def propagateLabels(s: SparkSession, rawPairs: DataFrame): DataFrame = {
     import s.implicits._
     val pairs = rawPairs.cache()
+    // SCALE-ADAPTIVE loop parallelism (r20, guide §2): the iteration frames are a few
+    // machine-word columns per edge/node, so the right shuffle fan-out follows the EDGE
+    // COUNT, not the session constant — at bench scale a 32-way loop spends more wall on
+    // task scheduling than on work (measured: ~50 jobs per component query, most of them
+    // 32 tasks over KBs), while the same rows-per-partition rule yields a wide loop at
+    // sf100+. The count also materializes the candidate cache, a cost every round-1 job
+    // paid anyway. Shuffle partitions are pinned to p for the PLANS BUILT IN THIS LOOP
+    // and restored after (the StreamGate pattern); the heavy LSH/verify pipeline behind
+    // `pairs` was already materialized above at the session's full fan-out.
+    val nEdges = pairs.count() * 2
+    val p = math.max(1L, math.min(nEdges / 250000L + 1,
+      s.sparkContext.defaultParallelism * 4L)).toInt
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val labels =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", p.toString)
+        propagateLoop(s, pairs, p)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    pairs.unpersist(blocking = false)
+    labels
+  }
+
+  /** The propagation loop proper, under [[propagateLabels]]'s pinned fan-out `p`. */
+  private def propagateLoop(s: SparkSession, pairs: DataFrame, p: Int): DataFrame = {
+    import s.implicits._
     // pre-partitioned on the propagation join key: InMemoryRelation preserves the
     // child's outputPartitioning, so every round's edges⋈labels join reuses this one
     // exchange instead of re-shuffling the (constant) edge set per iteration
     val edges = pairs
       .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
-      .repartition($"doc_a")
+      .repartition(p, $"doc_a")
       .cache()
     val nodes = edges.select($"doc_a".as("id")).distinct()
-    var labels = nodes.withColumn("label", $"id").localCheckpoint()
     // convergence via the label-sum invariant: every step is per-node non-increasing
     // (minNb is a min over a union containing the old label; the jump takes a least()
     // with the old value), and the node set is fixed — so sum(label) strictly decreases
-    // iff ANY node changed. One single-stage aggregate per round replaces the r6 shape's
-    // join + filter + count job.
+    // iff ANY node changed. The sum rides the checkpoint's OWN action as an observed
+    // metric (r20): one job per round materializes next AND yields the sum, replacing
+    // the r6 shape's separate per-round aggregate job.
     // decimal(38,0) so the invariant survives any node-count × id-range product — a
     // wrapped long sum could alias "changed" to "converged" and silently mislabel.
     // sum over ZERO rows is SQL-null: an empty pair frame (every LSH candidate failed
     // exact-Jaccard confirmation, or an increment with no old-old pairs) must yield an
     // empty labels frame like the oracle, not an NPE in the convergence compare
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum($"label".cast("decimal(38,0)"))).head().getDecimal(0))
-        .getOrElse(java.math.BigDecimal.ZERO)
-    var prevSum = labelSum(labels)
+    var obsId = 0L
+    def checkpointWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+      obsId += 1
+      val obs = org.apache.spark.sql.Observation(s"graft-cc-sum-$obsId")
+      val out = df.observe(obs, sum($"label".cast("decimal(38,0)")).as("s"))
+        .localCheckpoint()
+      val sumVal = Option(obs.get("s")).collect {
+        case d: java.math.BigDecimal => d
+        case d: BigDecimal => d.bigDecimal
+      }.getOrElse(java.math.BigDecimal.ZERO)
+      (out, sumVal)
+    }
+    var (labels, prevSum) = checkpointWithSum(nodes.withColumn("label", $"id"))
     var changed = true
     var iter = 0
     while (changed && iter < 20) {
       val prop = edges.join(labels, edges("doc_a") === labels("id"))
         .select(edges("doc_b").as("id"), labels("label"))
-      // checkpointed: minNb feeds BOTH sides of the pointer-jump self-join below
+      // NOT checkpointed (r20): the pointer-jump self-join's two sides share the
+      // aggregate's input exchange, so ReusedExchange evaluates the union+partial-agg
+      // subtree once and only the post-shuffle final aggregate runs per side — cheaper
+      // than the eager materialization job the old per-round checkpoint paid
       val minNb = labels.select($"id", $"label").union(prop)
-        .groupBy($"id").agg(min($"label").as("label")).localCheckpoint()
+        .groupBy($"id").agg(min($"label").as("label"))
       // pointer jump (path halving): adopt the label's own label, so chains contract
       // geometrically and the loop converges in O(log diameter) rounds, not O(diameter)
-      val next = minNb.as("x")
+      val (next, nextSum) = checkpointWithSum(minNb.as("x")
         .join(minNb.select($"id".as("jid"), $"label".as("jlabel")).as("m"),
           col("x.label") === col("m.jid"), "left")
         .select(col("x.id").as("id"),
-          least(col("x.label"), coalesce(col("m.jlabel"), col("x.label"))).as("label"))
-        .localCheckpoint()
-      val nextSum = labelSum(next)
+          least(col("x.label"), coalesce(col("m.jlabel"), col("x.label"))).as("label")))
       changed = nextSum.compareTo(prevSum) != 0
       prevSum = nextSum
-      // `next` is materialized (eager checkpoint) and the sum consumed the old frame,
-      // so the superseded iteration's blocks are dead weight from here on — release them
+      // `next` is materialized (eager checkpoint, sum observed on the same action), so
+      // the superseded iteration's blocks are dead weight from here on — release them
       releaseLocalCheckpoint(labels)
-      releaseLocalCheckpoint(minNb)
       labels = next
       iter += 1
     }
@@ -405,7 +444,6 @@ object Dedup {
     // surfacing as a confusing oracle hash mismatch downstream
     require(!changed, s"component labeling did not converge after $iter rounds")
     edges.unpersist(blocking = false)
-    pairs.unpersist(blocking = false)
     labels
   }
 
@@ -454,7 +492,15 @@ object Dedup {
     import s.implicits._
     val touchedIds = touchingNew.select($"doc_a".as("id"))
       .union(touchingNew.select($"doc_b".as("id"))).distinct()
+    // SEVERED (r20): the touched-label set (tiny, ∝ increment) is broadcast into BOTH
+    // split sides and is the only post-fold reference to the increment's pair frame —
+    // without the checkpoint, the registered query's final action re-derives it AFTER
+    // the caller released the pairs cache and re-runs the whole LSH pipeline per
+    // broadcast build (measured r20: a 0.8 s 64-task recompute at the END of
+    // dedup_components_incremental). Materialized here, while the caller's caches are
+    // alive; the blocks are label-frame-sized and released by Bench's post-rep sweep.
     val touchedLabels = prior.join(touchedIds, "id").select($"label").distinct()
+      .localCheckpoint()
     val untouched = prior.join(broadcast(touchedLabels), Seq("label"), "left_anti")
     val star = prior.join(broadcast(touchedLabels), Seq("label"), "left_semi")
       .filter($"id" =!= $"label")
