@@ -401,7 +401,7 @@ object CdcQueries {
     // frame, parseable DML must not (Thread:305-308 made observable).
     "cdc_dead_letters" -> { (s, dir) =>
       import s.implicits._
-      val frame = Tables.par(s, dir, "part")
+      val frame = Tables(s, dir, "part")
         .select($"p_partkey".cast("long").as("scn"), lit("x").as("xid"),
           lit("APP").as("seg_owner"), lit("T1").as("table_name"),
           lit(RedoEvent.Insert).as("operation"),
@@ -427,7 +427,7 @@ object CdcQueries {
     // (Thread:198-211,334-338).
     "cdc_heartbeat" -> { (s, dir) =>
       import s.implicits._
-      val redo = Tables.par(s, dir, "customer")
+      val redo = Tables(s, dir, "customer")
         .filter($"c_custkey" % 3 === 0)
         .select(
           $"c_custkey".cast("long").as("scn"), lit("hb").as("xid"), lit("r").as("row_id"),

@@ -105,7 +105,7 @@ object Dedup {
   private[ext] def bloomAdmitParts(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, org.apache.spark.util.sketch.BloomFilter) = {
     import s.implicits._
-    val docs = graft.engine.Tables.par(s, dir, "documents").select($"doc_id", $"text")
+    val docs = graft.engine.Tables(s, dir, "documents").select($"doc_id", $"text")
     val existing = docs.filter($"doc_id" % 5 =!= 0)
     val incoming = docs.filter($"doc_id" % 5 === 0)
       .union(existing.filter($"doc_id" % 7 === 1)
@@ -531,7 +531,7 @@ object Dedup {
     // content hash, keep the lowest id — every group must collapse to the original doc
     "dedup_exact" -> { (s, dir) =>
       import s.implicits._
-      val d = graft.engine.Tables.par(s, dir, "documents").select($"doc_id", $"text")
+      val d = graft.engine.Tables(s, dir, "documents").select($"doc_id", $"text")
       d.union(d.select(($"doc_id" + DupIdOffset).as("doc_id"), $"text"))
         .groupBy(md5($"text").as("fp"))
         .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("dup_cnt"))
@@ -769,7 +769,7 @@ object Dedup {
     // doc surfaced.
     "dedup_incremental" -> { (s, dir) =>
       import s.implicits._
-      val docs = graft.engine.Tables.par(s, dir, "documents").select($"doc_id", $"text")
+      val docs = graft.engine.Tables(s, dir, "documents").select($"doc_id", $"text")
       val existing = docs.filter($"doc_id" % 5 =!= 0).cache()
       val incoming = docs.filter($"doc_id" % 5 === 0)
         .union(existing.filter($"doc_id" % 7 === 1)
@@ -819,7 +819,7 @@ object Dedup {
     "dedup_incremental_stream" -> { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.Encoders
-      val docs = graft.engine.Tables.par(s, dir, "documents").select($"doc_id", $"text")
+      val docs = graft.engine.Tables(s, dir, "documents").select($"doc_id", $"text")
       val existing = docs.filter($"doc_id" % 5 =!= 0)
       val exIdx = existing.groupBy(md5($"text").as("fp")).agg(min($"doc_id").as("ex_id"))
       val feed = docs.filter($"doc_id" % 5 === 0)
@@ -901,7 +901,7 @@ object Dedup {
     },
     "dedup_url_canonical" -> { (s, dir) =>
       import s.implicits._
-      val messy = graft.engine.Tables.par(s, dir, "documents")
+      val messy = graft.engine.Tables(s, dir, "documents")
         .select($"doc_id",
           concat(
             when($"doc_id" % 3 === 0, "https").when($"doc_id" % 3 === 1, "HTTPS").otherwise("Https"),
@@ -933,7 +933,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val d = graft.engine.Tables.par(s, dir, "documents")
+      val d = graft.engine.Tables(s, dir, "documents")
         .select($"doc_id", $"lang", $"source", array_distinct(TextOps.tokens($"text")).as("toks"))
         .withColumn("sz", size($"toks"))
         .cache()
@@ -1032,7 +1032,7 @@ object Dedup {
     "dedup_winnow_admit_stream" -> { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.Encoders
-      val docs = graft.engine.Tables.par(s, dir, "documents").select($"doc_id", $"text")
+      val docs = graft.engine.Tables(s, dir, "documents").select($"doc_id", $"text")
       val existing = docs.filter($"doc_id" % 5 =!= 0)
       val rare = TextOps.winnowFingerprints(s, existing)
         .select($"doc_id", $"fp").distinct()
@@ -1068,7 +1068,7 @@ object Dedup {
     // caught, which the frozen r13 index could never do.
     "dedup_winnow_admit_incremental" -> { (s, dir) =>
       import s.implicits._
-      val docs = graft.engine.Tables.par(s, dir, "documents").select($"doc_id", $"text")
+      val docs = graft.engine.Tables(s, dir, "documents").select($"doc_id", $"text")
       val existing = docs.filter($"doc_id" % 5 =!= 0)
       val feed = docs.filter($"doc_id" % 5 === 0)
         .union(existing.filter($"doc_id" % 7 === 1)
@@ -1095,7 +1095,7 @@ object Dedup {
     // gate; WinnowAdmitPersistSpec pins engine-side row equality too).
     "dedup_winnow_admit_persist" -> { (s, dir) =>
       import s.implicits._
-      val docs = graft.engine.Tables.par(s, dir, "documents").select($"doc_id", $"text")
+      val docs = graft.engine.Tables(s, dir, "documents").select($"doc_id", $"text")
       val existing = docs.filter($"doc_id" % 5 =!= 0)
       val feed = docs.filter($"doc_id" % 5 === 0)
         .union(existing.filter($"doc_id" % 7 === 1)
@@ -1124,7 +1124,7 @@ object Dedup {
     "dedup_winnow_admit_stream_incr" -> { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.Encoders
-      val docs = graft.engine.Tables.par(s, dir, "documents").select($"doc_id", $"text")
+      val docs = graft.engine.Tables(s, dir, "documents").select($"doc_id", $"text")
       val existing = docs.filter($"doc_id" % 5 =!= 0)
       val feed = docs.filter($"doc_id" % 5 === 0)
         .union(existing.filter($"doc_id" % 7 === 1)

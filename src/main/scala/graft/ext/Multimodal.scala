@@ -822,7 +822,7 @@ object Multimodal {
   /** documents.text rendered as a binary media payload column. */
   def mediaFrame(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
-    graft.engine.Tables.par(s, dir, "documents")
+    graft.engine.Tables(s, dir, "documents")
       .select($"doc_id", encode($"text", "UTF-8").as("payload"))
       .as[MediaRow]
   }
@@ -831,7 +831,7 @@ object Multimodal {
     // typed metadata extraction over the binary payload (oracle-checked)
     "multimodal_meta" -> { (s, dir) =>
       import s.implicits._
-      graft.engine.Tables.par(s, dir, "documents")
+      graft.engine.Tables(s, dir, "documents")
         .select($"doc_id", encode($"text", "UTF-8").as("payload"), md5($"text").as("fp"),
           TextOps.hash32($"text").as("fp32"))
         .select($"doc_id", length($"payload").cast("long").as("byte_len"), $"fp",
@@ -1121,7 +1121,7 @@ object Multimodal {
     // One modality proves the builder (the three gates share [[mediaAdmitWave]]).
     "dedup_image_admit_stream_incr" -> { (s, dir) =>
       import s.implicits._
-      val docs = graft.engine.Tables.par(s, dir, "documents").select($"doc_id", $"text")
+      val docs = graft.engine.Tables(s, dir, "documents").select($"doc_id", $"text")
       val existing = docs.filter($"doc_id" % 5 =!= 0)
       val feed = admitIncrFeed(docs, existing)
         .as[(Long, String)].collect().toSeq // driver-side feed is inherent to MemoryStream
@@ -1138,7 +1138,7 @@ object Multimodal {
     // ImageAdmitIncrSpec pins engine-side row equality too).
     "dedup_image_admit_persist" -> { (s, dir) =>
       import s.implicits._
-      val docs = graft.engine.Tables.par(s, dir, "documents").select($"doc_id", $"text")
+      val docs = graft.engine.Tables(s, dir, "documents").select($"doc_id", $"text")
       val existing = docs.filter($"doc_id" % 5 =!= 0)
       val feed = admitIncrFeed(docs, existing)
       val fingerprint = (m: Dataset[MediaRow]) => avgHashBands(encodeBmp(m, width = 8))
@@ -1309,7 +1309,7 @@ object Multimodal {
       onWaveDone: (Long, Double) => Unit = (_, _) => ()): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.Encoders
-    val docs = graft.engine.Tables.par(s, dir, "documents").select($"doc_id", $"text")
+    val docs = graft.engine.Tables(s, dir, "documents").select($"doc_id", $"text")
     val existing = docs.filter($"doc_id" % 5 =!= 0)
     val fingerprint = (m: Dataset[MediaRow]) => avgHashBands(encodeBmp(m, width = 8))
     val exMedia = existing
@@ -1346,7 +1346,7 @@ object Multimodal {
     * (parity, id) so originals precede their +4000001 twins under sequential chunking. */
   private[ext] def imageAdmitIncrFeed(s: SparkSession, dir: String): Seq[(Long, String)] = {
     import s.implicits._
-    val docs = graft.engine.Tables.par(s, dir, "documents").select($"doc_id", $"text")
+    val docs = graft.engine.Tables(s, dir, "documents").select($"doc_id", $"text")
     val existing = docs.filter($"doc_id" % 5 =!= 0)
     admitIncrFeed(docs, existing).as[(Long, String)].collect().toSeq
       .sortBy(t => (t._1 % 2, t._1))
@@ -1358,7 +1358,7 @@ object Multimodal {
       gateName: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.Encoders
-    val docs = graft.engine.Tables.par(s, dir, "documents").select($"doc_id", $"text")
+    val docs = graft.engine.Tables(s, dir, "documents").select($"doc_id", $"text")
     val existing = docs.filter($"doc_id" % 5 =!= 0)
     val exMedia = existing
       .select($"doc_id", encode($"text", "UTF-8").as("payload")).as[MediaRow]

@@ -106,7 +106,7 @@ object Similarity {
   private def milliQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.VecDot.ensureRegistered(s)
-    graft.engine.Tables.par(s, dir, "embeddings")
+    graft.engine.Tables(s, dir, "embeddings")
       .select($"vec_id",
         transform($"embedding", x => (x.cast("double") * 1000).cast("long")).as("qv"))
       .withColumn("vv", dot($"qv", $"qv"))
@@ -197,7 +197,7 @@ object Similarity {
       : (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     graft.functions.VecDot.ensureRegistered(s) // analyze against THIS session (ADVICE r6)
-    pqArtifactsOver(graft.engine.Tables.par(s, dir, "embeddings")
+    pqArtifactsOver(graft.engine.Tables(s, dir, "embeddings")
       .select($"vec_id",
         transform($"embedding", x => (x.cast("double") * 1000).cast("long")).as("qv")))
   }
@@ -758,7 +758,7 @@ object Similarity {
     "simsearch_topk" -> { (s, dir) =>
       import s.implicits._
       graft.functions.VecDot.ensureRegistered(s) // analyze against THIS session (ADVICE r6)
-      val emb = graft.engine.Tables.par(s, dir, "embeddings")
+      val emb = graft.engine.Tables(s, dir, "embeddings")
         .select($"vec_id", toDouble($"embedding").as("v"))
         .withColumn("nrm", sqrt(dot($"v", $"v")))
       val q = emb.filter($"vec_id" < NumQueries)
@@ -776,7 +776,7 @@ object Similarity {
     "simsearch_lsh_buckets" -> { (s, dir) =>
       import s.implicits._
       graft.functions.VecDot.ensureRegistered(s) // analyze against THIS session (ADVICE r6)
-      val emb = graft.engine.Tables.par(s, dir, "embeddings")
+      val emb = graft.engine.Tables(s, dir, "embeddings")
         .select($"vec_id", toDouble($"embedding").as("v"))
       val planes = emb.filter($"vec_id".isin(PlaneIds: _*))
         .select($"vec_id".as("p_id"), $"v".as("pv"))
@@ -795,7 +795,7 @@ object Similarity {
     "simsearch_ivf" -> { (s, dir) =>
       import s.implicits._
       graft.functions.VecDot.ensureRegistered(s) // analyze against THIS session (ADVICE r6)
-      val base = graft.engine.Tables.par(s, dir, "embeddings")
+      val base = graft.engine.Tables(s, dir, "embeddings")
         .select($"vec_id", toDouble($"embedding").as("v"))
         .withColumn("nrm", sqrt(dot($"v", $"v"))) // folded once, reused across centroids AND probes
       val cents = base.filter($"vec_id".isin(CentroidIds: _*))
@@ -832,10 +832,10 @@ object Similarity {
     "simsearch_filtered" -> { (s, dir) =>
       import s.implicits._
       graft.functions.VecDot.ensureRegistered(s) // analyze against THIS session (ADVICE r6)
-      val meta = graft.engine.Tables.par(s, dir, "documents")
+      val meta = graft.engine.Tables(s, dir, "documents")
         .filter($"lang".isin("en", "de") && $"n_chars" >= 200L)
         .select($"doc_id".as("vec_id"))
-      val emb = graft.engine.Tables.par(s, dir, "embeddings")
+      val emb = graft.engine.Tables(s, dir, "embeddings")
         .select($"vec_id", toDouble($"embedding").as("v"))
         .withColumn("nrm", sqrt(dot($"v", $"v")))
       val q = emb.filter($"vec_id" < NumQueries)
@@ -1153,7 +1153,7 @@ object Similarity {
     "dedup_embedding_cosine" -> { (s, dir) =>
       import s.implicits._
       graft.functions.VecDot.ensureRegistered(s) // analyze against THIS session (ADVICE r6)
-      val base = graft.engine.Tables.par(s, dir, "embeddings")
+      val base = graft.engine.Tables(s, dir, "embeddings")
         .select($"vec_id", toDouble($"embedding").as("v"))
       val emb = base.union(base.select(($"vec_id" + DupIdOffset).as("vec_id"), $"v"))
       val planes = base.filter($"vec_id".isin(DupPlaneIds: _*))
@@ -1208,7 +1208,7 @@ object Similarity {
       val p = (10 to 61).find(b => (1L << (b + 1)) >= n).getOrElse(
         sys.error(s"dedup_embedding_cosine_rel: corpus $n exceeds 2^62 bucket space"))
       val planeIds = (DupPlaneIds.head until DupPlaneIds.head + p).map(Long.box)
-      val base = graft.engine.Tables.par(s, dir, "embeddings")
+      val base = graft.engine.Tables(s, dir, "embeddings")
         .select($"vec_id", $"embedding".as("vf"))
       val emb = base.union(base.select(($"vec_id" + DupIdOffset).as("vec_id"), $"vf"))
       val planes = base.filter($"vec_id".isin(planeIds: _*))
@@ -1258,7 +1258,7 @@ object Similarity {
     "rag_context_pack" -> { (s, dir) =>
       import s.implicits._
       graft.functions.VecDot.ensureRegistered(s) // analyze against THIS session
-      val emb = graft.engine.Tables.par(s, dir, "embeddings")
+      val emb = graft.engine.Tables(s, dir, "embeddings")
         .select($"vec_id", toDouble($"embedding").as("v"))
         .withColumn("nrm", sqrt(dot($"v", $"v")))
       val q = emb.filter($"vec_id" < NumQueries)
@@ -1269,7 +1269,7 @@ object Similarity {
           round(dot($"v", $"qv") / ($"nrm" * $"qnrm"), 6).as("sim"))
         .withColumn("rnk", row_number().over(w))
         .filter($"rnk" <= TopK)
-      val docs = graft.engine.Tables.par(s, dir, "documents")
+      val docs = graft.engine.Tables(s, dir, "documents")
         .select($"doc_id", size(TextOps.tokens($"text")).cast("long").as("tok_cnt"))
       val wPack = Window.partitionBy($"q_id").orderBy($"rnk")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -140,7 +140,7 @@ object TextOps {
     val segsOf = transform(
       sequence(lit(0), floor((size(toks) - 1) / W).cast("int")),
       i => array_join(slice(toks, i * W + 1, lit(W)), " "))
-    val segs = graft.engine.Tables.par(s, dir, "documents")
+    val segs = graft.engine.Tables(s, dir, "documents")
       .select($"doc_id", tokens($"text").as("toks"))
       .select($"doc_id", posexplode(segsOf))
       .withColumnRenamed("col", "seg")
@@ -156,7 +156,7 @@ object TextOps {
         array_join(transform(array_sort(collect_list(struct($"pos", $"seg"))),
           x => x.getField("seg")), " ").as("clean_text"),
         count(lit(1)).as("kept_segs"))
-    graft.engine.Tables.par(s, dir, "documents")
+    graft.engine.Tables(s, dir, "documents")
       .select($"doc_id",
         (floor((size(tokens($"text")) - 1) / W).cast("long") + 1L).as("total_segs"))
       .join(rebuilt, Seq("doc_id"), "left_outer")
@@ -170,7 +170,7 @@ object TextOps {
     // token counting + length stats per language partition
     "text_stats" -> { (s, dir) =>
       import s.implicits._
-      graft.engine.Tables.par(s, dir, "documents")
+      graft.engine.Tables(s, dir, "documents")
         .select($"lang", $"n_chars", size(tokens($"text")).as("tok_cnt"))
         .groupBy($"lang")
         .agg(count(lit(1)).as("doc_cnt"),
@@ -186,7 +186,7 @@ object TextOps {
     "text_quality" -> { (s, dir) =>
       import s.implicits._
       graft.functions.TextScan.ensureRegistered(s)
-      graft.engine.Tables.par(s, dir, "documents")
+      graft.engine.Tables(s, dir, "documents")
         .select($"lang", $"n_chars", call_function("text_scan", $"text").as("sc"))
         .select($"lang",
           ($"n_chars" >= MinChars).cast("int").as("long_enough"),
@@ -223,7 +223,7 @@ object TextOps {
     "text_quality_model" -> { (s, dir) =>
       import s.implicits._
       graft.functions.TextScan.ensureRegistered(s)
-      graft.engine.Tables.par(s, dir, "documents")
+      graft.engine.Tables(s, dir, "documents")
         .select($"doc_id", $"n_chars",
           call_function("text_scan", $"text").as("sc"))
         .select($"doc_id", $"n_chars",
@@ -253,7 +253,7 @@ object TextOps {
     "text_langid" -> { (s, dir) =>
       import s.implicits._
       graft.functions.TextLangIdScan.ensureRegistered(s)
-      graft.engine.Tables.par(s, dir, "documents")
+      graft.engine.Tables(s, dir, "documents")
         .select($"doc_id", $"lang", call_function("text_langid_scan", $"text").as("sc"))
         .select($"doc_id", $"lang",
           $"sc.en_score".as("en_score"), $"sc.de_score".as("de_score"),
@@ -275,7 +275,7 @@ object TextOps {
     "text_token_regex" -> { (s, dir) =>
       import s.implicits._
       graft.functions.TextBpeCount.ensureRegistered(s)
-      graft.engine.Tables.par(s, dir, "documents")
+      graft.engine.Tables(s, dir, "documents")
         .select($"lang", call_function("text_bpe_count", $"text").as("tok_cnt"))
         .groupBy($"lang")
         .agg(count(lit(1)).as("doc_cnt"),
@@ -288,7 +288,7 @@ object TextOps {
     // reproducible train/eval split primitive (same rows on any cluster, any run)
     "text_sample_hash" -> { (s, dir) =>
       import s.implicits._
-      graft.engine.Tables.par(s, dir, "documents")
+      graft.engine.Tables(s, dir, "documents")
         .filter(hash32($"text") % 100 < 10)
         .select($"doc_id", $"lang", $"n_chars")
         .orderBy($"doc_id")
@@ -303,7 +303,7 @@ object TextOps {
       import s.implicits._
       val rates = Seq(("en", 300), ("de", 150), ("fr", 100), ("es", 50), ("zh", 500))
         .toDF("lang", "permille")
-      graft.engine.Tables.par(s, dir, "documents")
+      graft.engine.Tables(s, dir, "documents")
         .join(broadcast(rates), Seq("lang"), "left_outer")
         .filter(hash32($"text") % 1000 < coalesce($"permille", lit(0)))
         .groupBy($"lang")
@@ -330,7 +330,7 @@ object TextOps {
     "text_repetition" -> { (s, dir) =>
       import s.implicits._
       graft.functions.TextTriRep.ensureRegistered(s)
-      graft.engine.Tables.par(s, dir, "documents")
+      graft.engine.Tables(s, dir, "documents")
         .select($"doc_id", call_function("text_tri_rep", $"text").as("sc"))
         .filter($"sc".isNotNull)
         .select($"doc_id", $"sc.tri_cnt".as("tri_cnt"),
@@ -347,7 +347,7 @@ object TextOps {
     // and the diff join is exchange-free (the q_bucketed_join layout).
     "corpus_snapshot_diff" -> { (s, dir) =>
       import s.implicits._
-      val docs = graft.engine.Tables.par(s, dir, "documents")
+      val docs = graft.engine.Tables(s, dir, "documents")
       // chars derives from the (possibly mutated) text, not the carried n_chars column:
       // a changed doc must report the NEW snapshot's size (ADVICE r6 — the carried column
       // silently reported the pre-change length)
@@ -442,7 +442,7 @@ object TextOps {
       import s.implicits._
       val W = 64; val S = 48
       val toks = $"toks"
-      graft.engine.Tables.par(s, dir, "documents")
+      graft.engine.Tables(s, dir, "documents")
         .select($"doc_id", tokens($"text").as("toks"))
         .filter(size(toks) > 0)
         .select($"doc_id", toks,
@@ -475,7 +475,7 @@ object TextOps {
       // tokenize+explode+aggregate pipeline (the expensive part) would run twice; the
       // cache spills to disk if the doc-term table outgrows memory, still cheaper than a
       // second corpus scan
-      val tf = graft.engine.Tables.par(s, dir, "documents")
+      val tf = graft.engine.Tables(s, dir, "documents")
         .select($"doc_id", explode(tokens($"text")).as("tok"))
         .groupBy($"doc_id", $"tok")
         .agg(count(lit(1)).as("tf"))
@@ -530,7 +530,7 @@ object TextOps {
     // map-side-combined word count; everything after is vocabulary-scale.
     "text_bpe_pair_counts" -> { (s, dir) =>
       import s.implicits._
-      val words = graft.engine.Tables.par(s, dir, "documents")
+      val words = graft.engine.Tables(s, dir, "documents")
         .select(explode(tokens($"text")).as("w"))
         .groupBy($"w").agg(count(lit(1)).as("freq"))
       words.filter(length($"w") >= 2)
@@ -555,7 +555,7 @@ object TextOps {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy($"source").orderBy($"doc_id")
-      graft.engine.Tables.par(s, dir, "documents")
+      graft.engine.Tables(s, dir, "documents")
         .select($"doc_id", $"source")
         // a source without a trailing digit suffix gets the DEFAULT weight 1 on BOTH
         // sides (ADVICE r7): Spark's regexp_extract yields "" → cast NULL on no match,
@@ -572,7 +572,7 @@ object TextOps {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy($"source").orderBy($"doc_id")
-      graft.engine.Tables.par(s, dir, "documents")
+      graft.engine.Tables(s, dir, "documents")
         .select($"doc_id", $"source", size(tokens($"text")).cast("long").as("n_toks"))
         .withColumn("cum", sum($"n_toks").over(w))
         .withColumn("pack_id", expr(s"(cum - n_toks) div $PackBudget"))
@@ -591,7 +591,7 @@ object TextOps {
     // aggregation over the scan (the distinct-count shuffles only (fp) partials).
     "corpus_funnel" -> { (s, dir) =>
       import s.implicits._
-      val d = graft.engine.Tables.par(s, dir, "documents").select($"doc_id", $"text", $"n_chars")
+      val d = graft.engine.Tables(s, dir, "documents").select($"doc_id", $"text", $"n_chars")
       val doubled = d.union(d.select(($"doc_id" + 1000000L).as("doc_id"), $"text", $"n_chars"))
       val markers = langMarkers
       // same generator barrier as the composed pipeline: one split per row, not one per flag
@@ -624,7 +624,7 @@ object TextOps {
     "corpus_to_training_e2e" -> { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val d = graft.engine.Tables.par(s, dir, "documents")
+      val d = graft.engine.Tables(s, dir, "documents")
         .select($"doc_id", $"text", $"source", $"n_chars")
       val doubled = d.union(d.select(($"doc_id" + 1000000L).as("doc_id"), $"text",
         $"source", $"n_chars"))
@@ -656,7 +656,7 @@ object TextOps {
     "text_scrub" -> { (s, dir) =>
       import s.implicits._
       val scrubbed = regexp_replace($"text", "[0-9]+", "#")
-      graft.engine.Tables.par(s, dir, "documents")
+      graft.engine.Tables(s, dir, "documents")
         .select($"lang", (scrubbed =!= $"text").cast("int").as("changed"),
           length($"text").cast("long").as("len_before"),
           length(scrubbed).cast("long").as("len_after"))
@@ -670,7 +670,7 @@ object TextOps {
     // document fingerprinting: full md5 + 32-bit prefix hash per document
     "text_fingerprint" -> { (s, dir) =>
       import s.implicits._
-      graft.engine.Tables.par(s, dir, "documents")
+      graft.engine.Tables(s, dir, "documents")
         .select($"doc_id", md5($"text").as("fp"), hash32($"text").as("fp32"), $"n_chars")
         .orderBy($"doc_id")
     },
@@ -692,7 +692,7 @@ object TextOps {
     "text_len_quantiles" -> { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val ranked = graft.engine.Tables.par(s, dir, "documents")
+      val ranked = graft.engine.Tables(s, dir, "documents")
         .select($"lang", length($"text").cast("long").as("len"), $"doc_id")
         .withColumn("rn",
           row_number().over(Window.partitionBy($"lang").orderBy($"len", $"doc_id")).cast("long"))
@@ -712,7 +712,7 @@ object TextOps {
     // sketch's guaranteed rank window of the exact text_len_quantiles answer.
     "text_len_quantiles_approx" -> { (s, dir) =>
       import s.implicits._
-      graft.engine.Tables.par(s, dir, "documents")
+      graft.engine.Tables(s, dir, "documents")
         .select($"lang", length($"text").cast("long").as("len"))
         .groupBy($"lang")
         .agg(count(lit(1)).as("n"),
@@ -730,7 +730,7 @@ object TextOps {
     "text_vocab_coverage" -> { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val counts = graft.engine.Tables.par(s, dir, "documents")
+      val counts = graft.engine.Tables(s, dir, "documents")
         .select(explode(tokens($"text")).as("tok"))
         .groupBy($"tok").agg(count(lit(1)).as("cnt"))
       val ranked = counts
@@ -760,7 +760,7 @@ object TextOps {
       val all = Window.partitionBy().rowsBetween(Window.unboundedPreceding,
         Window.unboundedFollowing)
       val byRem = Window.partitionBy().orderBy($"rem".desc, $"source")
-      graft.engine.Tables.par(s, dir, "documents")
+      graft.engine.Tables(s, dir, "documents")
         .groupBy($"source").agg(count(lit(1)).as("n_docs"))
         .withColumn("wgt", floor(sqrt($"n_docs")).cast("long"))
         .withColumn("wtot", sum($"wgt").over(all))
@@ -785,7 +785,7 @@ object TextOps {
     // key with map-side combine; nothing driver-side, nothing quadratic.
     "text_lm_score" -> { (s, dir) =>
       import s.implicits._
-      val docs = graft.engine.Tables.par(s, dir, "documents")
+      val docs = graft.engine.Tables(s, dir, "documents")
         .select($"doc_id", tokens($"text").as("toks"))
         .filter(size($"toks") >= 2)
       val bigrams = docs.select($"doc_id",
