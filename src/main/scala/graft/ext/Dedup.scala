@@ -249,6 +249,12 @@ object Dedup {
   private def signatures(docs: DataFrame): DataFrame =
     signaturesFrom(shingleHashes(docs))
 
+  /** The doubled-corpus shingle-hash frame for [[ExplainDedupInternals]]'s plan
+    * evidence (r20) — the registered component queries checkpoint at construction, so
+    * the verify subplan is only printable through this accessor. */
+  private[ext] def debugShingleHashes(s: SparkSession, dir: String): DataFrame =
+    shingleHashes(doubledDocs(s, dir))
+
   /** One row per (doc, shingle occurrence): `(doc_id, n_toks, hv)` — the single
     * tokenize+shingle+hash pass every MinHash consumer (signatures, exact-Jaccard
     * verification) derives from. */
