@@ -333,7 +333,10 @@ object CdcQueries {
     // A8+A9+A10+A11+A15+A22: the filter/routing stack over a stream synthesized from events.
     "cdc_filters_routing" -> { (s, dir) =>
       import s.implicits._
-      val stream = Tables.par(s, dir, "events").select(
+      // NOT floored (r20): the routing predicates are cheap per row — the closing
+      // pair measured the floor exchange as a consistent +0.2 s net tax here
+      // (0.40 -> 0.63 min at reps=7), unlike the parse-heavy synthesis chains
+      val stream = Tables(s, dir, "events").select(
         $"event_id",
         when($"event_id" % 11 === 0, "DDL")
           .when($"event_id" % 11 === 1, "UPDATE")
